@@ -1,44 +1,457 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline on a deterministic
+synthetic Common-Crawl-style page corpus (BASELINE.json input_hint) at
+sf0.001 scale.  ``queries()`` exposes one callable per implemented operator
+family from SURVEY.md §2 — relational/text/similarity entries have exact
+DuckDB oracles in ``oracle_sql()``; KG-pipeline entries are non-SQL (the
+grammar/compilation) and get rows-only checks here, with full P/R golden
+conformance against the reference covered by ``tests/``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import; nothing here calls
+``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, table + ".parquet"))
+
+
+def _read_arrow(sf_dir: str, table: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, table + ".parquet"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+_KG_CACHE: dict = {}
+
+
+def _kg(sf_dir: str):
+    """Build (and cache) the compiled KG for the synthetic corpus at this sf."""
+    from pybel_ray.pages import default_registry, generate_pages_table, page_count_for_sf
+    from pybel_ray.pipeline import compile_pages
+
+    if sf_dir in _KG_CACHE:
+        return _KG_CACHE[sf_dir]
+    import ray.data
+
+    n_pages = page_count_for_sf(_sf_of(sf_dir))
+    pages = ray.data.from_arrow(generate_pages_table(n_pages, seed=42))
+    kg = compile_pages(pages, default_registry(), batch_size=8)
+    _KG_CACHE[sf_dir] = kg
+    return kg
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthetic pages -> KG -> sorted triples Dataset."""
+    return _kg("/root/testdata/sf0.001").triples()
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pybel_ray.ops.dedup_approx import (
+        embedding_near_dup_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_buckets,
+    )
+    from pybel_ray.ops.relational import (
+        broadcast_join,
+        distinct_values,
+        groupby_agg,
+        groupby_count,
+        topk,
+    )
+    from pybel_ray.ops.similarity import get_vector, knn_brute, knn_lsh
+    from pybel_ray.ops.text import (
+        add_fingerprint,
+        add_lang_id,
+        add_quality_stats,
+        add_token_counts,
+        exact_dedup,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- KG construction family (non-SQL; grammar conformance in tests/) ---
 
+    def kg_triples(sf_dir):
+        return _kg(sf_dir).triples()
+
+    def kg_nodes(sf_dir):
+        return _kg(sf_dir).nodes().sort("bel")
+
+    def kg_edges(sf_dir):
+        return _kg(sf_dir).edges().sort("edge_md5")
+
+    def kg_errors_by_class(sf_dir):
+        return groupby_count(_kg(sf_dir).errors(), "error_class").sort("error_class")
+
+    def kg_docs(sf_dir):
+        return _kg(sf_dir).docs().sort("url")
+
+    def kg_count_relations(sf_dir):
+        return groupby_count(_kg(sf_dir).edges(), "relation").sort("relation")
+
+    def kg_count_functions(sf_dir):
+        return groupby_count(_kg(sf_dir).nodes(), "function").sort("function")
+
+    def kg_count_namespaces(sf_dir):
+        def _nn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_valid(t.column("namespace")))
+
+        ds = _kg(sf_dir).nodes().map_batches(_nn, batch_format="pyarrow")
+        return groupby_count(ds, "namespace").sort("namespace")
+
+    def kg_top_hubs(sf_dir):
+        """Degree top-15 (reference get_top_hubs, node_summary.py:209)."""
+        edges = _kg(sf_dir).edges()
+
+        def _endpoints(t: pa.Table) -> pa.Table:
+            md5 = pa.concat_arrays([
+                t.column("src_md5").combine_chunks(),
+                t.column("dst_md5").combine_chunks(),
+            ])
+            bel = pa.concat_arrays([
+                t.column("src_bel").combine_chunks(),
+                t.column("dst_bel").combine_chunks(),
+            ])
+            return pa.Table.from_arrays([md5, bel], names=["md5", "bel"])
+
+        degrees = groupby_count(
+            edges.map_batches(_endpoints, batch_format="pyarrow"),
+            ["md5", "bel"], "degree",
+        )
+        return topk(degrees, "degree", 15, tie_keys=["bel"]).select_columns(["bel", "degree"])
+
+    # -- relational family (SQL-checkable) ---------------------------------
+
+    def events_count_by_type(sf_dir):
+        return groupby_count(_read(sf_dir, "events"), "event_type")
+
+    def orders_count_by_status(sf_dir):
+        return groupby_count(_read(sf_dir, "orders"), "o_orderstatus")
+
+    def lineitem_pricing_summary(sf_dir):
+        ds = _read(sf_dir, "lineitem")
+
+        def _cast(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "qty_int", pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+            )
+
+        ds = ds.map_batches(_cast, batch_format="pyarrow")
+        return groupby_agg(
+            ds, ["l_returnflag", "l_linestatus"],
+            {"n": ("count", None), "sum_qty": ("sum", "qty_int")},
+        )
+
+    def customer_orders_by_segment(sf_dir):
+        orders = _read(sf_dir, "orders")
+        customer = _read_arrow(sf_dir, "customer").select(["c_custkey", "c_mktsegment"])
+        joined = broadcast_join(orders, customer, "o_custkey", "c_custkey")
+        return groupby_count(joined, "c_mktsegment")
+
+    def customers_per_region(sf_dir):
+        customer = _read(sf_dir, "customer")
+        nation = _read_arrow(sf_dir, "nation")
+        region = _read_arrow(sf_dir, "region")
+        j = broadcast_join(customer, nation, "c_nationkey", "n_nationkey",
+                           take_columns=["n_regionkey"])
+        j = broadcast_join(j, region, "n_regionkey", "r_regionkey",
+                           take_columns=["r_name"])
+        return groupby_count(j, "r_name")
+
+    def top_parts_by_price(sf_dir):
+        ds = _read(sf_dir, "part").select_columns(
+            ["p_partkey", "p_name", "p_retailprice"],
+        )
+        return topk(ds, "p_retailprice", 10, tie_keys=["p_partkey"])
+
+    def distinct_event_types(sf_dir):
+        return distinct_values(_read(sf_dir, "events"), "event_type")
+
+    def high_value_orders(sf_dir):
+        ds = _read(sf_dir, "orders")
+
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater(t.column("o_totalprice"), 150000.0))
+
+        return ds.map_batches(_f, batch_format="pyarrow").select_columns(
+            ["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+
+    def events_daily_counts(sf_dir):
+        ds = _read(sf_dir, "events")
+
+        def _day(t: pa.Table) -> pa.Table:
+            return t.append_column("day", pc.strftime(t.column("ts"), format="%Y-%m-%d"))
+
+        return groupby_count(ds.map_batches(_day, batch_format="pyarrow"), "day")
+
+    def events_value_extrema_by_type(sf_dir):
+        return groupby_agg(
+            _read(sf_dir, "events"), "event_type",
+            {"n": ("count", None), "vmin": ("min", "value"), "vmax": ("max", "value")},
+        )
+
+    def supplier_count_by_nation(sf_dir):
+        supplier = _read(sf_dir, "supplier")
+        nation = _read_arrow(sf_dir, "nation")
+        j = broadcast_join(supplier, nation, "s_nationkey", "n_nationkey",
+                           take_columns=["n_name"])
+        return groupby_count(j, "n_name")
+
+    def part_type_counts(sf_dir):
+        return groupby_count(_read(sf_dir, "part"), "p_type")
+
+    # -- text analysis family (SQL-checkable) -------------------------------
+
+    def doc_token_counts(sf_dir):
+        ds = add_token_counts(_read(sf_dir, "documents"))
+        return ds.select_columns(["doc_id", "n_tokens"])
+
+    def doc_quality_stats(sf_dir):
+        ds = add_quality_stats(_read(sf_dir, "documents"))
+        return ds.select_columns(["doc_id", "n_chars", "n_punct", "n_digits"])
+
+    def doc_lang_id(sf_dir):
+        ds = add_lang_id(_read(sf_dir, "documents"))
+        return ds.select_columns(["doc_id", "hits_en", "hits_de", "hits_fr", "lang_pred"])
+
+    def doc_exact_dedup(sf_dir):
+        return exact_dedup(_read(sf_dir, "documents"))
+
+    # -- text analysis family (rows-only: custom hashes) ---------------------
+
+    def doc_fingerprints(sf_dir):
+        ds = add_fingerprint(_read(sf_dir, "documents"))
+        return ds.select_columns(["doc_id", "fingerprint"])
+
+    def doc_minhash_near_dups(sf_dir):
+        return minhash_lsh_pairs(_read(sf_dir, "documents"), threshold=0.5)
+
+    def doc_simhash(sf_dir):
+        ds = simhash_buckets(_read(sf_dir, "documents"))
+        return ds.select_columns(["doc_id", "simhash", "simhash_bucket"])
+
+    def doc_ngram_jaccard_dups(sf_dir):
+        return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.5)
+
+    # -- similarity family ---------------------------------------------------
+
+    def emb_knn_brute(sf_dir):
+        ds = _read(sf_dir, "embeddings")
+        q = get_vector(ds, 0)
+        return knn_brute(ds, q, k=20)
+
+    def emb_knn_lsh(sf_dir):
+        ds = _read(sf_dir, "embeddings")
+        q = get_vector(ds, 0)
+        return knn_lsh(ds, q, k=10)
+
+    def emb_label_hist(sf_dir):
+        return groupby_count(_read(sf_dir, "embeddings"), "label")
+
+    def emb_near_dups(sf_dir):
+        return embedding_near_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.8)
+
+    # -- multimodal plumbing (deterministic fake decode) ---------------------
+
+    def media_features(sf_dir):
+        import ray.data
+
+        from pybel_ray.ops.multimodal import MediaFeatureExtractor, fake_media_table
+
+        ds = ray.data.from_arrow(fake_media_table(48))
+        return ds.map_batches(
+            MediaFeatureExtractor,
+            fn_constructor_kwargs={"mode": "fake"},
+            batch_size=8,
+            concurrency=2,
+            batch_format="pyarrow",
+        )
+
+    return {
+        # KG construction
+        "kg_triples": kg_triples,
+        "kg_nodes": kg_nodes,
+        "kg_edges": kg_edges,
+        "kg_errors_by_class": kg_errors_by_class,
+        "kg_docs": kg_docs,
+        "kg_count_relations": kg_count_relations,
+        "kg_count_functions": kg_count_functions,
+        "kg_count_namespaces": kg_count_namespaces,
+        "kg_top_hubs": kg_top_hubs,
+        # relational
+        "events_count_by_type": events_count_by_type,
+        "orders_count_by_status": orders_count_by_status,
+        "lineitem_pricing_summary": lineitem_pricing_summary,
+        "customer_orders_by_segment": customer_orders_by_segment,
+        "customers_per_region": customers_per_region,
+        "top_parts_by_price": top_parts_by_price,
+        "distinct_event_types": distinct_event_types,
+        "high_value_orders": high_value_orders,
+        "events_daily_counts": events_daily_counts,
+        "events_value_extrema_by_type": events_value_extrema_by_type,
+        "supplier_count_by_nation": supplier_count_by_nation,
+        "part_type_counts": part_type_counts,
+        # text analysis
+        "doc_token_counts": doc_token_counts,
+        "doc_quality_stats": doc_quality_stats,
+        "doc_lang_id": doc_lang_id,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_minhash_near_dups": doc_minhash_near_dups,
+        "doc_simhash": doc_simhash,
+        "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
+        # similarity
+        "emb_knn_brute": emb_knn_brute,
+        "emb_knn_lsh": emb_knn_lsh,
+        "emb_label_hist": emb_label_hist,
+        "emb_near_dups": emb_near_dups,
+        # multimodal
+        "media_features": media_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langid_hits = {
+        "en": [(" the ", 5), (" and ", 5), (" of ", 4)],
+        "de": [(" der ", 5), (" und ", 5), (" die ", 5)],
+        "fr": [(" le ", 4), (" et ", 4), (" les ", 5)],
+    }
+
+    def hits_expr(lang):
+        parts = [
+            "(length(padded) - length(replace(padded, '{m}', ''))) / {n}".format(m=m, n=n)
+            for m, n in langid_hits[lang]
+        ]
+        return "CAST({} AS BIGINT)".format(" + ".join(parts))
+
+    langid_sql = """
+        WITH p AS (
+            SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   {en} AS hits_en,
+                   {de} AS hits_de,
+                   {fr} AS hits_fr
+            FROM p
+        )
+        SELECT doc_id, hits_en, hits_de, hits_fr,
+               CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+                    WHEN hits_de >= hits_fr THEN 'de'
+                    ELSE 'fr' END AS lang_pred
+        FROM h
+    """.format(en=hits_expr("en"), de=hits_expr("de"), fr=hits_expr("fr"))
+
+    return {
+        "events_count_by_type":
+            "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        "orders_count_by_status":
+            "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "customer_orders_by_segment": """
+            SELECT c_mktsegment, count(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "customers_per_region": """
+            SELECT r_name, count(*) AS n
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "top_parts_by_price": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+        """,
+        "distinct_event_types":
+            "SELECT DISTINCT event_type FROM events",
+        "high_value_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_totalprice > 150000.0
+        """,
+        "events_daily_counts": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+            FROM events GROUP BY day
+        """,
+        "events_value_extrema_by_type": """
+            SELECT event_type, count(*) AS n, min(value) AS vmin, max(value) AS vmax
+            FROM events GROUP BY event_type
+        """,
+        "supplier_count_by_nation": """
+            SELECT n_name, count(*) AS n
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "part_type_counts":
+            "SELECT p_type, count(*) AS n FROM part GROUP BY p_type",
+        "doc_token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "doc_quality_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+            FROM documents
+        """,
+        "doc_lang_id": langid_sql,
+        "doc_exact_dedup": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "emb_knn_brute": """
+            SELECT CAST(row_number() OVER (
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                e.vec_id
+                   ) AS BIGINT) AS rank,
+                   e.vec_id
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY rank LIMIT 20
+        """,
+        "emb_label_hist":
+            "SELECT label, count(*) AS n FROM embeddings GROUP BY label",
+    }

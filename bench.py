@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark: headline KG-construction pipeline + representative queries.
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_wall_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "num_cpus": N,
+   "triples": N, "triples_per_sec": N, "pages": N, "statements_per_sec": N}
+
+``--scaling`` runs the headline pipeline twice in fresh processes at two
+parallelism levels (8 and 32 CPUs by default) on the SAME input and reports
+both throughputs plus scaling efficiency — the sandbox stand-in for the
+N-node vs 4N-node cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+
+
+def run_headline(sf: float, num_cpus: int) -> dict:
+    """Synthetic pages -> KG -> triples count (full pipeline incl. dedup+sort)."""
+    import ray
+
+    from pybel_ray.pages import default_registry, generate_pages_table, page_count_for_sf
+    from pybel_ray.pipeline import compile_pages
+
+    n_pages = page_count_for_sf(sf)
+    table = generate_pages_table(n_pages, seed=42)
+    pages = ray.data.from_arrow(table)
+
+    t0 = time.time()
+    kg = compile_pages(pages, default_registry(), batch_size=8)
+    n_triples = kg.triples().count()
+    n_statements = sum(
+        r["n_statements"] for r in kg.docs().take_all()
+    )
+    wall = time.time() - t0
+    return {
+        "pages": n_pages,
+        "triples": n_triples,
+        "statements": n_statements,
+        "wall_sec": round(wall, 3),
+        "triples_per_sec": round(n_triples / wall, 1),
+        "statements_per_sec": round(n_statements / wall, 1),
+        "pages_per_sec": round(n_pages / wall, 2),
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as entry
+
+    chosen = [
+        "lineitem_pricing_summary",
+        "customers_per_region",
+        "doc_token_counts",
+        "doc_lang_id",
+        "doc_exact_dedup",
+        "doc_minhash_near_dups",
+        "emb_knn_brute",
+        "kg_triples",
+        "kg_top_hubs",
+    ]
+    q = entry.queries()
+    out = {}
+    for name in chosen:
+        t0 = time.time()
+        result = q[name](sf_dir)
+        # force execution
+        if hasattr(result, "count"):
+            result.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def single_run(num_cpus: int, sf_dir: str, with_queries: bool) -> dict:
+    _init_ray(num_cpus)
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
+    headline = run_headline(sf, num_cpus)
+    result = {
+        "metric": "kg_pipeline_wall_sec",
+        "value": headline["wall_sec"],
+        "unit": "sec",
+        "sf": sf,
+        "num_cpus": num_cpus,
+        **headline,
+    }
+    if with_queries:
+        result["queries"] = run_queries(sf_dir)
+    import ray
+
+    ray.shutdown()
+    return result
+
+
+def scaling(sf_dir: str, low: int, high: int) -> dict:
+    """Fresh-process runs at two parallelism levels on identical input."""
+    results = {}
+    for n in (low, high):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(n),
+             "--sf-dir", sf_dir],
+            capture_output=True, text=True, check=True,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[n] = json.loads(line)
+    tp_low = results[low]["triples_per_sec"]
+    tp_high = results[high]["triples_per_sec"]
+    ratio = high / low
+    efficiency = (tp_high / tp_low) / ratio if tp_low else 0.0
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "sf_dir": sf_dir,
+        "low_cpus": low,
+        "high_cpus": high,
+        "low_triples_per_sec": tp_low,
+        "high_triples_per_sec": tp_high,
+        "low_wall_sec": results[low]["wall_sec"],
+        "high_wall_sec": results[high]["wall_sec"],
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scaling", action="store_true")
+    parser.add_argument("--worker", type=int, default=None,
+                        help="internal: run headline only at N cpus")
+    parser.add_argument("--sf-dir", default=os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1",
+    ))
+    parser.add_argument("--low", type=int, default=8)
+    parser.add_argument("--high", type=int, default=32)
+    args = parser.parse_args()
+
+    if args.worker is not None:
+        print(json.dumps(single_run(args.worker, args.sf_dir, with_queries=False)))
+        return
+    if args.scaling:
+        print(json.dumps(scaling(args.sf_dir, args.low, args.high)))
+        return
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(single_run(num_cpus, args.sf_dir, with_queries=True)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Generic relational helpers on Ray Datasets.
+
+The engine's graph operators (summaries §2.6, joins §2.5, top-k §2.7 of
+SURVEY.md) reduce to these primitives.  Small-side joins are broadcast —
+the lookup table is built once on the driver and shipped inside the batch
+UDF closure (one object-store copy) instead of a wide shuffle join.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Mapping, Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "groupby_count",
+    "groupby_agg",
+    "broadcast_join",
+    "topk",
+    "distinct_values",
+]
+
+
+def groupby_count(ds, keys, count_name: str = "n"):
+    """groupby(keys).count() with a stable output column name."""
+    if isinstance(keys, str):
+        keys = [keys]
+    out = ds.groupby(keys).count()
+    # ray names the count column "count()"
+    def _rename(t: pa.Table) -> pa.Table:
+        names = [count_name if c == "count()" else c for c in t.column_names]
+        return t.rename_columns(names)
+
+    return out.map_batches(_rename, batch_format="pyarrow")
+
+
+def groupby_agg(ds, keys, aggs: Mapping[str, tuple]):
+    """groupby + multiple named aggregations.
+
+    ``aggs``: {output_name: (kind, column)} with kind in
+    {count, sum, min, max, mean}.
+    """
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    if isinstance(keys, str):
+        keys = [keys]
+    kinds = {"count": Count, "sum": Sum, "min": Min, "max": Max, "mean": Mean}
+    fns = []
+    renames = {}
+    for out_name, (kind, col) in aggs.items():
+        if kind == "count":
+            fns.append(Count())
+            renames["count()"] = out_name
+        else:
+            fns.append(kinds[kind](col))
+            renames["{}({})".format(kind, col)] = out_name
+    out = ds.groupby(keys).aggregate(*fns)
+
+    def _rename(t: pa.Table) -> pa.Table:
+        names = [renames.get(c, c) for c in t.column_names]
+        return t.rename_columns(names)
+
+    return out.map_batches(_rename, batch_format="pyarrow")
+
+
+def broadcast_join(
+    ds,
+    small: pa.Table,
+    left_key: str,
+    right_key: str,
+    take_columns: Optional[Sequence[str]] = None,
+):
+    """Hash-join a Dataset against a SMALL Arrow table (broadcast, no shuffle).
+
+    The small side is turned into a python dict once; each batch does a
+    vectorized dictionary lookup.  Non-matching rows are dropped (inner).
+    """
+    take_columns = list(take_columns or [c for c in small.column_names if c != right_key])
+    keys = small.column(right_key).to_pylist()
+    cols = {c: small.column(c).to_pylist() for c in take_columns}
+    lookup: Dict = {k: i for i, k in enumerate(keys)}
+
+    def _join(t: pa.Table) -> pa.Table:
+        left = t.column(left_key).to_pylist()
+        idx = [lookup.get(v) for v in left]
+        mask = pa.array([i is not None for i in idx])
+        t = t.filter(mask)
+        hit = [i for i in idx if i is not None]
+        for c in take_columns:
+            vals = cols[c]
+            t = t.append_column(c, pa.array([vals[i] for i in hit]))
+        return t
+
+    return ds.map_batches(_join, batch_format="pyarrow")
+
+
+def topk(ds, key: str, k: int, descending: bool = True, tie_keys: Sequence[str] = ()):
+    """Global top-k by a column (sort + limit)."""
+    keys = [key] + list(tie_keys)
+    desc = [descending] + [False] * len(tie_keys)
+    return ds.sort(keys, descending=desc).limit(k)
+
+
+def distinct_values(ds, column: str):
+    """Distinct values of one column as a Dataset (pre-aggregated per block)."""
+    def _local(t: pa.Table) -> pa.Table:
+        u = pc.unique(t.column(column).combine_chunks())
+        return pa.Table.from_arrays([u], names=[column])
+
+    ds = ds.select_columns([column]).map_batches(_local, batch_format="pyarrow")
+    return ds.groupby(column).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow",
+    )

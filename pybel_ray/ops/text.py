@@ -1,0 +1,144 @@
+"""Text analysis operators over a documents table (doc_id, text, ...).
+
+All hot-path work is vectorized via ``pyarrow.compute`` string kernels
+inside ``map_batches`` — no Python loop over rows except where a true
+per-row scalar (rolling hash) is required.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "add_token_counts",
+    "add_quality_stats",
+    "add_lang_id",
+    "add_fingerprint",
+    "exact_dedup",
+    "LANG_MARKERS",
+]
+
+#: language -> marker substrings counted on the lowercased, space-padded text.
+#: Deliberately simple so a SQL oracle can reproduce it exactly.
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+}
+
+
+def add_token_counts(ds, text_col: str = "text", out_col: str = "n_tokens"):
+    """Whitespace token count (== duckdb len(regexp_split_to_array(trim(t),'\\s+')))."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column(text_col))
+        parts = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        counts = pc.list_value_length(parts).cast(pa.int64())
+        return t.append_column(out_col, counts)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def add_quality_stats(ds, text_col: str = "text"):
+    """Quality-scoring columns: n_chars, n_punct (sentence enders), n_digits.
+
+    Integer-valued so an oracle compares exactly.
+    """
+
+    def _f(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        for existing in ("n_chars", "n_punct", "n_digits"):
+            if existing in t.column_names:
+                t = t.drop_columns([existing])
+        t = t.append_column("n_chars", pc.utf8_length(text).cast(pa.int64()))
+        t = t.append_column(
+            "n_punct", pc.count_substring_regex(text, r"[.!?]").cast(pa.int64()),
+        )
+        t = t.append_column(
+            "n_digits", pc.count_substring_regex(text, r"[0-9]").cast(pa.int64()),
+        )
+        return t
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def add_lang_id(ds, text_col: str = "text"):
+    """n-gram-marker language ID with a deterministic tie rule (en > de > fr)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        padded = pc.binary_join_element_wise(
+            " ", pc.utf8_lower(t.column(text_col)), " ", "",
+        )
+        counts = {}
+        for lang, markers in LANG_MARKERS.items():
+            total = None
+            for m in markers:
+                c = pc.count_substring(padded, m)
+                total = c if total is None else pc.add(total, c)
+            counts[lang] = total.cast(pa.int64())
+        en, de, fr = counts["en"], counts["de"], counts["fr"]
+        pred = pc.if_else(
+            pc.and_(pc.greater_equal(en, de), pc.greater_equal(en, fr)),
+            "en",
+            pc.if_else(pc.greater_equal(de, fr), "de", "fr"),
+        )
+        for lang in ("en", "de", "fr"):
+            t = t.append_column("hits_" + lang, counts[lang])
+        return t.append_column("lang_pred", pred)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 257
+
+
+def _fingerprint(text: str) -> int:
+    """Polynomial rolling hash over normalized words (document fingerprint)."""
+    h = 0
+    for word in text.lower().split():
+        for b in word.encode("utf8"):
+            h = (h * _FP_BASE + b) % _FP_MOD
+        h = (h * _FP_BASE + 32) % _FP_MOD
+    return h
+
+
+def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
+    def _f(t: pa.Table) -> pa.Table:
+        vals = [_fingerprint(v) for v in t.column(text_col).to_pylist()]
+        return t.append_column(out_col, pa.array(vals, pa.int64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact text dedup: per text, keep min(id) + copy count.
+
+    Hash-partition + per-group first (SURVEY.md §2.8): texts are md5-hashed
+    inside the batch so the groupby shuffle moves 16-byte keys + ids, never
+    full documents.
+    """
+
+    def _hash(t: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5(v.encode("utf8")).hexdigest()  # noqa: S324
+            for v in t.column(text_col).to_pylist()
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(hashes), t.column(id_col)],
+            names=["text_hash", id_col],
+        )
+
+    from .relational import groupby_agg
+
+    hashed = ds.map_batches(_hash, batch_format="pyarrow")
+    out = groupby_agg(
+        hashed, "text_hash",
+        {"doc_id": ("min", id_col), "n_copies": ("count", id_col)},
+    )
+    return out.drop_columns(["text_hash"])

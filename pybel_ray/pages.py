@@ -1,0 +1,294 @@
+"""Deterministic synthetic Common-Crawl-style page table.
+
+Input schema per BASELINE.json input_hint:
+``(url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string)``.
+Each positive row's ``text`` holds one BEL document (document header,
+definitions, statements) drawn from seeded templates covering the same
+statement surface as the reference's ``thorough.bel``; negative rows carry
+non-BEL filler; a small fraction carries slushy-style broken statements.
+
+``html`` is ``<html><body><pre>{escaped text}</pre></body></html>`` so the
+HTML→text extraction stage is exactly invertible (byte-identical ``text``
+per url — the per-row invariant the driver checks).  A deterministic subset
+of rows has ``text = NULL`` to force extraction from ``html``.
+
+Everything is seeded — same (n_pages, seed) → byte-identical table.
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import random
+from datetime import datetime, timedelta
+from typing import List, Optional
+
+import pyarrow as pa
+
+from .resources import ResourceRegistry
+
+__all__ = [
+    "generate_pages",
+    "generate_pages_table",
+    "default_registry",
+    "synthetic_belns_texts",
+    "page_count_for_sf",
+]
+
+NS_HGNC_URL = "synthetic://ns/hgnc.belns"
+NS_CHEBI_URL = "synthetic://ns/chebi.belns"
+NS_GO_URL = "synthetic://ns/go.belns"
+NS_MESHD_URL = "synthetic://ns/meshd.belns"
+ANNO_SPECIES_URL = "synthetic://anno/species.belanno"
+ANNO_CELL_URL = "synthetic://anno/cell.belanno"
+
+N_GENES = 120
+N_CHEMS = 60
+N_PROCS = 40
+N_DISEASES = 30
+
+GENES = ["GENE{:04d}".format(i) for i in range(1, N_GENES + 1)]
+CHEMS = (
+    ["chem{:03d}".format(i) for i in range(1, N_CHEMS // 2 + 1)]
+    + ['chemical compound {}'.format(i) for i in range(1, N_CHEMS // 2 + 1)]
+)
+PROCS = ["process of thing {}".format(i) for i in range(1, N_PROCS + 1)]
+DISEASES = ["disease state {}".format(i) for i in range(1, N_DISEASES + 1)]
+SPECIES = ["9606", "10090", "10116"]
+CELLS = ["cell line {}".format(i) for i in range(1, 11)]
+
+
+def _q(name: str) -> str:
+    """Quote a name for BEL if not alphanumeric."""
+    return '"{}"'.format(name) if not name.isalnum() else name
+
+
+def default_registry() -> ResourceRegistry:
+    """The frozen synthetic namespace/annotation registry (FIXTURES.md §2-3)."""
+    reg = ResourceRegistry()
+    reg.add_namespace_table(
+        NS_HGNC_URL,
+        [(g, str(1000 + i), "GRP") for i, g in enumerate(GENES)],
+    )
+    reg.add_namespace_table(NS_CHEBI_URL, [(c, None, "A") for c in CHEMS])
+    reg.add_namespace_table(NS_GO_URL, [(p, None, "B") for p in PROCS])
+    reg.add_namespace_table(NS_MESHD_URL, [(d, None, "O") for d in DISEASES])
+    reg.add_annotation_values(ANNO_SPECIES_URL, SPECIES)
+    reg.add_annotation_values(ANNO_CELL_URL, CELLS)
+    return reg
+
+
+def synthetic_belns_texts() -> dict:
+    """Render the synthetic vocabularies as .belns/.belanno file texts.
+
+    Used by conformance tests to feed the *reference* compiler the same
+    resources through its file-based loader.
+    """
+    out = {}
+    lines = ["[Namespace]", "Keyword=HGNC", "", "[Values]"]
+    lines += ["{}|{}".format(g, "GRP") for g in GENES]
+    out[NS_HGNC_URL] = "\n".join(lines)
+    for url, names, enc, kw in (
+        (NS_CHEBI_URL, CHEMS, "A", "CHEBI"),
+        (NS_GO_URL, PROCS, "B", "GO"),
+        (NS_MESHD_URL, DISEASES, "O", "MESHD"),
+    ):
+        lines = ["[Namespace]", "Keyword={}".format(kw), "", "[Values]"]
+        lines += ["{}|{}".format(n, enc) for n in names]
+        out[url] = "\n".join(lines)
+    for url, values in ((ANNO_SPECIES_URL, SPECIES), (ANNO_CELL_URL, CELLS)):
+        lines = ["[AnnotationDefinition]", "", "[Values]"]
+        lines += ["{}|label".format(v) for v in values]
+        out[url] = "\n".join(lines)
+    return out
+
+
+_HEADER = """SET DOCUMENT Name = "Synthetic Doc {i}"
+SET DOCUMENT Version = "1.0.0"
+SET DOCUMENT Description = "Deterministic synthetic BEL document {i}"
+SET DOCUMENT Authors = "Synthetic Generator"
+SET DOCUMENT ContactInfo = "generator@example.org"
+DEFINE NAMESPACE HGNC AS URL "{hgnc}"
+DEFINE NAMESPACE CHEBI AS URL "{chebi}"
+DEFINE NAMESPACE GO AS URL "{go}"
+DEFINE NAMESPACE MESHD AS URL "{meshd}"
+DEFINE NAMESPACE dbSNP AS PATTERN "rs[0-9]+"
+DEFINE ANNOTATION Species AS URL "{species}"
+DEFINE ANNOTATION CellLine AS URL "{cell}"
+DEFINE ANNOTATION Conf AS LIST {{"High","Low"}}
+DEFINE ANNOTATION TextLoc AS PATTERN "[0-9]+"
+"""
+
+
+def _statement(rng: random.Random) -> List[str]:
+    """Generate one (possibly multi-line) statement block."""
+    g = lambda: "HGNC:" + _q(rng.choice(GENES))  # noqa: E731
+    c = lambda: "CHEBI:" + _q(rng.choice(CHEMS))  # noqa: E731
+    p_ = lambda: "GO:" + _q(rng.choice(PROCS))  # noqa: E731
+    d = lambda: "MESHD:" + _q(rng.choice(DISEASES))  # noqa: E731
+
+    kind = rng.randrange(24)
+    if kind == 0:
+        return ["p({}) -> p({})".format(g(), g())]
+    if kind == 1:
+        return ["p({}) -| act(p({}), ma(kin))".format(g(), g())]
+    if kind == 2:
+        return ["a({}) => deg(r({}))".format(c(), g())]
+    if kind == 3:
+        return ["p({}, pmod(Ph, Ser, {})) -> bp({})".format(g(), rng.randrange(1, 500), p_())]
+    if kind == 4:
+        return ["g({}, var(\"c.{}G>A\")) cnc p({})".format(g(), rng.randrange(100, 999), g())]
+    if kind == 5:
+        return ["complex(p({}), p({})) -> bp({})".format(g(), g(), p_())]
+    if kind == 6:
+        return ["composite(p({}), a({})) reg path({})".format(g(), c(), d())]
+    if kind == 7:
+        return [
+            "rxn(reactants(a({}), a({})), products(a({}))) subProcessOf bp({})".format(
+                c(), c(), c(), p_(),
+            ),
+        ]
+    if kind == 8:
+        return ["p({}) pos path({})".format(g(), d())]
+    if kind == 9:
+        return ["p({}) neg bp({})".format(g(), p_())]
+    if kind == 10:
+        x = g()
+        return ["g({}) :> r({})".format(x, x)]
+    if kind == 11:
+        x = g()
+        return ["r({}) >> p({})".format(x, x)]
+    if kind == 12:
+        return ["p({}) isA p({})".format(g(), g())]
+    if kind == 13:
+        return ["p({}) -- path({})".format(g(), d())]
+    if kind == 14:
+        return ["p(fus({}, \"p.1_{}\", {}, \"p.{}_?\")) -> bp({})".format(
+            g(), rng.randrange(100, 400), g(), rng.randrange(400, 900), p_(),
+        )]
+    if kind == 15:
+        return ["p({}, frag(\"{}_{}\")) -| p({})".format(
+            g(), rng.randrange(1, 50), rng.randrange(51, 400), g(),
+        )]
+    if kind == 16:
+        return ["m({}) -| r({})".format(g(), g())]
+    if kind == 17:
+        return ["p({}) binds p({})".format(g(), g())]
+    if kind == 18:
+        return ["a({}) hasMembers list(a({}), a({}))".format(c(), c(), c())]
+    if kind == 19:
+        return ["p({}) -> (p({}) -| bp({}))".format(g(), g(), p_())]
+    if kind == 20:
+        return ["g(dbSNP:rs{}) -- g({})".format(rng.randrange(10, 10_000_000), g())]
+    if kind == 21:
+        return ["tloc(p({}), fromLoc(GO:{}), toLoc(GO:{})) => p({})".format(
+            g(), _q(rng.choice(PROCS)), _q(rng.choice(PROCS)), g(),
+        )]
+    if kind == 22:
+        return ["p({}, sub({}, {}, {})) -> path({})".format(
+            g(), rng.choice("ARNDC"), rng.randrange(1, 500), rng.choice("EQGHI"), d(),
+        )]
+    return ["kin(p({})) rateLimitingStepOf bp({})".format(g(), p_())]
+
+
+_BAD_STATEMENTS = [
+    "p(UNDEFNS:whatever) -> p({})",
+    "p(HGNC:NOTAREALGENE9999) -> p({})",
+    "p({}) nonsenseRelation p({})",
+    "this is not BEL at all",
+    "p({}) -> act(p({}), ma(kin)",
+]
+
+_FILLER = (
+    "The weather report for the region mentions scattered clouds. ",
+    "Ein kurzer Text ohne biologische Aussagen. ",
+    "Breaking news: markets rallied on Tuesday afternoon. ",
+    "Recipe: combine flour, water, and salt; knead thoroughly. ",
+)
+
+
+def _document_text(i: int, rng: random.Random, n_statements: int, inject_errors: bool) -> str:
+    lines = [_HEADER.format(
+        i=i, hgnc=NS_HGNC_URL, chebi=NS_CHEBI_URL, go=NS_GO_URL,
+        meshd=NS_MESHD_URL, species=ANNO_SPECIES_URL, cell=ANNO_CELL_URL,
+    )]
+    lines.append('SET STATEMENT_GROUP = "Group {}"'.format(i))
+    n_emitted = 0
+    while n_emitted < n_statements:
+        lines.append('SET Citation = {{"PubMed", "{}"}}'.format(rng.randrange(10_000, 40_000_000)))
+        lines.append('SET Evidence = "Synthetic evidence {} for doc {}"'.format(n_emitted, i))
+        lines.append('SET Species = "{}"'.format(rng.choice(SPECIES)))
+        if rng.random() < 0.5:
+            lines.append('SET Conf = "{}"'.format(rng.choice(["High", "Low"])))
+        if rng.random() < 0.3:
+            lines.append('SET CellLine = "{}"'.format(rng.choice(CELLS)))
+        if rng.random() < 0.2:
+            lines.append('SET TextLoc = "{}"'.format(rng.randrange(1, 5000)))
+        for _ in range(rng.randrange(2, 6)):
+            if n_emitted >= n_statements:
+                break
+            if inject_errors and rng.random() < 0.15:
+                template = rng.choice(_BAD_STATEMENTS)
+                n_args = template.count("{}")
+                stmt = template.format(*("HGNC:" + _q(rng.choice(GENES)) for _ in range(n_args)))
+                lines.append(stmt)
+            else:
+                lines.extend(_statement(rng))
+            n_emitted += 1
+        if rng.random() < 0.3:
+            lines.append("UNSET ALL")
+    return "\n".join(lines) + "\n"
+
+
+def _filler_text(rng: random.Random) -> str:
+    return "".join(rng.choice(_FILLER) for _ in range(rng.randrange(5, 30)))
+
+
+def page_count_for_sf(sf: float) -> int:
+    """Scale the synthetic corpus like the TPC-H-ish testdata scales."""
+    return max(10, int(round(sf * 20_000)))
+
+
+def generate_pages(
+    n_pages: int,
+    seed: int = 42,
+    statements_per_page: int = 20,
+    negative_fraction: float = 0.10,
+    error_fraction: float = 0.08,
+    null_text_fraction: float = 0.20,
+):
+    """Yield page row dicts deterministically."""
+    base_ts = datetime(2024, 1, 1)
+    for i in range(n_pages):
+        rng = random.Random((seed << 20) ^ i)
+        r = rng.random()
+        negative = r < negative_fraction
+        if negative:
+            text = _filler_text(rng)
+            lang = "de" if rng.random() < 0.3 else "en"
+        else:
+            inject = rng.random() < error_fraction
+            text = _document_text(i, rng, statements_per_page, inject)
+            lang = "en"
+        html = "<html><body><pre>{}</pre></body></html>".format(
+            html_mod.escape(text),
+        ).encode("utf8")
+        null_text = rng.random() < null_text_fraction
+        yield {
+            "url": "https://example.org/doc/{:08d}".format(i),
+            "warc_ts": base_ts + timedelta(seconds=i),
+            "html": html,
+            "text": None if null_text else text,
+            "lang": lang,
+        }
+
+
+def generate_pages_table(n_pages: int, seed: int = 42, **kwargs) -> pa.Table:
+    """Materialize the synthetic page table as one Arrow table."""
+    rows = list(generate_pages(n_pages, seed=seed, **kwargs))
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]))

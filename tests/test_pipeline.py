@@ -1,0 +1,156 @@
+"""End-to-end Ray pipeline tests: extraction invariant, P/R vs reference,
+checkpoint/resume."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from pybel_ray.pages import (
+    default_registry,
+    generate_pages_table,
+    synthetic_belns_texts,
+)
+from pybel_ray.stages.extract import extract_text_from_html
+
+N_PAGES = 24
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def pages_table():
+    return generate_pages_table(N_PAGES, seed=SEED)
+
+
+def test_extraction_byte_identical(pages_table):
+    """extract(html) == text for every row (the per-url invariant)."""
+    # regenerate with no nulls to know the true text
+    full = generate_pages_table(N_PAGES, seed=SEED, null_text_fraction=0.0)
+    for row, truth in zip(pages_table.to_pylist(), full.to_pylist()):
+        assert extract_text_from_html(row["html"]) == truth["text"]
+        if row["text"] is not None:
+            assert row["text"] == truth["text"]
+
+
+@pytest.fixture(scope="module")
+def reference_summaries():
+    """Compile every positive page with the READ-ONLY reference compiler."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import tempfile
+
+    from golden_harness import compile_reference, graph_summary
+
+    url_map = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        for i, (url, text) in enumerate(synthetic_belns_texts().items()):
+            path = os.path.join(tmp, "res{}.belns".format(i))
+            with open(path, "w") as f:
+                f.write(text)
+            url_map[url] = path
+
+        full = generate_pages_table(N_PAGES, seed=SEED, null_text_fraction=0.0)
+        out = {}
+        for row in full.to_pylist():
+            text = row["text"]
+            if "SET DOCUMENT" not in text:
+                continue  # negative page
+            graph = compile_reference(text, url_map=url_map)
+            out[row["url"]] = graph_summary(graph)
+        return out
+
+
+def test_pipeline_triples_match_reference(ray_session, pages_table, reference_summaries):
+    """Engine triples over the synthetic corpus == reference triples (P=R=1)."""
+    import ray.data
+
+    from pybel_ray.pipeline import compile_pages
+
+    kg = compile_pages(
+        ray.data.from_arrow(pages_table),
+        default_registry(),
+        concurrency=(1, 2),
+        batch_size=8,
+    )
+
+    engine_triples = {
+        (r["h"], r["r"], r["t"]) for r in kg.triples().take_all()
+    }
+    reference_triples = set()
+    for summary in reference_summaries.values():
+        reference_triples.update(tuple(t) for t in summary["triples"])
+
+    missing = reference_triples - engine_triples
+    extra = engine_triples - reference_triples
+    assert not missing, "missing {} triples, e.g. {}".format(
+        len(missing), sorted(missing)[:5],
+    )
+    assert not extra, "extra {} triples, e.g. {}".format(len(extra), sorted(extra)[:5])
+
+    # node and edge counts must also match the union of reference graphs
+    reference_nodes = set()
+    for summary in reference_summaries.values():
+        reference_nodes.update(summary["nodes"])
+    engine_nodes = {r["bel"] for r in kg.nodes().take_all()}
+    assert engine_nodes == reference_nodes
+
+    reference_edge_keys = set()
+    for summary in reference_summaries.values():
+        for e in summary["edges"]:
+            reference_edge_keys.add(json.dumps([
+                e["src"], e["dst"], e["relation"], e.get("evidence"),
+                e.get("citation"),
+            ], sort_keys=True))
+    engine_edge_keys = set()
+    for r in kg.edges().take_all():
+        citation = (
+            {"db": r["citation_db"], "db_id": r["citation_id"]}
+            if r["citation_db"] else None
+        )
+        engine_edge_keys.add(json.dumps([
+            r["src_bel"], r["dst_bel"], r["relation"], r["evidence"], citation,
+        ], sort_keys=True))
+    assert engine_edge_keys == reference_edge_keys
+
+
+def test_checkpoint_resume(ray_session, tmp_path, pages_table):
+    import ray.data
+
+    from pybel_ray.pipeline import CheckpointedCompile
+
+    # write input as two shards
+    files = []
+    half = pages_table.num_rows // 2
+    for i, tbl in enumerate([pages_table.slice(0, half), pages_table.slice(half)]):
+        path = str(tmp_path / "pages_{}.parquet".format(i))
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, path)
+        files.append(path)
+
+    out_dir = str(tmp_path / "ckpt")
+    cc = CheckpointedCompile(out_dir, default_registry(), concurrency=(1, 2))
+    kg = cc.run(files)
+    total = kg.triples().count()
+    assert total > 0
+
+    manifest = cc.completed_shards()
+    assert sorted(manifest) == [0, 1]
+    assert all(m["rows"] > 0 for m in manifest.values())
+
+    # resume: drop shard 1 from the manifest and its output; rerun completes it
+    entries = [m for sid, m in manifest.items() if sid == 0]
+    with open(cc.manifest_path, "w") as f:
+        for m in entries:
+            f.write(json.dumps(m) + "\n")
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, "events", "shard=1"))
+    before = set(glob.glob(os.path.join(out_dir, "events", "shard=0", "*")))
+    kg2 = CheckpointedCompile(out_dir, default_registry(), concurrency=(1, 2)).run(files)
+    after = set(glob.glob(os.path.join(out_dir, "events", "shard=0", "*")))
+    assert before == after  # shard 0 untouched (skipped)
+    assert kg2.triples().count() == total
