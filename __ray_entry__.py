@@ -26,10 +26,15 @@ import pyarrow.compute as pc
 # helpers
 # ---------------------------------------------------------------------------
 
+_SMALL_TABLES = {"region", "nation", "supplier", "customer", "part"}
+
+
 def _read(sf_dir: str, table: str):
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, table + ".parquet"))
+    # split single-file inputs into multiple blocks so batch stages fan out
+    kwargs = {} if table in _SMALL_TABLES else {"override_num_blocks": 16}
+    return ray.data.read_parquet(os.path.join(sf_dir, table + ".parquet"), **kwargs)
 
 
 def _read_arrow(sf_dir: str, table: str) -> pa.Table:
@@ -51,15 +56,14 @@ _KG_CACHE: dict = {}
 
 def _kg(sf_dir: str):
     """Build (and cache) the compiled KG for the synthetic corpus at this sf."""
-    from pybel_ray.pages import default_registry, generate_pages_table, page_count_for_sf
+    from pybel_ray.pages import default_registry, page_count_for_sf, pages_dataset
     from pybel_ray.pipeline import compile_pages
 
     if sf_dir in _KG_CACHE:
         return _KG_CACHE[sf_dir]
-    import ray.data
 
     n_pages = page_count_for_sf(_sf_of(sf_dir))
-    pages = ray.data.from_arrow(generate_pages_table(n_pages, seed=42))
+    pages = pages_dataset(n_pages, seed=42, block_pages=25)
     kg = compile_pages(pages, default_registry(), batch_size=8)
     _KG_CACHE[sf_dir] = kg
     return kg
@@ -151,6 +155,121 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["md5", "bel"], "degree",
         )
         return topk(degrees, "degree", 15, tie_keys=["bel"]).select_columns(["bel", "degree"])
+
+    # -- graph-structure operators (rows-only; semantics tested in tests/) --
+
+    def _graph(sf_dir):
+        key = sf_dir + "::graph"
+        if key not in _KG_CACHE:
+            _KG_CACHE[key] = _kg(sf_dir).graph().materialize()
+        return _KG_CACHE[key]
+
+    def kg_filter_causal_edges(sf_dir):
+        from pybel_ray.struct import filter_edges
+
+        return filter_edges(_graph(sf_dir).edges, "is_causal_relation").sort("edge_md5")
+
+    def kg_filter_protein_variants(sf_dir):
+        from pybel_ray.struct import filter_nodes
+
+        return filter_nodes(
+            _graph(sf_dir).nodes, ["is_protein", "has_variant"],
+        ).sort("bel")
+
+    def kg_collapse_variants(sf_dir):
+        from pybel_ray.struct import collapse_all_variants, count_functions
+
+        return count_functions(collapse_variants_cached(sf_dir))
+
+    def collapse_variants_cached(sf_dir):
+        from pybel_ray.struct import collapse_all_variants
+
+        key = sf_dir + "::collapsed"
+        if key not in _KG_CACHE:
+            _KG_CACHE[key] = collapse_all_variants(_graph(sf_dir)).materialize()
+        return _KG_CACHE[key]
+
+    def kg_collapse_equivalences(sf_dir):
+        from pybel_ray.struct import collapse_equivalences, count_relations
+
+        return count_relations(collapse_equivalences(_graph(sf_dir)))
+
+    def kg_origin_enrichment(sf_dir):
+        from pybel_ray.struct import count_relations, enrich_protein_and_rna_origins
+
+        return count_relations(enrich_protein_and_rna_origins(_graph(sf_dir)))
+
+    def kg_metaedges(sf_dir):
+        from pybel_ray.struct.summary import get_metaedge_counts
+
+        return get_metaedge_counts(_graph(sf_dir))
+
+    def kg_annotation_values(sf_dir):
+        from pybel_ray.struct.summary import get_annotation_values
+
+        return get_annotation_values(_graph(sf_dir), "Species")
+
+    def kg_subgraph_annotation(sf_dir):
+        from pybel_ray.struct.induction import get_subgraph_by_annotation_value
+
+        sub = get_subgraph_by_annotation_value(_graph(sf_dir), "Species", "9606")
+        return sub.edges.sort("edge_md5")
+
+    def kg_random_subgraph(sf_dir):
+        from pybel_ray.struct import get_random_subgraph
+
+        sub = get_random_subgraph(_graph(sf_dir), number_edges=50, seed=42)
+        return sub.edges.select_columns(
+            ["edge_md5", "src_bel", "relation", "dst_bel"],
+        ).sort("edge_md5")
+
+    def kg_query_protocol(sf_dir):
+        from pybel_ray.struct import Pipeline
+
+        p = Pipeline().append("remove_associations").append("remove_isolated_nodes")
+        out = p.run(_graph(sf_dir))
+        from pybel_ray.struct import count_relations
+
+        return count_relations(out)
+
+    def kg_top_pathologies(sf_dir):
+        from pybel_ray.struct.summary import get_top_pathologies
+
+        return get_top_pathologies(_graph(sf_dir), 10)
+
+    def kg_count_variants(sf_dir):
+        from pybel_ray.struct.summary import count_variants
+
+        return count_variants(_graph(sf_dir))
+
+    def kg_pubmed_identifiers(sf_dir):
+        from pybel_ray.struct.summary import get_pubmed_identifiers
+
+        return get_pubmed_identifiers(_graph(sf_dir)).sort("citation_id")
+
+    def kg_sif_export(sf_dir):
+        from pybel_ray.export.extras import to_sif
+
+        return to_sif(_graph(sf_dir)).sort(["src_bel", "relation", "dst_bel"])
+
+    def kg_edgelist_export(sf_dir):
+        from pybel_ray.export.extras import to_edgelist
+
+        return to_edgelist(_graph(sf_dir)).sort(["h", "relation_json", "t"])
+
+    def kg_citation_enrichment(sf_dir):
+        from pybel_ray.enrichment import enrich_citations, synthetic_pubmed_table
+        from pybel_ray.struct.summary import get_pubmed_identifiers
+
+        graph = _graph(sf_dir)
+        pmids = [
+            r["citation_id"] for r in get_pubmed_identifiers(graph).take_all()
+        ]
+        enriched = enrich_citations(graph.edges, synthetic_pubmed_table(pmids))
+        return enriched.select_columns(
+            ["edge_md5", "citation_id", "citation_title", "citation_authors",
+             "citation_date"],
+        ).sort("edge_md5")
 
     # -- relational family (SQL-checkable) ---------------------------------
 
@@ -311,6 +430,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_count_functions": kg_count_functions,
         "kg_count_namespaces": kg_count_namespaces,
         "kg_top_hubs": kg_top_hubs,
+        # graph-structure operators
+        "kg_filter_causal_edges": kg_filter_causal_edges,
+        "kg_filter_protein_variants": kg_filter_protein_variants,
+        "kg_collapse_variants": kg_collapse_variants,
+        "kg_collapse_equivalences": kg_collapse_equivalences,
+        "kg_origin_enrichment": kg_origin_enrichment,
+        "kg_metaedges": kg_metaedges,
+        "kg_annotation_values": kg_annotation_values,
+        "kg_subgraph_annotation": kg_subgraph_annotation,
+        "kg_random_subgraph": kg_random_subgraph,
+        "kg_query_protocol": kg_query_protocol,
+        "kg_top_pathologies": kg_top_pathologies,
+        "kg_count_variants": kg_count_variants,
+        "kg_pubmed_identifiers": kg_pubmed_identifiers,
+        "kg_sif_export": kg_sif_export,
+        "kg_edgelist_export": kg_edgelist_export,
+        "kg_citation_enrichment": kg_citation_enrichment,
         # relational
         "events_count_by_type": events_count_by_type,
         "orders_count_by_status": orders_count_by_status,

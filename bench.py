@@ -37,12 +37,11 @@ def run_headline(sf: float, num_cpus: int) -> dict:
     """Synthetic pages -> KG -> triples count (full pipeline incl. dedup+sort)."""
     import ray
 
-    from pybel_ray.pages import default_registry, generate_pages_table, page_count_for_sf
+    from pybel_ray.pages import default_registry, page_count_for_sf, pages_dataset
     from pybel_ray.pipeline import compile_pages
 
     n_pages = page_count_for_sf(sf)
-    table = generate_pages_table(n_pages, seed=42)
-    pages = ray.data.from_arrow(table)
+    pages = pages_dataset(n_pages, seed=42, block_pages=25)
 
     t0 = time.time()
     kg = compile_pages(pages, default_registry(), batch_size=8)

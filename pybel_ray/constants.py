@@ -179,6 +179,7 @@ CAUSAL_RELATIONS = CAUSAL_POLAR_RELATIONS | {REGULATES}
 APOLAR_CORRELATIVE_RELATIONS = {CORRELATION, NO_CORRELATION}
 POLAR_CORRELATIVE_RELATIONS = {POSITIVE_CORRELATION, NEGATIVE_CORRELATION}
 CORRELATIVE_RELATIONS = APOLAR_CORRELATIVE_RELATIONS | POLAR_CORRELATIVE_RELATIONS
+POLAR_RELATIONS = CAUSAL_POLAR_RELATIONS | POLAR_CORRELATIVE_RELATIONS
 
 #: relations that are materialized twice, once per direction
 TWO_WAY_RELATIONS = CORRELATIVE_RELATIONS | {

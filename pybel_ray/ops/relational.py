@@ -104,11 +104,11 @@ def topk(ds, key: str, k: int, descending: bool = True, tie_keys: Sequence[str] 
 
 def distinct_values(ds, column: str):
     """Distinct values of one column as a Dataset (pre-aggregated per block)."""
+    from ..stages.dedup import dedup_exact
+
     def _local(t: pa.Table) -> pa.Table:
         u = pc.unique(t.column(column).combine_chunks())
         return pa.Table.from_arrays([u], names=[column])
 
     ds = ds.select_columns([column]).map_batches(_local, batch_format="pyarrow")
-    return ds.groupby(column).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow",
-    )
+    return dedup_exact(ds, column, local_first=False)

@@ -282,6 +282,22 @@ def generate_pages(
         }
 
 
+def pages_dataset(n_pages: int, seed: int = 42, block_pages: int = 50, **kwargs):
+    """Synthetic pages as a multi-block Ray Dataset (parallelism-friendly).
+
+    One Arrow table per ``block_pages`` pages so downstream ``map_batches``
+    stages fan out across the cluster instead of serializing on one block.
+    """
+    import ray.data
+
+    table = generate_pages_table(n_pages, seed=seed, **kwargs)
+    chunks = [
+        table.slice(i, block_pages)
+        for i in range(0, table.num_rows, block_pages)
+    ]
+    return ray.data.from_arrow(chunks)
+
+
 def generate_pages_table(n_pages: int, seed: int = 42, **kwargs) -> pa.Table:
     """Materialize the synthetic page table as one Arrow table."""
     rows = list(generate_pages(n_pages, seed=seed, **kwargs))

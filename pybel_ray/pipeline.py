@@ -150,6 +150,12 @@ class KGTables:
         ds = dedup_exact(ds, "hrt")
         return ds.drop_columns(["hrt"]).sort(["h", "r", "t"])
 
+    def graph(self):
+        """Deduped (nodes, edges) as a :class:`pybel_ray.struct.Graph`."""
+        from .struct.graph import Graph
+
+        return Graph(self.nodes(), self.edges())
+
     # -- summary -----------------------------------------------------------
 
     def summary(self) -> dict:

@@ -1,15 +1,19 @@
 """Exact dedup on a key column (node_md5 / edge_md5 / triple key).
 
-Two-phase, shuffle-minimizing (SURVEY.md §2.8, §4):
+Three-phase, shuffle-minimizing (SURVEY.md §2.8, §4):
 
 1. **Local combiner** — vectorized first-occurrence dedup inside each Arrow
    batch (``map_batches``).  Rows with the same key are byte-identical
    (deterministic canonicalization), so dropping duplicates early shrinks
-   the shuffle payload; this is the "salted pre-aggregate" analog for
-   hot-entity skew — hot keys collapse to one row per block before the
-   wide exchange.
-2. **Global groupby** — ``groupby(key)`` shuffle keeping the first row per
-   group (reference semantics: first-wins insertion, graph.py:353-359).
+   the shuffle payload; hot keys collapse to one row per block before the
+   wide exchange (the salted pre-aggregate analog for skew).
+2. **Bucketed groupby** — the shuffle key is ``hash(key) % num_buckets``,
+   NOT the key itself: each ``map_groups`` call receives a whole bucket
+   (many keys) and runs one *vectorized* dedup over it.  This turns
+   per-unique-key Python overhead into ``num_buckets`` calls total while
+   keeping exactness (equal keys always share a bucket).
+3. First row per key wins (reference semantics: idempotent insertion,
+   graph.py:353-359).
 """
 
 from __future__ import annotations
@@ -17,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["local_dedup_table", "dedup_exact"]
+__all__ = ["local_dedup_table", "dedup_exact", "add_hash_bucket"]
 
 
 def local_dedup_table(table: pa.Table, key: str) -> pa.Table:
@@ -35,15 +39,41 @@ def local_dedup_table(table: pa.Table, key: str) -> pa.Table:
     return table.take(pa.array(first_idx))
 
 
-def dedup_exact(ds, key: str, local_first: bool = True):
+def _bucket_codes(arr: pa.ChunkedArray, num_buckets: int) -> np.ndarray:
+    """Deterministic hash bucket per value (dictionary-encode once, hash uniques)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    d = arr.dictionary_encode()
+    uniques = d.dictionary.to_pylist()
+    import zlib
+
+    unique_buckets = np.fromiter(
+        (zlib.crc32(u.encode("utf8")) % num_buckets for u in uniques),
+        dtype=np.int64, count=len(uniques),
+    )
+    codes = d.indices.to_numpy(zero_copy_only=False)
+    return unique_buckets[codes]
+
+
+def add_hash_bucket(table: pa.Table, key: str, num_buckets: int, out: str = "_bucket") -> pa.Table:
+    buckets = _bucket_codes(table.column(key), num_buckets)
+    return table.append_column(out, pa.array(buckets, pa.int64()))
+
+
+def dedup_exact(ds, key: str, local_first: bool = True, num_buckets: int = 64):
     """Global exact dedup of a Dataset on ``key`` (first row wins)."""
-    if local_first:
-        ds = ds.map_batches(
-            lambda t, _key=key: local_dedup_table(t, _key),
-            batch_format="pyarrow",
-        )
 
-    def _first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    def _local(t: pa.Table, _key=key) -> pa.Table:
+        t = local_dedup_table(t, _key)
+        return add_hash_bucket(t, _key, num_buckets)
 
-    return ds.groupby(key).map_groups(_first, batch_format="pyarrow")
+    def _no_local(t: pa.Table, _key=key) -> pa.Table:
+        return add_hash_bucket(t, _key, num_buckets)
+
+    ds = ds.map_batches(_local if local_first else _no_local, batch_format="pyarrow")
+
+    def _bucket_dedup(group: pa.Table, _key=key) -> pa.Table:
+        return local_dedup_table(group, _key)
+
+    out = ds.groupby("_bucket").map_groups(_bucket_dedup, batch_format="pyarrow")
+    return out.drop_columns(["_bucket"])

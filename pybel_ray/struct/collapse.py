@@ -1,0 +1,192 @@
+"""Collapse family: victim→survivor rewiring (SURVEY.md §2.8).
+
+Reference: ``struct/mutation/collapse/collapse.py`` — rewire the victim's
+in/out edges onto the survivor, drop the victim, drop survivor↔victim and
+self edges.  The reference leaves edge keys stale (its own FIXME,
+collapse.py:44,51); we recompute content hashes after rewiring and re-dedup,
+which preserves the dedup invariant — a documented improvement.
+
+Distributed shape: build a survivor map (victim_md5 → survivor row) from
+the relevant relation edges — equivalence classes are computed by
+union-find over that SMALL edge subset on the driver — then broadcast the
+map into one vectorized edge/node rewrite pass; no shuffle beyond the final
+re-dedup.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Mapping, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..canon import edge_md5
+from ..constants import (
+    EQUIVALENT_TO,
+    HAS_VARIANT,
+    ORTHOLOGOUS,
+    RELATION,
+    TRANSCRIBED_TO,
+    TRANSLATED_TO,
+)
+from ..stages.dedup import dedup_exact
+from .filters import relation_filter
+from .graph import Graph
+
+__all__ = [
+    "collapse_nodes",
+    "collapse_all_variants",
+    "collapse_equivalences",
+    "collapse_to_genes",
+    "build_equivalence_survivor_map",
+]
+
+#: victim_md5 -> (survivor_md5, survivor_bel)
+SurvivorMap = Mapping[str, Tuple[str, str]]
+
+
+def _edge_pairs(graph: Graph, relations) -> list:
+    """Collect (src, dst) rows for the given (small) relation subset."""
+    from .filters import filter_edges
+
+    ds = filter_edges(graph.edges, relation_filter(relations))
+    return ds.select_columns(["src_md5", "src_bel", "dst_md5", "dst_bel"]).take_all()
+
+
+def build_equivalence_survivor_map(graph: Graph, relations=(EQUIVALENT_TO,)) -> Dict[str, Tuple[str, str]]:
+    """Survivor map from equivalence-class edges: min-md5 representative."""
+    from .operations import connected_components_driver
+
+    rows = _edge_pairs(graph, set(relations))
+    bel_of = {}
+    pairs = []
+    for r in rows:
+        bel_of[r["src_md5"]] = r["src_bel"]
+        bel_of[r["dst_md5"]] = r["dst_bel"]
+        pairs.append((r["src_md5"], r["dst_md5"]))
+    comp = connected_components_driver(pairs)
+    return {
+        victim: (rep, bel_of[rep])
+        for victim, rep in comp.items()
+        if victim != rep
+    }
+
+
+def collapse_nodes(graph: Graph, survivor_map: SurvivorMap, drop_relations=()) -> Graph:
+    """Rewire all edges through the survivor map; drop victims + self edges."""
+    if not survivor_map:
+        return graph
+    victims = pa.array(sorted(survivor_map))
+    md5_map = {k: v[0] for k, v in survivor_map.items()}
+    bel_map = {k: v[1] for k, v in survivor_map.items()}
+    drop_relations = set(drop_relations)
+
+    def _rewrite_edges(t: pa.Table) -> pa.Table:
+        if drop_relations:
+            t = t.filter(
+                pc.invert(pc.is_in(t.column("relation"), value_set=pa.array(sorted(drop_relations)))),
+            )
+        src_md5 = t.column("src_md5").to_pylist()
+        dst_md5 = t.column("dst_md5").to_pylist()
+        src_bel = t.column("src_bel").to_pylist()
+        dst_bel = t.column("dst_bel").to_pylist()
+        new_src_md5 = [md5_map.get(x, x) for x in src_md5]
+        new_dst_md5 = [md5_map.get(x, x) for x in dst_md5]
+        new_src_bel = [bel_map.get(x, b) for x, b in zip(src_md5, src_bel)]
+        new_dst_bel = [bel_map.get(x, b) for x, b in zip(dst_md5, dst_bel)]
+
+        keep = [a != b for a, b in zip(new_src_md5, new_dst_md5)]
+
+        # recompute content hashes for rewired edges (fixes reference FIXME)
+        relations = t.column("relation").to_pylist()
+        evidences = t.column("evidence").to_pylist()
+        cit_db = t.column("citation_db").to_pylist()
+        cit_id = t.column("citation_id").to_pylist()
+        subj = t.column("subject_json").to_pylist()
+        obj = t.column("object_json").to_pylist()
+        new_md5 = []
+        for i in range(t.num_rows):
+            data = {RELATION: relations[i]}
+            if evidences[i] is not None:
+                data["evidence"] = evidences[i]
+            if cit_db[i] is not None:
+                data["citation"] = {"db": cit_db[i], "db_id": cit_id[i]}
+            if subj[i]:
+                data["subject"] = json.loads(subj[i])
+            if obj[i]:
+                data["object"] = json.loads(obj[i])
+            new_md5.append(edge_md5(new_src_bel[i], new_dst_bel[i], data))
+
+        t = t.drop_columns(["edge_md5", "src_md5", "dst_md5", "src_bel", "dst_bel"])
+        t = t.append_column("edge_md5", pa.array(new_md5))
+        t = t.append_column("src_md5", pa.array(new_src_md5))
+        t = t.append_column("dst_md5", pa.array(new_dst_md5))
+        t = t.append_column("src_bel", pa.array(new_src_bel))
+        t = t.append_column("dst_bel", pa.array(new_dst_bel))
+        return t.filter(pa.array(keep))
+
+    def _drop_victims(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t.column("md5"), value_set=victims)))
+
+    from .graph import EDGE_COLUMNS
+
+    def _reorder(t: pa.Table) -> pa.Table:
+        return t.select(EDGE_COLUMNS)
+
+    edges = graph.edges.map_batches(_rewrite_edges, batch_format="pyarrow")
+    edges = edges.map_batches(_reorder, batch_format="pyarrow")
+    nodes = graph.nodes.map_batches(_drop_victims, batch_format="pyarrow")
+    return Graph(nodes, dedup_exact(edges, "edge_md5"))
+
+
+def collapse_equivalences(graph: Graph, relations=(EQUIVALENT_TO,)) -> Graph:
+    """Collapse equivalence/orthology classes to their min-md5 representative."""
+    survivor_map = build_equivalence_survivor_map(graph, relations)
+    return collapse_nodes(graph, survivor_map, drop_relations=set(relations))
+
+
+def collapse_orthologies(graph: Graph) -> Graph:
+    return collapse_equivalences(graph, relations=(ORTHOLOGOUS,))
+
+
+def collapse_all_variants(graph: Graph) -> Graph:
+    """Collapse variant nodes to their parents (collapse.py:88-100).
+
+    Survivor = the hasVariant edge's source (the reference node).
+    """
+    rows = _edge_pairs(graph, {HAS_VARIANT})
+    survivor_map = {
+        r["dst_md5"]: (r["src_md5"], r["src_bel"])
+        for r in rows
+        if r["dst_md5"] != r["src_md5"]
+    }
+    return collapse_nodes(graph, survivor_map, drop_relations={HAS_VARIANT})
+
+
+def collapse_to_genes(graph: Graph) -> Graph:
+    """Collapse proteins/RNAs/miRNAs to genes (protein_rna_origins.py:48).
+
+    Uses transcribedTo (gene→rna) and translatedTo (rna→protein) edges; runs
+    origin enrichment first so every protein/rna has a parent chain.
+    """
+    from .inference import enrich_protein_and_rna_origins
+
+    graph = enrich_protein_and_rna_origins(graph)
+    graph = graph.materialize()
+
+    t_rows = _edge_pairs(graph, {TRANSCRIBED_TO})
+    gene_of_rna = {}
+    for r in t_rows:
+        gene_of_rna[r["dst_md5"]] = (r["src_md5"], r["src_bel"])
+    survivor_map = dict(gene_of_rna)
+    for r in _edge_pairs(graph, {TRANSLATED_TO}):
+        rna = r["src_md5"]
+        if rna in gene_of_rna:
+            survivor_map[r["dst_md5"]] = gene_of_rna[rna]
+    survivor_map = {
+        victim: surv for victim, surv in survivor_map.items() if victim != surv[0]
+    }
+    return collapse_nodes(
+        graph, survivor_map, drop_relations={TRANSCRIBED_TO, TRANSLATED_TO},
+    )

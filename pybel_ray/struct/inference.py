@@ -1,0 +1,163 @@
+"""Central-dogma inference + relation transfer.
+
+Reference: ``struct/mutation/inference/protein_rna_origins.py:17-55``
+(synthesize parent RNA for each protein and parent gene for each RNA, with
+transcription/translation edges) and ``struct/mutation/transfer.py:24-60``
+(transfer causal relations along ``isA`` edges to parents).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..constants import (
+    CAUSAL_RELATIONS,
+    CONCEPT,
+    FUNCTION,
+    GENE,
+    IS_A,
+    MIRNA,
+    PROTEIN,
+    RELATION,
+    RNA,
+    TRANSCRIBED_TO,
+    TRANSLATED_TO,
+    VARIANTS,
+)
+from ..stages.dedup import dedup_exact
+from .graph import Graph, edge_row, node_row_from_dict
+
+__all__ = [
+    "enrich_rnas_with_genes",
+    "enrich_proteins_with_rnas",
+    "enrich_protein_and_rna_origins",
+    "infer_child_relations",
+]
+
+
+def _synthesize_parents(graph: Graph, child_function: str, parent_function: str, relation: str) -> Graph:
+    """For each reference (variant-free) child node, add its parent node and
+    the parent-(relation)->child edge."""
+
+    from .graph import EDGE_COLUMNS, NODE_COLUMNS
+
+    # one emitted table carries both node and edge rows, discriminated by
+    # _emit_kind; explicit schema because from_pylist infers from the first
+    # row only and would silently drop the other kind's columns
+    emit_schema = pa.schema(
+        [("_emit_kind", pa.string())]
+        + [(c, pa.string()) for c in NODE_COLUMNS]
+        + [(c, pa.string()) for c in EDGE_COLUMNS],
+    )
+
+    def _emit(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t.column("function"), child_function)
+        t = t.filter(mask)
+        rows = []
+        for row in t.to_pylist():
+            node = json.loads(row["node_json"])
+            if node.get(VARIANTS) or CONCEPT not in node:
+                continue
+            parent = {FUNCTION: parent_function, CONCEPT: dict(node[CONCEPT])}
+            p_row = node_row_from_dict(parent)
+            rows.append(dict(p_row, _emit_kind="node"))
+            rows.append(dict(
+                edge_row(p_row, row, {RELATION: relation}), _emit_kind="edge",
+            ))
+        return pa.Table.from_pylist(rows, schema=emit_schema)
+
+    emitted = graph.nodes.map_batches(_emit, batch_format="pyarrow").materialize()
+
+    def _pick(kind, columns):
+        def _f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("_emit_kind"), kind))
+            return t.select(columns)
+
+        return emitted.map_batches(_f, batch_format="pyarrow")
+
+    new_nodes = _pick("node", NODE_COLUMNS)
+    new_edges = _pick("edge", EDGE_COLUMNS)
+
+    def _align(ds, columns):
+        return ds.map_batches(lambda t, _c=tuple(columns): t.select(list(_c)),
+                              batch_format="pyarrow")
+
+    nodes = dedup_exact(_align(graph.nodes, NODE_COLUMNS).union(new_nodes), "md5")
+    edges = dedup_exact(_align(graph.edges, EDGE_COLUMNS).union(new_edges), "edge_md5")
+    return Graph(nodes, edges)
+
+
+def enrich_rnas_with_genes(graph: Graph) -> Graph:
+    """Add the corresponding gene + transcription edge for each RNA/miRNA."""
+    g = _synthesize_parents(graph, RNA, GENE, TRANSCRIBED_TO)
+    return _synthesize_parents(g, MIRNA, GENE, TRANSCRIBED_TO)
+
+
+def enrich_proteins_with_rnas(graph: Graph) -> Graph:
+    """Add the corresponding RNA + translation edge for each protein."""
+    return _synthesize_parents(graph, PROTEIN, RNA, TRANSLATED_TO)
+
+
+def enrich_protein_and_rna_origins(graph: Graph) -> Graph:
+    """proteins -> RNAs -> genes (reference enrich_protein_and_rna_origins)."""
+    return enrich_rnas_with_genes(enrich_proteins_with_rnas(graph))
+
+
+def infer_child_relations(graph: Graph, node_md5: str) -> Graph:
+    """Transfer causal edges from a parent (via isA) to the child
+    (reference transfer.py:24-60): for each ``child isA parent`` edge where
+    parent == node, copy the parent's causal edges onto the child.
+    """
+    from .filters import filter_edges, relation_filter
+
+    isa_rows = filter_edges(graph.edges, relation_filter(IS_A)).select_columns(
+        ["src_md5", "src_bel", "dst_md5"],
+    ).take_all()
+    children = [
+        (r["src_md5"], r["src_bel"]) for r in isa_rows if r["dst_md5"] == node_md5
+    ]
+    if not children:
+        return graph
+
+    causal = pa.array(sorted(CAUSAL_RELATIONS))
+
+    def _copy(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(t.column("relation"), value_set=causal),
+            pc.equal(t.column("src_md5"), node_md5),
+        )
+        t = t.filter(m)
+        out = []
+        for row in t.to_pylist():
+            for child_md5, child_bel in children:
+                new = dict(row)
+                new["src_md5"] = child_md5
+                new["src_bel"] = child_bel
+                from ..canon import edge_md5 as _emd5
+
+                data = {RELATION: new["relation"]}
+                if new.get("evidence") is not None:
+                    data["evidence"] = new["evidence"]
+                if new.get("citation_db") is not None:
+                    data["citation"] = {"db": new["citation_db"], "db_id": new["citation_id"]}
+                if new.get("subject_json"):
+                    data["subject"] = json.loads(new["subject_json"])
+                if new.get("object_json"):
+                    data["object"] = json.loads(new["object_json"])
+                new["edge_md5"] = _emd5(new["src_bel"], new["dst_bel"], data)
+                out.append(new)
+        return pa.Table.from_pylist(out) if out else t.slice(0, 0)
+
+    from .graph import EDGE_COLUMNS as _EC
+
+    def _align(ds):
+        return ds.map_batches(lambda t: t.select(_EC), batch_format="pyarrow")
+
+    new_edges = graph.edges.map_batches(_copy, batch_format="pyarrow")
+    return Graph(
+        graph.nodes,
+        dedup_exact(_align(graph.edges).union(_align(new_edges)), "edge_md5"),
+    )
