@@ -33,15 +33,21 @@ def _init_ray(num_cpus: int):
     )
 
 
-def run_headline(sf: float, num_cpus: int) -> dict:
+def run_headline(sf: float, num_cpus: int, pages_dir: str | None = None) -> dict:
     """Synthetic pages -> KG -> triples count (full pipeline incl. dedup+sort)."""
     import ray
 
     from pybel_ray.pages import default_registry, page_count_for_sf, pages_dataset
     from pybel_ray.pipeline import compile_pages
 
-    n_pages = page_count_for_sf(sf)
-    pages = pages_dataset(n_pages, seed=42, block_pages=25)
+    if pages_dir:
+        import ray.data
+
+        pages = ray.data.read_parquet(pages_dir)
+        n_pages = pages.count()
+    else:
+        n_pages = page_count_for_sf(sf)
+        pages = pages_dataset(n_pages, seed=42, block_pages=25)
 
     t0 = time.time()
     kg = compile_pages(pages, default_registry(), batch_size=8)
@@ -87,10 +93,11 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
-def single_run(num_cpus: int, sf_dir: str, with_queries: bool) -> dict:
+def single_run(num_cpus: int, sf_dir: str, with_queries: bool,
+               pages_dir: str | None = None) -> dict:
     _init_ray(num_cpus)
     sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
-    headline = run_headline(sf, num_cpus)
+    headline = run_headline(sf, num_cpus, pages_dir=pages_dir)
     result = {
         "metric": "kg_pipeline_wall_sec",
         "value": headline["wall_sec"],
@@ -107,13 +114,43 @@ def single_run(num_cpus: int, sf_dir: str, with_queries: bool) -> dict:
     return result
 
 
+SCALING_PAGES = int(os.environ.get("PYBEL_RAY_SCALING_PAGES", "60000"))
+SCALING_STMTS = int(os.environ.get("PYBEL_RAY_SCALING_STMTS", "100"))
+
+
+def _prepare_scaling_corpus(sf: float) -> str:
+    """Distributed-generate (once) a corpus big enough that compute, not
+    fixed overhead, dominates both parallelism levels."""
+    out_dir = "/tmp/pybel_ray_scaling_p{}_s{}".format(SCALING_PAGES, SCALING_STMTS)
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    from pybel_ray.pages import write_pages_parquet
+
+    write_pages_parquet(
+        out_dir, SCALING_PAGES, seed=42, statements_per_page=SCALING_STMTS,
+    )
+    import ray
+
+    ray.shutdown()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
 def scaling(sf_dir: str, low: int, high: int) -> dict:
     """Fresh-process runs at two parallelism levels on identical input."""
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
+    pages_dir = _prepare_scaling_corpus(sf)
     results = {}
     for n in (low, high):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(n),
-             "--sf-dir", sf_dir],
+             "--sf-dir", sf_dir, "--pages-dir", pages_dir],
             capture_output=True, text=True, check=True,
         )
         line = proc.stdout.strip().splitlines()[-1]
@@ -133,6 +170,9 @@ def scaling(sf_dir: str, low: int, high: int) -> dict:
         "high_triples_per_sec": tp_high,
         "low_wall_sec": results[low]["wall_sec"],
         "high_wall_sec": results[high]["wall_sec"],
+        "pages": results[high]["pages"],
+        "statements": results[high]["statements"],
+        "triples": results[high]["triples"],
     }
 
 
@@ -146,10 +186,13 @@ def main():
     ))
     parser.add_argument("--low", type=int, default=8)
     parser.add_argument("--high", type=int, default=32)
+    parser.add_argument("--pages-dir", default=None)
     args = parser.parse_args()
 
     if args.worker is not None:
-        print(json.dumps(single_run(args.worker, args.sf_dir, with_queries=False)))
+        print(json.dumps(single_run(
+            args.worker, args.sf_dir, with_queries=False, pages_dir=args.pages_dir,
+        )))
         return
     if args.scaling:
         print(json.dumps(scaling(args.sf_dir, args.low, args.high)))

@@ -248,38 +248,81 @@ def page_count_for_sf(sf: float) -> int:
     return max(10, int(round(sf * 20_000)))
 
 
-def generate_pages(
-    n_pages: int,
+_BASE_TS = datetime(2024, 1, 1)
+
+
+def page_row(
+    i: int,
     seed: int = 42,
     statements_per_page: int = 20,
     negative_fraction: float = 0.10,
     error_fraction: float = 0.08,
     null_text_fraction: float = 0.20,
-):
+) -> dict:
+    """Deterministic page row for index ``i`` — pure function of (i, seed),
+    so generation can be distributed across the cluster."""
+    rng = random.Random((seed << 20) ^ i)
+    r = rng.random()
+    if r < negative_fraction:
+        text = _filler_text(rng)
+        lang = "de" if rng.random() < 0.3 else "en"
+    else:
+        inject = rng.random() < error_fraction
+        text = _document_text(i, rng, statements_per_page, inject)
+        lang = "en"
+    html = "<html><body><pre>{}</pre></body></html>".format(
+        html_mod.escape(text),
+    ).encode("utf8")
+    null_text = rng.random() < null_text_fraction
+    return {
+        "url": "https://example.org/doc/{:08d}".format(i),
+        "warc_ts": _BASE_TS + timedelta(seconds=i),
+        "html": html,
+        "text": None if null_text else text,
+        "lang": lang,
+    }
+
+
+def generate_pages(n_pages: int, seed: int = 42, **kwargs):
     """Yield page row dicts deterministically."""
-    base_ts = datetime(2024, 1, 1)
     for i in range(n_pages):
-        rng = random.Random((seed << 20) ^ i)
-        r = rng.random()
-        negative = r < negative_fraction
-        if negative:
-            text = _filler_text(rng)
-            lang = "de" if rng.random() < 0.3 else "en"
-        else:
-            inject = rng.random() < error_fraction
-            text = _document_text(i, rng, statements_per_page, inject)
-            lang = "en"
-        html = "<html><body><pre>{}</pre></body></html>".format(
-            html_mod.escape(text),
-        ).encode("utf8")
-        null_text = rng.random() < null_text_fraction
-        yield {
-            "url": "https://example.org/doc/{:08d}".format(i),
-            "warc_ts": base_ts + timedelta(seconds=i),
-            "html": html,
-            "text": None if null_text else text,
-            "lang": lang,
-        }
+        yield page_row(i, seed=seed, **kwargs)
+
+
+PAGES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+
+def write_pages_parquet(
+    out_dir: str,
+    n_pages: int,
+    seed: int = 42,
+    statements_per_page: int = 20,
+    rows_per_block: int = 500,
+    **kwargs,
+) -> None:
+    """Distributed deterministic corpus generation to partitioned Parquet.
+
+    ``ray.data.range`` over page indices -> per-batch generation (pure
+    function of index) -> Parquet files; both scaling runs then read the
+    SAME bytes from storage.
+    """
+    import ray.data
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        rows = [
+            page_row(int(i), seed=seed, statements_per_page=statements_per_page, **kwargs)
+            for i in batch.column("id").to_pylist()
+        ]
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    ds = ray.data.range(n_pages, override_num_blocks=max(8, n_pages // rows_per_block))
+    ds.map_batches(_gen, batch_format="pyarrow").write_parquet(out_dir)
 
 
 def pages_dataset(n_pages: int, seed: int = 42, block_pages: int = 50, **kwargs):

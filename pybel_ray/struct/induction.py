@@ -166,3 +166,75 @@ def get_random_subgraph(
 
     picked = graph.edges.map_batches(_edges, batch_format="pyarrow")
     return _graph_from_edges(graph, picked.materialize())
+
+
+def get_random_path(graph: Graph, seed: Optional[int] = None) -> list:
+    """Seeded random walk returning a list of node md5s
+    (reference induction/paths.py:120-146)."""
+    rng = random.Random(seed)
+    edges = graph.edges.select_columns(["src_md5", "dst_md5"]).take_all()
+    if not edges:
+        return []
+    succ = {}
+    for r in edges:
+        succ.setdefault(r["src_md5"], []).append(r["dst_md5"])
+    node = rng.choice(sorted(succ))
+    path = [node]
+    seen = {node}
+    while node in succ:
+        candidates = [n for n in succ[node] if n not in seen]
+        if not candidates:
+            break
+        node = rng.choice(sorted(candidates))
+        path.append(node)
+        seen.add(node)
+    return path
+
+
+def get_subgraph_by_shortest_paths(graph: Graph, seed_md5s, weight: bool = False) -> Graph:
+    """Induce over nodes on shortest paths between seeds
+    (reference induction/paths.py:82).  Collects the edge list driver-side
+    and delegates pathfinding to networkx — bounded because seeds induce a
+    small working set."""
+    import networkx as nx
+
+    g = nx.DiGraph()
+    for r in graph.edges.select_columns(["src_md5", "dst_md5"]).take_all():
+        g.add_edge(r["src_md5"], r["dst_md5"])
+    keep = set()
+    seeds = [s for s in seed_md5s if s in g]
+    for a in seeds:
+        for b in seeds:
+            if a == b:
+                continue
+            try:
+                keep.update(nx.shortest_path(g, a, b))
+            except nx.NetworkXNoPath:
+                continue
+    keep.update(seeds)
+    return subgraph(graph, keep)
+
+
+def group_subgraphs_by_annotation(graph: Graph, key: str) -> dict:
+    """{annotation value: induced Graph} (reference grouping/annotations.py:51).
+
+    At scale, write each group's edges as a partitioned Parquet directory
+    instead of materializing all subgraphs.
+    """
+    import json as _json
+
+    values = set()
+    for r in graph.edges.select_columns(["annotations_json"]).take_all():
+        aj = r["annotations_json"]
+        if not aj:
+            continue
+        entry = _json.loads(aj).get(key)
+        if entry:
+            values.update(entry)
+    from .filters import annotation_value_filter, filter_edges
+
+    out = {}
+    for value in sorted(values):
+        edges = filter_edges(graph.edges, annotation_value_filter(key, value))
+        out[value] = _graph_from_edges(graph, edges.materialize())
+    return out

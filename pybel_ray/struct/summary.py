@@ -208,3 +208,84 @@ def get_metaedge_counts(graph: Graph):
     return groupby_count(meta, ["src_function", "relation", "dst_function"]).sort(
         ["src_function", "relation", "dst_function"],
     )
+
+
+def count_names_by_namespace(graph: Graph, namespace: str):
+    """Name usage counts within one namespace, recursing into members,
+    reactants/products, variants' concepts, and fusion partners
+    (reference node_summary.py:95-194)."""
+
+    def _names(t: pa.Table) -> pa.Table:
+        out = []
+
+        def visit(node):
+            concept = node.get("concept")
+            if concept and concept.get("namespace") == namespace and concept.get("name"):
+                out.append({"name": concept["name"]})
+            for key in ("members", "reactants", "products"):
+                for child in node.get(key, ()):
+                    visit(child)
+            for variant in node.get("variants", ()):
+                c = variant.get("concept")
+                if c and c.get("namespace") == namespace and c.get("name"):
+                    out.append({"name": c["name"]})
+            fusion = node.get("fusion")
+            if fusion:
+                visit(fusion["partner_5p"])
+                visit(fusion["partner_3p"])
+
+        for nj in t.column("node_json").to_pylist():
+            visit(json.loads(nj))
+        return pa.Table.from_pylist(
+            out, schema=pa.schema([("name", pa.string())]),
+        )
+
+    names = graph.nodes.map_batches(_names, batch_format="pyarrow")
+    return groupby_count(names, "name").sort("name")
+
+
+def get_syntax_errors(errors_ds):
+    """BELSyntaxError rows only (reference errors.py:24-35)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("error_class"), "BELSyntaxError"))
+
+    return errors_ds.map_batches(_f, batch_format="pyarrow")
+
+
+def calculate_incorrect_name_dict(errors_ds):
+    """Undefined/missing-name warnings grouped by class
+    (reference errors.py:73-86)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        name_classes = pa.array([
+            "MissingNamespaceNameWarning", "MissingNamespaceRegexWarning",
+            "UndefinedNamespaceWarning", "NakedNameWarning",
+        ])
+        return t.filter(pc.is_in(t.column("error_class"), value_set=name_classes))
+
+    bad = errors_ds.map_batches(_f, batch_format="pyarrow")
+    return groupby_count(bad, "error_class").sort("error_class")
+
+
+def calculate_error_by_annotation(errors_ds, annotation: str):
+    """Error counts grouped by the annotation value in the error context
+    (reference errors.py:89-98)."""
+
+    def _vals(t: pa.Table) -> pa.Table:
+        out = []
+        for cj in t.column("context_json").to_pylist():
+            if not cj:
+                continue
+            annotations = json.loads(cj).get("annotations") or {}
+            value = annotations.get(annotation)
+            if value is None:
+                continue
+            values = value if isinstance(value, list) else [value]
+            out.extend({"value": v} for v in values)
+        return pa.Table.from_pylist(
+            out, schema=pa.schema([("value", pa.string())]),
+        )
+
+    vals = errors_ds.map_batches(_vals, batch_format="pyarrow")
+    return groupby_count(vals, "value").sort("value")
