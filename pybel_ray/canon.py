@@ -358,9 +358,10 @@ def edge_md5(u_bel: str, v_bel: str, edge_data: Mapping[str, Any]) -> str:
     """Stable edge content hash.
 
     Same equivalence classes as the reference's pickle-based
-    ``hash_edge`` (utils.py:143-154); stable bytes via canonical JSON.
+    ``hash_edge`` (utils.py:143-154).  The edge tuple contains only
+    str/int/None/tuple values, so ``repr`` is an unambiguous, deterministic
+    byte encoding — and runs at C speed (this is the hot path: one hash per
+    emitted edge).
     """
     t = edge_tuple(u_bel, v_bel, edge_data)
-    return hashlib.md5(  # noqa: S324
-        canonical_json(t).encode("utf8"),
-    ).hexdigest()
+    return hashlib.md5(repr(t).encode("utf8")).hexdigest()  # noqa: S324

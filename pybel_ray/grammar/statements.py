@@ -83,19 +83,28 @@ _UNI_SYMBOLS = ("→", "⇒")
 class Emissions:
     """Collects node/edge rows for one document with per-document dedup."""
 
-    __slots__ = ("nodes", "edges", "seen_nodes", "seen_edges")
+    __slots__ = ("nodes", "edges", "seen_nodes", "seen_edges", "_bel_by_id")
 
     def __init__(self):
         self.nodes: List[Tuple[str, dict]] = []  # (bel, node-dict)
         self.edges: List[dict] = []  # {src_bel, dst_bel, md5, data}
         self.seen_nodes = set()
         self.seen_edges = set()
+        # node dicts are immutable once built, so their serialization can be
+        # cached by object identity; the dict value keeps the node alive so
+        # its id() can't be recycled for a different object
+        self._bel_by_id: Dict[int, Tuple[dict, str]] = {}
 
     # -- node insertion (reference graph.py:557-577) -----------------------
 
     def ensure_node(self, node: dict) -> str:
         """Add a node and its structural auto-edges; return its BEL string."""
-        bel = node_to_bel(node)
+        cached = self._bel_by_id.get(id(node))
+        if cached is not None and cached[0] is node:
+            bel = cached[1]
+        else:
+            bel = node_to_bel(node)
+            self._bel_by_id[id(node)] = (node, bel)
         if bel in self.seen_nodes:
             return bel
         self.seen_nodes.add(bel)

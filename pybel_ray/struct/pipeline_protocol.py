@@ -233,3 +233,170 @@ def _register_builtins():
 
 
 _register_builtins()
+
+
+def _register_more_builtins():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..constants import BIOPROCESS
+    from .filters import filter_edges, filter_nodes
+    from .graph import bel_function_of
+
+    @transformation("remove_biological_processes")
+    def remove_biological_processes(graph: Graph) -> Graph:
+        """Drop bp nodes + their edges (deletion/deletion.py:69-77)."""
+
+        def _nodes(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.equal(t.column("function"), BIOPROCESS)))
+
+        def _edges(t: pa.Table) -> pa.Table:
+            src_ok = pc.invert(pc.fill_null(
+                pc.equal(bel_function_of(t.column("src_bel")), BIOPROCESS), False,
+            ))
+            dst_ok = pc.invert(pc.fill_null(
+                pc.equal(bel_function_of(t.column("dst_bel")), BIOPROCESS), False,
+            ))
+            return t.filter(pc.and_(src_ok, dst_ok))
+
+        return Graph(
+            graph.nodes.map_batches(_nodes, batch_format="pyarrow"),
+            graph.edges.map_batches(_edges, batch_format="pyarrow"),
+        )
+
+    @transformation("remove_isolated_list_abundances")
+    def remove_isolated_list_abundances(graph: Graph) -> Graph:
+        """Drop list abundances whose only edges are their partOf member
+        edges (deletion/deletion.py:80-87)."""
+        member_only = set()
+        degree: dict = {}
+        list_nodes = {
+            r["md5"] for r in filter_nodes(graph.nodes, "is_list_abundance").take_all()
+        }
+        for r in graph.edges.select_columns(["src_md5", "dst_md5", "relation"]).take_all():
+            for endpoint in (r["src_md5"], r["dst_md5"]):
+                if endpoint in list_nodes:
+                    key = (endpoint, r["relation"] == "partOf" and r["dst_md5"] == endpoint)
+                    degree.setdefault(endpoint, []).append(r["relation"])
+        victims = {
+            n for n in list_nodes
+            if all(rel == "partOf" for rel in degree.get(n, []))
+        }
+        v_array = pa.array(sorted(victims))
+
+        def _nodes(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.is_in(t.column("md5"), value_set=v_array)))
+
+        def _edges(t: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.invert(pc.is_in(t.column("src_md5"), value_set=v_array)),
+                pc.invert(pc.is_in(t.column("dst_md5"), value_set=v_array)),
+            )
+            return t.filter(keep)
+
+        return Graph(
+            graph.nodes.map_batches(_nodes, batch_format="pyarrow"),
+            graph.edges.map_batches(_edges, batch_format="pyarrow"),
+        )
+
+    @transformation("prune_protein_rna_origins")
+    def prune_protein_rna_origins(graph: Graph) -> Graph:
+        """Remove degree-1 gene/rna leaves attached only by central-dogma
+        edges (deletion/protein_rna_origins.py:15-60): a degree aggregate
+        over edge endpoints feeds an anti-join on the node table."""
+        from collections import Counter
+
+        degree = Counter()
+        central = {}
+        for r in graph.edges.select_columns(["src_md5", "dst_md5", "relation"]).take_all():
+            degree[r["src_md5"]] += 1
+            degree[r["dst_md5"]] += 1
+            if r["relation"] in ("transcribedTo", "translatedTo"):
+                central[r["src_md5"]] = r["relation"]
+        gene_rna = {
+            r["md5"]
+            for r in filter_nodes(graph.nodes, "is_central_dogma").take_all()
+            if r["function"] in ("Gene", "RNA", "miRNA")
+        }
+        victims = {
+            n for n in gene_rna
+            if degree.get(n, 0) == 1 and n in central
+        }
+        v_array = pa.array(sorted(victims))
+
+        def _nodes(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.is_in(t.column("md5"), value_set=v_array)))
+
+        def _edges(t: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.invert(pc.is_in(t.column("src_md5"), value_set=v_array)),
+                pc.invert(pc.is_in(t.column("dst_md5"), value_set=v_array)),
+            )
+            return t.filter(keep)
+
+        return Graph(
+            graph.nodes.map_batches(_nodes, batch_format="pyarrow"),
+            graph.edges.map_batches(_edges, batch_format="pyarrow"),
+        )
+
+    @transformation("remove_citation_metadata")
+    def remove_citation_metadata(graph: Graph) -> Graph:
+        """Null out citation columns (mutation/metadata.py:83-98)."""
+
+        def _f(t: pa.Table) -> pa.Table:
+            for col in ("citation_db", "citation_id"):
+                idx = t.schema.get_field_index(col)
+                t = t.set_column(idx, col, pa.nulls(t.num_rows, pa.string()))
+            return t
+
+        return Graph(graph.nodes, graph.edges.map_batches(_f, batch_format="pyarrow"))
+
+
+_register_more_builtins()
+
+
+def add_annotation_value(graph: Graph, key: str, value: str) -> Graph:
+    """Add key=value to every edge's annotations (mutation/metadata.py:36-60)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    def _f(t: pa.Table) -> pa.Table:
+        out = []
+        for aj in t.column("annotations_json").to_pylist():
+            annotations = _json.loads(aj) if aj else {}
+            annotations.setdefault(key, {})[value] = True
+            from ..canon import canonical_json
+
+            out.append(canonical_json(annotations))
+        idx = t.schema.get_field_index("annotations_json")
+        return t.set_column(idx, "annotations_json", pa.array(out, pa.string()))
+
+    return Graph(graph.nodes, graph.edges.map_batches(_f, batch_format="pyarrow"))
+
+
+def remove_annotation_value(graph: Graph, key: str, value: str) -> Graph:
+    """Remove key=value from edges carrying it (mutation/metadata.py:63-80)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    def _f(t: pa.Table) -> pa.Table:
+        out = []
+        for aj in t.column("annotations_json").to_pylist():
+            if not aj:
+                out.append(aj)
+                continue
+            annotations = _json.loads(aj)
+            entry = annotations.get(key)
+            if entry and value in entry:
+                del entry[value]
+                if not entry:
+                    del annotations[key]
+            from ..canon import canonical_json
+
+            out.append(canonical_json(annotations) if annotations else None)
+        idx = t.schema.get_field_index("annotations_json")
+        return t.set_column(idx, "annotations_json", pa.array(out, pa.string()))
+
+    return Graph(graph.nodes, graph.edges.map_batches(_f, batch_format="pyarrow"))
