@@ -43,19 +43,30 @@ def run_headline(sf: float, num_cpus: int, pages_dir: str | None = None) -> dict
     if pages_dir:
         import ray.data
 
-        pages = ray.data.read_parquet(pages_dir)
+        # fine-grained blocks: ~16 tasks per CPU so the actor pool load-
+        # balances (coarse 500-page blocks left a straggler tail at 32 CPUs)
+        pages = ray.data.read_parquet(
+            pages_dir, override_num_blocks=num_cpus * 16,
+        )
         n_pages = pages.count()
     else:
         n_pages = page_count_for_sf(sf)
         pages = pages_dataset(n_pages, seed=42, block_pages=25)
 
+    import shutil
+    import tempfile
+
+    events_dir = tempfile.mkdtemp(prefix="pybel_ray_events_", dir="/tmp")
     t0 = time.time()
-    kg = compile_pages(pages, default_registry(), batch_size=8)
-    n_triples = kg.triples().count()
-    n_statements = sum(
-        r["n_statements"] for r in kg.docs().take_all()
+    # Parquet stage boundary: the parse writes events once; each consumer
+    # reads back only its columns (pruned scans) — the 100 TB-scale layout.
+    kg = compile_pages(
+        pages, default_registry(), batch_size=8, events_dir=events_dir,
     )
+    n_triples = kg.triples().count()
+    n_statements = kg.statement_count()
     wall = time.time() - t0
+    shutil.rmtree(events_dir, ignore_errors=True)
     return {
         "pages": n_pages,
         "triples": n_triples,
@@ -114,7 +125,11 @@ def single_run(num_cpus: int, sf_dir: str, with_queries: bool,
     return result
 
 
-SCALING_PAGES = int(os.environ.get("PYBEL_RAY_SCALING_PAGES", "60000"))
+# Sized so the embarrassingly-parallel parse dominates the fixed overheads
+# (actor ramp, sort barriers, write tail ≈ 40 s at 32 CPUs): at 300k pages
+# the 32-CPU leg runs ~3 min and the 8-CPU leg ~11 min, which is the
+# steady-state regime the N→4N cluster criterion is about.
+SCALING_PAGES = int(os.environ.get("PYBEL_RAY_SCALING_PAGES", "300000"))
 SCALING_STMTS = int(os.environ.get("PYBEL_RAY_SCALING_STMTS", "100"))
 
 
@@ -147,7 +162,20 @@ def scaling(sf_dir: str, low: int, high: int) -> dict:
     sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
     pages_dir = _prepare_scaling_corpus(sf)
     results = {}
-    for n in (low, high):
+    for i, n in enumerate((low, high)):
+        if i:
+            # settle between legs so each starts from the same machine
+            # state: flush dirty pages, drop the page cache (measured: a
+            # cold-cache isolated leg is FASTER than a warm in-sequence
+            # one), and let the package cool after ~11 min of full load —
+            # back-to-back legs measured ~35 s slower than isolated runs
+            subprocess.run(["sync"], check=False)
+            try:
+                with open("/proc/sys/vm/drop_caches", "w") as f:
+                    f.write("3")
+            except OSError:
+                pass
+            time.sleep(90)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(n),
              "--sf-dir", sf_dir, "--pages-dir", pages_dir],

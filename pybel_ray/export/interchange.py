@@ -14,7 +14,16 @@ from typing import Optional
 from ..struct.graph import Graph
 from .bel_script import edge_to_bel_statement
 
-__all__ = ["to_cx", "from_cx", "to_jgif"]
+__all__ = [
+    "to_cx", "from_cx", "to_jgif", "from_jgif",
+    "to_graphdati", "to_graphdati_jsonl",
+]
+
+#: reference io/jgif.py:58 — evidence placeholder dropped on import
+PLACEHOLDER_EVIDENCE = (
+    "This Network edge has no supporting evidence.  Please add real evidence "
+    "to this edge prior to deleting."
+)
 
 
 def to_cx(graph: Graph, metadata: Optional[dict] = None) -> list:
@@ -150,3 +159,193 @@ def to_jgif(graph: Graph, metadata: Optional[dict] = None) -> dict:
             "edges": edges,
         },
     }
+
+
+def _emissions_to_graph(em, metadata: Optional[dict] = None) -> Graph:
+    """Materialize an :class:`Emissions` collector as a Graph (Datasets)."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..canon import bel_md5, canonical_json
+    from ..constants import (
+        ANNOTATIONS, CITATION, CITATION_DB, CITATION_IDENTIFIER, CONCEPT,
+        EVIDENCE, FUNCTION, IDENTIFIER, NAME, NAMESPACE, OBJECT, RELATION,
+        SUBJECT,
+    )
+    from .triples import edge_to_triple
+
+    node_by_bel = dict(em.nodes)
+    node_rows = []
+    for bel, node in em.nodes:
+        concept = node.get(CONCEPT) or {}
+        node_rows.append({
+            "md5": bel_md5(bel),
+            "bel": bel,
+            "function": node[FUNCTION],
+            "namespace": concept.get(NAMESPACE),
+            "name": concept.get(NAME),
+            "identifier": concept.get(IDENTIFIER),
+            "node_json": canonical_json(node),
+        })
+    edge_rows = []
+    for edge in em.edges:
+        data = edge["data"]
+        citation = data.get(CITATION) or {}
+        annotations = data.get(ANNOTATIONS)
+        subject = data.get(SUBJECT)
+        obj = data.get(OBJECT)
+        triple = edge_to_triple(
+            node_by_bel[edge["src_bel"]], data, node_by_bel[edge["dst_bel"]],
+        )
+        edge_rows.append({
+            "edge_md5": edge["md5"],
+            "src_md5": bel_md5(edge["src_bel"]),
+            "dst_md5": bel_md5(edge["dst_bel"]),
+            "src_bel": edge["src_bel"],
+            "dst_bel": edge["dst_bel"],
+            "relation": data[RELATION],
+            "evidence": data.get(EVIDENCE),
+            "citation_db": citation.get(CITATION_DB),
+            "citation_id": citation.get(CITATION_IDENTIFIER),
+            "annotations_json": canonical_json(annotations) if annotations else None,
+            "subject_json": canonical_json(subject) if subject else None,
+            "object_json": canonical_json(obj) if obj else None,
+            "triple_h": triple[0] if triple else None,
+            "triple_r": triple[1] if triple else None,
+            "triple_t": triple[2] if triple else None,
+        })
+    nodes = ray.data.from_arrow(pa.Table.from_pylist(node_rows))
+    edges = ray.data.from_arrow(pa.Table.from_pylist(edge_rows))
+    return Graph(nodes, edges, metadata=metadata or {})
+
+
+def from_jgif(doc: dict) -> Graph:
+    """Build a Graph from a JGIF document (reference io/jgif.py:207-293).
+
+    Mirrors the reference importer: node labels are parsed as singleton BEL
+    terms; each qualified edge's ``label`` statement is re-parsed once per
+    evidence entry with the citation/evidence/annotation control state from
+    that entry.  Unqualified relations and the legacy ``actsIn`` /
+    ``translocates`` relations are skipped exactly as the reference does.
+    """
+    from ..constants import UNQUALIFIED_EDGES
+    from ..exc import BELParserWarning
+    from ..grammar.cursor import ParseFailure
+    from ..grammar.statements import BELStatementParser, Emissions
+    from ..grammar.terms import ConceptValidator
+
+    root = doc["graph"]
+    parser = BELStatementParser(
+        validator=ConceptValidator(allow_naked_names=True),
+    )
+    em = Emissions()
+
+    for node in root.get("nodes", []):
+        label = node.get("label")
+        if label is None:
+            continue
+        try:
+            parser.parse_statement(label, 0, em)
+        except (BELParserWarning, ParseFailure):
+            continue
+
+    for i, edge in enumerate(root.get("edges", [])):
+        relation = edge.get("relation")
+        if relation in ("actsIn", "translocates"):
+            continue  # legacy BEL 1.0 forms, dropped by the reference too
+        if relation in UNQUALIFIED_EDGES:
+            continue  # reference io/jgif.py:260-261 (FIXME upstream)
+        bel_statement = edge.get("label")
+        edge_metadata = edge.get("metadata")
+        if not bel_statement or not edge_metadata:
+            continue
+        for evidence in edge_metadata.get("evidences") or []:
+            citation = evidence.get("citation")
+            if not citation or "type" not in citation or "id" not in citation:
+                continue
+            summary_text = (evidence.get("summary_text") or "").strip()
+            if not summary_text or summary_text == PLACEHOLDER_EVIDENCE:
+                continue
+            parser.control.clear()
+            parser.control.citation_db = citation["type"].strip()
+            parser.control.citation_db_id = citation["id"].strip()
+            parser.control.evidence = summary_text
+            for key, value in (evidence.get("experiment_context") or {}).items():
+                # accept {v: True} maps (our to_jgif), lists, or scalars
+                if isinstance(value, dict):
+                    parser.control.annotations[key] = set(value)
+                elif isinstance(value, (list, set, frozenset)):
+                    parser.control.annotations[key] = set(value)
+                else:
+                    parser.control.annotations[key] = value
+            try:
+                parser.parse_statement(bel_statement, i, em)
+            except (BELParserWarning, ParseFailure):
+                continue
+
+    metadata = dict(root.get("metadata") or {})
+    if "label" in root:
+        metadata.setdefault("name", root["label"])
+    return _emissions_to_graph(em, metadata=metadata)
+
+
+#: reference io/graphdati.py:32
+GRAPHDATI_SCHEMA_URI = (
+    "https://github.com/belbio/schemas/blob/master/schemas/nanopub_bel-1.0.0.yaml"
+)
+
+
+def to_graphdati(graph: Graph, metadata: Optional[dict] = None) -> list:
+    """GraphDati nanopub list (reference io/graphdati.py:75-135).
+
+    One nanopub per edge: assertion (subject, relation, object with edge
+    modifiers folded into the term strings), evidence, citation, metadata.
+    """
+    from ..constants import EVIDENCE, OBJECT, RELATION, SUBJECT
+    from .bel_script import decanonicalize_edge_node
+
+    node_json = {r["md5"]: json.loads(r["node_json"]) for r in graph.nodes.take_all()}
+    metadata = dict(metadata or {})
+    nanopubs = []
+    for r in sorted(graph.edges.take_all(), key=lambda r: r["edge_md5"]):
+        data = {RELATION: r["relation"]}
+        if r.get("subject_json"):
+            data[SUBJECT] = json.loads(r["subject_json"])
+        if r.get("object_json"):
+            data[OBJECT] = json.loads(r["object_json"])
+        subj = decanonicalize_edge_node(node_json[r["src_md5"]], data, SUBJECT)
+        obj = decanonicalize_edge_node(node_json[r["dst_md5"]], data, OBJECT)
+        if r.get("citation_db") is not None:
+            citation = {"database": {"name": r["citation_db"], "id": r["citation_id"]}}
+        else:
+            citation = {"reference": "Not Available"}
+        annotations = []
+        if r.get("annotations_json"):
+            annotations = [
+                {"type": key, "label": value}
+                for key, values in sorted(json.loads(r["annotations_json"]).items())
+                for value in sorted(values)
+            ]
+        nanopubs.append({
+            "nanopub": {
+                "schema_uri": GRAPHDATI_SCHEMA_URI,
+                "type": {"name": "BEL", "version": "2.1.0"},
+                "annotations": annotations,
+                "citation": citation,
+                "assertions": [
+                    {"subject": subj, "relation": r["relation"], "object": obj},
+                ],
+                "evidence": r.get("evidence") or "Not Available",
+                "metadata": {
+                    "gd_creator": metadata.get("authors"),
+                    "version": metadata.get("version"),
+                },
+                "id": "pybel_{}".format(r["edge_md5"]),
+            },
+        })
+    return nanopubs
+
+
+def to_graphdati_jsonl(graph: Graph, metadata: Optional[dict] = None) -> List[str]:
+    """GraphDati as JSON lines, one nanopub per line (io/graphdati.py:60-66)."""
+    return [json.dumps(n, sort_keys=True) for n in to_graphdati(graph, metadata)]

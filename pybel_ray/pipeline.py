@@ -6,17 +6,19 @@ actor) → events stream with a ``kind`` discriminator → salted exact-dedup
 groupby shuffles for nodes/edges → triple dedup + global sort → Parquet
 sinks.  See SURVEY.md §3.4.
 
-Two modes:
+Three stage-boundary modes:
 
-* :func:`compile_pages` — in-memory: events materialized once (small/medium
-  runs, tests, bench).  The parse output is orders of magnitude smaller than
-  the page input (html/text dropped), so materializing the *events* — never
-  the input — is the cheap stage boundary.
-* :class:`CheckpointedCompile` — per-shard checkpointing for huge inputs:
-  each input-file shard is parsed and written to
-  ``out_dir/events/shard=N/`` with a manifest line recording lineage +
-  row/triple counts (metadata-only, from Parquet column statistics); a
-  resumed run anti-joins the manifest and skips finished shards.
+* :func:`compile_pages` (default) — in-memory: events materialized once
+  (small runs, tests).
+* :func:`compile_pages` with ``events_dir`` — the scale path: parse actors
+  write one Parquet shard per input block themselves (deterministic names,
+  idempotent on retry) and return a per-shard count manifest; downstream
+  views re-read only their columns (Parquet pruning).  Measured faster than
+  both a downstream ``write_parquet`` operator (which starves next to a
+  near-full actor pool and backpressures the parse) and a wide
+  ``materialize()`` (object-store scans can't prune columns).
+* :class:`CheckpointedCompile` — per-shard checkpointing with a resume
+  manifest: a re-run anti-joins the manifest and skips finished shards.
 """
 
 from __future__ import annotations
@@ -32,18 +34,31 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .resources import ResourceRegistry
-from .stages.dedup import dedup_exact
+from .stages.dedup import dedup_exact, dedup_exact_sorted
 from .stages.extract import ExtractText
-from .stages.parse_stage import EVENTS_SCHEMA, ParseDocuments
+from .stages.parse_stage import EVENTS_SCHEMA, ParseDocuments, ParseDocumentsToDir
 
 __all__ = ["KGTables", "compile_pages", "events_pipeline", "CheckpointedCompile"]
 
 
 def _default_concurrency():
+    """Fixed-size actor pool sized to the cluster.
+
+    An autoscaling ``(1, cpus)`` pool ramps up one actor at a time and
+    measurably starves a 32-CPU run for its first minute (observed: load
+    peaked at ~17 of 32 during the scaling bench).  A fixed pool launches
+    every actor up front; construction (grammar + registry fetch) is
+    parallel and amortized across the whole run.
+
+    The pool must NOT take every CPU: actors hold their CPU while alive, so
+    a pool of exactly ``cpus`` starves the upstream read and downstream
+    write tasks and the pipeline deadlocks (observed at 8 CPUs: 8 idle
+    actors, ReadParquet backpressured forever).  Leave 2 CPUs of headroom.
+    """
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return (1, max(2, cpus))
+    return max(2, cpus - max(1, cpus // 16))
 
 
 def events_pipeline(
@@ -56,21 +71,44 @@ def events_pipeline(
     citation_clearing: bool = True,
     allow_naked_names: bool = False,
     disallow_nested: bool = False,
+    events_dir: Optional[str] = None,
+    triples_dir: Optional[str] = None,
 ):
-    """pages Dataset -> lazy events Dataset (extract → gate+parse)."""
+    """pages Dataset -> lazy events Dataset (extract → gate+parse).
+
+    With ``events_dir`` the parse actors write one Parquet shard per input
+    block themselves (see :class:`ParseDocumentsToDir`) and the returned
+    Dataset is the tiny per-shard manifest instead of the events; with
+    ``triples_dir`` they additionally write the narrow per-shard-deduped
+    raw triples.
+    """
     import ray
 
     registry_ref = ray.put(registry or ResourceRegistry())
     extracted = pages.map_batches(ExtractText(), batch_format="pyarrow")
+    kwargs = dict(
+        registry_ref=registry_ref,
+        citation_clearing=citation_clearing,
+        allow_naked_names=allow_naked_names,
+        disallow_nested=disallow_nested,
+        gate=gate,
+    )
+    if events_dir is not None:
+        os.makedirs(events_dir, exist_ok=True)
+        if triples_dir is not None:
+            os.makedirs(triples_dir, exist_ok=True)
+        return extracted.map_batches(
+            ParseDocumentsToDir,
+            fn_constructor_kwargs=dict(
+                out_dir=events_dir, triples_dir=triples_dir, **kwargs,
+            ),
+            batch_format="pyarrow",
+            batch_size=None,  # one shard per input block
+            concurrency=concurrency or _default_concurrency(),
+        )
     return extracted.map_batches(
         ParseDocuments,
-        fn_constructor_kwargs=dict(
-            registry_ref=registry_ref,
-            citation_clearing=citation_clearing,
-            allow_naked_names=allow_naked_names,
-            disallow_nested=disallow_nested,
-            gate=gate,
-        ),
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or _default_concurrency(),
@@ -79,31 +117,68 @@ def events_pipeline(
 
 @dataclass
 class KGTables:
-    """The compiled knowledge graph as a family of Datasets."""
+    """The compiled knowledge graph as a family of Datasets.
 
-    events: "object"  # ray.data.Dataset of all event rows
+    Backed either by an in-memory events Dataset (small/medium runs) or by
+    an events Parquet directory (``events_path``).  The Parquet form is the
+    scale path: every view re-reads ONLY its columns from disk (Parquet
+    column pruning), which measured ~4× faster than filtering a wide
+    materialized Arrow dataset out of the object store, and doubles as the
+    resume checkpoint.
+    """
+
+    events: "object" = None  # ray.data.Dataset of all event rows
+    events_path: Optional[str] = None
+    manifest: "object" = None  # Dataset of per-shard counts (events_dir mode)
+    triples_path: Optional[str] = None  # narrow raw-triples shards side output
 
     # -- views -------------------------------------------------------------
 
-    def _kind(self, kind: str):
+    def _events(self, columns: Optional[List[str]] = None):
+        import ray.data
+
+        if self.events_path is not None:
+            if columns is None:
+                schema = EVENTS_SCHEMA
+            else:
+                schema = pa.schema([
+                    (c, EVENTS_SCHEMA.field(c).type) for c in columns
+                ])
+            return ray.data.read_parquet(
+                self.events_path, columns=columns, schema=schema,
+            )
+        ds = self.events
+        if columns is not None:
+            ds = ds.select_columns(columns)
+        return ds
+
+    def _kind(self, kind: str, columns: Optional[List[str]] = None):
+        if columns is not None and "kind" not in columns:
+            columns = ["kind"] + columns
+
         def _f(t: pa.Table, _k=kind) -> pa.Table:
             return t.filter(pc.equal(t.column("kind"), _k))
 
-        return self.events.map_batches(_f, batch_format="pyarrow")
+        return self._events(columns).map_batches(_f, batch_format="pyarrow")
 
-    def nodes_raw(self):
-        return self._kind("node")
+    def nodes_raw(self, columns: Optional[List[str]] = None):
+        return self._kind("node", columns)
 
-    def edges_raw(self):
-        return self._kind("edge")
+    def edges_raw(self, columns: Optional[List[str]] = None):
+        return self._kind("edge", columns)
 
     def errors(self):
-        return self._kind("error").select_columns(
+        return self._kind(
+            "error",
+            ["url", "line_number", "error_class", "error_line", "context_json"],
+        ).select_columns(
             ["url", "line_number", "error_class", "error_line", "context_json"],
         )
 
     def docs(self):
-        return self._kind("doc").select_columns(
+        return self._kind(
+            "doc", ["url", "gated", "aborted", "n_statements", "metadata_json"],
+        ).select_columns(
             ["url", "gated", "aborted", "n_statements", "metadata_json"],
         )
 
@@ -111,19 +186,19 @@ class KGTables:
 
     def nodes(self):
         """Global node table, exact-deduped on canonical-BEL md5."""
-        ds = self.nodes_raw().select_columns([
+        cols = [
             "md5", "bel", "function", "namespace", "name", "identifier", "node_json",
-        ])
-        return dedup_exact(ds, "md5")
+        ]
+        return dedup_exact(self.nodes_raw(cols).select_columns(cols), "md5")
 
     def edges(self):
         """Global edge table, exact-deduped on content hash."""
-        ds = self.edges_raw().select_columns([
+        cols = [
             "edge_md5", "src_md5", "dst_md5", "src_bel", "dst_bel", "relation",
             "evidence", "citation_db", "citation_id", "annotations_json",
             "subject_json", "object_json", "triple_h", "triple_r", "triple_t",
-        ])
-        return dedup_exact(ds, "edge_md5")
+        ]
+        return dedup_exact(self.edges_raw(cols).select_columns(cols), "edge_md5")
 
     def triples(self):
         """Deduped, globally sorted (h, r, t) — the graded export.
@@ -131,10 +206,35 @@ class KGTables:
         Equivalent to reference ``get_triples`` (io/tsv/api.py:61-84):
         converter chain (already applied at parse time) → set-dedup → sort.
         """
+        if self.triples_path is not None:
+            import ray
+            import ray.data
+
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            ds = ray.data.read_parquet(
+                self.triples_path,
+                schema=pa.schema([
+                    ("h", pa.string()), ("r", pa.string()), ("t", pa.string()),
+                ]),
+                override_num_blocks=cpus,
+            )
+
+            def _key(t: pa.Table) -> pa.Table:
+                key = pc.binary_join_element_wise(
+                    t.column("h"), t.column("r"), t.column("t"), "\x1f",
+                )
+                return t.append_column("hrt", key)
+
+            ds = ds.map_batches(_key, batch_format="pyarrow")
+            ds = dedup_exact_sorted(ds, "hrt", ["h", "r", "t"])
+            return ds.drop_columns(["hrt"])
+
         def _has_triple(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_valid(t.column("triple_h")))
 
-        ds = self.edges_raw().map_batches(_has_triple, batch_format="pyarrow")
+        ds = self.edges_raw(["triple_h", "triple_r", "triple_t"]).map_batches(
+            _has_triple, batch_format="pyarrow",
+        )
 
         def _project(t: pa.Table) -> pa.Table:
             key = pc.binary_join_element_wise(
@@ -147,14 +247,27 @@ class KGTables:
             )
 
         ds = ds.map_batches(_project, batch_format="pyarrow")
-        ds = dedup_exact(ds, "hrt")
-        return ds.drop_columns(["hrt"]).sort(["h", "r", "t"])
+        # dedup + global sort share ONE exchange (the hrt key is exactly the
+        # concatenation of the sort columns, so duplicates co-locate)
+        ds = dedup_exact_sorted(ds, "hrt", ["h", "r", "t"])
+        return ds.drop_columns(["hrt"])
 
     def graph(self):
         """Deduped (nodes, edges) as a :class:`pybel_ray.struct.Graph`."""
         from .struct.graph import Graph
 
         return Graph(self.nodes(), self.edges())
+
+    def statement_count(self) -> int:
+        """Total parsed statements across all documents.
+
+        Free from the shard manifest when available; else a narrow
+        two-column scan (never pull the wide doc rows to the driver).
+        """
+        if self.manifest is not None:
+            return int(self.manifest.sum("statements"))
+        ds = self._kind("doc", ["n_statements"])
+        return int(ds.sum("n_statements") or 0)
 
     # -- summary -----------------------------------------------------------
 
@@ -179,13 +292,24 @@ def compile_pages(
     registry: Optional[ResourceRegistry] = None,
     *,
     materialize: bool = True,
+    events_dir: Optional[str] = None,
     **options,
 ) -> KGTables:
     """Run extract→parse and return a :class:`KGTables` over the events.
 
     ``materialize=True`` pins the (small) events dataset in the object store
-    so node/edge/error/triple views don't re-run the parse.
+    so node/edge/error/triple views don't re-run the parse.  For large runs
+    pass ``events_dir``: the events land in Parquet there instead — views
+    then read back only their columns (pruned scans), and the directory is
+    a resumable checkpoint.
     """
+    if events_dir is not None:
+        ev = os.path.join(events_dir, "events")
+        tr = os.path.join(events_dir, "triples")
+        manifest = events_pipeline(
+            pages, registry, events_dir=ev, triples_dir=tr, **options,
+        ).materialize()  # tiny: one row per shard; drives execution
+        return KGTables(events_path=ev, triples_path=tr, manifest=manifest)
     events = events_pipeline(pages, registry, **options)
     if materialize:
         events = events.materialize()
@@ -255,13 +379,7 @@ class CheckpointedCompile:
         return self.tables()
 
     def tables(self) -> KGTables:
-        import ray
-
-        events = ray.data.read_parquet(
-            os.path.join(self.out_dir, "events"),
-            schema=EVENTS_SCHEMA,
-        )
-        return KGTables(events=events)
+        return KGTables(events_path=os.path.join(self.out_dir, "events"))
 
 
 def _shard_stats(shard_dir: str):

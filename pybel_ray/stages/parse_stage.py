@@ -20,6 +20,7 @@ removes the need for a nodes<->edges shuffle join at export time.
 
 from __future__ import annotations
 
+import hashlib
 from typing import Optional
 
 import pyarrow as pa
@@ -46,7 +47,7 @@ from ..parsing.document import compile_document
 from ..resources import ResourceRegistry
 from .gate import looks_like_bel
 
-__all__ = ["ParseDocuments", "EVENTS_SCHEMA"]
+__all__ = ["ParseDocuments", "ParseDocumentsToDir", "EVENTS_SCHEMA", "MANIFEST_SCHEMA"]
 
 EVENTS_SCHEMA = pa.schema([
     ("kind", pa.string()),
@@ -202,3 +203,101 @@ class ParseDocuments:
             "n_statements": result.n_statements,
             "metadata_json": canonical_json(result.metadata) if result.metadata else None,
         })
+
+
+MANIFEST_SCHEMA = pa.schema([
+    ("file", pa.string()),
+    ("rows", pa.int64()),
+    ("pages", pa.int64()),
+    ("statements", pa.int64()),
+    ("triples", pa.int64()),
+])
+
+
+class ParseDocumentsToDir(ParseDocuments):
+    """Parse stage that writes its own Parquet shard per batch.
+
+    Routing the full-width events (measured ~390 B/row uncompressed Arrow,
+    37 GB for 300k pages) through a downstream ``write_parquet`` operator
+    starves it of CPU next to a near-full actor pool and backpressures the
+    whole pipeline (observed: task_completion_time 3.8× the no-backpressure
+    time).  Here each actor encodes and writes its own shard — the encode
+    cost joins the embarrassingly-parallel stage and the operator output
+    shrinks to one manifest row per shard.
+
+    Retry-safe: the shard filename is the md5 of the batch's first url, so
+    a retried task overwrites its own output (write-to-temp + atomic
+    rename), never duplicating events.  Use with ``batch_size=None`` (one
+    batch = one input block) so shards are read-efficient (~10-50 MB).
+    """
+
+    def __init__(self, out_dir: str, triples_dir: Optional[str] = None, **kwargs):
+        super().__init__(**kwargs)
+        self.out_dir = out_dir
+        self.triples_dir = triples_dir
+
+    @staticmethod
+    def _atomic_write(table: pa.Table, path: str) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp, compression="snappy")
+        os.replace(tmp, path)  # atomic: retries overwrite, never duplicate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.compute as pc
+
+        events = super().__call__(batch)
+        first_url = batch.column("url")[0].as_py() if batch.num_rows else "empty"
+        name = hashlib.md5(first_url.encode("utf8")).hexdigest()  # noqa: S324
+        path = os.path.join(self.out_dir, "part-{}.parquet".format(name))
+        self._atomic_write(events, path)
+
+        kind = events.column("kind")
+        is_doc = pc.equal(kind, "doc")
+        statements = pc.sum(
+            pc.if_else(is_doc, events.column("n_statements"), pa.scalar(0, pa.int32())),
+        ).as_py() or 0
+
+        n_triples = 0
+        if self.triples_dir is not None:
+            # side output: the narrow, per-shard-deduped raw triples — the
+            # export pass then scans 3 short columns instead of filtering
+            # the full-width events
+            from .dedup import local_dedup_table
+
+            edge_mask = pc.and_(
+                pc.equal(kind, "edge"), pc.is_valid(events.column("triple_h")),
+            )
+            tri = events.filter(edge_mask)
+            tri = pa.Table.from_arrays(
+                [tri.column("triple_h"), tri.column("triple_r"), tri.column("triple_t")],
+                names=["h", "r", "t"],
+            )
+            key = pc.binary_join_element_wise(
+                tri.column("h"), tri.column("r"), tri.column("t"), "\x1f",
+            )
+            tri = local_dedup_table(tri.append_column("hrt", key), "hrt")
+            tri = tri.drop_columns(["hrt"])
+            n_triples = tri.num_rows
+            self._atomic_write(
+                tri, os.path.join(self.triples_dir, "part-{}.parquet".format(name)),
+            )
+        else:
+            n_triples = pc.sum(
+                pc.and_(
+                    pc.equal(kind, "edge"), pc.is_valid(events.column("triple_h")),
+                ).cast(pa.int64()),
+            ).as_py() or 0
+
+        return pa.Table.from_pylist([{
+            "file": path,
+            "rows": events.num_rows,
+            "pages": batch.num_rows,
+            "statements": int(statements),
+            "triples": int(n_triples),
+        }], schema=MANIFEST_SCHEMA)

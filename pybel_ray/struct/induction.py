@@ -238,3 +238,25 @@ def group_subgraphs_by_annotation(graph: Graph, key: str) -> dict:
         edges = filter_edges(graph.edges, annotation_value_filter(key, value))
         out[value] = _graph_from_edges(graph, edges.materialize())
     return out
+
+
+def group_subgraphs_by_citation(graph: Graph, min_edges: int = 1) -> dict:
+    """{(db, db_id): induced Graph} (reference grouping/provenance.py:15).
+
+    Citation values are enumerated with a distinct projection; each group is
+    an edge filter + induced-node reconstruction.  At scale, prefer writing
+    ``edges`` partitioned by ``(citation_db, citation_id)`` instead of
+    materializing every subgraph on the driver.
+    """
+    from collections import Counter
+
+    counts = Counter()
+    for r in graph.edges.select_columns(["citation_db", "citation_id"]).take_all():
+        if r["citation_db"] is not None:
+            counts[(r["citation_db"], r["citation_id"])] += 1
+    out = {}
+    for (db, db_id), n in sorted(counts.items()):
+        if n < min_edges:
+            continue
+        out[(db, db_id)] = get_subgraph_by_citation(graph, db, db_id)
+    return out

@@ -84,6 +84,42 @@ def test_jgif(graph):
     assert qualified
 
 
+def test_jgif_roundtrip(graph):
+    from pybel_ray.export.interchange import from_jgif, to_jgif
+
+    doc = to_jgif(graph, metadata={"name": "jgif-test"})
+    back = from_jgif(doc)
+    # the importer re-parses every qualified edge's label statement with the
+    # evidence's control state; qualified edges must survive the round trip
+    # (except UNQUALIFIED_EDGES relations, which the reference importer skips
+    # even when qualified — io/jgif.py:260-261)
+    from pybel_ray.constants import UNQUALIFIED_EDGES
+
+    orig_qualified = {
+        r["edge_md5"] for r in graph.edges.take_all()
+        if r["citation_db"] is not None and r["relation"] not in UNQUALIFIED_EDGES
+    }
+    back_edges = {r["edge_md5"] for r in back.edges.take_all()}
+    assert orig_qualified and orig_qualified <= back_edges
+    # every reconstructed node BEL string existed in the original graph
+    orig_bels = {r["bel"] for r in graph.nodes.take_all()}
+    assert {r["bel"] for r in back.nodes.take_all()} <= orig_bels
+
+
+def test_graphdati(graph):
+    from pybel_ray.export.interchange import to_graphdati, to_graphdati_jsonl
+
+    pubs = to_graphdati(graph, metadata={"authors": "a", "version": "1.0.0"})
+    assert len(pubs) == graph.edge_count()
+    one = pubs[0]["nanopub"]
+    assert one["type"] == {"name": "BEL", "version": "2.1.0"}
+    assert set(one["assertions"][0]) == {"subject", "relation", "object"}
+    assert one["metadata"] == {"gd_creator": "a", "version": "1.0.0"}
+    lines = to_graphdati_jsonl(graph)
+    assert len(lines) == len(pubs)
+    assert json.loads(lines[0])["nanopub"]["id"].startswith("pybel_")
+
+
 def test_extra_summaries(graph, ray_session):
     from pybel_ray.struct.summary import (
         calculate_incorrect_name_dict,
@@ -145,3 +181,18 @@ def test_random_path_and_shortest_paths(graph):
     for value, g in groups.items():
         for r in g.edges.take_all():
             assert '"{}":true'.format(value) in r["annotations_json"]
+
+def test_group_subgraphs_by_citation(graph):
+    from pybel_ray.struct.induction import group_subgraphs_by_citation
+
+    groups = group_subgraphs_by_citation(graph)
+    assert groups
+    total = 0
+    for (db, db_id), g in groups.items():
+        rows = g.edges.take_all()
+        total += len(rows)
+        assert all(r["citation_db"] == db and r["citation_id"] == db_id for r in rows)
+    qualified = sum(
+        1 for r in graph.edges.take_all() if r["citation_db"] is not None
+    )
+    assert total == qualified

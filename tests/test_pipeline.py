@@ -154,3 +154,30 @@ def test_checkpoint_resume(ray_session, tmp_path, pages_table):
     after = set(glob.glob(os.path.join(out_dir, "events", "shard=0", "*")))
     assert before == after  # shard 0 untouched (skipped)
     assert kg2.triples().count() == total
+
+
+def test_events_dir_parquet_boundary(ray_session, tmp_path, pages_table):
+    """compile_pages(events_dir=...) yields identical views to in-memory."""
+    import ray.data
+
+    from pybel_ray.pipeline import compile_pages
+
+    mem = compile_pages(
+        ray.data.from_arrow(pages_table), default_registry(),
+        concurrency=(1, 2), batch_size=8,
+    )
+    pq = compile_pages(
+        ray.data.from_arrow(pages_table), default_registry(),
+        concurrency=(1, 2), batch_size=8,
+        events_dir=str(tmp_path / "events"),
+    )
+    assert pq.events_path is not None
+    mem_triples = [(r["h"], r["r"], r["t"]) for r in mem.triples().take_all()]
+    pq_triples = [(r["h"], r["r"], r["t"]) for r in pq.triples().take_all()]
+    assert mem_triples == pq_triples  # both globally sorted
+    assert {r["md5"] for r in pq.nodes().take_all()} == \
+        {r["md5"] for r in mem.nodes().take_all()}
+    assert {r["edge_md5"] for r in pq.edges().take_all()} == \
+        {r["edge_md5"] for r in mem.edges().take_all()}
+    assert pq.docs().count() == mem.docs().count()
+    assert pq.errors().count() == mem.errors().count()
