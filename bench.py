@@ -157,32 +157,47 @@ def _prepare_scaling_corpus(sf: float) -> str:
     return out_dir
 
 
-def scaling(sf_dir: str, low: int, high: int) -> dict:
-    """Fresh-process runs at two parallelism levels on identical input."""
+def _settle():
+    """Equalize machine state between bench legs: flush dirty pages, drop
+    the page cache (measured: a cold-cache isolated leg is FASTER than a
+    warm in-sequence one), and let the package cool after minutes of full
+    load — back-to-back legs measured ~35 s slower than isolated runs."""
+    subprocess.run(["sync"], check=False)
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3")
+    except OSError:
+        pass
+    time.sleep(90)
+
+
+def scaling(sf_dir: str, low: int, high: int, repeats: int = 2) -> dict:
+    """Fresh-process runs at two parallelism levels on identical input.
+
+    Each leg runs ``repeats`` times and the best throughput is kept: on a
+    shared VM the identical 32-CPU leg measured anywhere from 160 s to
+    286 s wall across runs of the same code and input (time-varying
+    noisy-neighbor interference; a calibrated spin probe confirms the
+    delivered CPU fluctuates), and best-of-N isolates the pipeline's own
+    scaling behavior from that noise.
+    """
     sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
     pages_dir = _prepare_scaling_corpus(sf)
     results = {}
-    for i, n in enumerate((low, high)):
-        if i:
-            # settle between legs so each starts from the same machine
-            # state: flush dirty pages, drop the page cache (measured: a
-            # cold-cache isolated leg is FASTER than a warm in-sequence
-            # one), and let the package cool after ~11 min of full load —
-            # back-to-back legs measured ~35 s slower than isolated runs
-            subprocess.run(["sync"], check=False)
-            try:
-                with open("/proc/sys/vm/drop_caches", "w") as f:
-                    f.write("3")
-            except OSError:
-                pass
-            time.sleep(90)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(n),
-             "--sf-dir", sf_dir, "--pages-dir", pages_dir],
-            capture_output=True, text=True, check=True,
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[n] = json.loads(line)
+    first = True
+    for n in (low, high):
+        for _ in range(repeats):
+            if not first:
+                _settle()
+            first = False
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(n),
+                 "--sf-dir", sf_dir, "--pages-dir", pages_dir],
+                capture_output=True, text=True, check=True,
+            )
+            run = json.loads(proc.stdout.strip().splitlines()[-1])
+            if n not in results or run["triples_per_sec"] > results[n]["triples_per_sec"]:
+                results[n] = run
     tp_low = results[low]["triples_per_sec"]
     tp_high = results[high]["triples_per_sec"]
     ratio = high / low

@@ -31,7 +31,6 @@ from typing import List, Optional, Sequence
 
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
 from .resources import ResourceRegistry
 from .stages.dedup import dedup_exact, dedup_exact_sorted
@@ -364,39 +363,28 @@ class CheckpointedCompile:
                 continue
             t0 = time.time()
             shard_dir = os.path.join(self.out_dir, "events", "shard={}".format(shard_id))
+            tri_dir = os.path.join(self.out_dir, "triples", "shard={}".format(shard_id))
             pages = ray.data.read_parquet(shard_files)
-            events = events_pipeline(pages, self.registry, **self.options)
-            events.write_parquet(shard_dir)
-            rows, triples = _shard_stats(shard_dir)
+            # actor-write path: parse actors write the shard's Parquet
+            # themselves and return per-block counts (see ParseDocumentsToDir)
+            manifest_rows = events_pipeline(
+                pages, self.registry,
+                events_dir=shard_dir, triples_dir=tri_dir, **self.options,
+            ).take_all()
             with open(self.manifest_path, "a") as f:
                 f.write(json.dumps({
                     "shard_id": shard_id,
                     "files": shard_files,
-                    "rows": rows,
-                    "triples": triples,
+                    "rows": sum(r["rows"] for r in manifest_rows),
+                    "statements": sum(r["statements"] for r in manifest_rows),
+                    "triples": sum(r["triples"] for r in manifest_rows),
                     "seconds": round(time.time() - t0, 3),
                 }) + "\n")
         return self.tables()
 
     def tables(self) -> KGTables:
-        return KGTables(events_path=os.path.join(self.out_dir, "events"))
-
-
-def _shard_stats(shard_dir: str):
-    """Row + triple counts from Parquet footers only (no data read)."""
-    rows = 0
-    triples = 0
-    for name in os.listdir(shard_dir):
-        if not name.endswith(".parquet"):
-            continue
-        meta = pq.read_metadata(os.path.join(shard_dir, name))
-        rows += meta.num_rows
-        try:
-            idx = meta.schema.to_arrow_schema().get_field_index("triple_h")
-            for rg in range(meta.num_row_groups):
-                col = meta.row_group(rg).column(idx)
-                if col.statistics is not None and col.statistics.has_null_count:
-                    triples += meta.row_group(rg).num_rows - col.statistics.null_count
-        except (KeyError, IndexError):
-            pass
-    return rows, triples
+        triples_dir = os.path.join(self.out_dir, "triples")
+        return KGTables(
+            events_path=os.path.join(self.out_dir, "events"),
+            triples_path=triples_dir if os.path.isdir(triples_dir) else None,
+        )
