@@ -219,6 +219,44 @@ def _match_longest(cur: Cursor, keys) -> Optional[str]:
     return None
 
 
+def _term_span(text: str, pos: int) -> int:
+    """End index of the balanced ``word(...)`` term starting at ``pos``.
+
+    Quote-aware (backslash escapes honored).  Returns -1 when the text at
+    ``pos`` is not a parenthesized term or the parens don't balance — the
+    caller then falls back to the ordinary parse.
+    """
+    n = len(text)
+    i = pos
+    while i < n and (text[i].isalnum() or text[i] in "_"):
+        i += 1
+    if i == pos or i >= n or text[i] != "(":
+        return -1
+    depth = 1
+    i += 1
+    while i < n:
+        c = text[i]
+        if c == '"':
+            i += 1
+            while i < n:
+                if text[i] == "\\":
+                    i += 2
+                    continue
+                if text[i] == '"':
+                    break
+                i += 1
+            if i >= n:
+                return -1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return -1
+
+
 class TermParser:
     """Parser for BEL terms, reusable across statements (build once per actor)."""
 
@@ -229,6 +267,9 @@ class TermParser:
     ):
         self.validator = validator or ConceptValidator()
         self.disallow_unqualified_translocations = disallow_unqualified_translocations
+        # optional cross-document term cache (set by the compile driver)
+        self.term_cache = None
+        self.scope_key = None
         # line context, set by the statement parser before each parse
         self.line = ""
         self.line_number = 0
@@ -923,7 +964,34 @@ class TermParser:
     # -- top level ---------------------------------------------------------
 
     def parse_bel_term(self, cur: Cursor) -> Term:
-        """transformation | process | abundance (reference parse_bel.py:507)."""
+        """transformation | process | abundance (reference parse_bel.py:507).
+
+        When the statement parser attaches a ``term_cache`` (actor-lifetime,
+        keyed by (namespace-scope, exact term text)), a previously parsed
+        term is returned without re-parsing and the cursor jumps over its
+        span.  Valid because a Term is a pure function of the term text and
+        the frozen namespace scope, and parsed node/modifier dicts are
+        immutable downstream; only *successful* parses are cached, so
+        warning/error paths always re-parse with correct positions.
+        """
+        cache = self.term_cache
+        if cache is not None:
+            cur.skip_ws()
+            start = cur.pos
+            end = _term_span(cur.text, start)
+            if end > 0:
+                key = (self.scope_key, cur.text[start:end])
+                hit = cache.get(key)
+                if hit is not None:
+                    cur.pos = end
+                    return hit
+                term = self._parse_bel_term_uncached(cur)
+                if cur.pos == end:  # parse consumed exactly the span
+                    cache[key] = term
+                return term
+        return self._parse_bel_term_uncached(cur)
+
+    def _parse_bel_term_uncached(self, cur: Cursor) -> Term:
         save = cur.save()
         word = cur.try_word()
         if not word:

@@ -115,6 +115,7 @@ def compile_document(
     disallow_unqualified_translocations: bool = False,
     required_annotations: Optional[List[str]] = None,
     allow_redefinition: bool = False,
+    term_cache: Optional[dict] = None,
 ) -> DocumentResult:
     """Compile one BEL document (the ``text`` of one page) into emitted rows.
 
@@ -185,6 +186,20 @@ def compile_document(
         disallow_unqualified_translocations=disallow_unqualified_translocations,
         required_annotations=required_annotations,
     )
+    if term_cache is not None:
+        # scope identity: the registry hands out SHARED name->encoding dicts
+        # (resources.py resolve_namespace), so id() identifies the table;
+        # regex namespaces are keyed by their pattern text
+        parser.terms.term_cache = term_cache
+        parser.terms.scope_key = (
+            allow_naked_names,
+            tuple(sorted(
+                (k, id(v)) for k, v in meta.namespace_to_name_to_encoding.items()
+            )),
+            tuple(sorted(
+                (k, p.pattern) for k, p in meta.namespace_to_pattern.items()
+            )),
+        )
 
     em = Emissions()
     for line_number, line in stmt_lines:

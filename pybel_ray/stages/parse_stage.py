@@ -121,6 +121,10 @@ class ParseDocuments:
         # amortizes to a dict hit.  Bounded to keep actor heap flat.
         self._node_row_cache: dict = {}
         self._node_row_cache_max = 500_000
+        # cross-document parsed-term cache, keyed by (namespace-scope,
+        # exact term text) — see TermParser.parse_bel_term
+        self._term_cache: dict = {}
+        self._term_cache_max = 500_000
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -138,12 +142,15 @@ class ParseDocuments:
                          "aborted": False, "n_statements": 0})
             return
 
+        if len(self._term_cache) > self._term_cache_max:
+            self._term_cache.clear()
         result = compile_document(
             text,
             self.registry,
             citation_clearing=self.citation_clearing,
             allow_naked_names=self.allow_naked_names,
             disallow_nested=self.disallow_nested,
+            term_cache=self._term_cache,
         )
 
         cache = self._node_row_cache

@@ -181,3 +181,58 @@ def test_events_dir_parquet_boundary(ray_session, tmp_path, pages_table):
         {r["edge_md5"] for r in mem.edges().take_all()}
     assert pq.docs().count() == mem.docs().count()
     assert pq.errors().count() == mem.errors().count()
+
+
+def test_term_cache_scope_isolation(ray_session):
+    """The cross-document term cache must not leak across namespace scopes.
+
+    Two pages use the SAME statement text; page A defines HGNC so the terms
+    validate, page B defines a different (empty) namespace set so the same
+    text must produce error rows, not cached nodes.
+    """
+    import pyarrow as pa
+    import ray.data
+
+    from pybel_ray.pipeline import compile_pages
+    from pybel_ray.resources import ResourceRegistry
+
+    reg = ResourceRegistry()
+    reg.add_namespace_table(
+        "synthetic://ns/hgnc.belns", [("AKT1", "391", "GRP"), ("EGFR", "3236", "GRP")],
+    )
+    reg.add_namespace_table("synthetic://ns/other.belns", [("ZZZ9", "1", "GRP")])
+    header = (
+        'SET DOCUMENT Name = "{name}"\n'
+        'SET DOCUMENT Version = "1.0.0"\n'
+        'SET DOCUMENT Description = "d"\n'
+        'SET DOCUMENT Authors = "a"\n'
+        'SET DOCUMENT ContactInfo = "c"\n'
+        '{define}\n'
+        'SET Citation = {{"PubMed", "1"}}\n'
+        'SET Evidence = "ev"\n'
+    )
+    stmt = "p(HGNC:AKT1) -> p(HGNC:EGFR)"
+    page_a = header.format(
+        name="A", define='DEFINE NAMESPACE HGNC AS URL "synthetic://ns/hgnc.belns"',
+    ) + stmt
+    page_b = header.format(
+        name="B", define='DEFINE NAMESPACE OTHER AS URL "synthetic://ns/other.belns"',
+    ) + stmt
+    pages = pa.table({
+        "url": ["https://a", "https://b"],
+        "warc_ts": [0, 0],
+        "html": [None, None],
+        "text": [page_a, page_b],
+        "lang": ["en", "en"],
+    })
+    # ONE actor so both pages share the same term cache
+    kg = compile_pages(
+        ray.data.from_arrow(pages), reg, concurrency=1, batch_size=8,
+    )
+    edges = [r for r in kg.edges_raw().take_all()]
+    assert {r["url"] for r in edges} == {"https://a"}
+    errors = kg.errors().take_all()
+    assert any(
+        r["url"] == "https://b" and r["error_class"] == "UndefinedNamespaceWarning"
+        for r in errors
+    ), errors
