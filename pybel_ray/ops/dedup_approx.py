@@ -258,19 +258,23 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash64(text: str, ngram: int = 3) -> int:
-    """64-bit SimHash over hashed word n-grams."""
+    """64-bit SimHash over hashed word n-grams.
+
+    Per-gram digests are batched into one matrix so the bit accumulation
+    is a single ``unpackbits`` + column sum instead of a loop.
+    """
     words = text.lower().split()
     grams = [" ".join(words[i:i + ngram]) for i in range(max(1, len(words) - ngram + 1))]
-    acc = np.zeros(64, dtype=np.int64)
-    for g in grams:
-        h = hash_bytes(g.encode("utf8"))
-        bits = np.unpackbits(
-            np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8),
-        ).astype(np.int64)
-        acc += bits * 2 - 1
+    digests = b"".join(
+        hashlib.blake2b(g.encode("utf8"), digest_size=8).digest() for g in grams
+    )
+    bits = np.unpackbits(
+        np.frombuffer(digests, dtype=np.uint8).reshape(len(grams), 8), axis=1,
+    ).astype(np.int32)
+    acc = bits.sum(axis=0) * 2 - len(grams)
     out = 0
-    for i, v in enumerate(acc):
-        if v > 0:
+    for i in range(64):
+        if acc[i] > 0:
             out |= 1 << (63 - i)
     return out
 
@@ -301,12 +305,18 @@ def ngram_jaccard_pairs(
     scale; the LSH path is the scale path.
     """
     rows = ds.select_columns([id_col, text_col]).take_all()
-    shingles = {r[id_col]: char_ngrams(r[text_col], ngram) for r in rows}
+    shingles = {r[id_col]: shingle_hashes(r[text_col], ngram) for r in rows}
     ids = sorted(shingles)
+    sizes = np.array([shingles[i].size for i in ids], dtype=np.float64)
     out = []
     for i in range(len(ids)):
-        for k in range(i + 1, len(ids)):
-            j = jaccard(shingles[ids[i]], shingles[ids[k]])
+        sa = sizes[i]
+        # size-ratio prune: Jaccard ≤ min/max of the set sizes, so pairs
+        # whose size ratio is below the threshold can't qualify
+        ratio = np.minimum(sa, sizes[i + 1:]) / np.maximum(sa, sizes[i + 1:])
+        for off in np.nonzero(ratio >= threshold)[0]:
+            k = i + 1 + int(off)
+            j = jaccard_arrays(shingles[ids[i]], shingles[ids[k]])
             if j >= threshold:
                 out.append({"id_a": ids[i], "id_b": ids[k], "jaccard": round(j, 6)})
     import ray.data
