@@ -94,18 +94,25 @@ def add_lang_id(ds, text_col: str = "text"):
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
-_FP_MOD = (1 << 61) - 1
-_FP_BASE = 257
+_FP_BASE = np.uint64(257)
 
 
 def _fingerprint(text: str) -> int:
-    """Polynomial rolling hash over normalized words (document fingerprint)."""
-    h = 0
-    for word in text.lower().split():
-        for b in word.encode("utf8"):
-            h = (h * _FP_BASE + b) % _FP_MOD
-        h = (h * _FP_BASE + 32) % _FP_MOD
-    return h
+    """Polynomial rolling hash over the normalized word stream.
+
+    Vectorized: h = Σ byte_i · BASE^(n−1−i) with natural uint64 wraparound
+    (one cumprod + dot product instead of a per-character Python loop).
+    Returned as a signed 64-bit value so it round-trips through an Arrow
+    int64 column.
+    """
+    stream = (" ".join(text.lower().split()) + " ").encode("utf8")
+    b = np.frombuffer(stream, dtype=np.uint8).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        powers = np.full(b.size, _FP_BASE, dtype=np.uint64)
+        powers[0] = 1
+        powers = np.cumprod(powers)[::-1]  # BASE^(n-1) ... BASE^0
+        h = np.uint64(np.dot(b, powers))
+    return int(h.astype(np.int64))
 
 
 def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
