@@ -157,6 +157,49 @@ def _prepare_scaling_corpus(sf: float) -> str:
     return out_dir
 
 
+def _probe_cpu(seconds: float = 4.0) -> float:
+    """Delivered-CPU probe: work units/s of a full-width spin.
+
+    This VM's neighbors episodically depress delivered CPU (the identical
+    32-CPU leg measured 160–286 s wall across runs); the probe detects a
+    degraded window so a leg can wait it out instead of recording noise.
+    """
+    import multiprocessing as mp
+
+    def spin(q):
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < seconds:
+            for _ in range(100000):
+                n += 1
+        q.put(n)
+
+    q = mp.Queue()
+    procs = [mp.Process(target=spin, args=(q,)) for _ in range(os.cpu_count() or 8)]
+    for p in procs:
+        p.start()
+    total = 0
+    for p in procs:
+        total += q.get()
+    for p in procs:
+        p.join()
+    return total / seconds
+
+
+def _wait_for_quiet_machine(best_probe: float, tries: int = 5) -> float:
+    """Block until the probe reaches ≥93% of the best observed; returns the
+    updated best."""
+    for attempt in range(tries):
+        p = _probe_cpu()
+        best_probe = max(best_probe, p)
+        if p >= 0.93 * best_probe:
+            return best_probe
+        print("# degraded CPU window ({:.0%} of best) — waiting".format(
+            p / best_probe), file=sys.stderr)
+        time.sleep(60)
+    return best_probe
+
+
 def _settle():
     """Equalize machine state between bench legs: flush dirty pages, drop
     the page cache (measured: a cold-cache isolated leg is FASTER than a
@@ -185,11 +228,13 @@ def scaling(sf_dir: str, low: int, high: int, repeats: int = 2) -> dict:
     pages_dir = _prepare_scaling_corpus(sf)
     results = {}
     first = True
+    best_probe = 0.0
     for n in (low, high):
         for _ in range(repeats):
             if not first:
                 _settle()
             first = False
+            best_probe = _wait_for_quiet_machine(best_probe)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", str(n),
                  "--sf-dir", sf_dir, "--pages-dir", pages_dir],
