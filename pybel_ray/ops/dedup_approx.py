@@ -1,19 +1,23 @@
 """Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
 
 Scale path (SURVEY.md "Deduplication"): per-batch vectorized signatures →
-band-bucket ``groupby`` shuffle (only signatures move, never documents) →
-within-bucket candidate pairs → exact verification on the candidate set.
-Signature parameters are seeded/deterministic.
+band-bucket shuffle (only signatures move, never documents) → within-bucket
+candidate pairs → DISTRIBUTED exact verification (candidate shingles are
+shuffle-joined to pair rows by doc id; nothing pair- or shingle-shaped is
+materialized on the driver).  Signature parameters are seeded/deterministic.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import List, Set, Tuple
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+logger = logging.getLogger(__name__)
 
 __all__ = [
     "char_ngrams",
@@ -24,12 +28,21 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash64",
     "simhash_buckets",
+    "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_brute",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_brute",
 ]
 
 #: FNV-1a style multiplier for the vectorized rolling shingle hash
 _SHINGLE_P = np.uint64(1099511628211)
+
+#: Mersenne prime 2^31-1: with 31-bit shingle values and parameters below
+#: the prime, a*x+b < 2^62 fits uint64 EXACTLY, so (a*x+b) % p is the true
+#: universal hash family — no silent wraparound (the old 2^61-1 family
+#: overflowed the product and weakened permutation quality)
+_MERSENNE31 = np.uint64((1 << 31) - 1)
 
 
 def shingle_hashes(text: str, n: int = 5) -> np.ndarray:
@@ -57,8 +70,6 @@ def jaccard_arrays(a: np.ndarray, b: np.ndarray) -> float:
     inter = np.intersect1d(a, b, assume_unique=True).size
     return inter / (a.size + b.size - inter)
 
-_MERSENNE = (1 << 61) - 1
-
 
 def char_ngrams(text: str, n: int = 5) -> Set[int]:
     """Hashed character n-gram (shingle) set of a normalized text."""
@@ -84,24 +95,256 @@ def jaccard(a: Set[int], b: Set[int]) -> float:
 
 def _perm_params(num_perm: int, seed: int) -> Tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    p = int(_MERSENNE31)
+    a = rng.randint(1, p, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, p, size=num_perm, dtype=np.uint64)
     return a, b
 
 
 def minhash_signatures(
     texts: List[str], num_perm: int = 64, ngram: int = 5, seed: int = 1234,
 ) -> np.ndarray:
-    """(len(texts), num_perm) uint64 MinHash signature matrix (vectorized)."""
+    """(len(texts), num_perm) uint64 MinHash signature matrix (vectorized).
+
+    Shingle hashes are reduced mod 2^31-1 before permuting so every
+    ``a*x+b`` stays below 2^62 and the modular arithmetic is exact (see
+    ``_MERSENNE31``).  The 64→31-bit reduction can merge the odd shingle
+    pair inside one document — an O(n²/2³²) perturbation of the Jaccard
+    estimate, far below MinHash's own variance at any practical num_perm.
+    """
     a, b = _perm_params(num_perm, seed)
     out = np.empty((len(texts), num_perm), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, text in enumerate(texts):
-            shingles = shingle_hashes(text, ngram)
-            # (n_shingles, num_perm) permuted hashes; min over shingles
-            ph = (shingles[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-            out[i] = ph.min(axis=0)
+    for i, text in enumerate(texts):
+        shingles = np.unique(shingle_hashes(text, ngram) % _MERSENNE31)
+        # (n_shingles, num_perm) permuted hashes; min over shingles
+        ph = (shingles[:, None] * a[None, :] + b[None, :]) % _MERSENNE31
+        out[i] = ph.min(axis=0)
     return out
+
+
+#: per-position odd multipliers for the vectorized band-bucket hash
+def _band_mixers(rows_per_band: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed + 7)
+    return (rng.randint(0, 1 << 62, size=rows_per_band).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+
+
+def _band_buckets(sigs: np.ndarray, bands: int, seed: int) -> np.ndarray:
+    """(n, bands) uint64 bucket ids: polynomial mix of each band's slice.
+
+    Replaces a blake2b call per (doc, band) with one vectorized
+    multiply-sum; equal band signatures always share a bucket (exactness),
+    unequal ones collide only at hash-uniformity rates (harmless — the
+    verify stage filters false candidates).
+    """
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    view = sigs.reshape(n, bands, r)
+    mix = _band_mixers(r, seed)
+    with np.errstate(over="ignore"):
+        h = (view * mix[None, None, :]).sum(axis=2, dtype=np.uint64)
+        h *= np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        h ^= np.arange(bands, dtype=np.uint64)[None, :]
+    return h
+
+
+# ---------------------------------------------------------------------------
+# distributed exact-Jaccard verification of candidate pairs
+# ---------------------------------------------------------------------------
+
+_VERIFY_SCHEMA = pa.schema([
+    ("key_id", pa.int64()),       # shuffle key: a doc id
+    ("pair_key", pa.string()),    # "ida_idb" (null on shingle rows)
+    ("id_a", pa.int64()),
+    ("id_b", pa.int64()),
+    ("shingles", pa.list_(pa.uint64())),
+])
+
+_PAIRS_SCHEMA = pa.schema([
+    ("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64()),
+])
+
+
+def _empty_pairs():
+    import ray.data
+
+    return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
+
+
+def _verify_pairs_distributed(
+    ds, pairs, text_col: str, id_col: str, ngram: int, threshold: float,
+    num_buckets: int = 32,
+):
+    """Exact-Jaccard verify of candidate (id_a, id_b) pairs, distributed.
+
+    Two bucketed groupby exchanges, no driver materialization of pairs or
+    shingles:
+
+    1. candidate doc ids (narrow int column of the *pair* table, assumed ≪
+       corpus) broadcast-prefilter the document scan; each candidate doc
+       emits one (key_id=id, shingles) row, each pair emits two
+       (key_id=side id, pair_key) rows;
+    2. ``groupby(key_id bucket)`` co-locates them → each pair-side row
+       picks up its doc's shingles;
+    3. ``groupby(pair_key bucket)`` brings a pair's two sides together →
+       one ``jaccard_arrays`` per pair → threshold filter.
+    """
+    import ray
+
+    # narrow prefilter set: ints only, bounded by candidate volume (the
+    # docs that LSH flagged), never texts or shingles
+    cand_ids = set()
+    for batch in pairs.select_columns(["id_a", "id_b"]).iter_batches(
+        batch_format="pyarrow",
+    ):
+        cand_ids.update(batch.column("id_a").to_pylist())
+        cand_ids.update(batch.column("id_b").to_pylist())
+    if not cand_ids:
+        return _empty_pairs()
+    cand_ref = ray.put(np.fromiter(cand_ids, dtype=np.int64, count=len(cand_ids)))
+
+    def _shingle_rows(t: pa.Table) -> pa.Table:
+        cands = pa.array(ray.get(cand_ref))
+        mask = pc.is_in(t.column(id_col), value_set=cands)
+        t = t.filter(mask)
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        sh = [shingle_hashes(x, ngram).tolist() for x in texts]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.nulls(len(ids), pa.string()),
+                pa.nulls(len(ids), pa.int64()),
+                pa.nulls(len(ids), pa.int64()),
+                pa.array(sh, pa.list_(pa.uint64())),
+            ],
+            schema=_VERIFY_SCHEMA,
+        )
+
+    def _side_rows(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        pk = pc.binary_join_element_wise(
+            pc.cast(t.column("id_a"), pa.string()),
+            pc.cast(t.column("id_b"), pa.string()), "_",
+        )
+        if isinstance(pk, pa.ChunkedArray):
+            pk = pk.combine_chunks()
+        key = np.concatenate([a, b])
+        pair_key = pa.concat_arrays([pk, pk])
+        ids_a = np.concatenate([a, a])
+        ids_b = np.concatenate([b, b])
+        return pa.Table.from_arrays(
+            [
+                pa.array(key, pa.int64()),
+                pair_key,
+                pa.array(ids_a, pa.int64()),
+                pa.array(ids_b, pa.int64()),
+                pa.nulls(len(key), pa.list_(pa.uint64())),
+            ],
+            schema=_VERIFY_SCHEMA,
+        )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        codes = t.column("key_id").to_numpy(zero_copy_only=False) % num_buckets
+        return t.append_column("_b", pa.array(codes, pa.int64()))
+
+    shingle_rows = ds.select_columns([id_col, text_col]).map_batches(
+        _shingle_rows, batch_format="pyarrow",
+    ).map_batches(_bucket, batch_format="pyarrow")
+    side_rows = pairs.select_columns(["id_a", "id_b"]).map_batches(
+        _side_rows, batch_format="pyarrow",
+    ).map_batches(_bucket, batch_format="pyarrow")
+
+    def _attach(group: pa.Table) -> pa.Table:
+        is_doc = pc.is_valid(group.column("shingles"))
+        docs = group.filter(is_doc)
+        sides = group.filter(pc.invert(is_doc))
+        by_id = dict(zip(
+            docs.column("key_id").to_pylist(), docs.column("shingles").to_pylist(),
+        ))
+        keys = sides.column("key_id").to_pylist()
+        sh = [by_id.get(k) for k in keys]
+        return pa.Table.from_arrays(
+            [
+                sides.column("pair_key"),
+                sides.column("id_a"),
+                sides.column("id_b"),
+                pa.array(sh, pa.list_(pa.uint64())),
+            ],
+            names=["pair_key", "id_a", "id_b", "shingles"],
+        )
+
+    attached = shingle_rows.union(side_rows).groupby("_b").map_groups(
+        _attach, batch_format="pyarrow",
+    )
+
+    def _bucket2(t: pa.Table) -> pa.Table:
+        import zlib
+
+        codes = np.fromiter(
+            (zlib.crc32(k.encode()) % num_buckets
+             for k in t.column("pair_key").to_pylist()),
+            dtype=np.int64, count=t.num_rows,
+        )
+        return t.append_column("_b2", pa.array(codes, pa.int64()))
+
+    def _judge(group: pa.Table) -> pa.Table:
+        rows: dict = {}
+        for pk, ia, ib, sh in zip(
+            group.column("pair_key").to_pylist(),
+            group.column("id_a").to_pylist(),
+            group.column("id_b").to_pylist(),
+            group.column("shingles").to_pylist(),
+        ):
+            rows.setdefault(pk, [ia, ib, []])[2].append(sh)
+        out_a, out_b, out_j = [], [], []
+        for pk, (ia, ib, shs) in rows.items():
+            if len(shs) != 2 or shs[0] is None or shs[1] is None:
+                continue  # orphan side (id missing from corpus)
+            j = jaccard_arrays(
+                np.asarray(shs[0], dtype=np.uint64),
+                np.asarray(shs[1], dtype=np.uint64),
+            )
+            if j >= threshold:
+                out_a.append(ia)
+                out_b.append(ib)
+                out_j.append(round(j, 6))
+        return pa.Table.from_arrays(
+            [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64()),
+             pa.array(out_j, pa.float64())],
+            schema=_PAIRS_SCHEMA,
+        )
+
+    out = attached.map_batches(_bucket2, batch_format="pyarrow").groupby(
+        "_b2",
+    ).map_groups(_judge, batch_format="pyarrow")
+    return out.sort(["id_a", "id_b"])
+
+
+def _dedup_pairs(pairs):
+    """Global dedup of (id_a, id_b) candidate rows (single exchange)."""
+    from ..stages.dedup import dedup_exact_sorted
+
+    def _key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("id_a"), pa.string()),
+            pc.cast(t.column("id_b"), pa.string()), "_",
+        )
+        return t.append_column("pair", key)
+
+    pairs = pairs.map_batches(_key, batch_format="pyarrow")
+    return dedup_exact_sorted(pairs, "pair", ["id_a", "id_b"]).drop_columns(["pair"])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+#: within-bucket pair generation cap: buckets larger than this are truncated
+#: (with a logged count) — an adversarial mega-bucket would otherwise emit
+#: O(members²) candidate rows
+_BUCKET_MEMBER_CAP = 200
 
 
 def minhash_lsh_pairs(
@@ -116,17 +359,12 @@ def minhash_lsh_pairs(
 ):
     """MinHash+LSH near-dup pairs above a Jaccard threshold.
 
-    shingle → minhash (per batch, vectorized) → flat_map to (band, bucket)
-    rows → groupby bucket shuffle → within-bucket pairs → exact-Jaccard
-    verify (recompute shingles only for candidate docs) → global pair dedup.
+    shingle → minhash (per batch, vectorized) → (band, bucket) rows →
+    bucket-sort shuffle → within-run candidate pairs → global pair dedup →
+    DISTRIBUTED exact-Jaccard verify (:func:`_verify_pairs_distributed`).
 
     Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b.
     """
-    import ray
-
-    from ..stages.dedup import dedup_exact_sorted
-
-    rows_per_band = num_perm // bands
 
     def _sig(t: pa.Table) -> pa.Table:
         """Emit (bucket, id) — signatures only; document text NEVER enters
@@ -134,17 +372,9 @@ def minhash_lsh_pairs(
         texts = t.column(text_col).to_pylist()
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         sigs = minhash_signatures(texts, num_perm, ngram, seed)
-        # band bucket = blake2b of each band's signature slice, one row per
-        # (doc, band); vectorized reshape + per-row digest of 8*r bytes
-        n = len(texts)
-        out_bucket = np.empty(n * bands, dtype=np.uint64)
+        buckets = _band_buckets(sigs, bands, seed)  # (n, bands), vectorized
+        out_bucket = buckets.reshape(-1)
         out_id = np.repeat(ids, bands)
-        view = sigs.reshape(n, bands, rows_per_band)
-        for row in range(n):
-            for band in range(bands):
-                out_bucket[row * bands + band] = (
-                    hash_bytes(view[row, band].tobytes()) ^ band
-                )
         return pa.Table.from_arrays(
             [pa.array(out_bucket, pa.uint64()), pa.array(out_id, pa.int64())],
             names=["bucket", id_col],
@@ -166,15 +396,25 @@ def minhash_lsh_pairs(
         a_out, b_out = [], []
         start = 0
         n = len(buckets)
+        capped = 0
         for end in range(1, n + 1):
             if end == n or buckets[end] != buckets[start]:
                 if end - start > 1:
-                    members = np.unique(ids[start:end])[:200]  # cap mega-buckets
+                    members = np.unique(ids[start:end])
+                    if len(members) > _BUCKET_MEMBER_CAP:
+                        capped += len(members) - _BUCKET_MEMBER_CAP
+                        members = members[:_BUCKET_MEMBER_CAP]
                     for x in range(len(members)):
                         for y in range(x + 1, len(members)):
                             a_out.append(members[x])
                             b_out.append(members[y])
                 start = end
+        if capped:
+            logger.warning(
+                "minhash_lsh_pairs: truncated %d members from mega-buckets "
+                "(cap=%d); near-dups among the dropped members may be missed",
+                capped, _BUCKET_MEMBER_CAP,
+            )
         return pa.Table.from_arrays(
             [pa.array(a_out, pa.int64()), pa.array(b_out, pa.int64())],
             names=["id_a", "id_b"],
@@ -184,73 +424,8 @@ def minhash_lsh_pairs(
     # ONE exchange co-locates equal buckets (sort partitions are single
     # blocks, see dedup_exact_sorted), then run detection is block-local
     pairs = sigs.sort("bucket").map_batches(_run_pairs, batch_format="pyarrow")
-
-    def _key(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(t.column("id_a"), pa.string()),
-            pc.cast(t.column("id_b"), pa.string()), "_",
-        )
-        return t.append_column("pair", key)
-
-    pairs = pairs.map_batches(_key, batch_format="pyarrow")
-    pairs = dedup_exact_sorted(pairs, "pair", ["id_a", "id_b"]).drop_columns(["pair"])
-
-    # exact-Jaccard verification: recompute shingles ONLY for candidate
-    # docs and broadcast them once via ray.put.  Assumes candidates ≪
-    # corpus (typical near-dup rates); for adversarial candidate volumes
-    # partition the pair list and verify per partition instead.
-    cand_ids = set()
-    pair_rows = pairs.take_all()
-    for r in pair_rows:
-        cand_ids.add(r["id_a"])
-        cand_ids.add(r["id_b"])
-    if not cand_ids:
-        import ray.data
-
-        return ray.data.from_arrow(pa.Table.from_arrays(
-            [pa.array([], pa.int64()), pa.array([], pa.int64()),
-             pa.array([], pa.float64())],
-            names=["id_a", "id_b", "jaccard"],
-        ))
-    cand_ref = ray.put(cand_ids)
-
-    def _cand_shingles(t: pa.Table) -> pa.Table:
-        cands = ray.get(cand_ref)
-        ids = t.column(id_col).to_pylist()
-        texts = t.column(text_col).to_pylist()
-        keep_ids, keep_sh = [], []
-        for i, text in zip(ids, texts):
-            if i in cands:
-                keep_ids.append(i)
-                keep_sh.append(shingle_hashes(text, ngram))
-        return pa.Table.from_arrays(
-            [pa.array(keep_ids, pa.int64()),
-             pa.array([s.tolist() for s in keep_sh], pa.list_(pa.uint64()))],
-            names=[id_col, "shingles"],
-        )
-
-    shingle_rows = ds.select_columns([id_col, text_col]).map_batches(
-        _cand_shingles, batch_format="pyarrow",
-    ).take_all()
-    shingles = {
-        r[id_col]: np.asarray(r["shingles"], dtype=np.uint64) for r in shingle_rows
-    }
-    out = []
-    for r in pair_rows:
-        j = jaccard_arrays(shingles[r["id_a"]], shingles[r["id_b"]])
-        if j >= threshold:
-            out.append({
-                "id_a": r["id_a"], "id_b": r["id_b"], "jaccard": round(j, 6),
-            })
-    import ray.data
-
-    if not out:
-        return ray.data.from_arrow(pa.Table.from_arrays(
-            [pa.array([], pa.int64()), pa.array([], pa.int64()),
-             pa.array([], pa.float64())],
-            names=["id_a", "id_b", "jaccard"],
-        ))
-    return ray.data.from_arrow(pa.Table.from_pylist(out)).sort(["id_a", "id_b"])
+    pairs = _dedup_pairs(pairs)
+    return _verify_pairs_distributed(ds, pairs, text_col, id_col, ngram, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -291,18 +466,195 @@ def simhash_buckets(ds, text_col: str = "text", id_col: str = "doc_id", prefix_b
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def simhash_near_dup_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+):
+    """SimHash near-dup pairs: id pairs with Hamming distance ≤ max_hamming.
+
+    Banded exact algorithm: the 64-bit simhash is split into ``bands``
+    16-bit segments; two hashes within Hamming distance < bands must agree
+    on at least one segment (pigeonhole), so grouping by (segment index,
+    segment value) finds every qualifying pair.  Requires
+    ``max_hamming < bands`` for exactness.
+    """
+    if max_hamming >= bands:
+        raise ValueError("banded simhash requires max_hamming < bands")
+    seg_bits = 64 // bands
+
+    def _seg(t: pa.Table) -> pa.Table:
+        hashes = np.array(
+            [simhash64(v) for v in t.column(text_col).to_pylist()], dtype=np.uint64,
+        )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(hashes)
+        segs = np.empty(n * bands, dtype=np.uint64)
+        keys = np.empty(n * bands, dtype=np.uint64)
+        for band in range(bands):
+            seg = (hashes >> np.uint64(band * seg_bits)) & np.uint64((1 << seg_bits) - 1)
+            segs[band::bands] = seg
+            keys[band::bands] = (np.uint64(band) << np.uint64(seg_bits)) | seg
+        return pa.Table.from_arrays(
+            [
+                pa.array(keys, pa.uint64()),
+                pa.array(np.repeat(ids, bands), pa.int64()),
+                pa.array(np.repeat(hashes.view(np.int64), bands), pa.int64()),
+            ],
+            names=["bucket", id_col, "simhash"],
+        )
+
+    def _run_pairs(t: pa.Table) -> pa.Table:
+        buckets = t.column("bucket").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        hashes = t.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        a_out, b_out, d_out = [], [], []
+        start = 0
+        n = len(buckets)
+        for end in range(1, n + 1):
+            if end == n or buckets[end] != buckets[start]:
+                if end - start > 1:
+                    run_ids = ids[start:end]
+                    run_h = hashes[start:end]
+                    uniq, idx = np.unique(run_ids, return_index=True)
+                    run_ids, run_h = run_ids[idx], run_h[idx]
+                    for x in range(len(run_ids)):
+                        d = _popcount64(run_h[x] ^ run_h[x + 1:])
+                        for off in np.nonzero(d <= max_hamming)[0]:
+                            y = x + 1 + int(off)
+                            lo, hi = sorted((int(run_ids[x]), int(run_ids[y])))
+                            a_out.append(lo)
+                            b_out.append(hi)
+                            d_out.append(int(d[off]))
+                start = end
+        return pa.Table.from_arrays(
+            [pa.array(a_out, pa.int64()), pa.array(b_out, pa.int64()),
+             pa.array(d_out, pa.int64())],
+            names=["id_a", "id_b", "hamming"],
+        )
+
+    seg = ds.select_columns([id_col, text_col]).map_batches(_seg, batch_format="pyarrow")
+    pairs = seg.sort("bucket").map_batches(_run_pairs, batch_format="pyarrow")
+    from ..stages.dedup import dedup_exact_sorted
+
+    def _key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("id_a"), pa.string()),
+            pc.cast(t.column("id_b"), pa.string()), "_",
+        )
+        return t.append_column("pair", key)
+
+    pairs = pairs.map_batches(_key, batch_format="pyarrow")
+    return dedup_exact_sorted(pairs, "pair", ["id_a", "id_b"]).drop_columns(["pair"])
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
 # ---------------------------------------------------------------------------
-# exact n-gram Jaccard on candidate pairs (brute force for small inputs)
+# exact n-gram Jaccard
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(
     ds, text_col: str = "text", id_col: str = "doc_id",
     ngram: int = 5, threshold: float = 0.8,
 ):
-    """All-pairs exact n-gram Jaccard >= threshold (baseline / small inputs).
+    """All pairs with exact n-gram Jaccard ≥ threshold — DISTRIBUTED and
+    exact via prefix filtering (cf. Chaudhuri et al., "A Primitive Operator
+    for Similarity Joins", ICDE 2006):
 
-    Collects ids+texts to the driver — use only for verification at small
-    scale; the LSH path is the scale path.
+    If J(A, B) ≥ t then A and B share a shingle among each one's
+    ``floor((1-t)·|set|) + 1`` smallest shingles (global hash order), so
+    emitting only those prefix shingles as (shingle, id) keys and grouping
+    by shingle finds EVERY qualifying pair.  Within-group pair generation
+    applies the size-ratio prune (J ≤ min/max of set sizes); the final
+    verify is the same distributed exact-Jaccard join used by MinHash.
+    """
+
+    def _prefix(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        texts = t.column(text_col).to_pylist()
+        out_sh, out_id, out_size = [], [], []
+        for i, text in enumerate(texts):
+            sh = shingle_hashes(text, ngram)  # sorted unique
+            p = int((1.0 - threshold) * sh.size) + 1
+            pref = sh[:p]
+            out_sh.append(pref)
+            out_id.append(np.full(pref.size, ids[i], dtype=np.int64))
+            out_size.append(np.full(pref.size, sh.size, dtype=np.int64))
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_sh) if out_sh else np.array([], np.uint64), pa.uint64()),
+                pa.array(np.concatenate(out_id) if out_id else np.array([], np.int64), pa.int64()),
+                pa.array(np.concatenate(out_size) if out_size else np.array([], np.int64), pa.int64()),
+            ],
+            names=["bucket", id_col, "size"],
+        )
+
+    def _run_pairs(t: pa.Table) -> pa.Table:
+        buckets = t.column("bucket").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sizes = t.column("size").to_numpy(zero_copy_only=False)
+        a_out, b_out = [], []
+        start = 0
+        n = len(buckets)
+        capped = 0
+        for end in range(1, n + 1):
+            if end == n or buckets[end] != buckets[start]:
+                if end - start > 1:
+                    run_ids = ids[start:end]
+                    run_sz = sizes[start:end]
+                    uniq, idx = np.unique(run_ids, return_index=True)
+                    run_ids, run_sz = run_ids[idx], run_sz[idx]
+                    if len(run_ids) > _BUCKET_MEMBER_CAP:
+                        capped += len(run_ids) - _BUCKET_MEMBER_CAP
+                        run_ids = run_ids[:_BUCKET_MEMBER_CAP]
+                        run_sz = run_sz[:_BUCKET_MEMBER_CAP]
+                    for x in range(len(run_ids)):
+                        ratio = (
+                            np.minimum(run_sz[x], run_sz[x + 1:])
+                            / np.maximum(run_sz[x], run_sz[x + 1:])
+                        )
+                        for off in np.nonzero(ratio >= threshold)[0]:
+                            y = x + 1 + int(off)
+                            lo, hi = sorted((int(run_ids[x]), int(run_ids[y])))
+                            a_out.append(lo)
+                            b_out.append(hi)
+                start = end
+        if capped:
+            logger.warning(
+                "ngram_jaccard_pairs: truncated %d members from mega shingle "
+                "groups (cap=%d); pairs among dropped members may be missed",
+                capped, _BUCKET_MEMBER_CAP,
+            )
+        return pa.Table.from_arrays(
+            [pa.array(a_out, pa.int64()), pa.array(b_out, pa.int64())],
+            names=["id_a", "id_b"],
+        )
+
+    prefix = ds.select_columns([id_col, text_col]).map_batches(
+        _prefix, batch_format="pyarrow",
+    )
+    pairs = prefix.sort("bucket").map_batches(_run_pairs, batch_format="pyarrow")
+    pairs = _dedup_pairs(pairs)
+    return _verify_pairs_distributed(ds, pairs, text_col, id_col, ngram, threshold)
+
+
+def ngram_jaccard_pairs_brute(
+    ds, text_col: str = "text", id_col: str = "doc_id",
+    ngram: int = 5, threshold: float = 0.8,
+):
+    """All-pairs exact n-gram Jaccard ≥ threshold (driver-side baseline).
+
+    Collects ids+texts to the driver — use only as the verification oracle
+    at small scale; :func:`ngram_jaccard_pairs` is the distributed path.
     """
     rows = ds.select_columns([id_col, text_col]).take_all()
     shingles = {r[id_col]: shingle_hashes(r[text_col], ngram) for r in rows}
@@ -322,10 +674,7 @@ def ngram_jaccard_pairs(
     import ray.data
 
     if not out:
-        return ray.data.from_arrow(pa.Table.from_arrays(
-            [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
-            names=["id_a", "id_b", "jaccard"],
-        ))
+        return _empty_pairs()
     return ray.data.from_items(out)
 
 
@@ -334,14 +683,120 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def embedding_near_dup_pairs(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    bands: int = 16,
+    seed: int = 4321,
+):
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH — the
+    scale path (the brute-force variant is
+    :func:`embedding_near_dup_pairs_brute`).
+
+    Each vector emits ``bands`` (band, sign-pattern) bucket keys against
+    independent seeded hyperplane tables; a bucket-sort shuffle co-locates
+    collisions; within-bucket cosine is computed EXACTLY from the shipped
+    unit vectors (no false positives).  Recall: a pair at cosine c collides
+    in one band with p = (1 - acos(c)/π)^n_planes; across b independent
+    bands the miss rate is (1-p)^b — at c = 0.95, n_planes = 8, bands = 16
+    that is ~2·10⁻⁴.
+    """
+    def _bucket_rows(t: pa.Table) -> pa.Table:
+        arr = t.column(vec_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = np.asarray(arr.values, dtype=np.float64)
+        offsets = np.asarray(arr.offsets)
+        dim = int(offsets[1] - offsets[0]) if len(arr) else 0
+        mat = flat.reshape(len(arr), dim)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((bands, n_planes, dim))
+        n = len(arr)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keys = np.empty(n * bands, dtype=np.uint64)
+        weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+        for band in range(bands):
+            signs = (unit @ planes[band].T) > 0
+            code = (signs.astype(np.uint64) * weights[None, :]).sum(axis=1)
+            keys[band::bands] = (np.uint64(band) << np.uint64(n_planes)) | code
+        repeated = np.repeat(unit, bands, axis=0)
+        unit_list = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n * bands + 1) * dim, dim, dtype=np.int32)),
+            pa.array(repeated.reshape(-1), pa.float64()),
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(keys, pa.uint64()),
+                pa.array(np.repeat(ids, bands), pa.int64()),
+                unit_list,
+            ],
+            names=["bucket", id_col, "unit"],
+        )
+
+    def _run_pairs(t: pa.Table) -> pa.Table:
+        buckets = t.column("bucket").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        arr = t.column("unit")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = np.asarray(arr.values, dtype=np.float64)
+        if t.num_rows:
+            offsets = np.asarray(arr.offsets)
+            dim = int(offsets[1] - offsets[0])
+            units = flat.reshape(t.num_rows, dim)
+        else:
+            units = flat.reshape(0, 0)
+        a_out, b_out, c_out = [], [], []
+        start = 0
+        n = len(buckets)
+        for end in range(1, n + 1):
+            if end == n or buckets[end] != buckets[start]:
+                if end - start > 1:
+                    run_ids = ids[start:end]
+                    uniq, idx = np.unique(run_ids, return_index=True)
+                    run_ids = run_ids[idx]
+                    run_u = units[start:end][idx]
+                    sims = run_u @ run_u.T
+                    ia, ib = np.where(np.triu(sims >= threshold, k=1))
+                    for x, y in zip(ia, ib):
+                        lo, hi = sorted((int(run_ids[x]), int(run_ids[y])))
+                        a_out.append(lo)
+                        b_out.append(hi)
+                        c_out.append(round(float(sims[x, y]), 6))
+                start = end
+        return pa.Table.from_arrays(
+            [pa.array(a_out, pa.int64()), pa.array(b_out, pa.int64()),
+             pa.array(c_out, pa.float64())],
+            names=["id_a", "id_b", "cosine"],
+        )
+
+    rows = ds.select_columns([id_col, vec_col]).map_batches(
+        _bucket_rows, batch_format="pyarrow",
+    )
+    pairs = rows.sort("bucket").map_batches(_run_pairs, batch_format="pyarrow")
+
+    from ..stages.dedup import dedup_exact_sorted
+
+    def _key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("id_a"), pa.string()),
+            pc.cast(t.column("id_b"), pa.string()), "_",
+        )
+        return t.append_column("pair", key)
+
+    pairs = pairs.map_batches(_key, batch_format="pyarrow")
+    return dedup_exact_sorted(pairs, "pair", ["id_a", "id_b"]).drop_columns(["pair"])
+
+
+def embedding_near_dup_pairs_brute(
     ds, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.95,
 ):
-    """Embedding-cosine near-dup pairs via block-wise matmul.
-
-    Each batch computes cosine against a broadcast matrix of all vectors
-    (fine for small-to-medium tables; the IVF route in ``similarity`` is the
-    scale path).
-    """
+    """All-pairs cosine near-dup (driver-side O(n²) baseline / test oracle)."""
     rows = ds.select_columns([id_col, vec_col]).take_all()
     ids = np.array([r[id_col] for r in rows])
     mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])

@@ -73,23 +73,22 @@ def broadcast_join(
 ):
     """Hash-join a Dataset against a SMALL Arrow table (broadcast, no shuffle).
 
-    The small side is turned into a python dict once; each batch does a
-    vectorized dictionary lookup.  Non-matching rows are dropped (inner).
+    Fully vectorized: each batch does one ``pc.index_in`` probe of the big
+    side's key column against the small side's keys, filters misses (inner
+    join), then ``take``s the matching small-side rows — no Python per-row
+    loop.  The small table ships once in the UDF closure.
     """
     take_columns = list(take_columns or [c for c in small.column_names if c != right_key])
-    keys = small.column(right_key).to_pylist()
-    cols = {c: small.column(c).to_pylist() for c in take_columns}
-    lookup: Dict = {k: i for i, k in enumerate(keys)}
+    keys = small.column(right_key).combine_chunks()
+    payload = small.select(take_columns).combine_chunks()
 
     def _join(t: pa.Table) -> pa.Table:
-        left = t.column(left_key).to_pylist()
-        idx = [lookup.get(v) for v in left]
-        mask = pa.array([i is not None for i in idx])
+        idx = pc.index_in(t.column(left_key), value_set=keys)
+        mask = pc.is_valid(idx)
         t = t.filter(mask)
-        hit = [i for i in idx if i is not None]
+        hit = payload.take(pc.filter(idx, mask))
         for c in take_columns:
-            vals = cols[c]
-            t = t.append_column(c, pa.array([vals[i] for i in hit]))
+            t = t.append_column(c, hit.column(c))
         return t
 
     return ds.map_batches(_join, batch_format="pyarrow")

@@ -187,14 +187,18 @@ def compile_document(
         required_annotations=required_annotations,
     )
     if term_cache is not None:
-        # scope identity: the registry hands out SHARED name->encoding dicts
-        # (resources.py resolve_namespace), so id() identifies the table;
-        # regex namespaces are keyed by their pattern text
+        # scope identity: each keyword's name table is keyed by the URL it
+        # resolved from (stable content identity — unlike id(), safe when a
+        # shared cache outlives a registry); regex namespaces by pattern
+        # text.  Inline-defined LIST namespaces have no URL; fall back to
+        # id() for those (they are document-local and the registry keeps
+        # resolved dicts alive for its own lifetime).
         parser.terms.term_cache = term_cache
         parser.terms.scope_key = (
             allow_naked_names,
             tuple(sorted(
-                (k, id(v)) for k, v in meta.namespace_to_name_to_encoding.items()
+                (k, meta.namespace_url_dict.get(k) or id(v))
+                for k, v in meta.namespace_to_name_to_encoding.items()
             )),
             tuple(sorted(
                 (k, p.pattern) for k, p in meta.namespace_to_pattern.items()

@@ -364,6 +364,16 @@ class CheckpointedCompile:
             t0 = time.time()
             shard_dir = os.path.join(self.out_dir, "events", "shard={}".format(shard_id))
             tri_dir = os.path.join(self.out_dir, "triples", "shard={}".format(shard_id))
+            # A shard absent from the manifest may still have partial output
+            # from a crashed attempt.  Part filenames depend on input block
+            # boundaries (parallelism-dependent), so a resume with different
+            # blocking would leave stale parts alongside the new ones —
+            # clear the shard dirs before re-running.
+            for d in (shard_dir, tri_dir):
+                if os.path.isdir(d):
+                    import shutil
+
+                    shutil.rmtree(d)
             pages = ray.data.read_parquet(shard_files)
             # actor-write path: parse actors write the shard's Parquet
             # themselves and return per-block counts (see ParseDocumentsToDir)

@@ -50,10 +50,20 @@ def _bucket_codes(arr: pa.ChunkedArray, num_buckets: int) -> np.ndarray:
     import zlib
 
     unique_buckets = np.fromiter(
-        (zlib.crc32(u.encode("utf8")) % num_buckets for u in uniques),
+        (zlib.crc32(u.encode("utf8")) % num_buckets if u is not None else 0
+         for u in uniques),
         dtype=np.int64, count=len(uniques),
     )
-    codes = d.indices.to_numpy(zero_copy_only=False)
+    indices = d.indices
+    if indices.null_count:
+        # null keys: deterministic bucket via index 0 (dedup/join semantics
+        # only need equal keys to co-locate, which nulls trivially do)
+        import pyarrow.compute as _pc
+
+        indices = _pc.fill_null(indices, 0)
+    codes = indices.to_numpy(zero_copy_only=False)
+    if not len(unique_buckets):
+        return np.zeros(len(codes), dtype=np.int64)
     return unique_buckets[codes]
 
 

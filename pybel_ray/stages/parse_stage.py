@@ -255,10 +255,13 @@ class ParseDocumentsToDir(ParseDocuments):
     cost joins the embarrassingly-parallel stage and the operator output
     shrinks to one manifest row per shard.
 
-    Retry-safe: the shard filename is the md5 of the batch's first url, so
-    a retried task overwrites its own output (write-to-temp + atomic
-    rename), never duplicating events.  Use with ``batch_size=None`` (one
-    batch = one input block) so shards are read-efficient (~10-50 MB).
+    Retry-safe: the shard filename is the md5 over ALL the batch's urls (a
+    first-url-only name silently collides when two blocks start with the
+    same url — plausible with duplicate urls in a real crawl), so a retried
+    task overwrites its own output (write-to-temp + atomic rename), never
+    duplicating events, and distinct blocks never alias.  Use with
+    ``batch_size=None`` (one batch = one input block) so shards are
+    read-efficient (~10-50 MB).
     """
 
     def __init__(self, out_dir: str, triples_dir: Optional[str] = None, **kwargs):
@@ -282,8 +285,11 @@ class ParseDocumentsToDir(ParseDocuments):
         import pyarrow.compute as pc
 
         events = super().__call__(batch)
-        first_url = batch.column("url")[0].as_py() if batch.num_rows else "empty"
-        name = hashlib.md5(first_url.encode("utf8")).hexdigest()  # noqa: S324
+        h = hashlib.md5()  # noqa: S324
+        for url in batch.column("url").to_pylist():
+            h.update((url or "").encode("utf8"))
+            h.update(b"\x00")
+        name = h.hexdigest()
         path = os.path.join(self.out_dir, "part-{}.parquet".format(name))
         self._atomic_write(events, path)
 

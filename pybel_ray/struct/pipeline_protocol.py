@@ -194,21 +194,16 @@ def _register_builtins():
 
     @transformation("remove_isolated_nodes")
     def remove_isolated_nodes(graph: Graph) -> Graph:
-        """Keep only nodes that appear in some edge (deletion/utils.py:20-40)."""
-        import pyarrow as pa
-        import pyarrow.compute as pc
+        """Keep only nodes that appear in some edge (deletion/utils.py:20-40).
 
-        ids = set()
-        for r in graph.edges.select_columns(["src_md5", "dst_md5"]).take_all():
-            ids.add(r["src_md5"])
-            ids.add(r["dst_md5"])
-        id_array = pa.array(sorted(ids))
-
-        def _nodes(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t.column("md5"), value_set=id_array))
+        Fully distributed: distinct endpoint ids (combiner + bucketed
+        dedup) feed a bucketed semi-join of the node table — the edge
+        table never visits the driver.
+        """
+        from .degree import bucketed_semi_join, endpoint_ids
 
         return Graph(
-            graph.nodes.map_batches(_nodes, batch_format="pyarrow"),
+            bucketed_semi_join(graph.nodes, "md5", endpoint_ids(graph.edges)),
             graph.edges,
         )
 
@@ -267,22 +262,26 @@ def _register_more_builtins():
     @transformation("remove_isolated_list_abundances")
     def remove_isolated_list_abundances(graph: Graph) -> Graph:
         """Drop list abundances whose only edges are their partOf member
-        edges (deletion/deletion.py:80-87)."""
-        member_only = set()
-        degree: dict = {}
-        list_nodes = {
-            r["md5"] for r in filter_nodes(graph.nodes, "is_list_abundance").take_all()
-        }
-        for r in graph.edges.select_columns(["src_md5", "dst_md5", "relation"]).take_all():
-            for endpoint in (r["src_md5"], r["dst_md5"]):
-                if endpoint in list_nodes:
-                    key = (endpoint, r["relation"] == "partOf" and r["dst_md5"] == endpoint)
-                    degree.setdefault(endpoint, []).append(r["relation"])
-        victims = {
-            n for n in list_nodes
-            if all(rel == "partOf" for rel in degree.get(n, []))
-        }
-        v_array = pa.array(sorted(victims))
+        edges (deletion/deletion.py:80-87).
+
+        Distributed shape: "has a non-partOf edge" = distinct endpoints of
+        the non-partOf edge subset; victims = list-abundance nodes
+        anti-joined against that set (bucketed, no driver edge scan).
+        Only the victim md5 set — bounded by the list-abundance node count
+        — is collected for the broadcast anti-join on nodes + edges.
+        """
+        from .degree import bucketed_semi_join, collect_small_key_set, endpoint_ids
+        from .filters import invert, relation_filter
+
+        list_md5s = filter_nodes(
+            graph.nodes, "is_list_abundance",
+        ).select_columns(["md5"])
+        non_partof = filter_edges(graph.edges, invert(relation_filter("partOf")))
+        victims_ds = bucketed_semi_join(
+            list_md5s, "md5", endpoint_ids(non_partof), anti=True,
+        )
+        victims = collect_small_key_set(victims_ds, "md5")
+        v_array = pa.array(sorted(victims), pa.string())
 
         def _nodes(t: pa.Table) -> pa.Table:
             return t.filter(pc.invert(pc.is_in(t.column("md5"), value_set=v_array)))
@@ -302,27 +301,36 @@ def _register_more_builtins():
     @transformation("prune_protein_rna_origins")
     def prune_protein_rna_origins(graph: Graph) -> Graph:
         """Remove degree-1 gene/rna leaves attached only by central-dogma
-        edges (deletion/protein_rna_origins.py:15-60): a degree aggregate
-        over edge endpoints feeds an anti-join on the node table."""
-        from collections import Counter
+        edges (deletion/protein_rna_origins.py:15-60).
 
-        degree = Counter()
-        central = {}
-        for r in graph.edges.select_columns(["src_md5", "dst_md5", "relation"]).take_all():
-            degree[r["src_md5"]] += 1
-            degree[r["dst_md5"]] += 1
-            if r["relation"] in ("transcribedTo", "translatedTo"):
-                central[r["src_md5"]] = r["relation"]
-        gene_rna = {
-            r["md5"]
-            for r in filter_nodes(graph.nodes, "is_central_dogma").take_all()
-            if r["function"] in ("Gene", "RNA", "miRNA")
-        }
-        victims = {
-            n for n in gene_rna
-            if degree.get(n, 0) == 1 and n in central
-        }
-        v_array = pa.array(sorted(victims))
+        Distributed: ``node_degree_stats`` explodes endpoints with per-batch
+        partial counts and one small groupby shuffle; candidate leaves
+        (degree 1, a central-dogma edge out) are semi-joined against the
+        gene/rna node subset.  Only the victim md5 set — degree-1 leaves,
+        small by construction — is collected for the broadcast anti-join.
+        """
+        from .degree import bucketed_semi_join, collect_small_key_set, node_degree_stats
+        from .filters import function_inclusion_filter
+
+        stats = node_degree_stats(
+            graph.edges, central_relations=("transcribedTo", "translatedTo"),
+        )
+
+        def _leaves(t: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.equal(t.column("degree"), 1),
+                pc.greater_equal(t.column("central_out"), 1),
+            )
+            return t.filter(keep).select(["md5"])
+
+        leaves = stats.map_batches(_leaves, batch_format="pyarrow")
+        gene_rna = filter_nodes(
+            graph.nodes,
+            [function_inclusion_filter(("Gene", "RNA", "miRNA"))],
+        ).select_columns(["md5"])
+        victims_ds = bucketed_semi_join(leaves, "md5", gene_rna)
+        victims = collect_small_key_set(victims_ds, "md5")
+        v_array = pa.array(sorted(victims), pa.string())
 
         def _nodes(t: pa.Table) -> pa.Table:
             return t.filter(pc.invert(pc.is_in(t.column("md5"), value_set=v_array)))
