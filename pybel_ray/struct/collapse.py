@@ -54,23 +54,75 @@ def _edge_pairs(graph: Graph, relations) -> list:
     return ds.select_columns(["src_md5", "src_bel", "dst_md5", "dst_bel"]).take_all()
 
 
-def build_equivalence_survivor_map(graph: Graph, relations=(EQUIVALENT_TO,)) -> Dict[str, Tuple[str, str]]:
-    """Survivor map from equivalence-class edges: min-md5 representative."""
-    from .operations import connected_components_driver
+#: relation-edge counts at or below this use the driver union-find
+_DRIVER_EDGE_BUDGET = 2_000_000
 
-    rows = _edge_pairs(graph, set(relations))
-    bel_of = {}
-    pairs = []
-    for r in rows:
-        bel_of[r["src_md5"]] = r["src_bel"]
-        bel_of[r["dst_md5"]] = r["dst_bel"]
-        pairs.append((r["src_md5"], r["dst_md5"]))
-    comp = connected_components_driver(pairs)
-    return {
-        victim: (rep, bel_of[rep])
-        for victim, rep in comp.items()
-        if victim != rep
-    }
+
+def build_equivalence_survivor_map(graph: Graph, relations=(EQUIVALENT_TO,)) -> Dict[str, Tuple[str, str]]:
+    """Survivor map from equivalence-class edges: min-md5 representative.
+
+    Hybrid: small relation subsets run a driver union-find; large ones run
+    distributed min-label propagation and only the final (victim →
+    survivor) rows — bounded by equivalence-class membership, which the
+    rewrite pass must broadcast anyway — visit the driver.
+    """
+    from .filters import filter_edges
+
+    ds = filter_edges(graph.edges, relation_filter(set(relations))).select_columns(
+        ["src_md5", "src_bel", "dst_md5", "dst_bel"],
+    ).materialize()
+
+    if ds.count() <= _DRIVER_EDGE_BUDGET:
+        from .operations import connected_components_driver
+
+        rows = ds.take_all()
+        bel_of = {}
+        pairs = []
+        for r in rows:
+            bel_of[r["src_md5"]] = r["src_bel"]
+            bel_of[r["dst_md5"]] = r["dst_bel"]
+            pairs.append((r["src_md5"], r["dst_md5"]))
+        comp = connected_components_driver(pairs)
+        return {
+            victim: (rep, bel_of[rep])
+            for victim, rep in comp.items()
+            if victim != rep
+        }
+
+    from .components import connected_components
+    from .degree import bucketed_attach
+
+    comp = connected_components(ds)
+
+    def _victims(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.not_equal(t.column("id"), t.column("component")),
+        )
+
+    victims = comp.map_batches(_victims, batch_format="pyarrow")
+    # (md5, bel) lookup from the relation edges' own endpoint columns
+    from ..stages.dedup import dedup_exact as _dedup
+
+    def _bels(t: pa.Table) -> pa.Table:
+        md5 = pa.concat_arrays([
+            t.column("src_md5").combine_chunks(), t.column("dst_md5").combine_chunks(),
+        ])
+        bel = pa.concat_arrays([
+            t.column("src_bel").combine_chunks(), t.column("dst_bel").combine_chunks(),
+        ])
+        return pa.Table.from_arrays([md5, bel], names=["md5", "bel"])
+
+    bels = _dedup(ds.map_batches(_bels, batch_format="pyarrow"), "md5")
+    labelled = bucketed_attach(victims, "component", bels, "md5", ["bel"])
+    out: Dict[str, Tuple[str, str]] = {}
+    for batch in labelled.iter_batches(batch_format="pyarrow"):
+        for v, c, b in zip(
+            batch.column("id").to_pylist(),
+            batch.column("component").to_pylist(),
+            batch.column("bel").to_pylist(),
+        ):
+            out[v] = (c, b)
+    return out
 
 
 def collapse_nodes(graph: Graph, survivor_map: SurvivorMap, drop_relations=()) -> Graph:

@@ -33,6 +33,7 @@ __all__ = [
     "node_degree_stats",
     "endpoint_ids",
     "bucketed_semi_join",
+    "bucketed_attach",
     "collect_small_key_set",
 ]
 
@@ -189,6 +190,76 @@ def bucketed_semi_join(
         _filter, batch_format="pyarrow",
     )
     return out.drop_columns(["_bucket", "_semi"])
+
+
+def bucketed_attach(
+    ds,
+    key: str,
+    lookup,
+    lookup_key: str,
+    value_cols,
+    num_buckets: int = 64,
+):
+    """Distributed lookup join: attach ``value_cols`` from ``lookup`` to
+    every row of ``ds`` by key (inner; rows with no match are dropped).
+
+    Same bucketed union+groupby shape as :func:`bucketed_semi_join`, but
+    each bucket resolves a vectorized ``pc.index_in`` + ``take`` instead of
+    a membership filter.  ``lookup`` must be unique on ``lookup_key``.
+    """
+    value_cols = list(value_cols)
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", None) or schema
+    lschema = lookup.schema()
+    lbase = getattr(lschema, "base_schema", None) or lschema
+    ltypes = {f.name: f.type for f in lbase}
+    from ..stages.dedup import add_hash_bucket
+
+    def _data_side(t: pa.Table) -> pa.Table:
+        for c in value_cols:
+            t = t.append_column(c, pa.nulls(t.num_rows, ltypes[c]))
+        t = t.append_column("_lkp", pa.array(np.zeros(t.num_rows, dtype=bool)))
+        return add_hash_bucket(t, key, num_buckets)
+
+    def _lookup_side(t: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for f in base:
+            names.append(f.name)
+            if f.name == key:
+                arrays.append(t.column(lookup_key).combine_chunks().cast(f.type))
+            else:
+                arrays.append(pa.nulls(t.num_rows, f.type))
+        out = pa.Table.from_arrays(arrays, names=names)
+        for c in value_cols:
+            out = out.append_column(c, t.column(c))
+        out = out.append_column("_lkp", pa.array(np.ones(t.num_rows, dtype=bool)))
+        return add_hash_bucket(out, key, num_buckets)
+
+    tagged = ds.map_batches(_data_side, batch_format="pyarrow")
+    lk = lookup.select_columns([lookup_key] + value_cols).map_batches(
+        _lookup_side, batch_format="pyarrow",
+    )
+
+    def _attach(group: pa.Table) -> pa.Table:
+        is_lkp = group.column("_lkp")
+        lkp = group.filter(is_lkp)
+        data = group.filter(pc.invert(is_lkp))
+        keys_arr = lkp.column(key).combine_chunks()
+        idx = pc.index_in(data.column(key), value_set=keys_arr)
+        mask = pc.is_valid(idx)
+        data = data.filter(mask)
+        hit = pc.filter(idx, mask)
+        for c in value_cols:
+            vals = pc.take(lkp.column(c).combine_chunks(), hit)
+            data = data.set_column(
+                data.schema.get_field_index(c), c, vals,
+            )
+        return data
+
+    out = tagged.union(lk).groupby("_bucket").map_groups(
+        _attach, batch_format="pyarrow",
+    )
+    return out.drop_columns(["_bucket", "_lkp"])
 
 
 def collect_small_key_set(ds, key: str) -> set:

@@ -112,25 +112,50 @@ def connected_components_driver(edge_pairs) -> dict:
     return {x: find(x) for x in parent}
 
 
+#: right-side edge counts at or below this use the driver union-find; above
+#: it the distributed label-propagation path labels components on-cluster
+_DRIVER_EDGE_BUDGET = 2_000_000
+
+
 def left_outer_join(g: Graph, h: Graph) -> Graph:
     """g + the weakly-connected components of h that touch g
     (operations.py:74-96).
 
-    h's edge list is collected to the driver for component labelling —
-    appropriate when h is the small side; a fully distributed variant would
-    iterate label-propagation groupbys.
+    Hybrid: a small right side (≤ ``_DRIVER_EDGE_BUDGET`` edges) is
+    labelled with a driver union-find; a large one runs distributed
+    min-label propagation (:func:`~pybel_ray.struct.components.connected_components`)
+    and keeps everything on-cluster via bucketed semi-joins.
     """
-    g_ids = g.node_md5_set()
-    pairs = [
-        (r["src_md5"], r["dst_md5"])
-        for r in h.edges.select_columns(["src_md5", "dst_md5"]).take_all()
-    ]
-    comp = connected_components_driver(pairs)
-    h_ids = h.node_md5_set()
-    for isolated in h_ids - set(comp):
-        comp[isolated] = isolated
-    touching = {
-        rep for node, rep in comp.items() if node in g_ids
-    }
-    keep = {node for node, rep in comp.items() if rep in touching}
-    return union([g, subgraph(h, keep)])
+    h_edges = h.edges.materialize()
+    if h_edges.count() <= _DRIVER_EDGE_BUDGET:
+        g_ids = g.node_md5_set()
+        pairs = [
+            (r["src_md5"], r["dst_md5"])
+            for r in h_edges.select_columns(["src_md5", "dst_md5"]).take_all()
+        ]
+        comp = connected_components_driver(pairs)
+        h_ids = h.node_md5_set()
+        for isolated in h_ids - set(comp):
+            comp[isolated] = isolated
+        touching = {
+            rep for node, rep in comp.items() if node in g_ids
+        }
+        keep = {node for node, rep in comp.items() if rep in touching}
+        return union([g, subgraph(Graph(h.nodes, h_edges), keep)])
+
+    from .components import connected_components
+    from .degree import bucketed_semi_join
+    from ..ops.relational import distinct_values
+
+    comp = connected_components(h_edges).materialize()
+    # components whose member set intersects g's nodes
+    touching = distinct_values(
+        bucketed_semi_join(comp, "id", g.nodes, "md5"), "component",
+    )
+    keep = bucketed_semi_join(comp, "component", touching, "component")
+    h_nodes = bucketed_semi_join(h.nodes, "md5", keep, "id")
+    h_kept_edges = bucketed_semi_join(
+        bucketed_semi_join(h_edges, "src_md5", keep, "id"),
+        "dst_md5", keep, "id",
+    )
+    return union([g, Graph(h_nodes, h_kept_edges)])

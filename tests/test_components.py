@@ -1,0 +1,136 @@
+"""Distributed connected components + the ops that ride on it."""
+
+import numpy as np
+import pytest
+
+
+def test_connected_components_basic(ray_session):
+    import ray.data
+
+    from pybel_ray.struct.components import connected_components
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "d"),  # chain
+        ("x", "y"),                            # pair
+        ("m", "n"), ("m", "o"), ("m", "p"),  # star
+        ("d", "a"),                            # cycle back
+    ]
+    ds = ray.data.from_items(
+        [{"src_md5": a, "dst_md5": b} for a, b in pairs],
+    ).repartition(3)
+    got = sorted((r["id"], r["component"]) for r in connected_components(ds).take_all())
+    assert got == [
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("m", "m"), ("n", "m"), ("o", "m"), ("p", "m"),
+        ("x", "x"), ("y", "x"),
+    ]
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Random graph: label propagation == driver union-find."""
+    import ray.data
+
+    from pybel_ray.struct.components import connected_components
+    from pybel_ray.struct.operations import connected_components_driver
+
+    rng = np.random.RandomState(3)
+    n = 200
+    pairs = [
+        ("n%03d" % rng.randint(n), "n%03d" % rng.randint(n)) for _ in range(150)
+    ]
+    ds = ray.data.from_items(
+        [{"src_md5": a, "dst_md5": b} for a, b in pairs],
+    ).repartition(4)
+    dist = {r["id"]: r["component"] for r in connected_components(ds).take_all()}
+    drv = connected_components_driver(pairs)
+    assert dist == drv
+
+
+def test_left_outer_join_distributed_path(ray_session, monkeypatch):
+    """Force the distributed branch and compare against the driver branch."""
+    import ray.data
+
+    from pybel_ray.struct import operations
+    from pybel_ray.struct.graph import Graph
+
+    def mknodes(ids):
+        return ray.data.from_items([
+            {
+                "md5": i, "bel": "p(X:%s)" % i, "function": "Protein",
+                "namespace": "X", "name": i, "identifier": None,
+                "node_json": "{}",
+            }
+            for i in ids
+        ])
+
+    def mkedges(pairs):
+        return ray.data.from_items([
+            {
+                "edge_md5": "%s-%s" % (a, b), "src_md5": a, "dst_md5": b,
+                "src_bel": "p(X:%s)" % a, "dst_bel": "p(X:%s)" % b,
+                "relation": "increases", "evidence": None,
+                "citation_db": None, "citation_id": None,
+                "annotations_json": None, "subject_json": None,
+                "object_json": None, "triple_h": None, "triple_r": None,
+                "triple_t": None,
+            }
+            for a, b in pairs
+        ])
+
+    g = Graph(mknodes(["a", "b"]), mkedges([("a", "b")]))
+    # h: component {b,c,d} touches g via b; component {x,y} does not
+    h = Graph(
+        mknodes(["b", "c", "d", "x", "y"]),
+        mkedges([("b", "c"), ("c", "d"), ("x", "y")]),
+    )
+
+    big = operations.left_outer_join(g, h)
+    monkeypatch.setattr(operations, "_DRIVER_EDGE_BUDGET", 0)
+    dist = operations.left_outer_join(g, h)
+    key = lambda graph: (
+        sorted(r["md5"] for r in graph.nodes.take_all()),
+        sorted(r["edge_md5"] for r in graph.edges.take_all()),
+    )
+    assert key(dist) == key(big)
+    nodes, edges = key(dist)
+    assert nodes == ["a", "b", "c", "d"]
+    assert edges == ["a-b", "b-c", "c-d"]
+
+
+def test_equivalence_collapse_distributed_path(ray_session, monkeypatch):
+    import ray.data
+
+    from pybel_ray.struct import collapse as collapse_mod
+
+    # chain of equivalences: e1 == e2 == e3  ->  survivor = min md5
+    rows = []
+    for a, b in [("e1", "e2"), ("e2", "e3"), ("q1", "q2")]:
+        rows.append({
+            "edge_md5": "%s-%s" % (a, b), "src_md5": a, "dst_md5": b,
+            "src_bel": "p(X:%s)" % a, "dst_bel": "p(X:%s)" % b,
+            "relation": "equivalentTo", "evidence": None,
+            "citation_db": None, "citation_id": None,
+            "annotations_json": None, "subject_json": None,
+            "object_json": None, "triple_h": None, "triple_r": None,
+            "triple_t": None,
+        })
+    from pybel_ray.struct.graph import Graph
+
+    nodes = ray.data.from_items([
+        {
+            "md5": i, "bel": "p(X:%s)" % i, "function": "Protein",
+            "namespace": "X", "name": i, "identifier": None, "node_json": "{}",
+        }
+        for i in ["e1", "e2", "e3", "q1", "q2"]
+    ])
+    graph = Graph(nodes, ray.data.from_items(rows))
+
+    small = collapse_mod.build_equivalence_survivor_map(graph)
+    monkeypatch.setattr(collapse_mod, "_DRIVER_EDGE_BUDGET", 0)
+    dist = collapse_mod.build_equivalence_survivor_map(graph)
+    assert dist == small
+    assert dist == {
+        "e2": ("e1", "p(X:e1)"),
+        "e3": ("e1", "p(X:e1)"),
+        "q2": ("q1", "p(X:q1)"),
+    }
