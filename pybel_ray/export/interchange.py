@@ -15,7 +15,7 @@ from ..struct.graph import Graph
 from .bel_script import edge_to_bel_statement
 
 __all__ = [
-    "to_cx", "from_cx", "to_jgif", "from_jgif",
+    "to_cx", "from_cx", "to_jgif", "from_jgif", "from_cbn_jgif", "map_cbn",
     "to_graphdati", "to_graphdati_jsonl",
 ]
 
@@ -287,6 +287,66 @@ def from_jgif(doc: dict) -> Graph:
     if "label" in root:
         metadata.setdefault("name", root["label"])
     return _emissions_to_graph(em, metadata=metadata)
+
+
+#: CBN experiment-context key normalization (reference io/jgif.py:45-56)
+CBN_ANNOTATION_MAP = {
+    "tissue": "Tissue",
+    "disease": "Disease",
+    "species_common_name": "Species",
+    "cell": "Cell",
+}
+
+CBN_SPECIES_MAP = {
+    "human": "9606",
+    "rat": "10116",
+    "mouse": "10090",
+}
+
+
+def map_cbn(doc: dict) -> dict:
+    """Normalize CBN experiment-context annotations in place
+    (reference io/jgif.py:63-126): trim keys/values, map
+    ``species_common_name`` to taxonomy ids, rename known keys."""
+    for edge in doc.get("graph", {}).get("edges", []):
+        metadata = edge.get("metadata")
+        if not metadata:
+            continue
+        for evidence in metadata.get("evidences") or []:
+            context = evidence.get("experiment_context")
+            if not context:
+                continue
+            new_context = {}
+            for key, value in context.items():
+                if not value:
+                    continue
+                value = value.strip() if isinstance(value, str) else value
+                if not value:
+                    continue
+                key = key.strip().lower()
+                if key == "species_common_name":
+                    new_context["Species"] = CBN_SPECIES_MAP[
+                        value.lower() if isinstance(value, str) else value
+                    ]
+                elif key in CBN_ANNOTATION_MAP:
+                    new_context[CBN_ANNOTATION_MAP[key]] = value
+                else:
+                    new_context[key] = value
+            evidence["experiment_context"] = new_context
+    return doc
+
+
+def from_cbn_jgif(doc: dict) -> Graph:
+    """Build a Graph from Causal Biological Network Database JGIF
+    (reference io/jgif.py:129-186): CBN context normalization via
+    :func:`map_cbn`, provenance metadata stamp, then the standard
+    :func:`from_jgif` import."""
+    doc = map_cbn(doc)
+    doc.setdefault("graph", {}).setdefault("metadata", {}).update({
+        "authors": "Causal Biological Networks Database",
+        "contact": "CausalBiologicalNetworks.RD@pmi.com",
+    })
+    return from_jgif(doc)
 
 
 #: reference io/graphdati.py:32
