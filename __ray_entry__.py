@@ -85,9 +85,11 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from pybel_ray.ops.dedup_approx import (
         embedding_near_dup_pairs,
+        embedding_near_dup_pairs_brute,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
         simhash_buckets,
+        simhash_near_dup_pairs,
     )
     from pybel_ray.ops.relational import (
         broadcast_join,
@@ -96,9 +98,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         groupby_count,
         topk,
     )
-    from pybel_ray.ops.similarity import get_vector, knn_brute, knn_lsh
+    from pybel_ray.ops.similarity import build_lsh_index, get_vector, knn_brute, knn_lsh
     from pybel_ray.ops.text import (
         add_fingerprint,
+        add_fingerprint_md5,
         add_lang_id,
         add_quality_stats,
         add_token_counts,
@@ -375,6 +378,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = add_fingerprint(_read(sf_dir, "documents"))
         return ds.select_columns(["doc_id", "fingerprint"])
 
+    def doc_fingerprints_md5(sf_dir):
+        ds = add_fingerprint_md5(_read(sf_dir, "documents"))
+        return ds.select_columns(["doc_id", "fingerprint_md5"])
+
+    def doc_simhash_pairs(sf_dir):
+        return simhash_near_dup_pairs(_read(sf_dir, "documents"), max_hamming=3)
+
     def doc_minhash_near_dups(sf_dir):
         return minhash_lsh_pairs(_read(sf_dir, "documents"), threshold=0.5)
 
@@ -402,6 +412,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def emb_near_dups(sf_dir):
         return embedding_near_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.8)
+
+    def emb_near_dups_exact(sf_dir):
+        pairs = embedding_near_dup_pairs_brute(
+            _read(sf_dir, "embeddings"), threshold=0.8,
+        ).select_columns(["id_a", "id_b"])
+        # return an Arrow table so a 0-pair result keeps its schema (an
+        # empty Dataset drops column metadata through to_pandas)
+        tables = [b for b in pairs.iter_batches(batch_format="pyarrow")]
+        if not tables:
+            return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()
+        return pa.concat_tables(tables)
+
+    def emb_knn_lsh_indexed(sf_dir):
+        import tempfile
+
+        ds = _read(sf_dir, "embeddings")
+        q = get_vector(ds, 0)
+        with tempfile.TemporaryDirectory(prefix="lsh_index_") as tmp:
+            index = build_lsh_index(ds, tmp)
+            # materialize inside the tempdir's lifetime
+            return knn_lsh(ds, q, k=10, index=index).materialize()
 
     # -- multimodal plumbing (deterministic fake decode) ---------------------
 
@@ -466,14 +497,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": doc_lang_id,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_fingerprints": doc_fingerprints,
+        "doc_fingerprints_md5": doc_fingerprints_md5,
         "doc_minhash_near_dups": doc_minhash_near_dups,
         "doc_simhash": doc_simhash,
+        "doc_simhash_pairs": doc_simhash_pairs,
         "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
         # similarity
         "emb_knn_brute": emb_knn_brute,
         "emb_knn_lsh": emb_knn_lsh,
+        "emb_knn_lsh_indexed": emb_knn_lsh_indexed,
         "emb_label_hist": emb_label_hist,
         "emb_near_dups": emb_near_dups,
+        "emb_near_dups_exact": emb_near_dups_exact,
         # multimodal
         "media_features": media_features,
     }
@@ -590,4 +625,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_label_hist":
             "SELECT label, count(*) AS n FROM embeddings GROUP BY label",
+        "doc_fingerprints_md5": r"""
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint_md5
+            FROM documents
+        """,
+        "emb_near_dups_exact": """
+            SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+                   CAST(b.vec_id AS BIGINT) AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+        """,
     }

@@ -19,6 +19,7 @@ __all__ = [
     "add_quality_stats",
     "add_lang_id",
     "add_fingerprint",
+    "add_fingerprint_md5",
     "exact_dedup",
     "LANG_MARKERS",
 ]
@@ -119,6 +120,31 @@ def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
     def _f(t: pa.Table) -> pa.Table:
         vals = [_fingerprint(v) for v in t.column(text_col).to_pylist()]
         return t.append_column(out_col, pa.array(vals, pa.int64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def add_fingerprint_md5(ds, text_col: str = "text", out_col: str = "fingerprint_md5"):
+    """SQL-reproducible fingerprint: md5 hex of the lowercased,
+    whitespace-normalized text.
+
+    Exactly ``md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))`` in
+    DuckDB — normalization uses RE2 ``\\s`` semantics (via ``re``), not
+    ``str.split``'s wider Unicode whitespace set, so the oracle matches
+    byte-for-byte.
+    """
+    import re
+
+    ws = re.compile(r"\s+")
+
+    def _f(t: pa.Table) -> pa.Table:
+        vals = [
+            hashlib.md5(  # noqa: S324
+                ws.sub(" ", v.lower()).strip(" ").encode("utf8"),
+            ).hexdigest()
+            for v in t.column(text_col).to_pylist()
+        ]
+        return t.append_column(out_col, pa.array(vals, pa.string()))
 
     return ds.map_batches(_f, batch_format="pyarrow")
 

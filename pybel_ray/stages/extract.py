@@ -41,16 +41,24 @@ class ExtractText:
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         text = batch.column("text")
         if text.null_count == 0:
             return batch
-        html_col = batch.column("html")
-        out = []
-        for i in range(batch.num_rows):
-            v = text[i].as_py()
-            if v is None:
-                v = extract_text_from_html(html_col[i].as_py())
-            out.append(v)
+        # decode ONLY the null rows (mask first); non-null text is never
+        # touched, so a mostly-pre-extracted corpus costs one fill pass
+        null_mask = pc.is_null(text)
+        null_idx = pc.indices_nonzero(null_mask)
+        html_vals = pc.take(batch.column("html"), null_idx).to_pylist()
+        extracted = pa.array(
+            [extract_text_from_html(h) for h in html_vals], pa.string(),
+        )
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        filled = pc.replace_with_mask(text, null_mask.combine_chunks()
+                                      if isinstance(null_mask, pa.ChunkedArray)
+                                      else null_mask, extracted)
         return batch.set_column(
-            batch.schema.get_field_index("text"), "text", pa.array(out, pa.string()),
+            batch.schema.get_field_index("text"), "text", filled,
         )

@@ -90,6 +90,122 @@ EVENTS_SCHEMA = pa.schema([
 ])
 
 
+#: (column name, position in EVENTS_SCHEMA) per event kind — used by the
+#: columnar collector to build each kind's sub-table directly
+_NODE_COLS = ["url", "bel", "md5", "node_json", "function", "namespace",
+              "name", "identifier"]
+_EDGE_COLS = ["url", "edge_md5", "src_bel", "src_md5", "dst_bel", "dst_md5",
+              "relation", "evidence", "citation_db", "citation_id",
+              "annotations_json", "subject_json", "object_json", "line",
+              "triple_h", "triple_r", "triple_t"]
+_ERROR_COLS = ["url", "line_number", "error_class", "error_line",
+               "context_json"]
+_DOC_COLS = ["url", "gated", "aborted", "n_statements", "metadata_json"]
+
+
+class _EventColumns:
+    """Columnar event collector: per-kind Python column lists → one Arrow
+    table in EVENTS_SCHEMA order.
+
+    Replaces list-of-dicts + ``Table.from_pylist`` (measured ~6% of stage
+    time in the round-1 profile): values append straight onto typed column
+    lists and each kind's sub-table is built with ``pa.array`` per column
+    plus O(1) null columns for the fields the kind doesn't carry.
+    """
+
+    __slots__ = ("node", "edge", "error", "doc")
+
+    def __init__(self):
+        self.node = [[] for _ in _NODE_COLS]
+        self.edge = [[] for _ in _EDGE_COLS]
+        self.error = [[] for _ in _ERROR_COLS]
+        self.doc = [[] for _ in _DOC_COLS]
+
+    def add_node(self, url, bel, cached):
+        cols = self.node
+        cols[0].append(url)
+        cols[1].append(bel)
+        cols[2].append(cached[0])
+        cols[3].append(cached[1])
+        cols[4].append(cached[2])
+        cols[5].append(cached[3])
+        cols[6].append(cached[4])
+        cols[7].append(cached[5])
+
+    def add_edge(self, url, edge_md5, src_bel, src_md5, dst_bel, dst_md5,
+                 relation, evidence, citation_db, citation_id,
+                 annotations_json, subject_json, object_json, line, triple):
+        cols = self.edge
+        cols[0].append(url)
+        cols[1].append(edge_md5)
+        cols[2].append(src_bel)
+        cols[3].append(src_md5)
+        cols[4].append(dst_bel)
+        cols[5].append(dst_md5)
+        cols[6].append(relation)
+        cols[7].append(evidence)
+        cols[8].append(citation_db)
+        cols[9].append(citation_id)
+        cols[10].append(annotations_json)
+        cols[11].append(subject_json)
+        cols[12].append(object_json)
+        cols[13].append(line)
+        if triple:
+            cols[14].append(triple[0])
+            cols[15].append(triple[1])
+            cols[16].append(triple[2])
+        else:
+            cols[14].append(None)
+            cols[15].append(None)
+            cols[16].append(None)
+
+    def add_error(self, url, line_number, error_class, error_line, context_json):
+        cols = self.error
+        cols[0].append(url)
+        cols[1].append(line_number)
+        cols[2].append(error_class)
+        cols[3].append(error_line)
+        cols[4].append(context_json)
+
+    def add_doc(self, url, gated, aborted, n_statements, metadata_json):
+        cols = self.doc
+        cols[0].append(url)
+        cols[1].append(gated)
+        cols[2].append(aborted)
+        cols[3].append(n_statements)
+        cols[4].append(metadata_json)
+
+    def _kind_table(self, kind, names, cols) -> pa.Table:
+        n = len(cols[0])
+        present = dict(zip(names, cols))
+        arrays = []
+        for field in EVENTS_SCHEMA:
+            if field.name == "kind":
+                arrays.append(pa.array([kind] * n, pa.string()))
+            elif field.name in present:
+                arrays.append(pa.array(present[field.name], field.type))
+            else:
+                arrays.append(pa.nulls(n, field.type))
+        return pa.Table.from_arrays(arrays, schema=EVENTS_SCHEMA)
+
+    def to_table(self) -> pa.Table:
+        parts = [
+            self._kind_table(kind, names, cols)
+            for kind, names, cols in (
+                ("node", _NODE_COLS, self.node),
+                ("edge", _EDGE_COLS, self.edge),
+                ("error", _ERROR_COLS, self.error),
+                ("doc", _DOC_COLS, self.doc),
+            )
+            if cols[0]
+        ]
+        if not parts:
+            return EVENTS_SCHEMA.empty_table()
+        if len(parts) == 1:
+            return parts[0]
+        return pa.concat_tables(parts)
+
+
 class ParseDocuments:
     """Callable class for ``map_batches(..., concurrency=N)`` actor pools."""
 
@@ -127,19 +243,18 @@ class ParseDocuments:
         self._term_cache_max = 500_000
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = []
+        rows = _EventColumns()
         urls = batch.column("url").to_pylist()
         texts = batch.column("text").to_pylist()
         for url, text in zip(urls, texts):
             self._process_page(rows, url, text or "")
-        return pa.Table.from_pylist(rows, schema=EVENTS_SCHEMA)
+        return rows.to_table()
 
     # -- internals ---------------------------------------------------------
 
-    def _process_page(self, rows: list, url: str, text: str) -> None:
+    def _process_page(self, rows: "_EventColumns", url: str, text: str) -> None:
         if self.gate and not looks_like_bel(text):
-            rows.append({"kind": "doc", "url": url, "gated": True,
-                         "aborted": False, "n_statements": 0})
+            rows.add_doc(url, True, False, 0, None)
             return
 
         if len(self._term_cache) > self._term_cache_max:
@@ -173,17 +288,7 @@ class ParseDocuments:
                     concept.get(IDENTIFIER),
                 )
             md5_by_bel[bel] = cached[0]
-            rows.append({
-                "kind": "node",
-                "url": url,
-                "bel": bel,
-                "md5": cached[0],
-                "node_json": cached[1],
-                "function": cached[2],
-                "namespace": cached[3],
-                "name": cached[4],
-                "identifier": cached[5],
-            })
+            rows.add_node(url, bel, cached)
 
         for edge in result.edges:
             data = edge["data"]
@@ -194,45 +299,32 @@ class ParseDocuments:
             annotations = data.get(ANNOTATIONS)
             subject = data.get(SUBJECT)
             obj = data.get(OBJECT)
-            rows.append({
-                "kind": "edge",
-                "url": url,
-                "edge_md5": edge["md5"],
-                "src_bel": edge["src_bel"],
-                "src_md5": md5_by_bel[edge["src_bel"]],
-                "dst_bel": edge["dst_bel"],
-                "dst_md5": md5_by_bel[edge["dst_bel"]],
-                "relation": data[RELATION],
-                "evidence": data.get(EVIDENCE),
-                "citation_db": citation.get(CITATION_DB),
-                "citation_id": citation.get(CITATION_IDENTIFIER),
-                "annotations_json": canonical_json(annotations) if annotations else None,
-                "subject_json": canonical_json(subject) if subject else None,
-                "object_json": canonical_json(obj) if obj else None,
-                "line": data.get(LINE),
-                "triple_h": triple[0] if triple else None,
-                "triple_r": triple[1] if triple else None,
-                "triple_t": triple[2] if triple else None,
-            })
+            rows.add_edge(
+                url,
+                edge["md5"],
+                edge["src_bel"], md5_by_bel[edge["src_bel"]],
+                edge["dst_bel"], md5_by_bel[edge["dst_bel"]],
+                data[RELATION],
+                data.get(EVIDENCE),
+                citation.get(CITATION_DB),
+                citation.get(CITATION_IDENTIFIER),
+                canonical_json(annotations) if annotations else None,
+                canonical_json(subject) if subject else None,
+                canonical_json(obj) if obj else None,
+                data.get(LINE),
+                triple,
+            )
 
         for err in result.errors:
-            rows.append({
-                "kind": "error",
-                "url": url,
-                "line_number": err["line_number"],
-                "error_class": err["error_class"],
-                "error_line": err["line"],
-                "context_json": err["context"],
-            })
+            rows.add_error(
+                url, err["line_number"], err["error_class"], err["line"],
+                err["context"],
+            )
 
-        rows.append({
-            "kind": "doc",
-            "url": url,
-            "gated": False,
-            "aborted": result.aborted,
-            "n_statements": result.n_statements,
-            "metadata_json": canonical_json(result.metadata) if result.metadata else None,
-        })
+        rows.add_doc(
+            url, False, result.aborted, result.n_statements,
+            canonical_json(result.metadata) if result.metadata else None,
+        )
 
 
 MANIFEST_SCHEMA = pa.schema([

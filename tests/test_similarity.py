@@ -1,0 +1,67 @@
+"""kNN: brute vs LSH (inline + persisted index) cross-checks."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def clustered(ray_session):
+    """Vectors with planted cluster structure so LSH buckets are informative."""
+    import ray.data
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((8, 32)) * 3
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(40):
+            v = centers[c] + rng.standard_normal(32) * 0.3
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            vid += 1
+    return ray.data.from_items(rows).repartition(4).materialize()
+
+
+def test_knn_brute_exact(clustered):
+    from pybel_ray.ops.similarity import get_vector, knn_brute
+
+    q = get_vector(clustered, 0)
+    got = [r["vec_id"] for r in knn_brute(clustered, q, k=5).take_all()]
+    # exact: the query itself must rank first
+    assert got[0] == 0
+    # all top-5 should come from the same planted cluster (ids 0..39)
+    assert all(v < 40 for v in got)
+
+
+def test_knn_lsh_recall_and_index_consistency(clustered, tmp_path):
+    from pybel_ray.ops.similarity import (
+        build_lsh_index,
+        get_vector,
+        knn_brute,
+        knn_lsh,
+    )
+
+    q = get_vector(clustered, 3)
+    brute = [r["vec_id"] for r in knn_brute(clustered, q, k=10).take_all()]
+    inline = [r["vec_id"] for r in knn_lsh(clustered, q, k=10).take_all()]
+    index = build_lsh_index(clustered, str(tmp_path / "idx"))
+    indexed = [r["vec_id"] for r in knn_lsh(clustered, q, k=10, index=index).take_all()]
+    # the persisted-index path must reproduce the inline path exactly
+    assert indexed == inline
+    # on clustered data the probe buckets hold the true neighbors
+    recall = len(set(inline) & set(brute)) / 10
+    assert recall >= 0.8, (recall, inline, brute)
+
+
+def test_lsh_index_prunes_partitions(clustered, tmp_path):
+    """The indexed read must touch only the probe buckets' files."""
+    from pybel_ray.ops.similarity import build_lsh_index, get_vector
+
+    index = build_lsh_index(clustered, str(tmp_path / "idx"))
+    q = get_vector(clustered, 100)
+    probes = index.probes_for(q)
+    pruned = index.read_buckets(probes)
+    got_buckets = {
+        int(r["bucket"]) for r in pruned.select_columns(["bucket"]).take_all()
+    }
+    assert got_buckets <= set(probes)
+    assert pruned.count() < clustered.count()
