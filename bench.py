@@ -104,8 +104,51 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+#: default bench also runs a steady-state leg at this page count so the
+#: recorded BENCH_r{N}.json carries a figure where parse compute (not actor
+#: ramp / sort barriers / Ray init) dominates — the sf0.1 corpus alone runs
+#: ~7 s at 32 CPUs, which is fixed-cost-dominated and useless for
+#: round-over-round regression tracking (VERDICT r1 #8)
+LARGE_LEG_PAGES = int(os.environ.get("PYBEL_RAY_LARGE_LEG_PAGES", "100000"))
+
+
+def run_large_leg(num_cpus: int) -> dict:
+    """Steady-state headline: LARGE_LEG_PAGES synthetic pages, same
+    pipeline (events+triples Parquet sinks, global dedup, global sort)."""
+    import shutil
+    import tempfile
+
+    from pybel_ray.pages import default_registry, pages_dataset
+    from pybel_ray.pipeline import compile_pages
+
+    # statements_per_page=100 matches the 300k-page scaling corpus density
+    # so large_triples_per_sec is comparable round-over-round with the
+    # BASELINE.md steady-state numbers
+    pages = pages_dataset(
+        LARGE_LEG_PAGES, seed=42, block_pages=25,
+        statements_per_page=SCALING_STMTS,
+    )
+    events_dir = tempfile.mkdtemp(prefix="pybel_ray_large_", dir="/tmp")
+    t0 = time.time()
+    kg = compile_pages(
+        pages, default_registry(), batch_size=8, events_dir=events_dir,
+    )
+    n_triples = kg.triples().count()
+    n_statements = kg.statement_count()
+    wall = time.time() - t0
+    shutil.rmtree(events_dir, ignore_errors=True)
+    return {
+        "large_pages": LARGE_LEG_PAGES,
+        "large_wall_sec": round(wall, 3),
+        "large_triples": n_triples,
+        "large_statements": n_statements,
+        "large_triples_per_sec": round(n_triples / wall, 1),
+        "large_statements_per_sec": round(n_statements / wall, 1),
+    }
+
+
 def single_run(num_cpus: int, sf_dir: str, with_queries: bool,
-               pages_dir: str | None = None) -> dict:
+               pages_dir: str | None = None, with_large_leg: bool = False) -> dict:
     _init_ray(num_cpus)
     sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
     headline = run_headline(sf, num_cpus, pages_dir=pages_dir)
@@ -119,6 +162,8 @@ def single_run(num_cpus: int, sf_dir: str, with_queries: bool,
     }
     if with_queries:
         result["queries"] = run_queries(sf_dir)
+    if with_large_leg:
+        result.update(run_large_leg(num_cpus))
     import ray
 
     ray.shutdown()
@@ -287,7 +332,9 @@ def main():
         return
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    print(json.dumps(single_run(num_cpus, args.sf_dir, with_queries=True)))
+    print(json.dumps(single_run(
+        num_cpus, args.sf_dir, with_queries=True, with_large_leg=True,
+    )))
 
 
 if __name__ == "__main__":
