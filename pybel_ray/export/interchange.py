@@ -16,7 +16,7 @@ from .bel_script import edge_to_bel_statement
 
 __all__ = [
     "to_cx", "from_cx", "to_jgif", "from_jgif", "from_cbn_jgif", "map_cbn",
-    "to_graphdati", "to_graphdati_jsonl",
+    "to_graphdati", "to_graphdati_jsonl", "to_graphdati_jsonl_dir",
 ]
 
 #: reference io/jgif.py:58 — evidence placeholder dropped on import
@@ -355,55 +355,121 @@ GRAPHDATI_SCHEMA_URI = (
 )
 
 
+def _nanopub_from_row(r: dict, src_node: dict, dst_node: dict, metadata: dict) -> dict:
+    """One GraphDati nanopub from an edge row + endpoint node dicts."""
+    from ..constants import OBJECT, RELATION, SUBJECT
+    from .bel_script import decanonicalize_edge_node
+
+    data = {RELATION: r["relation"]}
+    if r.get("subject_json"):
+        data[SUBJECT] = json.loads(r["subject_json"])
+    if r.get("object_json"):
+        data[OBJECT] = json.loads(r["object_json"])
+    subj = decanonicalize_edge_node(src_node, data, SUBJECT)
+    obj = decanonicalize_edge_node(dst_node, data, OBJECT)
+    if r.get("citation_db") is not None:
+        citation = {"database": {"name": r["citation_db"], "id": r["citation_id"]}}
+    else:
+        citation = {"reference": "Not Available"}
+    annotations = []
+    if r.get("annotations_json"):
+        annotations = [
+            {"type": key, "label": value}
+            for key, values in sorted(json.loads(r["annotations_json"]).items())
+            for value in sorted(values)
+        ]
+    return {
+        "nanopub": {
+            "schema_uri": GRAPHDATI_SCHEMA_URI,
+            "type": {"name": "BEL", "version": "2.1.0"},
+            "annotations": annotations,
+            "citation": citation,
+            "assertions": [
+                {"subject": subj, "relation": r["relation"], "object": obj},
+            ],
+            "evidence": r.get("evidence") or "Not Available",
+            "metadata": {
+                "gd_creator": metadata.get("authors"),
+                "version": metadata.get("version"),
+            },
+            "id": "pybel_{}".format(r["edge_md5"]),
+        },
+    }
+
+
 def to_graphdati(graph: Graph, metadata: Optional[dict] = None) -> list:
     """GraphDati nanopub list (reference io/graphdati.py:75-135).
 
     One nanopub per edge: assertion (subject, relation, object with edge
     modifiers folded into the term strings), evidence, citation, metadata.
+    Driver-side parity convenience; :func:`to_graphdati_jsonl_dir` is the
+    streaming scale path.
     """
-    from ..constants import EVIDENCE, OBJECT, RELATION, SUBJECT
-    from .bel_script import decanonicalize_edge_node
-
     node_json = {r["md5"]: json.loads(r["node_json"]) for r in graph.nodes.take_all()}
     metadata = dict(metadata or {})
-    nanopubs = []
-    for r in sorted(graph.edges.take_all(), key=lambda r: r["edge_md5"]):
-        data = {RELATION: r["relation"]}
-        if r.get("subject_json"):
-            data[SUBJECT] = json.loads(r["subject_json"])
-        if r.get("object_json"):
-            data[OBJECT] = json.loads(r["object_json"])
-        subj = decanonicalize_edge_node(node_json[r["src_md5"]], data, SUBJECT)
-        obj = decanonicalize_edge_node(node_json[r["dst_md5"]], data, OBJECT)
-        if r.get("citation_db") is not None:
-            citation = {"database": {"name": r["citation_db"], "id": r["citation_id"]}}
-        else:
-            citation = {"reference": "Not Available"}
-        annotations = []
-        if r.get("annotations_json"):
-            annotations = [
-                {"type": key, "label": value}
-                for key, values in sorted(json.loads(r["annotations_json"]).items())
-                for value in sorted(values)
-            ]
-        nanopubs.append({
-            "nanopub": {
-                "schema_uri": GRAPHDATI_SCHEMA_URI,
-                "type": {"name": "BEL", "version": "2.1.0"},
-                "annotations": annotations,
-                "citation": citation,
-                "assertions": [
-                    {"subject": subj, "relation": r["relation"], "object": obj},
-                ],
-                "evidence": r.get("evidence") or "Not Available",
-                "metadata": {
-                    "gd_creator": metadata.get("authors"),
-                    "version": metadata.get("version"),
-                },
-                "id": "pybel_{}".format(r["edge_md5"]),
-            },
-        })
-    return nanopubs
+    return [
+        _nanopub_from_row(
+            r, node_json[r["src_md5"]], node_json[r["dst_md5"]], metadata,
+        )
+        for r in sorted(graph.edges.take_all(), key=lambda r: r["edge_md5"])
+    ]
+
+
+def to_graphdati_jsonl_dir(graph: Graph, path: str, metadata: Optional[dict] = None) -> None:
+    """Streaming GraphDati export: nanopub JSONL shards, fully distributed.
+
+    Endpoint node dicts reach each edge via two bucketed lookup joins
+    (``struct.degree.bucketed_attach``) — no node map on the driver — and
+    each batch writes its own ``part-*.jsonl`` (idempotent names, atomic
+    rename), mirroring the parse stage's actor-write pattern.
+    """
+    import hashlib
+    import os
+
+    import pyarrow as pa
+
+    from ..struct.degree import bucketed_attach
+
+    os.makedirs(path, exist_ok=True)
+    metadata = dict(metadata or {})
+
+    def _rename(col_from: str, col_to: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([
+                col_to if c == col_from else c for c in t.column_names
+            ])
+
+        return _f
+
+    nodes = graph.nodes.select_columns(["md5", "node_json"])
+    edges = bucketed_attach(graph.edges, "src_md5", nodes, "md5", ["node_json"])
+    edges = edges.map_batches(_rename("node_json", "_src_node"), batch_format="pyarrow")
+    edges = bucketed_attach(edges, "dst_md5", nodes, "md5", ["node_json"])
+    edges = edges.map_batches(_rename("node_json", "_dst_node"), batch_format="pyarrow")
+
+    def _write(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        lines = [
+            json.dumps(_nanopub_from_row(
+                r, json.loads(r["_src_node"]), json.loads(r["_dst_node"]), metadata,
+            ), sort_keys=True)
+            for r in rows
+        ]
+        name = hashlib.md5(  # noqa: S324 - shard naming only
+            "\x00".join(r["edge_md5"] for r in rows).encode(),
+        ).hexdigest()
+        part = os.path.join(path, "part-{}.jsonl".format(name))
+        tmp = part + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+        os.replace(tmp, part)
+        return pa.Table.from_arrays(
+            [pa.array([part]), pa.array([len(lines)], pa.int64())],
+            names=["file", "rows"],
+        )
+
+    # the tiny per-shard manifest drives execution
+    edges.map_batches(_write, batch_format="pyarrow").materialize()
 
 
 def to_graphdati_jsonl(graph: Graph, metadata: Optional[dict] = None) -> List[str]:

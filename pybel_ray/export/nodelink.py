@@ -24,7 +24,10 @@ from ..constants import (
 )
 from ..struct.graph import Graph
 
-__all__ = ["to_nodelink", "to_nodelink_file", "from_nodelink", "to_umbrella_nodelink"]
+__all__ = [
+    "to_nodelink", "to_nodelink_file", "to_nodelink_jsonl_dir",
+    "from_nodelink", "to_umbrella_nodelink",
+]
 
 
 def _edge_data_from_row(row: dict) -> dict:
@@ -77,6 +80,67 @@ def to_nodelink_file(graph: Graph, path: str, metadata: Optional[dict] = None) -
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "wt") as f:
         json.dump(doc, f)
+
+
+def to_nodelink_jsonl_dir(graph: Graph, path: str, metadata: Optional[dict] = None) -> None:
+    """Streaming node-link export: ``nodes/``+``links/`` JSONL shard dirs.
+
+    The scale path for graphs that can't assemble one document driver-side:
+    every batch writes its own shard (idempotent name, atomic rename).
+    Links reference nodes by md5 (``source``/``target`` ids) instead of the
+    in-document positional indices of :func:`to_nodelink` — positional
+    indexing requires a global enumeration, which has no streaming analog.
+    """
+    import hashlib
+    import os
+
+    import pyarrow as pa
+
+    for sub in ("nodes", "links"):
+        os.makedirs(os.path.join(path, sub), exist_ok=True)
+    with open(os.path.join(path, "graph.json"), "w") as f:
+        json.dump({
+            "directed": True, "multigraph": True, "graph": dict(metadata or {}),
+        }, f, sort_keys=True)
+
+    def _shard_writer(sub: str, line_of):
+        def _write(t: pa.Table) -> pa.Table:
+            rows = t.to_pylist()
+            lines = [json.dumps(line_of(r), sort_keys=True) for r in rows]
+            name = hashlib.md5(  # noqa: S324 - shard naming only
+                "\x00".join(l[:64] for l in lines).encode(),
+            ).hexdigest()
+            part = os.path.join(path, sub, "part-{}.jsonl".format(name))
+            tmp = part + ".tmp"
+            with open(tmp, "w") as f:
+                f.write("\n".join(lines) + ("\n" if lines else ""))
+            os.replace(tmp, part)
+            return pa.Table.from_arrays(
+                [pa.array([part]), pa.array([len(lines)], pa.int64())],
+                names=["file", "rows"],
+            )
+
+        return _write
+
+    def _node_line(r):
+        node = json.loads(r["node_json"])
+        node["id"] = r["md5"]
+        node["bel"] = r["bel"]
+        return node
+
+    def _link_line(r):
+        data = _edge_data_from_row(r)
+        data["source"] = r["src_md5"]
+        data["target"] = r["dst_md5"]
+        data["key"] = r["edge_md5"]
+        return data
+
+    graph.nodes.map_batches(
+        _shard_writer("nodes", _node_line), batch_format="pyarrow",
+    ).materialize()
+    graph.edges.map_batches(
+        _shard_writer("links", _link_line), batch_format="pyarrow",
+    ).materialize()
 
 
 def from_nodelink(doc: dict) -> Graph:

@@ -1,0 +1,61 @@
+"""Guard: the degree-based graph ops never collect the edge table
+(VERDICT r1 #1 done-criterion) — take_all is spied during the op build and
+execution; only narrow victim/result collection helpers may run, and those
+use iter_batches on single columns, not take_all."""
+
+import pytest
+
+
+@pytest.fixture()
+def kg_graph(ray_session):
+    from pybel_ray.pages import default_registry, pages_dataset
+    from pybel_ray.pipeline import compile_pages
+
+    kg = compile_pages(pages_dataset(6, seed=9, block_pages=3),
+                       default_registry(), batch_size=4)
+    return kg.graph().materialize()
+
+
+@pytest.mark.parametrize("op_name", [
+    "remove_isolated_nodes",
+    "remove_isolated_list_abundances",
+    "prune_protein_rna_origins",
+])
+def test_deletion_ops_never_take_all(kg_graph, op_name):
+    import ray.data
+
+    from pybel_ray.struct.pipeline_protocol import get_transformation
+
+    calls = []
+    orig = ray.data.Dataset.take_all
+
+    def spy(self, *a, **k):
+        calls.append(op_name)
+        return orig(self, *a, **k)
+
+    ray.data.Dataset.take_all = spy
+    try:
+        out = get_transformation(op_name)(kg_graph)
+        n_nodes = out.nodes.count()
+        n_edges = out.edges.count()
+        assert not calls, "{} called take_all on the driver".format(op_name)
+    finally:
+        ray.data.Dataset.take_all = orig
+    assert n_nodes > 0
+    assert n_edges > 0
+
+
+def test_remove_isolated_nodes_semantics(kg_graph, ray_session):
+    """Distributed op == the obvious driver-side computation."""
+    from pybel_ray.struct.pipeline_protocol import get_transformation
+
+    endpoint_ids = set()
+    for r in kg_graph.edges.select_columns(["src_md5", "dst_md5"]).take_all():
+        endpoint_ids.add(r["src_md5"])
+        endpoint_ids.add(r["dst_md5"])
+    expected = {
+        r["md5"] for r in kg_graph.nodes.take_all() if r["md5"] in endpoint_ids
+    }
+    out = get_transformation("remove_isolated_nodes")(kg_graph)
+    got = {r["md5"] for r in out.nodes.take_all()}
+    assert got == expected

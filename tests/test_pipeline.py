@@ -155,6 +155,20 @@ def test_checkpoint_resume(ray_session, tmp_path, pages_table):
     assert before == after  # shard 0 untouched (skipped)
     assert kg2.triples().count() == total
 
+    # crashed-attempt resume: shard 1 absent from the manifest but its dir
+    # holds a stale part from a differently-blocked partial run — the
+    # re-run must clear it, not read duplicated events
+    with open(cc.manifest_path, "w") as f:
+        for m in entries:
+            f.write(json.dumps(m) + "\n")
+    stale = os.path.join(out_dir, "events", "shard=1", "part-deadbeef.parquet")
+    existing = glob.glob(os.path.join(out_dir, "events", "shard=1", "*.parquet"))
+    shutil.copy(existing[0], stale)
+    kg3 = CheckpointedCompile(out_dir, default_registry(), concurrency=(1, 2)).run(files)
+    assert not os.path.exists(stale)
+    assert kg3.triples().count() == total
+    assert kg3.statement_count() == kg.statement_count()
+
 
 def test_events_dir_parquet_boundary(ray_session, tmp_path, pages_table):
     """compile_pages(events_dir=...) yields identical views to in-memory."""
