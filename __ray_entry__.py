@@ -450,6 +450,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def media_resize(sf_dir):
+        import ray.data
+
+        from pybel_ray.ops.multimodal import ImageResizer, fake_media_table
+
+        ds = ray.data.from_arrow(fake_media_table(48))
+        out = ds.map_batches(
+            ImageResizer,
+            fn_constructor_kwargs={"width": 32, "height": 32},
+            batch_size=8,
+            concurrency=2,
+            batch_format="pyarrow",
+        )
+        return out.select_columns(["media_id", "media_type", "width", "height"])
+
+    def media_frames(sf_dir):
+        import ray.data
+
+        from pybel_ray.ops.multimodal import VideoFrameSampler, fake_media_table
+
+        ds = ray.data.from_arrow(fake_media_table(48))
+        out = ds.map_batches(
+            VideoFrameSampler,
+            fn_constructor_kwargs={"frames_per_video": 4},
+            batch_size=8,
+            concurrency=2,
+            batch_format="pyarrow",
+        )
+        return out.select_columns(["media_id", "frame_index", "timestamp_ms"])
+
     return {
         # KG construction
         "kg_triples": kg_triples,
@@ -511,6 +541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dups_exact": emb_near_dups_exact,
         # multimodal
         "media_features": media_features,
+        "media_resize": media_resize,
+        "media_frames": media_frames,
     }
 
 

@@ -16,7 +16,14 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["MEDIA_SCHEMA", "MediaFeatureExtractor", "fake_media_table"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "FRAME_SCHEMA",
+    "MediaFeatureExtractor",
+    "ImageResizer",
+    "VideoFrameSampler",
+    "fake_media_table",
+]
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -93,3 +100,141 @@ class MediaFeatureExtractor:
         )
         out = batch.drop_columns(["payload"])
         return out.append_column("feature", feature_col)
+
+
+class ImageResizer:
+    """Actor-pool stage: resize image payloads to a target box.
+
+    Real mode decodes with Pillow if present (not in this container —
+    import-gated, raising a clear error otherwise); fake mode emits a
+    deterministic pseudo-thumbnail (payload-hash bytes sized to the target)
+    so the Ray-side plumbing — small batches, per-actor setup, binary
+    output column, metadata rewrite — is testable offline.  Non-image rows
+    pass through unchanged.
+    """
+
+    def __init__(self, width: int = 64, height: int = 64, mode: str = "fake"):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.width = width
+        self.height = height
+        self.mode = mode
+        self._pil = None
+        if mode == "real":
+            try:  # once per actor
+                import PIL.Image  # noqa: F401
+
+                self._pil = PIL.Image
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "ImageResizer(mode='real') requires Pillow, which is not "
+                    "in this environment; use mode='fake' for plumbing tests",
+                ) from exc
+
+    def _resize(self, payload: bytes) -> bytes:
+        if self.mode == "real":  # pragma: no cover - needs Pillow
+            import io
+
+            img = self._pil.open(io.BytesIO(payload))
+            img = img.resize((self.width, self.height))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+        size = self.width * self.height // 64 + 32
+        out = bytearray()
+        counter = 0
+        while len(out) < size:
+            out += hashlib.blake2b(
+                payload + counter.to_bytes(4, "big"), digest_size=32,
+            ).digest()
+            counter += 1
+        return bytes(out[:size])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        types = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        widths = batch.column("width").to_pylist()
+        heights = batch.column("height").to_pylist()
+        out_payload, out_w, out_h = [], [], []
+        for t, p, w, h in zip(types, payloads, widths, heights):
+            if t == "image":
+                out_payload.append(self._resize(p))
+                out_w.append(self.width)
+                out_h.append(self.height)
+            else:
+                out_payload.append(p)
+                out_w.append(w)
+                out_h.append(h)
+        batch = batch.set_column(
+            batch.schema.get_field_index("payload"), "payload",
+            pa.array(out_payload, pa.binary()),
+        )
+        batch = batch.set_column(
+            batch.schema.get_field_index("width"), "width",
+            pa.array(out_w, pa.int32()),
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("height"), "height",
+            pa.array(out_h, pa.int32()),
+        )
+
+
+FRAME_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("frame_index", pa.int32()),
+    ("timestamp_ms", pa.int32()),
+    ("frame_payload", pa.binary()),
+])
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: explode each video row into k sampled frame rows.
+
+    The sampling plumbing is real — evenly spaced timestamps over
+    ``duration_ms``, one output row per sampled frame (a ``map_batches``
+    row explosion, the Ray-native flat_map shape) — while the frame decode
+    kernel is fake (payload-hash pseudo-frames) or raises without codec
+    libraries.  Non-video rows produce no output rows.
+    """
+
+    def __init__(self, frames_per_video: int = 4, mode: str = "fake"):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.k = frames_per_video
+        self.mode = mode
+
+    def _frame(self, payload: bytes, ts_ms: int) -> bytes:
+        if self.mode == "real":
+            raise NotImplementedError(
+                "video frame decode requires codec libraries not present in "
+                "this environment; use mode='fake' for plumbing tests",
+            )
+        return hashlib.blake2b(
+            payload + int(ts_ms).to_bytes(8, "big"), digest_size=64,
+        ).digest()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, stamps, frames = [], [], [], []
+        for mid, mtype, payload, duration in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("media_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("duration_ms").to_pylist(),
+        ):
+            if mtype != "video" or not duration:
+                continue
+            for j in range(self.k):
+                ts = int(duration * (j + 0.5) / self.k)
+                ids.append(mid)
+                idxs.append(j)
+                stamps.append(ts)
+                frames.append(self._frame(payload, ts))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(idxs, pa.int32()),
+                pa.array(stamps, pa.int32()),
+                pa.array(frames, pa.binary()),
+            ],
+            schema=FRAME_SCHEMA,
+        )
