@@ -16,6 +16,7 @@ from .graph import Graph
 
 __all__ = [
     "transformation",
+    "uni_transformation",
     "get_transformation",
     "Pipeline",
     "Query",
@@ -23,6 +24,9 @@ __all__ = [
 ]
 
 _REGISTRY: Dict[str, Callable] = {}
+#: universe transformations take (universe Graph, graph Graph) -> Graph
+#: (reference ``struct/pipeline/decorators.py:27-105`` uni_transformation)
+_UNIVERSE_REGISTRY: Dict[str, Callable] = {}
 
 
 def transformation(name: Optional[str] = None):
@@ -35,22 +39,42 @@ def transformation(name: Optional[str] = None):
     return decorator
 
 
+def uni_transformation(name: Optional[str] = None):
+    """Register a (universe, graph) -> Graph transformation
+    (reference decorators.py:46-58): steps that expand a working graph
+    with content drawn from the stored universe graph."""
+
+    def decorator(fn):
+        _UNIVERSE_REGISTRY[name or fn.__name__] = fn
+        return fn
+
+    return decorator
+
+
 def get_transformation(name: str) -> Callable:
     return _REGISTRY[name]
 
 
 def registered_transformations() -> List[str]:
-    return sorted(_REGISTRY)
+    return sorted(_REGISTRY) + sorted(_UNIVERSE_REGISTRY)
 
 
 class Pipeline:
-    """An ordered list of (name, kwargs) steps (pipeline.py:30-331)."""
+    """An ordered list of (name, kwargs) steps (pipeline.py:30-331).
+
+    Besides plain named steps, the protocol supports the reference's
+    meta-steps (pipeline.py:238-331): ``{"meta": "union"|"intersection",
+    "pipelines": [protocol, ...]}`` runs each sub-pipeline on the incoming
+    graph and combines the results, and universe steps
+    (``@uni_transformation``) receive the stored universe graph as their
+    first argument (set via ``run(graph, universe=...)``).
+    """
 
     def __init__(self, protocol: Optional[List[dict]] = None):
         self.protocol = list(protocol or [])
 
     def append(self, name: str, **kwargs) -> "Pipeline":
-        if name not in _REGISTRY:
+        if name not in _REGISTRY and name not in _UNIVERSE_REGISTRY:
             raise KeyError("unregistered transformation: {}".format(name))
         self.protocol.append({"function": name, "kwargs": kwargs})
         return self
@@ -59,10 +83,52 @@ class Pipeline:
         self.protocol.extend(other.protocol)
         return self
 
-    def run(self, graph: Graph) -> Graph:
+    def append_union(self, *pipelines: "Pipeline") -> "Pipeline":
+        """Meta-step: union of sub-pipeline results (pipeline.py:238-269)."""
+        self.protocol.append({
+            "meta": "union", "pipelines": [p.protocol for p in pipelines],
+        })
+        return self
+
+    def append_intersection(self, *pipelines: "Pipeline") -> "Pipeline":
+        """Meta-step: node intersection of sub-pipeline results
+        (pipeline.py:271-301)."""
+        self.protocol.append({
+            "meta": "intersection", "pipelines": [p.protocol for p in pipelines],
+        })
+        return self
+
+    def run(self, graph: Graph, universe: Optional[Graph] = None) -> Graph:
+        from .operations import node_intersection, union
+
         for step in self.protocol:
-            fn = get_transformation(step["function"])
-            graph = fn(graph, **step.get("kwargs", {}))
+            meta = step.get("meta")
+            if meta is not None:
+                parts = [
+                    Pipeline(proto).run(graph, universe=universe)
+                    for proto in step["pipelines"]
+                ]
+                if meta == "union":
+                    graph = union(parts)
+                elif meta == "intersection":
+                    result = parts[0]
+                    for other in parts[1:]:
+                        result = node_intersection(result, other)
+                    graph = result
+                else:
+                    raise ValueError("unknown meta step: {}".format(meta))
+                continue
+            name = step["function"]
+            kwargs = step.get("kwargs", {})
+            if name in _UNIVERSE_REGISTRY:
+                if universe is None:
+                    raise ValueError(
+                        "step {!r} needs a universe graph; pass run(graph, "
+                        "universe=...)".format(name),
+                    )
+                graph = _UNIVERSE_REGISTRY[name](universe, graph, **kwargs)
+            else:
+                graph = get_transformation(name)(graph, **kwargs)
         return graph
 
     def to_json(self) -> str:
@@ -361,6 +427,35 @@ def _register_more_builtins():
 
 
 _register_more_builtins()
+
+
+def _register_universe_builtins():
+    """Universe expansion steps (reference expansion/neighborhood.py:24-111,
+    expansion/upstream.py): pull content from the stored universe graph
+    into the working subgraph."""
+    from .induction import (
+        expand_downstream,
+        expand_upstream,
+        get_subgraph_by_neighborhood,
+    )
+    from .operations import union
+
+    @uni_transformation("expand_node_neighborhood")
+    def expand_node_neighborhood(universe: Graph, graph: Graph, node_md5s, hops: int = 1) -> Graph:
+        return union([
+            graph, get_subgraph_by_neighborhood(universe, list(node_md5s), hops),
+        ])
+
+    @uni_transformation("expand_upstream_causal")
+    def expand_upstream_causal(universe: Graph, graph: Graph, hops: int = 1) -> Graph:
+        return union([graph, expand_upstream(universe, graph.node_md5_set(), hops)])
+
+    @uni_transformation("expand_downstream_causal")
+    def expand_downstream_causal(universe: Graph, graph: Graph, hops: int = 1) -> Graph:
+        return union([graph, expand_downstream(universe, graph.node_md5_set(), hops)])
+
+
+_register_universe_builtins()
 
 
 def add_annotation_value(graph: Graph, key: str, value: str) -> Graph:
