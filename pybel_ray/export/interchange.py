@@ -17,6 +17,9 @@ from .bel_script import edge_to_bel_statement
 __all__ = [
     "to_cx", "from_cx", "to_jgif", "from_jgif", "from_cbn_jgif", "map_cbn",
     "to_graphdati", "to_graphdati_jsonl", "to_graphdati_jsonl_dir",
+    "to_cx_file", "to_cx_jsons", "from_cx_file", "from_cx_jsons",
+    "to_jgif_file", "to_jgif_jsons", "from_jgif_file", "from_jgif_jsons",
+    "to_graphdati_file",
 ]
 
 #: reference io/jgif.py:58 — evidence placeholder dropped on import
@@ -475,3 +478,60 @@ def to_graphdati_jsonl_dir(graph: Graph, path: str, metadata: Optional[dict] = N
 def to_graphdati_jsonl(graph: Graph, metadata: Optional[dict] = None) -> List[str]:
     """GraphDati as JSON lines, one nanopub per line (io/graphdati.py:60-66)."""
     return [json.dumps(n, sort_keys=True) for n in to_graphdati(graph, metadata)]
+
+
+# ---------------------------------------------------------------------------
+# file / gz / jsons convenience wrappers (reference io/cx.py, io/jgif.py,
+# io/graphdati.py file-variant helpers) — driver-side small-result paths
+# ---------------------------------------------------------------------------
+
+def _dump(obj, path: str) -> None:
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wt") as f:
+        json.dump(obj, f, sort_keys=True)
+
+
+def _load(path: str):
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        return json.load(f)
+
+
+def to_cx_file(graph: Graph, path: str, **kwargs) -> None:
+    _dump(to_cx(graph, **kwargs), path)
+
+
+def to_cx_jsons(graph: Graph, **kwargs) -> str:
+    return json.dumps(to_cx(graph, **kwargs), sort_keys=True)
+
+
+def from_cx_file(path: str) -> Graph:
+    return from_cx(_load(path))
+
+
+def from_cx_jsons(s: str) -> Graph:
+    return from_cx(json.loads(s))
+
+
+def to_jgif_file(graph: Graph, path: str, **kwargs) -> None:
+    _dump(to_jgif(graph, **kwargs), path)
+
+
+def to_jgif_jsons(graph: Graph, **kwargs) -> str:
+    return json.dumps(to_jgif(graph, **kwargs), sort_keys=True)
+
+
+def from_jgif_file(path: str) -> Graph:
+    return from_jgif(_load(path))
+
+
+def from_jgif_jsons(s: str) -> Graph:
+    return from_jgif(json.loads(s))
+
+
+def to_graphdati_file(graph: Graph, path: str, **kwargs) -> None:
+    _dump(to_graphdati(graph, **kwargs), path)

@@ -26,8 +26,24 @@ from ..struct.graph import Graph
 
 __all__ = [
     "to_nodelink", "to_nodelink_file", "to_nodelink_jsonl_dir",
-    "from_nodelink", "to_umbrella_nodelink",
+    "to_nodelink_jsons", "from_nodelink", "from_nodelink_file",
+    "from_nodelink_jsons", "to_umbrella_nodelink",
 ]
+
+
+def to_nodelink_jsons(graph: "Graph", metadata=None) -> str:
+    """Node-link document as a JSON string (reference io/nodelink.py)."""
+    return json.dumps(to_nodelink(graph, metadata), sort_keys=True)
+
+
+def from_nodelink_file(path: str) -> "Graph":
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        return from_nodelink(json.load(f))
+
+
+def from_nodelink_jsons(s: str) -> "Graph":
+    return from_nodelink(json.loads(s))
 
 
 def _edge_data_from_row(row: dict) -> dict:
