@@ -139,6 +139,16 @@ def collapse_nodes(graph: Graph, survivor_map: SurvivorMap, drop_relations=()) -
             t = t.filter(
                 pc.invert(pc.is_in(t.column("relation"), value_set=pa.array(sorted(drop_relations)))),
             )
+        # fast path: batches touching no victim endpoint pass through
+        # untouched (victims ≪ edges, so most batches skip the Python work)
+        touched_mask = pc.or_(
+            pc.is_in(t.column("src_md5"), value_set=victims),
+            pc.is_in(t.column("dst_md5"), value_set=victims),
+        )
+        n_touched = pc.sum(pc.cast(touched_mask, pa.int64())).as_py() or 0
+        if n_touched == 0:
+            return t
+
         src_md5 = t.column("src_md5").to_pylist()
         dst_md5 = t.column("dst_md5").to_pylist()
         src_bel = t.column("src_bel").to_pylist()
@@ -150,7 +160,10 @@ def collapse_nodes(graph: Graph, survivor_map: SurvivorMap, drop_relations=()) -
 
         keep = [a != b for a, b in zip(new_src_md5, new_dst_md5)]
 
-        # recompute content hashes for rewired edges (fixes reference FIXME)
+        # recompute content hashes — ONLY for rewired rows (fixes reference
+        # FIXME); untouched rows keep their existing edge_md5
+        touched = touched_mask.combine_chunks().to_numpy(zero_copy_only=False)
+        old_md5 = t.column("edge_md5").to_pylist()
         relations = t.column("relation").to_pylist()
         evidences = t.column("evidence").to_pylist()
         cit_db = t.column("citation_db").to_pylist()
@@ -159,6 +172,9 @@ def collapse_nodes(graph: Graph, survivor_map: SurvivorMap, drop_relations=()) -
         obj = t.column("object_json").to_pylist()
         new_md5 = []
         for i in range(t.num_rows):
+            if not touched[i]:
+                new_md5.append(old_md5[i])
+                continue
             data = {RELATION: relations[i]}
             if evidences[i] is not None:
                 data["evidence"] = evidences[i]

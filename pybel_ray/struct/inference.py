@@ -38,20 +38,23 @@ __all__ = [
 ]
 
 
-def _synthesize_parents(graph: Graph, child_function: str, parent_function: str, relation: str) -> Graph:
-    """For each reference (variant-free) child node, add its parent node and
-    the parent-(relation)->child edge."""
-
+def _emit_schema():
     from .graph import EDGE_COLUMNS, NODE_COLUMNS
 
     # one emitted table carries both node and edge rows, discriminated by
     # _emit_kind; explicit schema because from_pylist infers from the first
     # row only and would silently drop the other kind's columns
-    emit_schema = pa.schema(
+    return pa.schema(
         [("_emit_kind", pa.string())]
         + [(c, pa.string()) for c in NODE_COLUMNS]
         + [(c, pa.string()) for c in EDGE_COLUMNS],
     )
+
+
+def _emit_parents(nodes_ds, child_function: str, parent_function: str, relation: str):
+    """(node+edge emitted rows Dataset) of the synthesized parents of every
+    variant-free ``child_function`` node in ``nodes_ds``."""
+    emit_schema = _emit_schema()
 
     def _emit(t: pa.Table) -> pa.Table:
         mask = pc.equal(t.column("function"), child_function)
@@ -69,31 +72,49 @@ def _synthesize_parents(graph: Graph, child_function: str, parent_function: str,
             ))
         return pa.Table.from_pylist(rows, schema=emit_schema)
 
-    emitted = graph.nodes.map_batches(_emit, batch_format="pyarrow").materialize()
+    return nodes_ds.map_batches(_emit, batch_format="pyarrow")
 
-    def _pick(kind, columns):
-        def _f(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(t.column("_emit_kind"), kind))
-            return t.select(columns)
 
-        return emitted.map_batches(_f, batch_format="pyarrow")
+def _pick(emitted, kind, columns):
+    def _f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("_emit_kind"), kind))
+        return t.select(columns)
 
-    new_nodes = _pick("node", NODE_COLUMNS)
-    new_edges = _pick("edge", EDGE_COLUMNS)
+    return emitted.map_batches(_f, batch_format="pyarrow")
 
-    def _align(ds, columns):
-        return ds.map_batches(lambda t, _c=tuple(columns): t.select(list(_c)),
-                              batch_format="pyarrow")
 
-    nodes = dedup_exact(_align(graph.nodes, NODE_COLUMNS).union(new_nodes), "md5")
-    edges = dedup_exact(_align(graph.edges, EDGE_COLUMNS).union(new_edges), "edge_md5")
-    return Graph(nodes, edges)
+def _align(ds, columns):
+    return ds.map_batches(lambda t, _c=tuple(columns): t.select(list(_c)),
+                          batch_format="pyarrow")
+
+
+def _graph_with_emitted(graph: Graph, emitted_list) -> Graph:
+    """Union emitted parent rows into the graph with ONE dedup exchange per
+    table (instead of one per synthesis stage)."""
+    from .graph import EDGE_COLUMNS, NODE_COLUMNS
+
+    nodes = _align(graph.nodes, NODE_COLUMNS)
+    edges = _align(graph.edges, EDGE_COLUMNS)
+    for emitted in emitted_list:
+        nodes = nodes.union(_pick(emitted, "node", NODE_COLUMNS))
+        edges = edges.union(_pick(emitted, "edge", EDGE_COLUMNS))
+    return Graph(dedup_exact(nodes, "md5"), dedup_exact(edges, "edge_md5"))
+
+
+def _synthesize_parents(graph: Graph, child_function: str, parent_function: str, relation: str) -> Graph:
+    """For each reference (variant-free) child node, add its parent node and
+    the parent-(relation)->child edge."""
+    emitted = _emit_parents(
+        graph.nodes, child_function, parent_function, relation,
+    ).materialize()
+    return _graph_with_emitted(graph, [emitted])
 
 
 def enrich_rnas_with_genes(graph: Graph) -> Graph:
     """Add the corresponding gene + transcription edge for each RNA/miRNA."""
-    g = _synthesize_parents(graph, RNA, GENE, TRANSCRIBED_TO)
-    return _synthesize_parents(g, MIRNA, GENE, TRANSCRIBED_TO)
+    rna = _emit_parents(graph.nodes, RNA, GENE, TRANSCRIBED_TO).materialize()
+    mirna = _emit_parents(graph.nodes, MIRNA, GENE, TRANSCRIBED_TO).materialize()
+    return _graph_with_emitted(graph, [rna, mirna])
 
 
 def enrich_proteins_with_rnas(graph: Graph) -> Graph:
@@ -102,8 +123,24 @@ def enrich_proteins_with_rnas(graph: Graph) -> Graph:
 
 
 def enrich_protein_and_rna_origins(graph: Graph) -> Graph:
-    """proteins -> RNAs -> genes (reference enrich_protein_and_rna_origins)."""
-    return enrich_rnas_with_genes(enrich_proteins_with_rnas(graph))
+    """proteins -> RNAs -> genes (reference enrich_protein_and_rna_origins).
+
+    Single-pass shape: synthesize RNA parents of proteins, then gene
+    parents of (existing ∪ synthesized) RNAs/miRNAs, union everything and
+    dedup ONCE per table — 2 exchanges instead of the naive chained
+    version's 6 (each `_synthesize_parents` stage costs 2), with identical
+    results (the final dedup collapses duplicate parents).
+    """
+    from .graph import NODE_COLUMNS
+
+    rna_emitted = _emit_parents(
+        graph.nodes, PROTEIN, RNA, TRANSLATED_TO,
+    ).materialize()
+    new_rna_nodes = _pick(rna_emitted, "node", NODE_COLUMNS)
+    gene_sources = _align(graph.nodes, NODE_COLUMNS).union(new_rna_nodes)
+    gene_rna = _emit_parents(gene_sources, RNA, GENE, TRANSCRIBED_TO).materialize()
+    gene_mirna = _emit_parents(gene_sources, MIRNA, GENE, TRANSCRIBED_TO).materialize()
+    return _graph_with_emitted(graph, [rna_emitted, gene_rna, gene_mirna])
 
 
 def infer_child_relations(graph: Graph, node_md5: str) -> Graph:

@@ -45,6 +45,23 @@ def test_deletion_ops_never_take_all(kg_graph, op_name):
     assert n_edges > 0
 
 
+def test_graph_from_edges_distributed_branch(kg_graph, ray_session, monkeypatch):
+    """Forcing the semi-join branch of _graph_from_edges (budget=0) must
+    induce the same node set as the broadcast branch."""
+    from pybel_ray.struct import induction
+    from pybel_ray.struct.filters import filter_edges
+
+    causal = filter_edges(kg_graph.edges, "is_causal_relation").materialize()
+    small = induction._graph_from_edges(kg_graph, causal)
+    expected = sorted(r["md5"] for r in small.nodes.take_all())
+
+    monkeypatch.setattr(induction, "_BROADCAST_EDGE_BUDGET", 0)
+    big = induction._graph_from_edges(kg_graph, causal)
+    got = sorted(r["md5"] for r in big.nodes.take_all())
+    assert got == expected
+    assert len(got) > 0
+
+
 def test_remove_isolated_nodes_semantics(kg_graph, ray_session):
     """Distributed op == the obvious driver-side computation."""
     from pybel_ray.struct.pipeline_protocol import get_transformation
