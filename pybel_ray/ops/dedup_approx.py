@@ -268,11 +268,12 @@ def _verify_pairs_distributed(
         return pa.Table.from_arrays(
             [
                 sides.column("pair_key"),
+                sides.column("key_id"),
                 sides.column("id_a"),
                 sides.column("id_b"),
                 pa.array(sh, pa.list_(pa.uint64())),
             ],
-            names=["pair_key", "id_a", "id_b", "shingles"],
+            names=["pair_key", "key_id", "id_a", "id_b", "shingles"],
         )
 
     attached = shingle_rows.union(side_rows).groupby("_b").map_groups(
@@ -290,21 +291,28 @@ def _verify_pairs_distributed(
         return t.append_column("_b2", pa.array(codes, pa.int64()))
 
     def _judge(group: pa.Table) -> pa.Table:
+        # rows[pair_key] = [id_a, id_b, {side_id: shingles}] — the dict
+        # keying makes duplicate candidate pairs (same pair surfacing from
+        # several LSH bands/blocks) idempotent, so callers don't need a
+        # global pair-dedup exchange before the verify
         rows: dict = {}
-        for pk, ia, ib, sh in zip(
+        for pk, key_id, ia, ib, sh in zip(
             group.column("pair_key").to_pylist(),
+            group.column("key_id").to_pylist(),
             group.column("id_a").to_pylist(),
             group.column("id_b").to_pylist(),
             group.column("shingles").to_pylist(),
         ):
-            rows.setdefault(pk, [ia, ib, []])[2].append(sh)
+            rows.setdefault(pk, [ia, ib, {}])[2][key_id] = sh
         out_a, out_b, out_j = [], [], []
-        for pk, (ia, ib, shs) in rows.items():
-            if len(shs) != 2 or shs[0] is None or shs[1] is None:
+        for pk in sorted(rows):
+            ia, ib, shs = rows[pk]
+            sa, sb = shs.get(ia), shs.get(ib)
+            if sa is None or sb is None:
                 continue  # orphan side (id missing from corpus)
             j = jaccard_arrays(
-                np.asarray(shs[0], dtype=np.uint64),
-                np.asarray(shs[1], dtype=np.uint64),
+                np.asarray(sa, dtype=np.uint64),
+                np.asarray(sb, dtype=np.uint64),
             )
             if j >= threshold:
                 out_a.append(ia)
@@ -335,6 +343,26 @@ def _dedup_pairs(pairs):
 
     pairs = pairs.map_batches(_key, batch_format="pyarrow")
     return dedup_exact_sorted(pairs, "pair", ["id_a", "id_b"]).drop_columns(["pair"])
+
+
+def _local_dedup_pairs(pairs):
+    """Block-local (combiner) dedup of (id_a, id_b) rows — no exchange.
+
+    Cross-block duplicates survive; the distributed verify's per-pair
+    side-keyed dict makes them idempotent, so callers headed into
+    :func:`_verify_pairs_distributed` can skip the global dedup exchange.
+    """
+    from ..stages.dedup import local_dedup_table
+
+    def _f(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("id_a"), pa.string()),
+            pc.cast(t.column("id_b"), pa.string()), "_",
+        )
+        t = t.append_column("pair", key)
+        return local_dedup_table(t, "pair").drop_columns(["pair"])
+
+    return pairs.map_batches(_f, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -562,30 +590,192 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 # exact n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+#: max n_docs × vocabulary cells for the dense exact-Jaccard path (uint8
+#: bitset matrix broadcast once; 200M cells ≈ 200 MB)
+_DENSE_JACCARD_BUDGET = 200_000_000
+
+
+def _ngram_jaccard_dense(ds, text_col, id_col, ngram, threshold, vocab):
+    """Exact all-pairs Jaccard via blocked set-membership matmul.
+
+    ``vocab`` is the sorted int64-viewed shingle vocabulary.  One pass
+    builds the (n_docs × V) uint8 membership matrix (collected column-thin:
+    V ≤ budget/n), broadcast once; each batch then computes its rows'
+    intersections against ALL docs with one matmul and emits qualifying
+    (id_a, id_b, jaccard) with id_a < id_b — no candidate shuffle, no
+    verify stage, exact by construction.
+    """
+    import ray
+
+    vocab_ref = ray.put(vocab)
+
+    def _rows(t: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        mat = np.zeros((t.num_rows, len(voc)), dtype=np.uint8)
+        for i, text in enumerate(t.column(text_col).to_pylist()):
+            sh = shingle_hashes(text, ngram).view(np.int64)
+            pos = np.searchsorted(voc, sh)
+            clipped = np.minimum(pos, len(voc) - 1)
+            hit = clipped[(pos < len(voc)) & (voc[clipped] == sh)]
+            mat[i, hit] = 1
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(list(mat.reshape(t.num_rows, -1)), pa.list_(pa.uint8())),
+            ],
+            names=[id_col, "bits"],
+        )
+
+    # small by budget: (n × V) uint8 — collect + broadcast once
+    all_ids, all_bits = [], []
+    for batch in ds.select_columns([id_col, text_col]).map_batches(
+        _rows, batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        all_ids.append(batch.column(id_col).to_numpy(zero_copy_only=False))
+        arr = batch.column("bits")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = np.asarray(arr.values, dtype=np.uint8)
+        all_bits.append(flat.reshape(len(arr), -1))
+    ids = np.concatenate(all_ids)
+    mat = np.vstack(all_bits)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    sizes = mat.sum(axis=1).astype(np.int64)
+    mat_ref = ray.put((ids, mat.astype(np.float32), sizes))
+
+    import ray.data
+
+    blocks = ray.data.range(len(ids), override_num_blocks=max(
+        1, min(64, len(ids) // 256 or 1),
+    ))
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        g_ids, g_mat, g_sizes = ray.get(mat_ref)
+        rows = t.column("id").to_numpy(zero_copy_only=False)
+        sub = g_mat[rows]
+        # float32 matmul is exact here (counts ≪ 2^24); divide in float64
+        # so scores match the float64 brute path bit-for-bit
+        inter = (sub @ g_mat.T).astype(np.float64)
+        union_sz = g_sizes[rows][:, None] + g_sizes[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union_sz > 0, inter / union_sz, 1.0)
+        mask = jac >= threshold
+        # id_a < id_b: only the upper triangle relative to global index
+        mask &= rows[:, None] < np.arange(len(g_ids))[None, :]
+        ia, ib = np.nonzero(mask)
+        return pa.Table.from_arrays(
+            [
+                pa.array(g_ids[rows[ia]], pa.int64()),
+                pa.array(g_ids[ib], pa.int64()),
+                pa.array(np.round(jac[ia, ib], 6), pa.float64()),
+            ],
+            schema=_PAIRS_SCHEMA,
+        )
+
+    return blocks.map_batches(_pairs, batch_format="pyarrow").sort(["id_a", "id_b"])
+
+
 def ngram_jaccard_pairs(
     ds, text_col: str = "text", id_col: str = "doc_id",
     ngram: int = 5, threshold: float = 0.8,
 ):
     """All pairs with exact n-gram Jaccard ≥ threshold — DISTRIBUTED and
     exact via prefix filtering (cf. Chaudhuri et al., "A Primitive Operator
-    for Similarity Joins", ICDE 2006):
+    for Similarity Joins", ICDE 2006; df ordering as in PPJoin, Xiao et
+    al., WWW 2008):
 
     If J(A, B) ≥ t then A and B share a shingle among each one's
-    ``floor((1-t)·|set|) + 1`` smallest shingles (global hash order), so
-    emitting only those prefix shingles as (shingle, id) keys and grouping
-    by shingle finds EVERY qualifying pair.  Within-group pair generation
-    applies the size-ratio prune (J ≤ min/max of set sizes); the final
-    verify is the same distributed exact-Jaccard join used by MinHash.
+    ``floor((1-t)·|set|) + 1`` FIRST shingles under any consistent global
+    order, so emitting only those prefix shingles as (shingle, id) keys
+    and grouping by shingle finds EVERY qualifying pair.  The order used
+    is ascending document frequency (rarest first, computed with one
+    distributed groupby-count pass and broadcast once): on templated
+    corpora a plain hash order puts corpus-common shingles in every prefix
+    and a single shingle group degenerates to all-pairs (measured at
+    sf0.1: 953 groups of ~3,900 members → ~19M candidate rows), while df
+    order picks each doc's discriminative shingles and groups stay tiny.
+    Within-group pair generation applies the size-ratio prune (J ≤
+    min/max of set sizes); the final verify is the same distributed
+    exact-Jaccard join used by MinHash.
+
+    Scale note: the broadcast df table is bounded by the corpus shingle
+    vocabulary (not corpus size); for open-vocabulary corpora cap it to
+    the most frequent K shingles — unseen shingles default to df=1, which
+    keeps the order consistent (exactness needs only consistency).
     """
+    import ray
+
+    # pass 0: shingle document frequencies (per-batch unique -> groupby sum).
+    # Shingles travel as int64 BIT VIEWS of the uint64 hashes — Ray's
+    # groupby coerces uint64 keys — identity is all the df count needs.
+    def _df_partial(t: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for text in t.column(text_col).to_pylist():
+            for v in shingle_hashes(text, ngram).view(np.int64):
+                counts[v] = counts.get(v, 0) + 1
+        vals = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
+        cnts = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        return pa.Table.from_arrays(
+            [pa.array(vals, pa.int64()), pa.array(cnts, pa.int64())],
+            names=["shingle", "df"],
+        )
+
+    df_ds = ds.select_columns([text_col]).map_batches(
+        _df_partial, batch_format="pyarrow",
+    ).groupby("shingle").sum("df")
+    df_vals, df_counts = [], []
+    for batch in df_ds.iter_batches(batch_format="pyarrow"):
+        df_vals.append(
+            batch.column("shingle").cast(pa.int64()).to_numpy(zero_copy_only=False),
+        )
+        df_counts.append(
+            batch.column("sum(df)").cast(pa.int64()).to_numpy(zero_copy_only=False),
+        )
+    vals = np.concatenate(df_vals) if df_vals else np.array([], np.int64)
+    cnts = np.concatenate(df_counts) if df_counts else np.array([], np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order].astype(np.int64)
+
+    # ---- adaptive strategy ------------------------------------------------
+    # Tiny shingle vocabularies (templated/synthetic corpora) defeat prefix
+    # filtering: when the median shingle appears in hundreds of documents,
+    # "pairs sharing a prefix shingle" ≈ all pairs and the candidate volume
+    # exceeds n²/2 (measured at sf0.1: 2,041 distinct shingles over 5,000
+    # docs → ~31M candidate rows vs 12.5M total pairs).  If every document
+    # fits a V-bit set and n·V is broadcastable, exact all-pairs via a
+    # blocked boolean matmul is cheaper AND exactly correct — each batch
+    # multiplies its rows against the broadcast matrix; no verify needed.
+    n_docs = ds.count()
+    if len(vals) and n_docs * len(vals) <= _DENSE_JACCARD_BUDGET:
+        return _ngram_jaccard_dense(
+            ds, text_col, id_col, ngram, threshold, vals,
+        )
+
+    df_ref = ray.put((vals, cnts))
 
     def _prefix(t: pa.Table) -> pa.Table:
+        df_sorted_vals, df_sorted_cnts = ray.get(df_ref)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         texts = t.column(text_col).to_pylist()
         out_sh, out_id, out_size = [], [], []
         for i, text in enumerate(texts):
             sh = shingle_hashes(text, ngram)  # sorted unique
+            sh_view = sh.view(np.int64)
+            if len(df_sorted_vals):
+                pos = np.searchsorted(df_sorted_vals, sh_view)
+                clipped = np.minimum(pos, len(df_sorted_vals) - 1)
+                found = (pos < len(df_sorted_vals)) & (
+                    df_sorted_vals[clipped] == sh_view
+                )
+                df = np.where(found, df_sorted_cnts[clipped], 1)
+            else:
+                df = np.ones(sh.size, dtype=np.int64)
+            # rarest-first prefix; ties broken by the shingle value so the
+            # order is a consistent global total order
             p = int((1.0 - threshold) * sh.size) + 1
-            pref = sh[:p]
+            pref = sh[np.lexsort((sh, df))[:p]]
             out_sh.append(pref)
             out_id.append(np.full(pref.size, ids[i], dtype=np.int64))
             out_size.append(np.full(pref.size, sh.size, dtype=np.int64))
@@ -617,16 +807,17 @@ def ngram_jaccard_pairs(
                         capped += len(run_ids) - _BUCKET_MEMBER_CAP
                         run_ids = run_ids[:_BUCKET_MEMBER_CAP]
                         run_sz = run_sz[:_BUCKET_MEMBER_CAP]
-                    for x in range(len(run_ids)):
-                        ratio = (
-                            np.minimum(run_sz[x], run_sz[x + 1:])
-                            / np.maximum(run_sz[x], run_sz[x + 1:])
-                        )
-                        for off in np.nonzero(ratio >= threshold)[0]:
-                            y = x + 1 + int(off)
-                            lo, hi = sorted((int(run_ids[x]), int(run_ids[y])))
-                            a_out.append(lo)
-                            b_out.append(hi)
+                    # vectorized upper-triangle pair emission + ratio prune
+                    xi, yi = np.triu_indices(len(run_ids), k=1)
+                    ratio = (
+                        np.minimum(run_sz[xi], run_sz[yi])
+                        / np.maximum(run_sz[xi], run_sz[yi])
+                    )
+                    keep = ratio >= threshold
+                    pa_ids = np.minimum(run_ids[xi[keep]], run_ids[yi[keep]])
+                    pb_ids = np.maximum(run_ids[xi[keep]], run_ids[yi[keep]])
+                    a_out.append(pa_ids)
+                    b_out.append(pb_ids)
                 start = end
         if capped:
             logger.warning(
@@ -634,8 +825,10 @@ def ngram_jaccard_pairs(
                 "groups (cap=%d); pairs among dropped members may be missed",
                 capped, _BUCKET_MEMBER_CAP,
             )
+        cat_a = np.concatenate(a_out) if a_out else np.array([], np.int64)
+        cat_b = np.concatenate(b_out) if b_out else np.array([], np.int64)
         return pa.Table.from_arrays(
-            [pa.array(a_out, pa.int64()), pa.array(b_out, pa.int64())],
+            [pa.array(cat_a, pa.int64()), pa.array(cat_b, pa.int64())],
             names=["id_a", "id_b"],
         )
 

@@ -61,6 +61,19 @@ def test_ngram_jaccard_distributed_matches_brute(docs):
     assert len(exact_rows) >= 20
 
 
+def test_ngram_jaccard_sparse_path_matches_brute(docs, monkeypatch):
+    """Force the prefix-filter (sparse) branch — the adaptive dense branch
+    is disabled — and require exact equality with the brute oracle."""
+    from pybel_ray.ops import dedup_approx
+
+    monkeypatch.setattr(dedup_approx, "_DENSE_JACCARD_BUDGET", 0)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup_approx.ngram_jaccard_pairs_brute(docs, threshold=0.7).take_all()}
+    dist = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup_approx.ngram_jaccard_pairs(docs, threshold=0.7).take_all()}
+    assert dist == exact
+
+
 def test_minhash_lsh_superset_check(docs):
     """LSH pairs must (a) all be true positives (exact verify) and (b)
     recover the exact pair set on this corpus at these parameters."""
