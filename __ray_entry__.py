@@ -424,6 +424,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()
         return pa.concat_tables(tables)
 
+    def emb_knn_multi(sf_dir):
+        import numpy as np
+
+        from pybel_ray.ops.similarity import knn_brute_multi
+
+        ds = _read(sf_dir, "embeddings")
+        q = np.stack([get_vector(ds, 0), get_vector(ds, 1)])
+        out = knn_brute_multi(ds, q, k=10)
+        return out.select_columns(["query_idx", "rank", "vec_id"])
+
+    def emb_knn_ivf(sf_dir):
+        import tempfile
+
+        from pybel_ray.ops.similarity import build_ivf_index, knn_ivf
+
+        ds = _read(sf_dir, "embeddings")
+        q = get_vector(ds, 0)
+        with tempfile.TemporaryDirectory(prefix="ivf_index_") as tmp:
+            index = build_ivf_index(ds, tmp)
+            return knn_ivf(index, q, k=10, nprobe=2).materialize()
+
     def emb_knn_lsh_indexed(sf_dir):
         import tempfile
 
@@ -536,6 +557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_brute": emb_knn_brute,
         "emb_knn_lsh": emb_knn_lsh,
         "emb_knn_lsh_indexed": emb_knn_lsh_indexed,
+        "emb_knn_multi": emb_knn_multi,
+        "emb_knn_ivf": emb_knn_ivf,
         "emb_label_hist": emb_label_hist,
         "emb_near_dups": emb_near_dups,
         "emb_near_dups_exact": emb_near_dups_exact,
@@ -657,6 +680,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_label_hist":
             "SELECT label, count(*) AS n FROM embeddings GROUP BY label",
+        "emb_knn_multi": """
+            WITH q AS (
+                SELECT CAST(0 AS BIGINT) AS query_idx, embedding
+                FROM embeddings WHERE vec_id = 0
+                UNION ALL
+                SELECT CAST(1 AS BIGINT), embedding
+                FROM embeddings WHERE vec_id = 1
+            )
+            SELECT q.query_idx,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.query_idx
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                e.vec_id
+                   ) AS BIGINT) AS rank,
+                   e.vec_id
+            FROM embeddings e, q
+            QUALIFY rank <= 10
+        """,
         "doc_fingerprints_md5": r"""
             SELECT doc_id,
                    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint_md5

@@ -14,7 +14,11 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["knn_brute", "knn_lsh", "get_vector", "LshIndex", "build_lsh_index"]
+__all__ = [
+    "knn_brute", "knn_brute_multi", "knn_lsh", "get_vector",
+    "LshIndex", "build_lsh_index",
+    "IvfIndex", "build_ivf_index", "knn_ivf",
+]
 
 
 def _matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
@@ -246,6 +250,224 @@ def knn_lsh(
 
     local = ds.select_columns([id_col, vec_col]).map_batches(_local, batch_format="pyarrow")
     top = local.sort(["cosine", id_col], descending=[True, False]).limit(k)
+
+    def _rank(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array(np.arange(1, t.num_rows + 1), pa.int64()), t.column(id_col)],
+            names=["rank", id_col],
+        )
+
+    return top.repartition(1).map_batches(_rank, batch_format="pyarrow")
+
+
+def knn_brute_multi(
+    ds,
+    queries: np.ndarray,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Exact cosine top-k for a BATCH of queries in one pass.
+
+    The query matrix is broadcast once (``ray.put``); each data batch does
+    ONE matmul against all queries, keeps its local top-k per query, and a
+    final per-query sort+limit merges — one scan serves every query
+    (SURVEY "similarity search": brute-force baseline = numpy matmul per
+    batch against a broadcast query matrix).
+
+    Returns a Dataset of (query_idx, rank, vec_id, cosine).
+    """
+    import ray
+
+    q = np.asarray(queries, dtype=np.float64)
+    if q.ndim == 1:
+        q = q[None, :]
+    norms = np.linalg.norm(q, axis=1)
+    norms[norms == 0] = 1.0
+    q_ref = ray.put((q / norms[:, None]).T)  # (dim, n_queries)
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        qt = ray.get(q_ref)
+        n_q = qt.shape[1]
+        mat = _matrix(t, vec_col)
+        if not len(mat):
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                names=["query_idx", id_col, "cosine"],
+            )
+        vnorm = np.linalg.norm(mat, axis=1)
+        vnorm[vnorm == 0] = 1.0
+        sims = (mat / vnorm[:, None]) @ qt  # (rows, n_queries)
+        ids = np.asarray(t.column(id_col))
+        out_q, out_id, out_c = [], [], []
+        for j in range(n_q):
+            col = sims[:, j]
+            if len(col) > k:
+                part = np.argpartition(-col, k)[:k]
+            else:
+                part = np.arange(len(col))
+            out_q.append(np.full(len(part), j, dtype=np.int64))
+            out_id.append(ids[part])
+            out_c.append(col[part])
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_q), pa.int64()),
+                pa.array(np.concatenate(out_id), pa.int64()),
+                pa.array(np.concatenate(out_c), pa.float64()),
+            ],
+            names=["query_idx", id_col, "cosine"],
+        )
+
+    local = ds.select_columns([id_col, vec_col]).map_batches(
+        _local_topk, batch_format="pyarrow",
+    )
+    # tiny merge: (n_queries x k x n_blocks) rows -> per-query rank
+    top = local.sort(
+        ["query_idx", "cosine", id_col], descending=[False, True, False],
+    )
+
+    def _rank(t: pa.Table) -> pa.Table:
+        qidx = t.column("query_idx").to_numpy(zero_copy_only=False)
+        # rank within each query run (sorted by query then cosine desc)
+        rank = np.ones(len(qidx), dtype=np.int64)
+        run = 1
+        for i in range(1, len(qidx)):
+            run = run + 1 if qidx[i] == qidx[i - 1] else 1
+            rank[i] = run
+        t = t.append_column("rank", pa.array(rank, pa.int64()))
+        return t.filter(pa.array(rank <= k))
+
+    return top.repartition(1).map_batches(_rank, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+class IvfIndex:
+    """Coarse-quantized ANN index: k-means centroids + bucket-partitioned
+    Parquet, queries probe only the ``nprobe`` nearest centroids' files.
+
+    The SURVEY "similarity search" scale path alternative to hyperplane
+    LSH: data-adaptive buckets follow the embedding distribution, so
+    clustered corpora get high recall at tiny probe fractions.
+    """
+
+    def __init__(self, path: str, centroids: np.ndarray, id_col: str, vec_col: str):
+        self.path = path
+        self.centroids = centroids  # (n_centroids, dim), unit-normalized
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def assign(self, unit: np.ndarray) -> np.ndarray:
+        return np.argmax(unit @ self.centroids.T, axis=1)
+
+    def probes_for(self, query: np.ndarray, nprobe: int = 2) -> list:
+        q = np.asarray(query, dtype=np.float64)
+        qn = q / (np.linalg.norm(q) or 1.0)
+        sims = self.centroids @ qn
+        return sorted(int(i) for i in np.argsort(-sims)[:nprobe])
+
+    def read_buckets(self, buckets):
+        import ray.data
+
+        return ray.data.read_parquet(
+            self.path,
+            partition_filter=ray.data.datasource.partitioning.PathPartitionFilter.of(
+                filter_fn=lambda kv: int(kv.get("bucket", -1)) in set(buckets),
+                style=ray.data.datasource.partitioning.PartitionStyle.HIVE,
+                base_dir=self.path,
+            ),
+        )
+
+
+def build_ivf_index(
+    ds,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+) -> IvfIndex:
+    """Train spherical k-means centroids on a sample, assign every vector
+    to its nearest centroid, write Parquet partitioned by bucket.
+
+    Training is driver-side on a bounded sample (the standard IVF recipe);
+    assignment + write stream through ``map_batches``.
+    """
+    import ray  # noqa: F401
+
+    n = ds.count()
+    sample = ds.select_columns([vec_col]).random_sample(
+        min(1.0, (2.0 * sample_size) / max(1, n)), seed=seed,
+    ).limit(sample_size).take_all()
+    mat = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+
+    rng = np.random.RandomState(seed)
+    n_centroids = min(n_centroids, len(unit))
+    centroids = unit[rng.choice(len(unit), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(unit @ centroids.T, axis=1)
+        for c in range(n_centroids):
+            members = unit[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / (np.linalg.norm(v) or 1.0)
+
+    index = IvfIndex(path, centroids, id_col, vec_col)
+
+    def _bucketize(t: pa.Table) -> pa.Table:
+        mat = _matrix(t, vec_col)
+        if not len(mat):
+            return t.append_column("bucket", pa.array([], pa.int64()))
+        vn = np.linalg.norm(mat, axis=1)
+        vn[vn == 0] = 1.0
+        buckets = index.assign(mat / vn[:, None]).astype(np.int64)
+        return t.append_column("bucket", pa.array(buckets, pa.int64()))
+
+    ds.select_columns([id_col, vec_col]).map_batches(
+        _bucketize, batch_format="pyarrow",
+    ).write_parquet(path, partition_cols=["bucket"])
+    return index
+
+
+def knn_ivf(
+    index: IvfIndex,
+    query: np.ndarray,
+    k: int = 20,
+    nprobe: int = 2,
+):
+    """Approximate top-k against an :class:`IvfIndex`: scan only the
+    ``nprobe`` nearest centroids' partitions (pruned Parquet read)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    pruned = index.read_buckets(index.probes_for(q, nprobe))
+    id_col = index.id_col
+
+    def _score(t: pa.Table) -> pa.Table:
+        mat = _matrix(t, index.vec_col)
+        if not len(mat):
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.float64())],
+                names=[id_col, "cosine"],
+            )
+        vn = np.linalg.norm(mat, axis=1)
+        vn[vn == 0] = 1.0
+        sims = (mat @ qn) / vn
+        return pa.Table.from_arrays(
+            [t.column(id_col).cast(pa.int64()), pa.array(sims, pa.float64())],
+            names=[id_col, "cosine"],
+        )
+
+    top = pruned.map_batches(_score, batch_format="pyarrow").sort(
+        ["cosine", id_col], descending=[True, False],
+    ).limit(k)
 
     def _rank(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(

@@ -52,6 +52,44 @@ def test_knn_lsh_recall_and_index_consistency(clustered, tmp_path):
     assert recall >= 0.8, (recall, inline, brute)
 
 
+def test_knn_brute_multi_matches_single(clustered):
+    import numpy as np
+
+    from pybel_ray.ops.similarity import get_vector, knn_brute, knn_brute_multi
+
+    q0 = get_vector(clustered, 0)
+    q1 = get_vector(clustered, 200)
+    multi = knn_brute_multi(clustered, np.stack([q0, q1]), k=5).take_all()
+    by_query = {}
+    for r in multi:
+        by_query.setdefault(r["query_idx"], []).append(r["vec_id"])
+    single0 = [r["vec_id"] for r in knn_brute(clustered, q0, k=5).take_all()]
+    single1 = [r["vec_id"] for r in knn_brute(clustered, q1, k=5).take_all()]
+    assert by_query[0] == single0
+    assert by_query[1] == single1
+
+
+def test_ivf_index_recall(clustered, tmp_path):
+    from pybel_ray.ops.similarity import (
+        build_ivf_index,
+        get_vector,
+        knn_brute,
+        knn_ivf,
+    )
+
+    index = build_ivf_index(clustered, str(tmp_path / "ivf"), n_centroids=8)
+    q = get_vector(clustered, 45)
+    brute = [r["vec_id"] for r in knn_brute(clustered, q, k=10).take_all()]
+    approx = [r["vec_id"] for r in knn_ivf(index, q, k=10, nprobe=2).take_all()]
+    recall = len(set(approx) & set(brute)) / 10
+    # 8 planted clusters, 8 centroids: the query's cluster maps to one
+    # centroid, so nprobe=2 must recover nearly all true neighbors
+    assert recall >= 0.8, (recall, approx, brute)
+    # probing must scan fewer vectors than the corpus
+    pruned = index.read_buckets(index.probes_for(q, 2))
+    assert pruned.count() < clustered.count()
+
+
 def test_lsh_index_prunes_partitions(clustered, tmp_path):
     """The indexed read must touch only the probe buckets' files."""
     from pybel_ray.ops.similarity import build_lsh_index, get_vector
