@@ -395,6 +395,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_ngram_jaccard_dups(sf_dir):
         return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.5)
 
+    def doc_dedup_corpus(sf_dir):
+        from pybel_ray.ops.dedup_approx import near_dedup_corpus
+
+        out = near_dedup_corpus(
+            _read(sf_dir, "documents"), method="minhash", threshold=0.5,
+        )
+        return out.select_columns(["doc_id"])
+
     # -- similarity family ---------------------------------------------------
 
     def emb_knn_brute(sf_dir):
@@ -553,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": doc_simhash,
         "doc_simhash_pairs": doc_simhash_pairs,
         "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
+        "doc_dedup_corpus": doc_dedup_corpus,
         # similarity
         "emb_knn_brute": emb_knn_brute,
         "emb_knn_lsh": emb_knn_lsh,

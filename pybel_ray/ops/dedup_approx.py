@@ -33,6 +33,7 @@ __all__ = [
     "ngram_jaccard_pairs_brute",
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_brute",
+    "near_dedup_corpus",
 ]
 
 #: FNV-1a style multiplier for the vectorized rolling shingle hash
@@ -1009,3 +1010,117 @@ def embedding_near_dup_pairs_brute(
     import ray.data
 
     return ray.data.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus dedup: pairs -> clusters -> survivors
+# ---------------------------------------------------------------------------
+
+#: pair counts at or below this cluster with a driver union-find; above it
+#: the distributed label-propagation components run
+_DRIVER_PAIR_BUDGET = 2_000_000
+
+
+def near_dedup_corpus(
+    ds,
+    method: str = "minhash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+):
+    """The training-data dedup primitive: return the corpus WITHOUT
+    near-duplicates — one survivor (min id) per duplicate cluster.
+
+    pairs (per ``method``: minhash | ngram | simhash | exact) →
+    weakly-connected components over the pair graph (duplicate clusters are
+    transitive) → drop every non-representative member with a vectorized
+    anti-join.  The victim id set is bounded by the duplicate volume;
+    above ``_DRIVER_PAIR_BUDGET`` pair rows the clustering runs as
+    distributed label propagation instead of a driver union-find.
+    """
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs)
+    elif method == "ngram":
+        pairs = ngram_jaccard_pairs(ds, text_col, id_col, **kwargs)
+    elif method == "simhash":
+        pairs = simhash_near_dup_pairs(ds, text_col, id_col, **kwargs)
+    elif method == "exact":
+        return _exact_dedup_corpus(ds, text_col, id_col)
+    else:
+        raise ValueError("unknown dedup method: {}".format(method))
+
+    pairs = pairs.select_columns(["id_a", "id_b"]).materialize()
+    if pairs.count() == 0:
+        return ds
+
+    if pairs.count() <= _DRIVER_PAIR_BUDGET:
+        from ..struct.operations import connected_components_driver
+
+        edges = [
+            (r["id_a"], r["id_b"]) for r in pairs.take_all()
+        ]
+        comp = connected_components_driver(edges)
+        victims = np.fromiter(
+            (node for node, rep in comp.items() if node != rep),
+            dtype=np.int64,
+        )
+    else:
+        from ..struct.components import connected_components
+
+        def _as_str(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.cast(t.column("id_a"), pa.string()),
+                 pc.cast(t.column("id_b"), pa.string())],
+                names=["src_md5", "dst_md5"],
+            )
+
+        comp_ds = connected_components(
+            pairs.map_batches(_as_str, batch_format="pyarrow"),
+        )
+
+        def _victims(t: pa.Table) -> pa.Table:
+            keep = pc.not_equal(t.column("id"), t.column("component"))
+            return pa.Table.from_arrays(
+                [pc.cast(t.filter(keep).column("id"), pa.int64())],
+                names=["id"],
+            )
+
+        rows = []
+        for batch in comp_ds.map_batches(
+            _victims, batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow"):
+            rows.append(batch.column("id").to_numpy(zero_copy_only=False))
+        victims = np.concatenate(rows) if rows else np.array([], np.int64)
+
+    import ray
+
+    victims_ref = ray.put(np.sort(victims))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        v = pa.array(ray.get(victims_ref), pa.int64())
+        return t.filter(pc.invert(pc.is_in(t.column(id_col), value_set=v)))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def _exact_dedup_corpus(ds, text_col: str, id_col: str):
+    """Exact-text dedup: keep the min-id doc per distinct text (the
+    hash-partitioned survivor join of SURVEY §2.8)."""
+    from .text import exact_dedup
+
+    survivors = exact_dedup(ds, text_col, id_col)
+    from ..struct.degree import bucketed_semi_join
+
+    def _ids(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(t.column(id_col), pa.string())], names=["key"],
+        )
+
+    keep_keys = survivors.map_batches(_ids, batch_format="pyarrow")
+
+    def _tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_key", pc.cast(t.column(id_col), pa.string()))
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+    out = bucketed_semi_join(tagged, "_key", keep_keys, "key")
+    return out.drop_columns(["_key"])

@@ -152,6 +152,43 @@ def test_embedding_near_dup_lsh_matches_brute(ray_session):
     assert len(brute) >= 25
 
 
+def test_near_dedup_corpus(docs):
+    """Survivor semantics: one min-id representative per duplicate cluster."""
+    from pybel_ray.ops.dedup_approx import (
+        near_dedup_corpus,
+        ngram_jaccard_pairs_brute,
+    )
+    from pybel_ray.struct.operations import connected_components_driver
+
+    pairs = [(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs_brute(docs, threshold=0.7).take_all()]
+    comp = connected_components_driver(pairs)
+    expected_victims = {n for n, rep in comp.items() if n != rep}
+    total = docs.count()
+
+    out = near_dedup_corpus(docs, method="minhash", threshold=0.7)
+    kept = {r["doc_id"] for r in out.take_all()}
+    assert len(kept) == total - len(expected_victims)
+    assert kept == {r["doc_id"] for r in docs.take_all()} - expected_victims
+
+
+def test_near_dedup_corpus_exact(ray_session):
+    import ray.data
+
+    from pybel_ray.ops.dedup_approx import near_dedup_corpus
+
+    rows = [
+        {"doc_id": 1, "text": "alpha beta"},
+        {"doc_id": 2, "text": "alpha beta"},
+        {"doc_id": 3, "text": "gamma"},
+        {"doc_id": 4, "text": "gamma"},
+        {"doc_id": 5, "text": "unique"},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    kept = sorted(r["doc_id"] for r in near_dedup_corpus(ds, method="exact").take_all())
+    assert kept == [1, 3, 5]
+
+
 def test_verify_pairs_is_distributed(docs):
     """The verify stage must not call take_all on pair or shingle tables
     (spot check: monkeypatch Dataset.take_all to count calls during
