@@ -88,6 +88,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_lang_id",
         "doc_exact_dedup",
         "doc_minhash_near_dups",
+        "doc_ngram_jaccard_dups",
         "emb_knn_brute",
         "kg_triples",
         "kg_top_hubs",

@@ -332,8 +332,12 @@ def _verify_pairs_distributed(
 
 
 def _dedup_pairs(pairs):
-    """Global dedup of (id_a, id_b) candidate rows (single exchange)."""
-    from ..stages.dedup import dedup_exact_sorted
+    """Global dedup of (id_a, id_b) candidate rows.
+
+    One bucketed-groupby exchange (order is irrelevant before the verify
+    stage, so the costlier repartition+sort dedup is unnecessary).
+    """
+    from ..stages.dedup import dedup_exact
 
     def _key(t: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(
@@ -343,7 +347,7 @@ def _dedup_pairs(pairs):
         return t.append_column("pair", key)
 
     pairs = pairs.map_batches(_key, batch_format="pyarrow")
-    return dedup_exact_sorted(pairs, "pair", ["id_a", "id_b"]).drop_columns(["pair"])
+    return dedup_exact(pairs, "pair").drop_columns(["pair"])
 
 
 def _local_dedup_pairs(pairs):
