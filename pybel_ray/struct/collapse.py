@@ -36,10 +36,12 @@ from .graph import Graph
 
 __all__ = [
     "collapse_nodes",
+    "collapse_nodes_ds",
     "collapse_all_variants",
     "collapse_equivalences",
     "collapse_to_genes",
     "build_equivalence_survivor_map",
+    "build_equivalence_survivor_ds",
 ]
 
 #: victim_md5 -> (survivor_md5, survivor_bel)
@@ -125,6 +127,42 @@ def build_equivalence_survivor_map(graph: Graph, relations=(EQUIVALENT_TO,)) -> 
     return out
 
 
+def build_equivalence_survivor_ds(graph: Graph, relations=(EQUIVALENT_TO,)):
+    """Survivor map as a Dataset (victim, survivor_md5, survivor_bel) —
+    the fully distributed input to :func:`collapse_nodes_ds` (components
+    via label propagation, survivor BEL attached with a bucketed join)."""
+    from .components import connected_components
+    from .degree import bucketed_attach
+    from .filters import filter_edges
+    from ..stages.dedup import dedup_exact as _dedup
+
+    ds = filter_edges(graph.edges, relation_filter(set(relations))).select_columns(
+        ["src_md5", "src_bel", "dst_md5", "dst_bel"],
+    ).materialize()
+    comp = connected_components(ds)
+
+    def _victims(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("id"), t.column("component")))
+
+    victims = comp.map_batches(_victims, batch_format="pyarrow")
+
+    def _bels(t: pa.Table) -> pa.Table:
+        md5 = pa.concat_arrays([
+            t.column("src_md5").combine_chunks(), t.column("dst_md5").combine_chunks(),
+        ])
+        bel = pa.concat_arrays([
+            t.column("src_bel").combine_chunks(), t.column("dst_bel").combine_chunks(),
+        ])
+        return pa.Table.from_arrays([md5, bel], names=["md5", "bel"])
+
+    bels = _dedup(ds.map_batches(_bels, batch_format="pyarrow"), "md5")
+    labelled = bucketed_attach(victims, "component", bels, "md5", ["bel"])
+    return labelled.map_batches(
+        lambda t: t.rename_columns(["victim", "survivor_md5", "survivor_bel"]),
+        batch_format="pyarrow",
+    )
+
+
 def collapse_nodes(graph: Graph, survivor_map: SurvivorMap, drop_relations=()) -> Graph:
     """Rewire all edges through the survivor map; drop victims + self edges."""
     if not survivor_map:
@@ -208,8 +246,120 @@ def collapse_nodes(graph: Graph, survivor_map: SurvivorMap, drop_relations=()) -
     return Graph(nodes, dedup_exact(edges, "edge_md5"))
 
 
+def collapse_nodes_ds(graph: Graph, survivor_ds, drop_relations=()) -> Graph:
+    """Fully distributed victim→survivor rewiring: the survivor map stays a
+    Dataset — no driver dict, no broadcast.
+
+    ``survivor_ds`` columns: (victim, survivor_md5, survivor_bel).  Two
+    bucketed LEFT lookup joins attach survivors to each edge's endpoints;
+    rewired rows get fresh content hashes; victims leave the node table via
+    a bucketed anti-join.  Semantics identical to :func:`collapse_nodes`
+    (the broadcast path remains the faster choice for small maps).
+    """
+    from .degree import bucketed_attach, bucketed_semi_join
+    from .graph import EDGE_COLUMNS
+
+    survivor_ds = survivor_ds.materialize()
+    drop_relations = set(drop_relations)
+
+    def _rename(frm, to):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([to if c == frm else c for c in t.column_names])
+
+        return _f
+
+    edges = graph.edges
+    if drop_relations:
+        rels = pa.array(sorted(drop_relations))
+
+        def _drop_rel(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.invert(pc.is_in(t.column("relation"), value_set=rels)),
+            )
+
+        edges = edges.map_batches(_drop_rel, batch_format="pyarrow")
+
+    lk = survivor_ds.map_batches(
+        lambda t: t.rename_columns([
+            {"victim": "victim", "survivor_md5": "s_md5", "survivor_bel": "s_bel"}[c]
+            for c in t.column_names
+        ]),
+        batch_format="pyarrow",
+    )
+    edges = bucketed_attach(edges, "src_md5", lk, "victim", ["s_md5", "s_bel"], how="left")
+    edges = edges.map_batches(_rename("s_md5", "_src_smd5"), batch_format="pyarrow")
+    edges = edges.map_batches(_rename("s_bel", "_src_sbel"), batch_format="pyarrow")
+    edges = bucketed_attach(edges, "dst_md5", lk, "victim", ["s_md5", "s_bel"], how="left")
+    edges = edges.map_batches(_rename("s_md5", "_dst_smd5"), batch_format="pyarrow")
+    edges = edges.map_batches(_rename("s_bel", "_dst_sbel"), batch_format="pyarrow")
+
+    def _rewrite(t: pa.Table) -> pa.Table:
+        src_s = t.column("_src_smd5")
+        dst_s = t.column("_dst_smd5")
+        touched_mask = pc.or_(pc.is_valid(src_s), pc.is_valid(dst_s))
+        new_src_md5 = pc.coalesce(src_s, t.column("src_md5"))
+        new_dst_md5 = pc.coalesce(dst_s, t.column("dst_md5"))
+        new_src_bel = pc.coalesce(t.column("_src_sbel"), t.column("src_bel"))
+        new_dst_bel = pc.coalesce(t.column("_dst_sbel"), t.column("dst_bel"))
+        keep = pc.invert(pc.equal(new_src_md5, new_dst_md5))
+
+        touched = touched_mask.combine_chunks().to_numpy(zero_copy_only=False)
+        old_md5 = t.column("edge_md5").to_pylist()
+        sb = new_src_bel.combine_chunks().to_pylist()
+        db = new_dst_bel.combine_chunks().to_pylist()
+        relations = t.column("relation").to_pylist()
+        evidences = t.column("evidence").to_pylist()
+        cit_db = t.column("citation_db").to_pylist()
+        cit_id = t.column("citation_id").to_pylist()
+        subj = t.column("subject_json").to_pylist()
+        obj = t.column("object_json").to_pylist()
+        new_md5 = []
+        for i in range(t.num_rows):
+            if not touched[i]:
+                new_md5.append(old_md5[i])
+                continue
+            data = {RELATION: relations[i]}
+            if evidences[i] is not None:
+                data["evidence"] = evidences[i]
+            if cit_db[i] is not None:
+                data["citation"] = {"db": cit_db[i], "db_id": cit_id[i]}
+            if subj[i]:
+                data["subject"] = json.loads(subj[i])
+            if obj[i]:
+                data["object"] = json.loads(obj[i])
+            new_md5.append(edge_md5(sb[i], db[i], data))
+
+        for name, arr in (
+            ("edge_md5", pa.array(new_md5, pa.string())),
+            ("src_md5", new_src_md5),
+            ("dst_md5", new_dst_md5),
+            ("src_bel", new_src_bel),
+            ("dst_bel", new_dst_bel),
+        ):
+            t = t.set_column(t.schema.get_field_index(name), name, arr)
+        return t.filter(keep).select(EDGE_COLUMNS)
+
+    edges = edges.map_batches(_rewrite, batch_format="pyarrow")
+    nodes = bucketed_semi_join(graph.nodes, "md5", survivor_ds, "victim", anti=True)
+    return Graph(nodes, dedup_exact(edges, "edge_md5"))
+
+
+#: survivor-map sizes at or below this use the broadcast dict rewrite
+_BROADCAST_MAP_BUDGET = 1_000_000
+
+
 def collapse_equivalences(graph: Graph, relations=(EQUIVALENT_TO,)) -> Graph:
-    """Collapse equivalence/orthology classes to their min-md5 representative."""
+    """Collapse equivalence/orthology classes to their min-md5 representative.
+
+    Hybrid: small relation subsets broadcast a driver survivor dict; large
+    ones run end-to-end distributed (label-propagation components +
+    Dataset survivor map + :func:`collapse_nodes_ds`)."""
+    from .filters import filter_edges
+
+    n = filter_edges(graph.edges, relation_filter(set(relations))).count()
+    if n > _DRIVER_EDGE_BUDGET:
+        survivor_ds = build_equivalence_survivor_ds(graph, relations)
+        return collapse_nodes_ds(graph, survivor_ds, drop_relations=set(relations))
     survivor_map = build_equivalence_survivor_map(graph, relations)
     return collapse_nodes(graph, survivor_map, drop_relations=set(relations))
 
@@ -218,16 +368,38 @@ def collapse_orthologies(graph: Graph) -> Graph:
     return collapse_equivalences(graph, relations=(ORTHOLOGOUS,))
 
 
+def _survivor_ds_from_edges(graph: Graph, relations):
+    """(victim=dst, survivor=src) Dataset from a relation edge subset —
+    the distributed survivor map of the variant/central-dogma collapses."""
+    from .filters import filter_edges
+    from ..stages.dedup import dedup_exact as _dedup
+
+    ds = filter_edges(graph.edges, relation_filter(set(relations)))
+
+    def _project(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t.column("dst_md5"), t.column("src_md5")))
+        t = t.filter(keep)
+        return pa.Table.from_arrays(
+            [t.column("dst_md5"), t.column("src_md5"), t.column("src_bel")],
+            names=["victim", "survivor_md5", "survivor_bel"],
+        )
+
+    return _dedup(ds.map_batches(_project, batch_format="pyarrow"), "victim")
+
+
 def collapse_all_variants(graph: Graph) -> Graph:
     """Collapse variant nodes to their parents (collapse.py:88-100).
 
-    Survivor = the hasVariant edge's source (the reference node).
+    Survivor = the hasVariant edge's source (the reference node).  Hybrid:
+    small survivor maps broadcast (dict rewrite); large ones stay a
+    Dataset and go through :func:`collapse_nodes_ds`.
     """
-    rows = _edge_pairs(graph, {HAS_VARIANT})
+    survivor_ds = _survivor_ds_from_edges(graph, {HAS_VARIANT}).materialize()
+    if survivor_ds.count() > _BROADCAST_MAP_BUDGET:
+        return collapse_nodes_ds(graph, survivor_ds, drop_relations={HAS_VARIANT})
     survivor_map = {
-        r["dst_md5"]: (r["src_md5"], r["src_bel"])
-        for r in rows
-        if r["dst_md5"] != r["src_md5"]
+        r["victim"]: (r["survivor_md5"], r["survivor_bel"])
+        for r in survivor_ds.take_all()
     }
     return collapse_nodes(graph, survivor_map, drop_relations={HAS_VARIANT})
 
@@ -243,10 +415,41 @@ def collapse_to_genes(graph: Graph) -> Graph:
     graph = enrich_protein_and_rna_origins(graph)
     graph = graph.materialize()
 
-    t_rows = _edge_pairs(graph, {TRANSCRIBED_TO})
-    gene_of_rna = {}
-    for r in t_rows:
-        gene_of_rna[r["dst_md5"]] = (r["src_md5"], r["src_bel"])
+    gene_of_rna_ds = _survivor_ds_from_edges(graph, {TRANSCRIBED_TO}).materialize()
+
+    if gene_of_rna_ds.count() > _BROADCAST_MAP_BUDGET:
+        # distributed: protein -> gene via one bucketed lookup join of the
+        # translatedTo edges (key = rna) against the rna -> gene map
+        from .degree import bucketed_attach
+        from .filters import filter_edges
+        from ..stages.dedup import dedup_exact as _dedup
+
+        translated = filter_edges(graph.edges, relation_filter({TRANSLATED_TO}))
+        prot = bucketed_attach(
+            translated.select_columns(["src_md5", "dst_md5"]),
+            "src_md5", gene_of_rna_ds, "victim",
+            ["survivor_md5", "survivor_bel"],
+        )
+
+        def _prot_rows(t: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.equal(t.column("dst_md5"), t.column("survivor_md5")))
+            t = t.filter(keep)
+            return pa.Table.from_arrays(
+                [t.column("dst_md5"), t.column("survivor_md5"), t.column("survivor_bel")],
+                names=["victim", "survivor_md5", "survivor_bel"],
+            )
+
+        survivor_ds = _dedup(gene_of_rna_ds.union(
+            prot.map_batches(_prot_rows, batch_format="pyarrow"),
+        ), "victim")
+        return collapse_nodes_ds(
+            graph, survivor_ds, drop_relations={TRANSCRIBED_TO, TRANSLATED_TO},
+        )
+
+    gene_of_rna = {
+        r["victim"]: (r["survivor_md5"], r["survivor_bel"])
+        for r in gene_of_rna_ds.take_all()
+    }
     survivor_map = dict(gene_of_rna)
     for r in _edge_pairs(graph, {TRANSLATED_TO}):
         rna = r["src_md5"]

@@ -199,14 +199,18 @@ def bucketed_attach(
     lookup_key: str,
     value_cols,
     num_buckets: int = 64,
+    how: str = "inner",
 ):
     """Distributed lookup join: attach ``value_cols`` from ``lookup`` to
-    every row of ``ds`` by key (inner; rows with no match are dropped).
+    every row of ``ds`` by key (``how='inner'`` drops non-matching rows,
+    ``how='left'`` keeps them with null values).
 
     Same bucketed union+groupby shape as :func:`bucketed_semi_join`, but
     each bucket resolves a vectorized ``pc.index_in`` + ``take`` instead of
     a membership filter.  ``lookup`` must be unique on ``lookup_key``.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(how)
     value_cols = list(value_cols)
     schema = ds.schema()
     base = getattr(schema, "base_schema", None) or schema
@@ -246,11 +250,13 @@ def bucketed_attach(
         data = group.filter(pc.invert(is_lkp))
         keys_arr = lkp.column(key).combine_chunks()
         idx = pc.index_in(data.column(key), value_set=keys_arr)
-        mask = pc.is_valid(idx)
-        data = data.filter(mask)
-        hit = pc.filter(idx, mask)
+        if how == "inner":
+            mask = pc.is_valid(idx)
+            data = data.filter(mask)
+            idx = pc.filter(idx, mask)
+        # pc.take propagates null indices as null values (the left join)
         for c in value_cols:
-            vals = pc.take(lkp.column(c).combine_chunks(), hit)
+            vals = pc.take(lkp.column(c).combine_chunks(), idx)
             data = data.set_column(
                 data.schema.get_field_index(c), c, vals,
             )

@@ -148,14 +148,21 @@ def infer_child_relations(graph: Graph, node_md5: str) -> Graph:
     (reference transfer.py:24-60): for each ``child isA parent`` edge where
     parent == node, copy the parent's causal edges onto the child.
     """
-    from .filters import filter_edges, relation_filter
+    def _isa_children(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(t.column("relation"), IS_A),
+            pc.equal(t.column("dst_md5"), node_md5),
+        )
+        return t.filter(m).select(["src_md5", "src_bel"])
 
-    isa_rows = filter_edges(graph.edges, relation_filter(IS_A)).select_columns(
-        ["src_md5", "src_bel", "dst_md5"],
-    ).take_all()
-    children = [
-        (r["src_md5"], r["src_bel"]) for r in isa_rows if r["dst_md5"] == node_md5
-    ]
+    children = []
+    for batch in graph.edges.map_batches(
+        _isa_children, batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        children.extend(zip(
+            batch.column("src_md5").to_pylist(),
+            batch.column("src_bel").to_pylist(),
+        ))
     if not children:
         return graph
 

@@ -97,6 +97,34 @@ def test_left_outer_join_distributed_path(ray_session, monkeypatch):
     assert edges == ["a-b", "b-c", "c-d"]
 
 
+def test_collapse_fully_distributed_paths(ray_session, monkeypatch):
+    """Forcing every collapse budget to 0 must reproduce the broadcast
+    results exactly (collapse_nodes_ds / survivor-ds / attach joins)."""
+    from pybel_ray.pages import default_registry, pages_dataset
+    from pybel_ray.pipeline import compile_pages
+    from pybel_ray.struct import collapse as c
+
+    kg = compile_pages(pages_dataset(6, seed=9, block_pages=3),
+                       default_registry(), batch_size=4)
+    graph = kg.graph().materialize()
+
+    def key(g):
+        return (
+            sorted(r["md5"] for r in g.nodes.take_all()),
+            sorted(r["edge_md5"] for r in g.edges.take_all()),
+        )
+
+    base_eq = key(c.collapse_equivalences(graph))
+    base_var = key(c.collapse_all_variants(graph))
+    base_genes = key(c.collapse_to_genes(graph))
+
+    monkeypatch.setattr(c, "_DRIVER_EDGE_BUDGET", 0)
+    monkeypatch.setattr(c, "_BROADCAST_MAP_BUDGET", 0)
+    assert key(c.collapse_equivalences(graph)) == base_eq
+    assert key(c.collapse_all_variants(graph)) == base_var
+    assert key(c.collapse_to_genes(graph)) == base_genes
+
+
 def test_equivalence_collapse_distributed_path(ray_session, monkeypatch):
     import ray.data
 
