@@ -372,6 +372,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_exact_dedup(sf_dir):
         return exact_dedup(_read(sf_dir, "documents"))
 
+    def doc_quality_score(sf_dir):
+        from pybel_ray.ops.text import add_quality_score
+
+        ds = add_quality_score(_read(sf_dir, "documents"))
+        return ds.select_columns(["doc_id", "n_stopwords", "quality_ok"])
+
+    def doc_bpe_token_counts(sf_dir):
+        from pybel_ray.ops.text import add_bpe_token_counts
+
+        ds = add_bpe_token_counts(_read(sf_dir, "documents"))
+        return ds.select_columns(["doc_id", "n_bpe_tokens"])
+
     # -- text analysis family (rows-only: custom hashes) ---------------------
 
     def doc_fingerprints(sf_dir):
@@ -555,6 +567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_stats": doc_quality_stats,
         "doc_lang_id": doc_lang_id,
         "doc_exact_dedup": doc_exact_dedup,
+        "doc_quality_score": doc_quality_score,
+        "doc_bpe_token_counts": doc_bpe_token_counts,
         "doc_fingerprints": doc_fingerprints,
         "doc_fingerprints_md5": doc_fingerprints_md5,
         "doc_minhash_near_dups": doc_minhash_near_dups,
@@ -689,6 +703,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_label_hist":
             "SELECT label, count(*) AS n FROM embeddings GROUP BY label",
+        "doc_quality_score": """
+            WITH p AS (
+                SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CAST({stop_expr} AS BIGINT) AS n_stopwords,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+                FROM p
+            )
+            SELECT doc_id, n_stopwords,
+                   (n_stopwords >= 2 AND n_chars >= 50 AND n_digits * 5 < n_chars)
+                       AS quality_ok
+            FROM s
+        """.format(stop_expr=" + ".join(
+            "(length(padded) - length(replace(padded, ' {w} ', ''))) / {n}".format(
+                w=w, n=len(w) + 2,
+            )
+            for w in [
+                "the", "and", "of", "to", "in", "a", "is", "that", "for", "it",
+            ]
+        )),
+        "doc_bpe_token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
         "emb_knn_multi": """
             WITH q AS (
                 SELECT CAST(0 AS BIGINT) AS query_idx, embedding

@@ -20,6 +20,10 @@ __all__ = [
     "add_lang_id",
     "add_fingerprint",
     "add_fingerprint_md5",
+    "add_quality_score",
+    "add_bpe_token_counts",
+    "STOPWORDS",
+    "BPE_TOKEN_PATTERN",
     "exact_dedup",
     "LANG_MARKERS",
 ]
@@ -120,6 +124,63 @@ def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
     def _f(t: pa.Table) -> pa.Table:
         vals = [_fingerprint(v) for v in t.column(text_col).to_pylist()]
         return t.append_column(out_col, pa.array(vals, pa.int64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+#: common-word markers for the stopword-ratio quality signal; space-padded
+#: substring counts so a SQL oracle reproduces the numbers exactly
+STOPWORDS = ["the", "and", "of", "to", "in", "a", "is", "that", "for", "it"]
+
+#: BPE-ish pretokenizer (ASCII approximation of the GPT-2 pattern, written
+#: in portable RE2 so pyarrow and DuckDB count identical matches):
+#: letter runs | digit runs | non-alnum-non-space runs
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def add_quality_score(ds, text_col: str = "text"):
+    """Gopher-style quality signals: stopword hits + ratio flags.
+
+    ``n_stopwords`` counts space-padded stopword occurrences on the
+    lowercased text; ``quality_ok`` = has ≥2 stopword hits AND ≥50 chars
+    AND digit fraction < 20% (all integer/boolean so the DuckDB oracle
+    compares exactly).
+    """
+
+    def _f(t: pa.Table) -> pa.Table:
+        padded = pc.binary_join_element_wise(
+            " ", pc.utf8_lower(t.column(text_col)), " ", "",
+        )
+        total = None
+        for w in STOPWORDS:
+            c = pc.count_substring(padded, " {} ".format(w))
+            total = c if total is None else pc.add(total, c)
+        n_stop = total.cast(pa.int64())
+        n_chars = pc.utf8_length(t.column(text_col)).cast(pa.int64())
+        n_digits = pc.count_substring_regex(t.column(text_col), r"[0-9]").cast(pa.int64())
+        ok = pc.and_(
+            pc.and_(
+                pc.greater_equal(n_stop, 2),
+                pc.greater_equal(n_chars, 50),
+            ),
+            pc.less(pc.multiply(n_digits, 5), n_chars),
+        )
+        t = t.append_column("n_stopwords", n_stop)
+        return t.append_column("quality_ok", ok)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def add_bpe_token_counts(ds, text_col: str = "text", out_col: str = "n_bpe_tokens"):
+    """BPE-ish pretokenizer count: matches of ``BPE_TOKEN_PATTERN``
+    (letters | digits | punct runs) — one RE2 pass, reproducible in SQL
+    via ``len(regexp_extract_all(text, pattern))``."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        counts = pc.count_substring_regex(
+            t.column(text_col), BPE_TOKEN_PATTERN,
+        ).cast(pa.int64())
+        return t.append_column(out_col, counts)
 
     return ds.map_batches(_f, batch_format="pyarrow")
 
