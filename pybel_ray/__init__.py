@@ -17,3 +17,41 @@ from .canon import (  # noqa: F401
 from .grammar import BELStatementParser, ConceptValidator, Emissions, TermParser  # noqa: F401
 from .parsing import ControlParser, MetadataParser, compile_document  # noqa: F401
 from .resources import ResourceRegistry  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (mirrors the reference's flat ``pybel`` namespace
+    without importing Ray at package-import time)."""
+    lazy = {
+        # pipeline
+        "compile_pages": ("pybel_ray.pipeline", "compile_pages"),
+        "KGTables": ("pybel_ray.pipeline", "KGTables"),
+        "CheckpointedCompile": ("pybel_ray.pipeline", "CheckpointedCompile"),
+        # graph container + persistence
+        "Graph": ("pybel_ray.struct.graph", "Graph"),
+        "save_graph": ("pybel_ray.io_bulk", "save_graph"),
+        "load_graph": ("pybel_ray.io_bulk", "load_graph"),
+        "from_edge_table": ("pybel_ray.io_bulk", "from_edge_table"),
+        # interchange (reference flat-API parity)
+        "to_nodelink": ("pybel_ray.export.nodelink", "to_nodelink"),
+        "from_nodelink": ("pybel_ray.export.nodelink", "from_nodelink"),
+        "to_cx": ("pybel_ray.export.interchange", "to_cx"),
+        "from_cx": ("pybel_ray.export.interchange", "from_cx"),
+        "to_jgif": ("pybel_ray.export.interchange", "to_jgif"),
+        "from_jgif": ("pybel_ray.export.interchange", "from_jgif"),
+        "from_cbn_jgif": ("pybel_ray.export.interchange", "from_cbn_jgif"),
+        "to_graphdati": ("pybel_ray.export.interchange", "to_graphdati"),
+        "to_bel_script_lines": ("pybel_ray.export.bel_script", "to_bel_script_lines"),
+        "serialize": ("pybel_ray.io_registry", "serialize"),
+        "deserialize": ("pybel_ray.io_registry", "deserialize"),
+        # protocol
+        "Pipeline": ("pybel_ray.struct.pipeline_protocol", "Pipeline"),
+        "Query": ("pybel_ray.struct.pipeline_protocol", "Query"),
+    }
+    try:
+        module, attr = lazy[name]
+    except KeyError:
+        raise AttributeError(name) from None
+    import importlib
+
+    return getattr(importlib.import_module(module), attr)
