@@ -26,6 +26,7 @@ __all__ = [
     "expand_upstream",
     "expand_downstream",
     "get_random_subgraph",
+    "write_subgraphs_by_annotation",
 ]
 
 
@@ -398,6 +399,39 @@ def group_subgraphs_by_annotation(graph: Graph, key: str) -> dict:
         edges = filter_edges(graph.edges, annotation_value_filter(key, value))
         out[value] = _graph_from_edges(graph, edges.materialize())
     return out
+
+
+def write_subgraphs_by_annotation(graph: Graph, key: str, out_dir: str) -> None:
+    """The scale path of :func:`group_subgraphs_by_annotation`: write the
+    edge table partitioned by annotation value instead of materializing one
+    driver-side Graph per group.
+
+    Each edge row is exploded once per value of ``key`` it carries
+    (vectorized-ish JSON scan inside ``map_batches``) and the whole stream
+    lands as ``out_dir/_group=<value>/*.parquet`` — a failed run resumes by
+    partition, and each group is a pruned read.
+    """
+    import json as _json
+
+    from .graph import EDGE_COLUMNS
+
+    def _explode(t: pa.Table) -> pa.Table:
+        take_idx, groups = [], []
+        for i, aj in enumerate(t.column("annotations_json").to_pylist()):
+            if not aj:
+                continue
+            entry = _json.loads(aj).get(key)
+            if not entry:
+                continue
+            for value in entry:
+                take_idx.append(i)
+                groups.append(value)
+        out = t.select(EDGE_COLUMNS).take(pa.array(take_idx, pa.int64()))
+        return out.append_column("_group", pa.array(groups, pa.string()))
+
+    graph.edges.map_batches(_explode, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["_group"],
+    )
 
 
 def group_subgraphs_by_citation(graph: Graph, min_edges: int = 1) -> dict:

@@ -166,8 +166,23 @@ class Query:
         })
         return self
 
+    def append_seeding_upstream(self, node_md5s, hops: int = 1) -> "Query":
+        """Upstream causal seeding (reference seeding.py SEED_TYPE_UPSTREAM)."""
+        self.seeding.append({
+            "type": "upstream", "node_md5s": list(node_md5s), "hops": hops,
+        })
+        return self
+
+    def append_seeding_downstream(self, node_md5s, hops: int = 1) -> "Query":
+        self.seeding.append({
+            "type": "downstream", "node_md5s": list(node_md5s), "hops": hops,
+        })
+        return self
+
     def run(self, graph: Graph) -> Graph:
         from .induction import (
+            expand_downstream,
+            expand_upstream,
             get_random_subgraph,
             get_subgraph_by_annotation_value,
             get_subgraph_by_neighborhood,
@@ -189,6 +204,14 @@ class Query:
                     parts.append(get_random_subgraph(
                         graph, seed.get("number_edges", 250),
                         seed=seed.get("seed"),
+                    ))
+                elif seed["type"] == "upstream":
+                    parts.append(expand_upstream(
+                        graph, seed["node_md5s"], seed.get("hops", 1),
+                    ))
+                elif seed["type"] == "downstream":
+                    parts.append(expand_downstream(
+                        graph, seed["node_md5s"], seed.get("hops", 1),
                     ))
                 else:
                     raise ValueError("unknown seed type: {}".format(seed["type"]))

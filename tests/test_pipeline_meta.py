@@ -61,6 +61,42 @@ def test_universe_transformation(kg_graph):
         p.run(small)
 
 
+def test_query_upstream_downstream_seeding(kg_graph):
+    from pybel_ray.struct.induction import expand_upstream
+    from pybel_ray.struct.pipeline_protocol import Query
+
+    seed = kg_graph.edges.take(1)[0]["dst_md5"]
+    q = Query().append_seeding_upstream([seed], hops=1)
+    # round-trip through JSON like a stored query plan
+    out = Query.from_json(q.to_json()).run(kg_graph)
+    direct = expand_upstream(kg_graph, [seed], 1)
+    assert sorted(r["md5"] for r in out.nodes.take_all()) == sorted(
+        r["md5"] for r in direct.nodes.take_all()
+    )
+
+
+def test_write_subgraphs_by_annotation(kg_graph, tmp_path):
+    import glob
+    import json
+
+    from pybel_ray.struct.induction import (
+        group_subgraphs_by_annotation,
+        write_subgraphs_by_annotation,
+    )
+
+    out = str(tmp_path / "groups")
+    write_subgraphs_by_annotation(kg_graph, "Species", out)
+    parts = glob.glob(out + "/_group=*/")
+    groups = group_subgraphs_by_annotation(kg_graph, "Species")
+    assert len(parts) == len(groups)
+    # per-partition edge counts match the materialized groups
+    import ray.data
+
+    for value, g in groups.items():
+        part = ray.data.read_parquet("{}/_group={}".format(out, value))
+        assert part.count() == g.edges.count()
+
+
 def test_registered_transformations_lists_universe():
     from pybel_ray.struct.pipeline_protocol import registered_transformations
 
