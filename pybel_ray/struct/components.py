@@ -19,11 +19,34 @@ silently returning partial labels.
 
 from __future__ import annotations
 
+import logging
+import time
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+logger = logging.getLogger(__name__)
+
 __all__ = ["connected_components"]
+
+
+def _snapshot(ds):
+    """Materialize ``ds`` and rebind it as a fresh block-ref Dataset.
+
+    ``materialize()`` alone does NOT cut logical-plan lineage: a plan that
+    consumes one upstream twice (the label table feeds both sides of the
+    pointer-doubling join) embeds that upstream's plan twice, so across
+    propagation rounds plan size — and with it per-round planning time —
+    grows GEOMETRICALLY (measured 1.7×/round).  Re-wrapping the
+    materialized blocks via ``from_arrow_refs`` starts the next round from
+    a constant-size plan; block refs stay in the object store, nothing
+    moves through the driver.
+    """
+    import ray.data
+
+    mat = ds.materialize()
+    return ray.data.from_arrow_refs(mat.to_arrow_refs())
 
 
 def connected_components(
@@ -32,6 +55,7 @@ def connected_components(
     b_col: str = "dst_md5",
     max_iters: int = 25,
     num_buckets: int = 64,
+    label_blocks: int = 16,
 ):
     """(id, component) Dataset from an edge-pair Dataset; component = the
     lexicographic-min member id, so labels are deterministic.
@@ -56,9 +80,9 @@ def connected_components(
         nbr = pa.concat_arrays([b, a])
         return pa.Table.from_arrays([key, nbr], names=["id", "nbr"])
 
-    topo = pairs.select_columns([a_col, b_col]).map_batches(
+    topo = _snapshot(pairs.select_columns([a_col, b_col]).map_batches(
         _explode, batch_format="pyarrow",
-    ).materialize()
+    ))
 
     # labels: id -> current component label, initialized to self (distinct)
     def _self_label(t: pa.Table) -> pa.Table:
@@ -67,11 +91,13 @@ def connected_components(
             ids = ids.combine_chunks()
         return pa.Table.from_arrays([ids, ids], names=["id", "label"])
 
-    labels = dedup_exact(
+    labels = _snapshot(dedup_exact(
         topo.select_columns(["id"]), "id",
-    ).map_batches(_self_label, batch_format="pyarrow").materialize()
+    ).map_batches(_self_label, batch_format="pyarrow"))
+    sig = _label_signature(labels)
 
-    for _ in range(max_iters):
+    for round_no in range(max_iters):
+        _round_t0 = time.time()
         # 1) attach each node's label to its outgoing messages:
         #    union(topology rows, label rows) grouped by id-bucket; within a
         #    bucket a vectorized dictionary lookup rewrites nbr-messages to
@@ -99,6 +125,20 @@ def connected_components(
         )
         tagged_labels = labels.map_batches(_label_side, batch_format="pyarrow")
 
+        def _min_per_id(t: pa.Table) -> pa.Table:
+            # (id, label) rows -> one row per id carrying its min label
+            if t.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.string()), pa.array([], pa.string())],
+                    names=["id", "label"],
+                )
+            t = t.sort_by([("id", "ascending"), ("label", "ascending")])
+            ids = t.column("id").combine_chunks()
+            codes = ids.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+            _, first = np.unique(codes, return_index=True)
+            first.sort()
+            return t.take(pa.array(first))
+
         def _send(group: pa.Table) -> pa.Table:
             has_label = pc.is_valid(group.column("label"))
             lab = group.filter(has_label)
@@ -116,82 +156,102 @@ def connected_components(
                 sent.combine_chunks() if isinstance(sent, pa.ChunkedArray) else sent,
                 lab_vals,
             ])
-            return pa.Table.from_arrays(
+            out = pa.Table.from_arrays(
                 [out_id, out_label], names=["id", "label"],
             )
+            # pre-combine (one row per destination id) and re-key on the
+            # DESTINATION id's bucket so the min-reduce can group by the
+            # int bucket column instead of sort-shuffling string ids
+            return add_hash_bucket(_min_per_id(out), "id", num_buckets)
 
         messages = tagged_topo.union(tagged_labels).groupby("_bucket").map_groups(
             _send, batch_format="pyarrow",
         )
 
-        # 2) take the min label per node; count changes vs the old label
-        def _local_min(t: pa.Table) -> pa.Table:
-            # per-block combiner: one row per id before the exchange
-            if t.num_rows == 0:
+        # 2) min label per node: a bucket holds every message for its ids,
+        #    so a bucket-local min is the global min
+        def _min_group(group: pa.Table) -> pa.Table:
+            return _min_per_id(group.select(["id", "label"]))
+
+        # coalesce to a bounded block count before materializing: union +
+        # groupby preserve input block counts, so without this the label
+        # table's blocks (and with them per-round fixed costs) grow
+        # geometrically round over round
+        new_labels = _snapshot(messages.groupby("_bucket").map_groups(
+            _min_group, batch_format="pyarrow",
+        ).repartition(label_blocks))
+        _t_min = time.time() - _round_t0
+
+        # pointer doubling: label := label(label).  One extra bucketed
+        # lookup join per round turns O(diameter) convergence into
+        # O(log diameter) — a path graph of length 2^k converges in ~k
+        # rounds instead of 2^k (labels only ever shrink, so this is safe).
+        # Gated to round >= 2: equivalence/orthology classes are near-stars
+        # that converge in <=2 plain rounds, so the common case never pays
+        # the extra exchange; deep chains start doubling from round 3.
+        if round_no >= 2:
+            from .degree import bucketed_attach
+
+            lookup = new_labels.map_batches(
+                lambda t: t.rename_columns(["lid", "llabel"]),
+                batch_format="pyarrow",
+            )
+            doubled = bucketed_attach(
+                new_labels, "label", lookup, "lid", ["llabel"], how="left",
+            )
+
+            def _jump(t: pa.Table) -> pa.Table:
+                label = pc.coalesce(t.column("llabel"), t.column("label"))
                 return pa.Table.from_arrays(
-                    [pa.array([], pa.string()), pa.array([], pa.string())],
+                    [t.column("id").combine_chunks(),
+                     label.combine_chunks()
+                     if isinstance(label, pa.ChunkedArray) else label],
                     names=["id", "label"],
                 )
-            t = t.sort_by([("id", "ascending"), ("label", "ascending")])
-            ids = t.column("id").combine_chunks()
-            codes = ids.dictionary_encode().indices.to_numpy(zero_copy_only=False)
-            _, first = np.unique(codes, return_index=True)
-            first.sort()
-            return t.take(pa.array(first))
 
-        messages = messages.map_batches(_local_min, batch_format="pyarrow")
-        new_labels = messages.groupby("id").min("label")
+            new_labels = _snapshot(doubled.map_batches(
+                _jump, batch_format="pyarrow",
+            ).repartition(label_blocks))
 
-        def _rename(t: pa.Table) -> pa.Table:
-            return t.rename_columns(
-                ["id" if c == "id" else "label" for c in t.column_names],
-            )
-
-        new_labels = new_labels.map_batches(_rename, batch_format="pyarrow").materialize()
-
-        # convergence: did any label shrink?  join old/new by id-bucket and
-        # compare — same bucketed-union shape as above, tiny payload
-        def _old_side(t: pa.Table) -> pa.Table:
-            t = pa.Table.from_arrays(
-                [t.column("id"), t.column("label"),
-                 pa.array(np.zeros(t.num_rows, dtype=bool))],
-                names=["id", "label", "new"],
-            )
-            return add_hash_bucket(t, "id", num_buckets)
-
-        def _new_side(t: pa.Table) -> pa.Table:
-            t = pa.Table.from_arrays(
-                [t.column("id"), t.column("label"),
-                 pa.array(np.ones(t.num_rows, dtype=bool))],
-                names=["id", "label", "new"],
-            )
-            return add_hash_bucket(t, "id", num_buckets)
-
-        def _diff(group: pa.Table) -> pa.Table:
-            new = group.filter(group.column("new"))
-            old = group.filter(pc.invert(group.column("new")))
-            idx = pc.index_in(new.column("id"), value_set=old.column("id").combine_chunks())
-            old_label = pc.take(old.column("label").combine_chunks(), idx)
-            changed = pc.sum(
-                pc.cast(pc.not_equal(new.column("label").combine_chunks(), old_label),
-                        pa.int64()),
-            ).as_py() or 0
-            return pa.Table.from_arrays(
-                [pa.array([changed], pa.int64())], names=["changed"],
-            )
-
-        changed = (
-            labels.map_batches(_old_side, batch_format="pyarrow")
-            .union(new_labels.map_batches(_new_side, batch_format="pyarrow"))
-            .groupby("_bucket").map_groups(_diff, batch_format="pyarrow")
-            .sum("changed")
-        ) or 0
+        # convergence: labels only ever shrink, so the (id, label) multiset
+        # changes iff ANY label changed — compare an order-independent
+        # 50-bit hash signature of the label table against last round's
+        # (one tiny per-batch partial + a driver sum; NO extra exchange;
+        # false convergence odds ~2^-50 per round)
+        _t_dbl = time.time() - _round_t0
+        new_sig = _label_signature(new_labels)
         labels = new_labels
-        if changed == 0:
+        logger.info(
+            "connected_components round %d: signature %s -> %s "
+            "(%.1fs: min %.1f dbl %.1f sig %.1f)",
+            round_no, sig, new_sig, time.time() - _round_t0,
+            _t_min, _t_dbl - _t_min, time.time() - _round_t0 - _t_dbl,
+        )
+        if new_sig == sig:
             return labels.map_batches(
                 lambda t: t.rename_columns(["id", "component"]),
                 batch_format="pyarrow",
             )
+        sig = new_sig
     raise RuntimeError(
         "connected_components did not converge in {} rounds".format(max_iters),
     )
+
+
+def _label_signature(labels) -> int:
+    """Order-independent hash signature of an (id, label) Dataset.
+
+    Per-batch: vectorized row hashes (pandas' uint64 hash) summed with
+    wraparound, masked to 50 bits so the driver-side sum of per-batch
+    partials stays well inside int64.  Equal multisets always produce
+    equal signatures; distinct ones collide with probability ~2^-50.
+    """
+    import pandas as pd
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.select(["id", "label"]).to_pandas()
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+        s = int(h.sum(dtype=np.uint64) & np.uint64((1 << 50) - 1))
+        return pa.Table.from_arrays([pa.array([s], pa.int64())], names=["sig"])
+
+    return int(labels.map_batches(_partial, batch_format="pyarrow").sum("sig") or 0)

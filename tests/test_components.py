@@ -26,6 +26,23 @@ def test_connected_components_basic(ray_session):
     ]
 
 
+def test_connected_components_deep_chain(ray_session):
+    """A 100-edge path needs ~100 plain propagation rounds; pointer
+    doubling must converge it within the default max_iters."""
+    import ray.data
+
+    from pybel_ray.struct.components import connected_components
+
+    nodes = ["n%03d" % i for i in range(101)]
+    pairs = list(zip(nodes, nodes[1:]))
+    ds = ray.data.from_items(
+        [{"src_md5": a, "dst_md5": b} for a, b in pairs],
+    ).repartition(4)
+    got = {r["id"]: r["component"] for r in connected_components(ds).take_all()}
+    assert set(got.values()) == {"n000"}
+    assert len(got) == 101
+
+
 def test_connected_components_matches_union_find(ray_session):
     """Random graph: label propagation == driver union-find."""
     import ray.data
