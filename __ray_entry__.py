@@ -415,6 +415,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["doc_id"])
 
+    def doc_dedup_corpus_exact(sf_dir):
+        # exact n-gram Jaccard pairs -> connected components -> one
+        # survivor (min doc_id) per cluster; fully SQL-expressible, so
+        # this end-to-end dedup pipeline has a DuckDB oracle
+        from pybel_ray.ops.dedup_approx import near_dedup_corpus
+
+        out = near_dedup_corpus(
+            _read(sf_dir, "documents"), method="ngram", threshold=0.5,
+        )
+        return out.select_columns(["doc_id"])
+
     # -- similarity family ---------------------------------------------------
 
     def emb_knn_brute(sf_dir):
@@ -576,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": doc_simhash_pairs,
         "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
         "doc_dedup_corpus": doc_dedup_corpus,
+        "doc_dedup_corpus_exact": doc_dedup_corpus_exact,
         # similarity
         "emb_knn_brute": emb_knn_brute,
         "emb_knn_lsh": emb_knn_lsh,
@@ -595,6 +607,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+#: exact character-5-gram Jaccard pairs at threshold 0.5 over the
+#: ``documents`` view — shared by the pair query and the dedup-corpus
+#: oracle.  Normalization mirrors the engine (lower + whitespace collapse);
+#: shingles are the LITERAL 5-grams (the engine's 64-bit shingle hashes are
+#: collision-free here, so counts and scores agree exactly).
+_NGRAM_PAIRS_SQL = r"""
+    SELECT id_a, id_b, jaccard FROM (
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+            FROM documents
+        ),
+        padded AS (
+            SELECT doc_id,
+                   CASE WHEN length(s) < 5 THEN rpad(s, 5, ' ') ELSE s END AS s
+            FROM norm
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id, substr(s, i, 5) AS g
+            FROM padded,
+                 LATERAL (SELECT unnest(generate_series(1, length(s) - 4)) AS i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM shingles a JOIN shingles b
+                 ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT CAST(id_a AS BIGINT) AS id_a,
+               CAST(id_b AS BIGINT) AS id_b,
+               i::DOUBLE / (sa.c + sb.c - i) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= 0.5
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     langid_hits = {
@@ -761,4 +812,25 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
         """,
+        # Literal character-5-gram Jaccard: the engine hashes shingles
+        # (64-bit polynomial; collision-free on these corpora), so set
+        # sizes/intersections — and therefore every score — match the
+        # literal-shingle SQL bit-for-bit (verified at sf0.001/sf0.01).
+        "doc_ngram_jaccard_dups": _NGRAM_PAIRS_SQL,
+        "doc_dedup_corpus_exact": r"""
+            WITH RECURSIVE pairs AS ({pairs}),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+            ),
+            comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
+        """.format(pairs=_NGRAM_PAIRS_SQL),
     }
