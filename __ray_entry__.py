@@ -442,7 +442,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return groupby_count(_read(sf_dir, "embeddings"), "label")
 
     def emb_near_dups(sf_dir):
-        return embedding_near_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.8)
+        pairs = embedding_near_dup_pairs(
+            _read(sf_dir, "embeddings"), threshold=0.8,
+        ).select_columns(["id_a", "id_b"])
+        # Arrow table so a 0-pair result keeps its (id_a, id_b) schema for
+        # the driver's schema check (an empty Dataset drops column
+        # metadata through to_pandas)
+        tables = [b for b in pairs.iter_batches(batch_format="pyarrow")]
+        if not tables:
+            return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()
+        return pa.concat_tables(tables)
 
     def emb_near_dups_exact(sf_dir):
         pairs = embedding_near_dup_pairs_brute(
@@ -646,6 +655,25 @@ _NGRAM_PAIRS_SQL = r"""
     ) WHERE jaccard >= 0.5
 """
 
+#: end-to-end corpus dedup over the exact pairs: connected components via
+#: a recursive CTE, one survivor (min doc_id) per cluster.
+_DEDUP_CORPUS_SQL = r"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
+""".format(pairs=_NGRAM_PAIRS_SQL)
+
 
 def oracle_sql() -> dict[str, str]:
     langid_hits = {
@@ -817,20 +845,25 @@ def oracle_sql() -> dict[str, str]:
         # sizes/intersections — and therefore every score — match the
         # literal-shingle SQL bit-for-bit (verified at sf0.001/sf0.01).
         "doc_ngram_jaccard_dups": _NGRAM_PAIRS_SQL,
-        "doc_dedup_corpus_exact": r"""
-            WITH RECURSIVE pairs AS ({pairs}),
-            edges AS (
-                SELECT id_a AS a, id_b AS b FROM pairs
-                UNION
-                SELECT id_b, id_a FROM pairs
-            ),
-            reach(id, r) AS (
-                SELECT DISTINCT a, a FROM edges
-                UNION
-                SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
-            ),
-            comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
-            SELECT doc_id FROM documents
-            WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
-        """.format(pairs=_NGRAM_PAIRS_SQL),
+        # MinHash-LSH shares the same shingle hashes and verifies every
+        # candidate with EXACT Jaccard, so precision is exact by
+        # construction; recall is 1.0 on these corpora with the fixed seed
+        # (pairs AND scores verified equal to the exact path at
+        # sf0.001/sf0.01, batch-composition-independent — per-document
+        # signatures), so the exact-pair SQL is a sound oracle.
+        "doc_minhash_near_dups": _NGRAM_PAIRS_SQL,
+        "doc_dedup_corpus_exact": _DEDUP_CORPUS_SQL,
+        # minhash-pair dedup == exact-pair dedup here (same reasoning as
+        # doc_minhash_near_dups; survivor sets verified equal at both sf)
+        "doc_dedup_corpus": _DEDUP_CORPUS_SQL,
+        # banded hyperplane LSH computes EXACT cosine inside buckets (no
+        # false positives); miss rate ~2e-4/pair at the threshold and the
+        # planted corpus yields pairs only at cosine where recall is 1.0
+        # with the fixed seed (verified equal to brute at sf0.001/sf0.01)
+        "emb_near_dups": """
+            SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+                   CAST(b.vec_id AS BIGINT) AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+        """,
     }
