@@ -426,6 +426,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["doc_id"])
 
+    def doc_repetition_stats(sf_dir):
+        # Gopher-style within-document repetition signals
+        from pybel_ray.ops.lines import repetition_stats
+
+        return repetition_stats(_read(sf_dir, "documents")).select_columns([
+            "doc_id", "n_words", "n_distinct_words", "dup_word_frac",
+            "top_bigram_count", "top_bigram_frac", "max_word_run",
+        ])
+
+    def doc_duplicated_words(sf_dir):
+        # CCNet-style cross-document segment frequency at word granularity
+        # (the synthetic docs have no newlines; min_docs=150 ≈ 30% of the
+        # 500-doc corpus)
+        from pybel_ray.ops.lines import duplicated_segments
+
+        return duplicated_segments(
+            _read(sf_dir, "documents"), sep=" ", min_docs=150,
+        )
+
+    def doc_word_dedup(sf_dir):
+        # full strip-duplicated-segments pipeline at word granularity
+        from pybel_ray.ops.lines import remove_duplicated_segments
+
+        out = remove_duplicated_segments(
+            _read(sf_dir, "documents"), sep=" ", min_docs=150,
+        )
+        return out.select_columns(["doc_id", "text"])
+
     # -- similarity family ---------------------------------------------------
 
     def emb_knn_brute(sf_dir):
@@ -597,6 +625,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
         "doc_dedup_corpus": doc_dedup_corpus,
         "doc_dedup_corpus_exact": doc_dedup_corpus_exact,
+        "doc_repetition_stats": doc_repetition_stats,
+        "doc_duplicated_words": doc_duplicated_words,
+        "doc_word_dedup": doc_word_dedup,
         # similarity
         "emb_knn_brute": emb_knn_brute,
         "emb_knn_lsh": emb_knn_lsh,
@@ -856,6 +887,77 @@ def oracle_sql() -> dict[str, str]:
         # minhash-pair dedup == exact-pair dedup here (same reasoning as
         # doc_minhash_near_dups; survivor sets verified equal at both sf)
         "doc_dedup_corpus": _DEDUP_CORPUS_SQL,
+        # Gopher-style repetition signals; word split mirrors the engine
+        # (regexp_split_to_array(trim(text), '\s+'))
+        "doc_repetition_stats": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS word,
+                       unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1)) AS pos
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, count(*) AS n_words,
+                       count(DISTINCT word) AS n_distinct_words
+                FROM tok GROUP BY doc_id
+            ),
+            big AS (
+                SELECT a.doc_id, a.word AS w1, b.word AS w2, count(*) AS c
+                FROM tok a JOIN tok b
+                     ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                GROUP BY 1, 2, 3
+            ),
+            topbig AS (SELECT doc_id, max(c) AS top_bigram_count FROM big GROUP BY doc_id),
+            runs AS (
+                SELECT doc_id, word,
+                       pos - row_number() OVER (PARTITION BY doc_id, word ORDER BY pos) AS grp
+                FROM tok
+            ),
+            runlen AS (
+                SELECT doc_id, max(cnt) AS max_word_run FROM (
+                    SELECT doc_id, word, grp, count(*) AS cnt FROM runs GROUP BY 1, 2, 3
+                ) GROUP BY doc_id
+            )
+            SELECT base.doc_id,
+                   CAST(base.n_words AS BIGINT) AS n_words,
+                   CAST(base.n_distinct_words AS BIGINT) AS n_distinct_words,
+                   (base.n_words - base.n_distinct_words)::DOUBLE / base.n_words AS dup_word_frac,
+                   CAST(coalesce(topbig.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+                   CASE WHEN base.n_words < 2 THEN 0.0
+                        ELSE coalesce(topbig.top_bigram_count, 0)::DOUBLE / (base.n_words - 1)
+                   END AS top_bigram_frac,
+                   CAST(runlen.max_word_run AS BIGINT) AS max_word_run
+            FROM base
+            LEFT JOIN topbig USING (doc_id)
+            JOIN runlen USING (doc_id)
+        """,
+        # exact-separator split (string_split == the engine's
+        # pc.split_pattern); a segment in >= 150 distinct docs is duplicated
+        "doc_duplicated_words": """
+            SELECT word AS segment, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word HAVING count(DISTINCT doc_id) >= 150
+        """,
+        "doc_word_dedup": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS word,
+                       unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+                FROM documents
+            ),
+            dups AS (
+                SELECT word FROM (
+                    SELECT word, count(DISTINCT doc_id) AS nd FROM tok GROUP BY word
+                ) WHERE nd >= 150
+            ),
+            kept AS (
+                SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text
+                FROM tok WHERE word NOT IN (SELECT word FROM dups)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(kept.text, '') AS text
+            FROM documents d LEFT JOIN kept ON kept.doc_id = d.doc_id
+        """,
         # banded hyperplane LSH computes EXACT cosine inside buckets (no
         # false positives); miss rate ~2e-4/pair at the threshold and the
         # planted corpus yields pairs only at cosine where recall is 1.0
