@@ -42,6 +42,9 @@ def __getattr__(name):
         "from_cbn_jgif": ("pybel_ray.export.interchange", "from_cbn_jgif"),
         "to_graphdati": ("pybel_ray.export.interchange", "to_graphdati"),
         "to_bel_script_lines": ("pybel_ray.export.bel_script", "to_bel_script_lines"),
+        "to_neo4j_bulk": ("pybel_ray.export.neo4j_bulk", "to_neo4j_bulk"),
+        "to_web": ("pybel_ray.export.web", "to_web"),
+        "from_web": ("pybel_ray.export.web", "from_web"),
         "serialize": ("pybel_ray.io_registry", "serialize"),
         "deserialize": ("pybel_ray.io_registry", "deserialize"),
         # protocol

@@ -166,6 +166,9 @@ def _register_builtins():
     )
     register_exporter("csv", to_csv)
     register_exporter("gsea", to_gsea)
+    from .export.neo4j_bulk import to_neo4j_bulk
+
+    register_exporter("neo4j_bulk", to_neo4j_bulk)
     register_exporter(
         "edgelist",
         lambda graph, **kw: [
