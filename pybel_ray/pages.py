@@ -32,6 +32,8 @@ __all__ = [
     "default_registry",
     "synthetic_belns_texts",
     "page_count_for_sf",
+    "normalize_urls",
+    "dedup_pages_by_url",
 ]
 
 NS_HGNC_URL = "synthetic://ns/hgnc.belns"
@@ -351,3 +353,137 @@ def generate_pages_table(n_pages: int, seed: int = 42, **kwargs) -> pa.Table:
         ("text", pa.string()),
         ("lang", pa.string()),
     ]))
+
+
+# ---------------------------------------------------------------------------
+# Common-Crawl input hygiene: URL normalization + per-url capture dedup
+# ---------------------------------------------------------------------------
+
+#: duplicated-url tables at or below this size broadcast; above it the
+#: dedup falls back to one full bucketed groupby (documented cost).
+_DUP_URL_BROADCAST_BUDGET = 2_000_000
+
+
+def normalize_urls(pages, url_col: str = "url"):
+    """Canonicalize URLs in place: lowercase the scheme+authority, drop
+    the fragment, drop explicit default ports (``:80`` / ``:443``), and
+    collapse a bare ``/`` path to none.
+
+    Vectorized (``pyarrow.compute`` regex/extract kernels); rows without a
+    ``scheme://`` prefix pass through untouched.  Run before
+    :func:`dedup_pages_by_url` so captures of the same resource collide.
+    """
+    import pyarrow.compute as pc
+
+    def _f(t: pa.Table) -> pa.Table:
+        urls = t.column(url_col)
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        no_frag = pc.replace_substring_regex(urls, pattern=r"#.*$", replacement="")
+        parts = pc.extract_regex(
+            no_frag, pattern=r"^(?P<head>[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*)(?P<rest>.*)$",
+        )
+        head = pc.utf8_lower(pc.struct_field(parts, "head"))
+        head = pc.replace_substring_regex(
+            head, pattern=r"^(http://[^/:]+):80$", replacement=r"\1",
+        )
+        head = pc.replace_substring_regex(
+            head, pattern=r"^(https://[^/:]+):443$", replacement=r"\1",
+        )
+        rest = pc.struct_field(parts, "rest")
+        rest = pc.if_else(pc.equal(rest, "/"), "", rest)
+        norm = pc.binary_join_element_wise(head, rest, "")
+        # non-matching rows (no scheme) keep the fragment-stripped original
+        norm = pc.if_else(pc.is_valid(norm), norm, no_frag)
+        return t.set_column(t.schema.get_field_index(url_col), url_col, norm)
+
+    return pages.map_batches(_f, batch_format="pyarrow")
+
+
+def dedup_pages_by_url(
+    pages,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    num_buckets: int = 64,
+):
+    """One page per URL — the LATEST capture wins (ties: one survivor,
+    deterministic by row content order after sort).
+
+    Scale design: most URLs occur once, so the full page rows (html!)
+    should not shuffle.  A light first pass counts urls (per-batch distinct
+    combiner → one groupby over url strings only) and extracts the
+    *contended* url set; pages with uncontended urls stream through
+    untouched, and only the contended subset — typically a tiny fraction of
+    a crawl — pays a bucketed groupby that keeps the max-``ts_col`` row per
+    url.  If the contended-url table exceeds the broadcast budget the whole
+    input falls back to one full bucketed groupby (the classic
+    shuffle-everything dedup), so behavior is correct at any skew.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .ops.relational import groupby_count
+
+    def _distinct_urls(t: pa.Table) -> pa.Table:
+        urls = t.column(url_col)
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        return pa.Table.from_arrays([pc.unique(urls)], names=[url_col])
+
+    counts = groupby_count(
+        pages.select_columns([url_col]).map_batches(
+            _distinct_urls, batch_format="pyarrow",
+        ),
+        url_col, "n",
+    )
+    dup = counts.filter(lambda r: r["n"] > 1).select_columns([url_col]).materialize()
+    n_dup = dup.count()
+    if n_dup == 0:
+        return pages
+
+    from .stages.dedup import add_hash_bucket
+
+    def _keep_latest(group: pa.Table) -> pa.Table:
+        group = group.sort_by([(url_col, "ascending"), (ts_col, "descending")])
+        urls = group.column(url_col)
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        codes = urls.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        _, first = np.unique(codes, return_index=True)
+        first.sort()
+        out = group.take(pa.array(first))
+        return out.drop_columns(["_bucket"]) if "_bucket" in out.column_names else out
+
+    if n_dup <= _DUP_URL_BROADCAST_BUDGET:
+        import ray
+
+        chunks = [
+            b.column(url_col).combine_chunks()
+            for b in dup.iter_batches(batch_format="pyarrow")
+        ]
+        dup_ref = ray.put(pa.concat_arrays(chunks))
+
+        def _split(contended: bool):
+            def _f(t: pa.Table) -> pa.Table:
+                mask = pc.fill_null(
+                    pc.is_in(t.column(url_col), value_set=ray.get(dup_ref)), False,
+                )
+                if not contended:
+                    mask = pc.invert(mask)
+                return t.filter(mask)
+
+            return _f
+
+        clean = pages.map_batches(_split(False), batch_format="pyarrow")
+        contended = pages.map_batches(_split(True), batch_format="pyarrow")
+        winners = contended.map_batches(
+            lambda t: add_hash_bucket(t, url_col, num_buckets),
+            batch_format="pyarrow",
+        ).groupby("_bucket").map_groups(_keep_latest, batch_format="pyarrow")
+        return clean.union(winners)
+
+    # huge contended set: single full bucketed groupby (everything shuffles)
+    return pages.map_batches(
+        lambda t: add_hash_bucket(t, url_col, num_buckets),
+        batch_format="pyarrow",
+    ).groupby("_bucket").map_groups(_keep_latest, batch_format="pyarrow")

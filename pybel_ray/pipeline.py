@@ -292,6 +292,7 @@ def compile_pages(
     *,
     materialize: bool = True,
     events_dir: Optional[str] = None,
+    dedup_urls: bool = False,
     **options,
 ) -> KGTables:
     """Run extract→parse and return a :class:`KGTables` over the events.
@@ -302,6 +303,12 @@ def compile_pages(
     then read back only their columns (pruned scans), and the directory is
     a resumable checkpoint.
     """
+    if dedup_urls:
+        # crawl hygiene: canonicalize urls, keep the latest capture per url
+        # (only contended urls shuffle — see pages.dedup_pages_by_url)
+        from .pages import dedup_pages_by_url, normalize_urls
+
+        pages = dedup_pages_by_url(normalize_urls(pages))
     if events_dir is not None:
         ev = os.path.join(events_dir, "events")
         tr = os.path.join(events_dir, "triples")
