@@ -90,8 +90,12 @@ def main():
 @click.option("--synthetic-registry", is_flag=True,
               help="Resolve namespaces from the built-in synthetic registry "
                    "(offline fixtures) instead of an empty one")
+@click.option("--dedup-urls", is_flag=True,
+              help="Normalize urls and keep only the latest capture per url "
+                   "before parsing (crawl-input hygiene)")
 def compile_cmd(path, out, allow_naked_names, disallow_nested,
-                no_citation_clearing, no_gate, synthetic_registry):
+                no_citation_clearing, no_gate, synthetic_registry,
+                dedup_urls):
     """Compile a BEL script / page table to a graph (reference cli.py:110)."""
     _ray_init()
     from .pipeline import compile_pages
@@ -111,6 +115,7 @@ def compile_cmd(path, out, allow_naked_names, disallow_nested,
         disallow_nested=disallow_nested,
         citation_clearing=not no_citation_clearing,
         gate=not no_gate,
+        dedup_urls=dedup_urls,
     )
     summary = tables.summary()
     click.echo("Compilation -> {}".format(out))
