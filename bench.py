@@ -89,6 +89,8 @@ def run_queries(sf_dir: str) -> dict:
         "doc_exact_dedup",
         "doc_minhash_near_dups",
         "doc_ngram_jaccard_dups",
+        "doc_word_dedup",
+        "doc_repetition_stats",
         "emb_knn_brute",
         "kg_triples",
         "kg_top_hubs",
