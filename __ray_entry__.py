@@ -569,6 +569,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["media_id", "frame_index", "timestamp_ms"])
 
+    def media_embeddings(sf_dir):
+        # decode (small batches) -> batched model inference (large batches)
+        import ray.data
+
+        from pybel_ray.ops.multimodal import (
+            MediaEmbedder,
+            MediaFeatureExtractor,
+            fake_media_table,
+        )
+
+        ds = ray.data.from_arrow(fake_media_table(48))
+        feats = ds.map_batches(
+            MediaFeatureExtractor,
+            fn_constructor_kwargs={"mode": "fake"},
+            batch_size=8,
+            concurrency=2,
+            batch_format="pyarrow",
+        )
+        out = feats.map_batches(
+            MediaEmbedder,
+            fn_constructor_kwargs={"out_dim": 16},
+            batch_size=64,
+            concurrency=2,
+            batch_format="pyarrow",
+        )
+        return out.select_columns(["media_id", "media_type", "embedding"])
+
     return {
         # KG construction
         "kg_triples": kg_triples,
@@ -641,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features,
         "media_resize": media_resize,
         "media_frames": media_frames,
+        "media_embeddings": media_embeddings,
     }
 
 

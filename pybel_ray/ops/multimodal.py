@@ -20,6 +20,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "FRAME_SCHEMA",
     "MediaFeatureExtractor",
+    "MediaEmbedder",
     "ImageResizer",
     "VideoFrameSampler",
     "fake_media_table",
@@ -238,3 +239,47 @@ class VideoFrameSampler:
             ],
             schema=FRAME_SCHEMA,
         )
+
+
+class MediaEmbedder:
+    """Actor-pool stage: BATCHED model inference over feature vectors.
+
+    The canonical "model on an actor pool" shape: the weight matrix (a
+    stand-in for a real encoder checkpoint) is materialized ONCE per actor
+    in ``__init__`` — deterministically from ``seed``, so results are
+    reproducible without shipping a checkpoint — and ``__call__`` runs one
+    matmul per BATCH (never per row), L2-normalizing the outputs.  Chain
+    after :class:`MediaFeatureExtractor`:
+
+        feats = media.map_batches(MediaFeatureExtractor, batch_size=8,
+                                  concurrency=(1, 8), batch_format="pyarrow")
+        emb = feats.map_batches(MediaEmbedder, batch_size=256,
+                                concurrency=(1, 4), batch_format="pyarrow")
+
+    Note the differing batch sizes: decode wants small batches (large
+    binary payloads), inference wants large ones (amortize the matmul) —
+    Ray Data re-batches between the two actor pools.
+    """
+
+    IN_DIM = MediaFeatureExtractor.DIM
+
+    def __init__(self, out_dim: int = 16, seed: int = 11):
+        self.out_dim = out_dim
+        rng = np.random.RandomState(seed)
+        # "model load": once per actor, never per batch
+        self.weights = rng.standard_normal((self.IN_DIM, out_dim)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = batch.column("feature")
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        # flatten() (not .values) — a re-batched slice has a non-zero
+        # offset, and .values would return the unsliced buffer
+        flat = np.asarray(feats.flatten(), dtype=np.float32).reshape(-1, self.IN_DIM)
+        emb = flat @ self.weights  # one matmul per batch
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.maximum(norms, 1e-12)
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.reshape(-1), pa.float32()), self.out_dim,
+        )
+        return batch.append_column("embedding", col)

@@ -74,3 +74,32 @@ def test_real_mode_gated(media):
 
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(mode="real")._decode(b"x", "image")
+
+
+def test_media_embedder_batched_inference(media):
+    """decode -> batched matmul inference; output is batch-size invariant,
+    deterministic, and L2-normalized."""
+    import numpy as np
+
+    from pybel_ray.ops.multimodal import MediaEmbedder, MediaFeatureExtractor
+
+    def run(batch_size):
+        feats = media.map_batches(
+            MediaFeatureExtractor, fn_constructor_kwargs={"mode": "fake"},
+            batch_size=8, concurrency=2, batch_format="pyarrow",
+        )
+        out = feats.map_batches(
+            MediaEmbedder, fn_constructor_kwargs={"out_dim": 16},
+            batch_size=batch_size, concurrency=2, batch_format="pyarrow",
+        )
+        return {
+            r["media_id"]: np.asarray(r["embedding"], dtype=np.float32)
+            for r in out.take_all()
+        }
+
+    a, b = run(64), run(5)
+    assert set(a) == set(b) and len(a) == 48
+    for mid in a:
+        assert a[mid].shape == (16,)
+        np.testing.assert_allclose(a[mid], b[mid], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.linalg.norm(a[mid]), 1.0, rtol=1e-5)
