@@ -454,6 +454,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["doc_id", "text"])
 
+    # -- text hygiene family (PII / line filter / decontamination) ----------
+
+    def _with_planted_pii(sf_dir):
+        """Deterministic PII synthesized from table columns (the synthetic
+        corpus contains none), so the RE2 detection/redaction path is
+        exercised with non-trivial matches the SQL oracle reproduces.
+        Docs with ``doc_id % 3 == 0`` stay clean so counts vary."""
+        import numpy as np
+
+        def _f(t: pa.Table) -> pa.Table:
+            did = t.column("doc_id").to_numpy(zero_copy_only=False)
+            did_str = pc.cast(t.column("doc_id"), pa.string())
+            phone4 = pc.utf8_lpad(
+                pc.cast(pa.array(did % 10000), pa.string()), width=4, padding="0",
+            )
+            planted = pc.binary_join_element_wise(
+                t.column("text"),
+                " contact ", t.column("source"), did_str,
+                "@example.com or +1 (555) 010-", phone4,
+                " at 192.168.", pc.cast(pa.array(did % 256), pa.string()),
+                ".", pc.cast(pa.array(did * 7 % 256), pa.string()),
+                "",
+            )
+            text = pc.if_else(pa.array(did % 3 == 0), t.column("text"), planted)
+            return t.set_column(t.schema.get_field_index("text"), "text", text)
+
+        return _read(sf_dir, "documents").map_batches(_f, batch_format="pyarrow")
+
+    def doc_pii_stats(sf_dir):
+        from pybel_ray.ops.pii import add_pii_stats
+
+        out = add_pii_stats(_with_planted_pii(sf_dir))
+        return out.select_columns(["doc_id", "n_emails", "n_phones", "n_ipv4"])
+
+    def doc_pii_redacted(sf_dir):
+        from pybel_ray.ops.pii import redact_pii
+
+        out = redact_pii(_with_planted_pii(sf_dir))
+        return out.select_columns(["doc_id", "text"])
+
+    def doc_line_filter(sf_dir):
+        # the synthetic docs are one line; substitute a deterministic
+        # separator (every ' data ' word) so the C4-style filter sees a
+        # multi-line structure the oracle reproduces with replace()
+        from pybel_ray.ops.lines import filter_lines
+
+        def _lined(t: pa.Table) -> pa.Table:
+            text = pc.replace_substring(t.column("text"), " data ", "\n")
+            return t.set_column(t.schema.get_field_index("text"), "text", text)
+
+        ds = _read(sf_dir, "documents").map_batches(_lined, batch_format="pyarrow")
+        out = filter_lines(ds, min_words=5)
+        return out.select_columns(["doc_id", "text", "n_lines", "n_lines_kept"])
+
+    def doc_decontaminate(sf_dir):
+        # benchmark/eval set = docs with doc_id < 20; flag every corpus
+        # doc (doc_id >= 20) sharing a word 8-gram with the benchmark
+        from pybel_ray.ops.decontam import flag_contamination
+
+        docs = _read(sf_dir, "documents")
+
+        def _bench(t: pa.Table) -> pa.Table:
+            return t.filter(pc.less(t.column("doc_id"), 20))
+
+        def _corp(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t.column("doc_id"), 20))
+
+        out = flag_contamination(
+            docs.map_batches(_corp, batch_format="pyarrow"),
+            docs.map_batches(_bench, batch_format="pyarrow"),
+            n=8,
+        )
+        return out.select_columns(["doc_id", "n_contaminated", "contaminated"])
+
     # -- similarity family ---------------------------------------------------
 
     def emb_knn_brute(sf_dir):
@@ -655,6 +729,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": doc_repetition_stats,
         "doc_duplicated_words": doc_duplicated_words,
         "doc_word_dedup": doc_word_dedup,
+        # text hygiene
+        "doc_pii_stats": doc_pii_stats,
+        "doc_pii_redacted": doc_pii_redacted,
+        "doc_line_filter": doc_line_filter,
+        "doc_decontaminate": doc_decontaminate,
         # similarity
         "emb_knn_brute": emb_knn_brute,
         "emb_knn_lsh": emb_knn_lsh,
@@ -732,6 +811,32 @@ _DEDUP_CORPUS_SQL = r"""
     SELECT doc_id FROM documents
     WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
 """.format(pairs=_NGRAM_PAIRS_SQL)
+
+
+#: SQL mirror of ``_with_planted_pii`` (docs with doc_id % 3 == 0 stay clean)
+_PLANTED_PII_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text
+                ELSE text || ' contact ' || source || CAST(doc_id AS VARCHAR)
+                     || '@example.com or +1 (555) 010-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || ' at 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+def _pii_sql_patterns() -> dict:
+    """The engine's RE2 PII patterns, verbatim (single source of truth —
+    both pyarrow and DuckDB compile RE2, so sharing the strings guarantees
+    identical matches)."""
+    from pybel_ray.ops.pii import PII_PATTERNS
+
+    return {
+        "e": PII_PATTERNS["email"],
+        "ph": PII_PATTERNS["phone"],
+        "ip": PII_PATTERNS["ipv4"],
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -995,5 +1100,76 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.vec_id AS BIGINT) AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+        """,
+        # PII family: both pyarrow and DuckDB compile RE2, so the shared
+        # patterns match identically; planted text mirrors _with_planted_pii
+        "doc_pii_stats": r"""
+            WITH p AS ({planted})
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{ph}')) AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ipv4
+            FROM p
+        """.format(planted=_PLANTED_PII_SQL, **_pii_sql_patterns()),
+        "doc_pii_redacted": r"""
+            WITH p AS ({planted})
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text, '{e}', '<EMAIL>', 'g'),
+                           '{ph}', '<PHONE>', 'g'),
+                       '{ip}', '<IP>', 'g') AS text
+            FROM p
+        """.format(planted=_PLANTED_PII_SQL, **_pii_sql_patterns()),
+        # C4-style line filter over a deterministic line structure
+        # (every ' data ' becomes a newline in both engines)
+        "doc_line_filter": r"""
+            WITH lined AS (
+                SELECT doc_id, replace(text, ' data ', chr(10)) AS t
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id,
+                       unnest(string_split(t, chr(10))) AS line,
+                       unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+                FROM lined
+            ),
+            marked AS (
+                SELECT doc_id, line, pos,
+                       len(regexp_extract_all(line, '\S+')) >= 5 AS keep
+                FROM lines
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (keep), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (keep) AS BIGINT) AS n_lines_kept
+            FROM marked GROUP BY doc_id
+        """,
+        # 8-gram decontamination vs the doc_id < 20 benchmark split; the
+        # engine matches literal gram strings, so the SQL is exact
+        "doc_decontaminate": r"""
+            WITH w AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents
+            ),
+            ng AS (
+                SELECT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+                FROM w, LATERAL (
+                    SELECT unnest(generate_series(1, len(ws) - 7)) AS i
+                )
+            ),
+            bench AS (SELECT DISTINCT g FROM ng WHERE doc_id < 20),
+            hits AS (
+                SELECT doc_id, count(DISTINCT g) AS n
+                FROM ng
+                WHERE doc_id >= 20 AND g IN (SELECT g FROM bench)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id >= 20
         """,
     }

@@ -33,6 +33,7 @@ __all__ = [
     "repetition_stats",
     "duplicated_segments",
     "remove_duplicated_segments",
+    "filter_lines",
 ]
 
 #: victim tables at or below this many segments broadcast via ``ray.put``
@@ -136,6 +137,76 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
         return t.append_column("max_word_run", pa.array(max_run, pa.int64()))
 
     return ds.map_batches(_stats, batch_format="pyarrow")
+
+
+def filter_lines(
+    ds,
+    text_col: str = "text",
+    sep: str = "\n",
+    min_words: int = 3,
+    require_terminal_punct: bool = False,
+    drop_markers: tuple = (),
+):
+    """C4-style per-line quality filter.
+
+    Splits each document on the exact separator ``sep``, keeps a line iff
+
+    * it has at least ``min_words`` words (``\\S+`` matches — empty lines
+      have 0, matching ``len(regexp_extract_all(line, '\\S+'))``),
+    * ``require_terminal_punct`` ⇒ it ends in ``. ! ? "`` or ``'``,
+    * its lowercase form contains none of ``drop_markers`` (C4 drops
+      "lorem ipsum" / "javascript" / ``{`` boilerplate lines),
+
+    then rejoins the survivors in order and appends ``n_lines`` /
+    ``n_lines_kept``.  A document whose every line is dropped comes back
+    with empty text (documents are never dropped — compose with
+    ``ds.filter`` for that).
+
+    Fully vectorized: one split, one RE2 count, one boolean mask and one
+    ``ListArray`` rebuild per batch; stateless, so it streams as plain Ray
+    tasks at any scale.
+    """
+    markers = tuple(m.lower() for m in drop_markers)
+
+    def _f(t: pa.Table) -> pa.Table:
+        parts = _split_segments(t, text_col, sep)
+        offs = np.asarray(parts.offsets)
+        vals = parts.values
+        lens = np.diff(offs)
+        n_lines = lens.astype(np.int64)
+
+        wc = pc.count_substring_regex(vals, r"\S+")
+        keep = pc.greater_equal(wc, min_words)
+        if require_terminal_punct:
+            keep = pc.and_(
+                keep, pc.match_substring_regex(vals, "[.!?\"']$"),
+            )
+        if markers:
+            low = pc.utf8_lower(vals)
+            for m in markers:
+                keep = pc.and_(
+                    keep, pc.invert(pc.match_substring(low, m)),
+                )
+        keep_np = pc.fill_null(keep, False).to_numpy(zero_copy_only=False)
+
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        kept_per_doc = (
+            np.bincount(doc_idx[keep_np], minlength=t.num_rows)
+            if keep_np.size else np.zeros(t.num_rows, dtype=np.int64)
+        )
+        new_offs = np.r_[0, np.cumsum(kept_per_doc)]
+        la = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()),
+            vals.filter(pa.array(keep_np)),
+        )
+        joined = pc.binary_join(la, sep)
+        t = t.set_column(t.schema.get_field_index(text_col), text_col, joined)
+        t = t.append_column("n_lines", pa.array(n_lines, pa.int64()))
+        return t.append_column(
+            "n_lines_kept", pa.array(kept_per_doc.astype(np.int64), pa.int64()),
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
 
 
 def _split_segments(t: pa.Table, text_col: str, sep: str) -> pa.ListArray:

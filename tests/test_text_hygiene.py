@@ -1,0 +1,207 @@
+"""PII redaction, C4-style line filtering, benchmark decontamination."""
+
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows):
+    import ray
+
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+# ---------------------------------------------------------------- PII ----
+
+PII_DOCS = [
+    {"doc_id": 0, "text": "write to john.doe+x@example.co.uk or call +1 (555) 010-4242 now"},
+    {"doc_id": 1, "text": "server at 10.0.255.3 and 192.168.1.1, no mail here"},
+    {"doc_id": 2, "text": "clean text with nothing sensitive at all"},
+    {"doc_id": 3, "text": "a@b.io b@c.net 12345678901"},
+]
+
+
+def test_pii_stats(ray_session):
+    from pybel_ray.ops.pii import add_pii_stats
+
+    out = {
+        r["doc_id"]: r
+        for r in add_pii_stats(_ds(PII_DOCS)).take_all()
+    }
+    assert (out[0]["n_emails"], out[0]["n_phones"], out[0]["n_ipv4"]) == (1, 1, 0)
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ipv4"]) == (0, 0, 2)
+    assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ipv4"]) == (0, 0, 0)
+    assert (out[3]["n_emails"], out[3]["n_phones"], out[3]["n_ipv4"]) == (2, 1, 0)
+
+
+def test_pii_redact(ray_session):
+    from pybel_ray.ops.pii import redact_pii
+
+    out = {r["doc_id"]: r["text"] for r in redact_pii(_ds(PII_DOCS)).take_all()}
+    assert out[0] == "write to <EMAIL> or call <PHONE> now"
+    assert out[1] == "server at <IP> and <IP>, no mail here"
+    assert out[2] == PII_DOCS[2]["text"]
+    assert out[3] == "<EMAIL> <EMAIL> <PHONE>"
+    # placeholders contain no PII: a second pass is a no-op
+    again = {r["doc_id"]: r["text"] for r in redact_pii(_ds(
+        [{"doc_id": k, "text": v} for k, v in out.items()],
+    )).take_all()}
+    assert again == out
+
+
+def test_pii_matches_duckdb(ray_session):
+    """The exact patterns produce identical counts and replacements in
+    DuckDB (both engines are RE2)."""
+    import duckdb
+
+    from pybel_ray.ops.pii import PII_PATTERNS, add_pii_stats, redact_pii
+
+    con = duckdb.connect()
+    con.register("docs", pa.Table.from_pylist(PII_DOCS))
+    sql = con.execute(
+        r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{e}')) AS n_emails,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{e}', '<EMAIL>', 'g'),
+                       '{p}', '<PHONE>', 'g'),
+                   '{i}', '<IP>', 'g') AS redacted
+        FROM docs ORDER BY doc_id
+        """.format(
+            e=PII_PATTERNS["email"], p=PII_PATTERNS["phone"], i=PII_PATTERNS["ipv4"],
+        ),
+    ).fetchall()
+    stats = {r["doc_id"]: r for r in add_pii_stats(_ds(PII_DOCS)).take_all()}
+    red = {r["doc_id"]: r["text"] for r in redact_pii(_ds(PII_DOCS)).take_all()}
+    for doc_id, n_emails, redacted in sql:
+        assert stats[doc_id]["n_emails"] == n_emails
+        assert red[doc_id] == redacted
+
+
+# -------------------------------------------------------- line filter ----
+
+LINE_DOCS = [
+    {"doc_id": 0, "text": "A good long sentence right here.\nshort\n"
+                          "Another fine sentence with many words!\nno punct line at all"},
+    {"doc_id": 1, "text": "enable javascript to view this page.\n"
+                          "Lorem ipsum dolor sit amet, consectetur.\n"
+                          "This useful line definitely survives the filter."},
+    {"doc_id": 2, "text": "tiny\nbits\nonly"},
+    {"doc_id": 3, "text": ""},
+]
+
+
+def test_filter_lines_basic(ray_session):
+    from pybel_ray.ops.lines import filter_lines
+
+    out = {
+        r["doc_id"]: r
+        for r in filter_lines(
+            _ds(LINE_DOCS), min_words=3, require_terminal_punct=True,
+            drop_markers=("javascript", "lorem ipsum", "{"),
+        ).take_all()
+    }
+    assert out[0]["text"] == (
+        "A good long sentence right here.\nAnother fine sentence with many words!"
+    )
+    assert (out[0]["n_lines"], out[0]["n_lines_kept"]) == (4, 2)
+    assert out[1]["text"] == "This useful line definitely survives the filter."
+    assert out[2]["text"] == ""
+    assert (out[2]["n_lines"], out[2]["n_lines_kept"]) == (3, 0)
+    assert out[3]["text"] == ""
+    assert (out[3]["n_lines"], out[3]["n_lines_kept"]) == (1, 0)
+
+
+def test_filter_lines_no_punct_rule(ray_session):
+    from pybel_ray.ops.lines import filter_lines
+
+    out = {
+        r["doc_id"]: r["text"]
+        for r in filter_lines(_ds(LINE_DOCS), min_words=3).take_all()
+    }
+    assert out[0] == (
+        "A good long sentence right here.\n"
+        "Another fine sentence with many words!\nno punct line at all"
+    )
+
+
+def test_filter_lines_custom_sep(ray_session):
+    from pybel_ray.ops.lines import filter_lines
+
+    docs = [{"doc_id": 0, "text": "one two three|a b|x y z w"}]
+    out = filter_lines(_ds(docs), sep="|", min_words=3).take_all()[0]
+    assert out["text"] == "one two three|x y z w"
+    assert (out["n_lines"], out["n_lines_kept"]) == (3, 2)
+
+
+# -------------------------------------------------------- decontam -------
+
+BENCH = [
+    {"doc_id": 100, "text": "what is the capital of france and when was it founded"},
+    {"doc_id": 101, "text": "solve for x in the quadratic equation below please now"},
+]
+CORPUS = [
+    # contains the 8-gram "what is the capital of france and when"
+    {"doc_id": 0, "text": "trivia night asked what is the capital of france and when was it founded by whom"},
+    # shares only a 5-gram — not contaminated at n=8
+    {"doc_id": 1, "text": "the capital of france and its museums are lovely"},
+    {"doc_id": 2, "text": "completely unrelated text about trains and model railways in the alps today"},
+    # two distinct overlapping benchmark 8-grams from one source sentence
+    {"doc_id": 3, "text": "solve for x in the quadratic equation below please now and forever"},
+]
+
+
+def test_flag_contamination(ray_session):
+    from pybel_ray.ops.decontam import flag_contamination
+
+    out = {
+        r["doc_id"]: r
+        for r in flag_contamination(_ds(CORPUS), _ds(BENCH), n=8).take_all()
+    }
+    assert out[0]["contaminated"] is True and out[0]["n_contaminated"] >= 1
+    assert out[1]["contaminated"] is False and out[1]["n_contaminated"] == 0
+    assert out[2]["contaminated"] is False
+    # doc 3 contains the benchmark's 8-grams at several offsets:
+    # "solve for x ... below please" and shifted variants
+    assert out[3]["contaminated"] is True and out[3]["n_contaminated"] >= 2
+
+
+def test_flag_contamination_counts_distinct(ray_session):
+    from pybel_ray.ops.decontam import flag_contamination
+
+    bench = [{"doc_id": 0, "text": "a b c d e f g h"}]
+    corpus = [
+        # the gram "a b c d e f g h" appears twice -> distinct count 1
+        {"doc_id": 1, "text": "a b c d e f g h x a b c d e f g h"},
+        {"doc_id": 2, "text": "a b c d e f g x"},
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in flag_contamination(_ds(corpus), _ds(bench), n=8).take_all()
+    }
+    assert out[1]["n_contaminated"] == 1
+    assert out[2]["n_contaminated"] == 0
+
+
+def test_flag_contamination_short_docs(ray_session):
+    from pybel_ray.ops.decontam import flag_contamination
+
+    bench = [{"doc_id": 0, "text": "a b c d e f g h"}]
+    corpus = [{"doc_id": 1, "text": "a b c"}, {"doc_id": 2, "text": ""}]
+    out = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in flag_contamination(_ds(corpus), _ds(bench), n=8).take_all()
+    }
+    assert out == {1: 0, 2: 0}
+
+
+def test_gram_set_reuse(ray_session):
+    from pybel_ray.ops.decontam import benchmark_ngrams, flag_contamination
+
+    grams = benchmark_ngrams(_ds(BENCH), n=8)
+    assert "what is the capital of france and when" in grams.to_pylist()
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in flag_contamination(_ds(CORPUS), n=8, gram_set=grams).take_all()
+    }
+    assert out[0] is True and out[2] is False
