@@ -528,6 +528,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["doc_id", "n_contaminated", "contaminated"])
 
+    # -- sampling / mixing / vocabulary --------------------------------------
+
+    def doc_hash_sample(sf_dir):
+        from pybel_ray.ops.sampling import hash_sample
+
+        out = hash_sample(_read(sf_dir, "documents"), rate=0.25)
+        return out.select_columns(["doc_id", "source"])
+
+    def doc_weighted_sample(sf_dir):
+        # corpus mixing: up-sample src0, down-sample everything unlisted
+        from pybel_ray.ops.sampling import weighted_sample
+
+        out = weighted_sample(
+            _read(sf_dir, "documents"),
+            {"src0": 0.75, "src1": 0.5},
+            default_rate=0.125,
+        )
+        return out.select_columns(["doc_id", "source"])
+
+    def corpus_vocab_topk(sf_dir):
+        from pybel_ray.ops.text import vocab_topk
+
+        return vocab_topk(_read(sf_dir, "documents"), k=50)
+
     # -- similarity family ---------------------------------------------------
 
     def emb_knn_brute(sf_dir):
@@ -734,6 +758,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_redacted": doc_pii_redacted,
         "doc_line_filter": doc_line_filter,
         "doc_decontaminate": doc_decontaminate,
+        # sampling / mixing / vocabulary
+        "doc_hash_sample": doc_hash_sample,
+        "doc_weighted_sample": doc_weighted_sample,
+        "corpus_vocab_topk": corpus_vocab_topk,
         # similarity
         "emb_knn_brute": emb_knn_brute,
         "emb_knn_lsh": emb_knn_lsh,
@@ -1171,5 +1199,26 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id >= 20
+        """,
+        # deterministic hash-gate sampling: md5 prefix < rate threshold
+        # (0.25 -> 0x4000), identical in both engines by construction
+        "doc_hash_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        """,
+        "doc_weighted_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE source WHEN 'src0' THEN 'c000'
+                              WHEN 'src1' THEN '8000'
+                              ELSE '2000' END
+        """,
+        "corpus_vocab_topk": r"""
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+                FROM documents
+            )
+            GROUP BY word ORDER BY n DESC, word LIMIT 50
         """,
     }

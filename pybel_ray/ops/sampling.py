@@ -1,0 +1,95 @@
+"""Deterministic sampling and corpus mixing.
+
+Large-scale pipelines never sample with a PRNG over a distributed
+dataset — resumes, retries and re-partitioning would change the sample.
+The standard trick is a *hash gate*: keep a row iff ``md5(key)`` lands
+below a rate threshold.  The decision is a pure function of the row, so
+it is stable across runs, engines, block layouts and cluster sizes, and
+a SQL oracle reproduces it exactly (``substr(md5(...), 1, 4) < 'xxxx'``).
+
+:func:`weighted_sample` generalizes this to per-stratum rates — the
+corpus-mixing step of a training-data pipeline (e.g. up-sample curated
+sources, down-sample crawl).
+
+Cost note: md5 of a short key string is the one per-row Python step in
+this module (Arrow has no md5 kernel); ~1 µs/row, amortized over
+vectorized everything-else, and it keeps the gate bit-identical to SQL.
+
+Reference scope note: the reference engine has no sampling surface; this
+is part of the training-data-pipeline family (SURVEY.md §2
+"beyond-reference" operators).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["hash_sample", "weighted_sample", "rate_to_threshold"]
+
+
+def rate_to_threshold(rate: float) -> str:
+    """Map a keep-rate in [0, 1] to a 4-hex-char threshold; a row is kept
+    iff ``md5(key)[:4] < threshold`` (lexicographic == numeric for
+    fixed-width lowercase hex).  rate=1.0 keeps everything."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    n = int(rate * 65536)
+    return "ffffg" if n >= 65536 else format(n, "04x")
+
+
+def _md5_prefixes(keys: pa.ChunkedArray | pa.Array) -> pa.Array:
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    return pa.array(
+        [
+            hashlib.md5(v.encode("utf8")).hexdigest()[:4]  # noqa: S324
+            for v in keys.to_pylist()
+        ],
+        pa.string(),
+    )
+
+
+def hash_sample(ds, rate: float, key_col: str = "doc_id"):
+    """Keep each row with probability ``rate``, deterministically in the
+    row's key: ``md5(str(key))[:4] < rate_to_threshold(rate)``."""
+    thresh = rate_to_threshold(rate)
+
+    def _f(t: pa.Table) -> pa.Table:
+        prefixes = _md5_prefixes(pc.cast(t.column(key_col), pa.string()))
+        return t.filter(pc.less(prefixes, thresh))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds,
+    rates: dict,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+):
+    """Corpus mixing: keep rows of stratum ``s`` at ``rates.get(s,
+    default_rate)``, deterministically in the row key.
+
+    The per-row threshold is a vectorized lookup (``pc.index_in`` into
+    the small rates table), so adding strata costs nothing.
+    """
+    strata = list(rates)
+    thresholds = pa.array(
+        [rate_to_threshold(rates[s]) for s in strata], pa.string(),
+    )
+    default_thresh = rate_to_threshold(default_rate)
+    value_set = pa.array(strata, pa.string())
+
+    def _f(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(
+            pc.cast(t.column(strata_col), pa.string()), value_set=value_set,
+        )
+        row_thresh = pc.fill_null(pc.take(thresholds, idx), default_thresh)
+        prefixes = _md5_prefixes(pc.cast(t.column(key_col), pa.string()))
+        return t.filter(pc.less(prefixes, row_thresh))
+
+    return ds.map_batches(_f, batch_format="pyarrow")

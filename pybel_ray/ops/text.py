@@ -25,6 +25,8 @@ __all__ = [
     "STOPWORDS",
     "BPE_TOKEN_PATTERN",
     "exact_dedup",
+    "word_frequencies",
+    "vocab_topk",
     "LANG_MARKERS",
 ]
 
@@ -208,6 +210,46 @@ def add_fingerprint_md5(ds, text_col: str = "text", out_col: str = "fingerprint_
         return t.append_column(out_col, pa.array(vals, pa.string()))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def word_frequencies(ds, text_col: str = "text"):
+    """Corpus-wide word frequencies: one (word, n) row per distinct word.
+
+    The canonical partial-aggregate shape for a 100 TB corpus: each batch
+    counts its own words locally (one ``dictionary_encode`` + bincount),
+    so the ``groupby`` exchange moves one row per *distinct word per
+    batch* — orders of magnitude less than one row per token.  Equivalent
+    SQL: ``SELECT word, count(*) FROM unnest(split(text)) GROUP BY word``.
+    """
+
+    def _partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column(text_col))
+        parts = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        enc = parts.values.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        counts = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.Table.from_arrays(
+            [enc.dictionary, pa.array(counts, pa.int64())],
+            names=["word", "n"],
+        )
+
+    from .relational import groupby_agg
+
+    partials = ds.select_columns([text_col]).map_batches(
+        _partial, batch_format="pyarrow",
+    )
+    return groupby_agg(partials, "word", {"n": ("sum", "n")})
+
+
+def vocab_topk(ds, k: int = 100, text_col: str = "text"):
+    """Top-``k`` most frequent words (ties broken by word, so the result
+    is deterministic and a SQL oracle compares exactly)."""
+    from .relational import topk
+
+    freqs = word_frequencies(ds, text_col)
+    return topk(freqs, "n", k, tie_keys=["word"])
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):

@@ -1,0 +1,79 @@
+"""Deterministic hash sampling, corpus mixing, and vocabulary building."""
+
+from collections import Counter
+
+import pyarrow as pa
+
+
+def _ds(rows, blocks=1):
+    import ray
+
+    d = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    return d.repartition(blocks) if blocks > 1 else d
+
+
+DOCS = [
+    {"doc_id": i, "source": "src{}".format(i % 4), "text": "w{} w{} common".format(i, i % 7)}
+    for i in range(400)
+]
+
+
+def test_hash_sample_deterministic_and_nested(ray_session):
+    from pybel_ray.ops.sampling import hash_sample
+
+    a = sorted(r["doc_id"] for r in hash_sample(_ds(DOCS), 0.25).take_all())
+    b = sorted(r["doc_id"] for r in hash_sample(_ds(DOCS, blocks=7), 0.25).take_all())
+    assert a == b  # block-layout independent
+    assert 0 < len(a) < 400
+    half = set(r["doc_id"] for r in hash_sample(_ds(DOCS), 0.5).take_all())
+    assert set(a) <= half  # thresholds nest: smaller rate is a subset
+
+
+def test_hash_sample_extremes(ray_session):
+    from pybel_ray.ops.sampling import hash_sample
+
+    assert hash_sample(_ds(DOCS), 0.0).count() == 0
+    assert hash_sample(_ds(DOCS), 1.0).count() == 400
+
+
+def test_weighted_sample(ray_session):
+    from pybel_ray.ops.sampling import hash_sample, weighted_sample
+
+    out = weighted_sample(
+        _ds(DOCS), {"src0": 1.0, "src1": 0.0}, default_rate=0.5,
+    ).take_all()
+    by_src = Counter(r["source"] for r in out)
+    assert by_src["src0"] == 100  # every src0 row kept
+    assert by_src["src1"] == 0
+    # unlisted strata follow default_rate == plain hash_sample(0.5)
+    rest = sorted(
+        r["doc_id"] for r in out if r["source"] in ("src2", "src3")
+    )
+    plain = sorted(
+        r["doc_id"]
+        for r in hash_sample(_ds(DOCS), 0.5).take_all()
+        if r["source"] in ("src2", "src3")
+    )
+    assert rest == plain
+
+
+def test_word_frequencies_matches_counter(ray_session):
+    from pybel_ray.ops.text import word_frequencies
+
+    expected = Counter()
+    for r in DOCS:
+        expected.update(r["text"].split())
+    got = {
+        r["word"]: r["n"]
+        for r in word_frequencies(_ds(DOCS, blocks=5)).take_all()
+    }
+    assert got == dict(expected)
+
+
+def test_vocab_topk(ray_session):
+    from pybel_ray.ops.text import vocab_topk
+
+    top = vocab_topk(_ds(DOCS), k=3).take_all()
+    assert top[0]["word"] == "common" and top[0]["n"] == 400
+    # ties broken by word ascending
+    assert [r["word"] for r in top[1:]] == sorted(r["word"] for r in top[1:])
