@@ -552,6 +552,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return vocab_topk(_read(sf_dir, "documents"), k=50)
 
+    def doc_pretrain_pipeline(sf_dir):
+        """End-to-end pre-training cleanup, each stage a streaming Ray
+        Data transform: exact dedup (one survivor per duplicate cluster)
+        -> Gopher-style quality filter -> PII redaction -> deterministic
+        50% hash sample.  The whole chain has one exact SQL oracle."""
+        from pybel_ray.ops.dedup_approx import near_dedup_corpus
+        from pybel_ray.ops.pii import redact_pii
+        from pybel_ray.ops.sampling import hash_sample
+        from pybel_ray.ops.text import add_quality_score
+
+        ds = near_dedup_corpus(_read(sf_dir, "documents"), method="exact")
+        ds = add_quality_score(ds)
+
+        def _keep(t: pa.Table) -> pa.Table:
+            return t.filter(t.column("quality_ok"))
+
+        ds = ds.map_batches(_keep, batch_format="pyarrow")
+        ds = redact_pii(ds)
+        ds = hash_sample(ds, rate=0.5)
+        return ds.select_columns(["doc_id", "text"])
+
     # -- similarity family ---------------------------------------------------
 
     def emb_knn_brute(sf_dir):
@@ -762,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_sample": doc_hash_sample,
         "doc_weighted_sample": doc_weighted_sample,
         "corpus_vocab_topk": corpus_vocab_topk,
+        "doc_pretrain_pipeline": doc_pretrain_pipeline,
         # similarity
         "emb_knn_brute": emb_knn_brute,
         "emb_knn_lsh": emb_knn_lsh,
@@ -853,6 +875,20 @@ _PLANTED_PII_SQL = """
            END AS text
     FROM documents
 """
+
+def _stop_expr_sql() -> str:
+    """Stopword-hit count over a space-padded lowercased ``padded`` column
+    — the SQL mirror of ``add_quality_score`` (single source of truth:
+    the engine's STOPWORDS list)."""
+    from pybel_ray.ops.text import STOPWORDS
+
+    return " + ".join(
+        "(length(padded) - length(replace(padded, ' {w} ', ''))) / {n}".format(
+            w=w, n=len(w) + 2,
+        )
+        for w in STOPWORDS
+    )
+
 
 def _pii_sql_patterns() -> dict:
     """The engine's RE2 PII patterns, verbatim (single source of truth —
@@ -989,14 +1025,7 @@ def oracle_sql() -> dict[str, str]:
                    (n_stopwords >= 2 AND n_chars >= 50 AND n_digits * 5 < n_chars)
                        AS quality_ok
             FROM s
-        """.format(stop_expr=" + ".join(
-            "(length(padded) - length(replace(padded, ' {w} ', ''))) / {n}".format(
-                w=w, n=len(w) + 2,
-            )
-            for w in [
-                "the", "and", "of", "to", "in", "a", "is", "that", "for", "it",
-            ]
-        )),
+        """.format(stop_expr=_stop_expr_sql()),
         "doc_bpe_token_counts": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
@@ -1221,4 +1250,37 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY word ORDER BY n DESC, word LIMIT 50
         """,
+        # end-to-end cleanup chain: exact dedup -> quality filter -> PII
+        # redaction -> deterministic 50% hash sample, mirrored stage by
+        # stage (same stopword expr, same RE2 patterns, same hash gate)
+        "doc_pretrain_pipeline": """
+            WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+            d AS (
+                SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded
+                FROM documents WHERE doc_id IN (SELECT doc_id FROM surv)
+            ),
+            q AS (
+                SELECT doc_id, text,
+                       CAST({stop_expr} AS BIGINT) AS n_stop,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                            AS BIGINT) AS n_digits
+                FROM d
+            ),
+            f AS (
+                SELECT doc_id, text FROM q
+                WHERE n_stop >= 2 AND n_chars >= 50 AND n_digits * 5 < n_chars
+            ),
+            r AS (
+                SELECT doc_id,
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(text, '{e}', '<EMAIL>', 'g'),
+                               '{ph}', '<PHONE>', 'g'),
+                           '{ip}', '<IP>', 'g') AS text
+                FROM f
+            )
+            SELECT doc_id, text FROM r
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        """.format(stop_expr=_stop_expr_sql(), **_pii_sql_patterns()),
     }

@@ -91,6 +91,10 @@ def run_queries(sf_dir: str) -> dict:
         "doc_ngram_jaccard_dups",
         "doc_word_dedup",
         "doc_repetition_stats",
+        "doc_pii_redacted",
+        "doc_decontaminate",
+        "doc_weighted_sample",
+        "corpus_vocab_topk",
         "emb_knn_brute",
         "kg_triples",
         "kg_top_hubs",
