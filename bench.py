@@ -156,6 +156,11 @@ def run_large_leg(num_cpus: int) -> dict:
 
 def single_run(num_cpus: int, sf_dir: str, with_queries: bool,
                pages_dir: str | None = None, with_large_leg: bool = False) -> dict:
+    # delivered-CPU probe (work units/s, higher = faster VM): recorded so
+    # round-over-round BENCH_r{N}.json deltas can be attributed to code vs
+    # noisy-neighbor windows (this VM measured 160-286 s wall on identical
+    # code in round 1)
+    cpu_probe = _probe_cpu(2.0)
     _init_ray(num_cpus)
     sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
     headline = run_headline(sf, num_cpus, pages_dir=pages_dir)
@@ -165,6 +170,7 @@ def single_run(num_cpus: int, sf_dir: str, with_queries: bool,
         "unit": "sec",
         "sf": sf,
         "num_cpus": num_cpus,
+        "cpu_probe_units_per_sec": cpu_probe,
         **headline,
     }
     if with_queries:
