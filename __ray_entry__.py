@@ -552,6 +552,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return vocab_topk(_read(sf_dir, "documents"), k=50)
 
+    def doc_running_tokens(sf_dir):
+        # distributed window function: sum(n_tokens) OVER (ORDER BY doc_id)
+        from pybel_ray.ops.window import running_sum
+
+        ds = add_token_counts(_read(sf_dir, "documents"))
+        out = running_sum(ds, "doc_id", "n_tokens", out_col="cum_tokens")
+        return out.select_columns(["doc_id", "n_tokens", "cum_tokens"])
+
+    def doc_token_shards(sf_dir):
+        # sequence packing: shard id = exclusive running token sum // 2000
+        from pybel_ray.ops.window import pack_by_budget
+
+        ds = add_token_counts(_read(sf_dir, "documents"))
+        out = pack_by_budget(ds, 2000, "doc_id", "n_tokens")
+        return out.select_columns(["doc_id", "shard_id"])
+
     def doc_pretrain_pipeline(sf_dir):
         """End-to-end pre-training cleanup, each stage a streaming Ray
         Data transform: exact dedup (one survivor per duplicate cluster)
@@ -783,6 +799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_sample": doc_hash_sample,
         "doc_weighted_sample": doc_weighted_sample,
         "corpus_vocab_topk": corpus_vocab_topk,
+        "doc_running_tokens": doc_running_tokens,
+        "doc_token_shards": doc_token_shards,
         "doc_pretrain_pipeline": doc_pretrain_pipeline,
         # similarity
         "emb_knn_brute": emb_knn_brute,
@@ -1249,6 +1267,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             GROUP BY word ORDER BY n DESC, word LIMIT 50
+        """,
+        # distributed prefix scan == SQL window functions
+        "doc_running_tokens": r"""
+            SELECT doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+            FROM (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                FROM documents
+            )
+        """,
+        "doc_token_shards": r"""
+            SELECT doc_id,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) / 2000) AS BIGINT) AS shard_id
+            FROM (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                FROM documents
+            )
         """,
         # end-to-end cleanup chain: exact dedup -> quality filter -> PII
         # redaction -> deterministic 50% hash sample, mirrored stage by
