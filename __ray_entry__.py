@@ -552,6 +552,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return vocab_topk(_read(sf_dir, "documents"), k=50)
 
+    def events_lag_value(sf_dir):
+        # partitioned window: lag(value) OVER (PARTITION BY user ORDER BY ts)
+        from pybel_ray.ops.window import lag_by
+
+        out = lag_by(
+            _read(sf_dir, "events"), "user_id", ["ts"], "value",
+            out_col="prev_value",
+        )
+        return out.select_columns(["event_id", "user_id", "prev_value"])
+
+    def events_last_click_value(sf_dir):
+        # as-of join: attach each event's most recent strictly-earlier
+        # click (last-touch attribution); one groupby(key) exchange
+        from pybel_ray.ops.window import asof_join
+
+        events = _read(sf_dir, "events")
+
+        def _clicks(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.equal(t.column("event_type"), "click"),
+            ).select(["user_id", "ts", "value"])
+
+        clicks = _read(sf_dir, "events").map_batches(
+            _clicks, batch_format="pyarrow",
+        )
+        out = asof_join(
+            events, clicks, key="user_id", left_on="ts", right_on="ts",
+            take={"click_value": "value"}, inequality=">",
+        )
+        return out.select_columns(["event_id", "user_id", "click_value"])
+
     def doc_running_tokens(sf_dir):
         # distributed window function: sum(n_tokens) OVER (ORDER BY doc_id)
         from pybel_ray.ops.window import running_sum
@@ -799,6 +830,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_sample": doc_hash_sample,
         "doc_weighted_sample": doc_weighted_sample,
         "corpus_vocab_topk": corpus_vocab_topk,
+        "events_lag_value": events_lag_value,
+        "events_last_click_value": events_last_click_value,
         "doc_running_tokens": doc_running_tokens,
         "doc_token_shards": doc_token_shards,
         "doc_pretrain_pipeline": doc_pretrain_pipeline,
@@ -1267,6 +1300,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             GROUP BY word ORDER BY n DESC, word LIMIT 50
+        """,
+        # partitioned window + as-of join over the events stream
+        "events_lag_value": """
+            SELECT event_id, user_id,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value
+            FROM events
+        """,
+        "events_last_click_value": """
+            SELECT e.event_id, e.user_id, c.value AS click_value
+            FROM events e ASOF LEFT JOIN (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'click'
+            ) c ON e.user_id = c.user_id AND e.ts > c.ts
         """,
         # distributed prefix scan == SQL window functions
         "doc_running_tokens": r"""

@@ -35,7 +35,13 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["running_sum", "global_row_number", "pack_by_budget"]
+__all__ = [
+    "running_sum",
+    "global_row_number",
+    "pack_by_budget",
+    "lag_by",
+    "asof_join",
+]
 
 
 def _scan(ds, order_col, value_of, out_cols, emit):
@@ -115,6 +121,133 @@ def global_row_number(ds, order_col: str, out_col: str = "row_number"):
         return t.append_column(out_col, pa.array(inclusive, pa.int64()))
 
     return _scan(ds, order_col, value_of, [out_col], emit)
+
+
+def lag_by(
+    ds,
+    partition_col: str,
+    order_cols,
+    value_col: str,
+    out_col: str = "lag",
+):
+    """``lag(value) OVER (PARTITION BY p ORDER BY o)``: each row gets the
+    previous row's value within its partition (null for the first).
+
+    Partitions co-locate with one ``groupby`` exchange; the shift inside
+    a group is a zero-copy slice.  Deterministic iff ``order_cols`` are
+    unique within a partition.
+    """
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def _shift(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(c, "ascending") for c in order_cols])
+        vals = g.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        shifted = pa.concat_arrays([
+            pa.nulls(min(1, len(vals)), vals.type),
+            vals.slice(0, max(len(vals) - 1, 0)),
+        ])
+        return g.append_column(out_col, shifted)
+
+    return ds.groupby(partition_col).map_groups(_shift, batch_format="pyarrow")
+
+
+def asof_join(
+    left,
+    right,
+    key: str,
+    left_on: str,
+    right_on: str,
+    take: dict,
+    inequality: str = ">=",
+):
+    """Distributed as-of join: for each left row, attach columns of the
+    single right row with the same ``key`` and the largest ``right_on``
+    that is ``<= left_on`` (``inequality=">="``) or ``< left_on``
+    (``inequality=">"``); unmatched left rows get nulls (LEFT ASOF JOIN
+    semantics, matching DuckDB's ``ASOF LEFT JOIN``).
+
+    ``take`` maps output column name -> right column name (output names
+    must not collide with left's columns).
+
+    Shape: both sides are tagged and unioned (right projected to ``key``,
+    timestamp and taken columns only), co-partitioned with ONE
+    ``groupby(key)`` exchange, and merged per key group with a vectorized
+    ``np.searchsorted`` — no driver materialization, no per-row Python.
+    Deterministic iff ``right_on`` is unique per key.  Skewed keys pay
+    the usual groupby cost (salt upstream if one key dominates).
+    """
+    if inequality not in (">=", ">"):
+        raise ValueError("inequality must be '>=' or '>'")
+
+    ls = left.schema()
+    l_names = list(ls.names)
+    l_types = list(ls.types)
+    rs = right.schema()
+    r_type_of = dict(zip(rs.names, rs.types))
+    out_names = list(take)
+    if set(out_names) & set(l_names):
+        raise ValueError("take output names collide with left columns")
+
+    def _left_pad(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        t = t.append_column("_asof_ts", pa.nulls(n, r_type_of[right_on]))
+        for name in out_names:
+            t = t.append_column(name, pa.nulls(n, r_type_of[take[name]]))
+        return t.append_column("_side", pa.array(np.zeros(n, np.int8)))
+
+    def _right_pad(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrays, names = [], []
+        for name, typ in zip(l_names, l_types):
+            names.append(name)
+            arrays.append(
+                t.column(key).combine_chunks() if name == key else pa.nulls(n, typ)
+            )
+        names.append("_asof_ts")
+        arrays.append(t.column(right_on).combine_chunks())
+        for out in out_names:
+            names.append(out)
+            arrays.append(t.column(take[out]).combine_chunks())
+        names.append("_side")
+        arrays.append(pa.array(np.ones(n, np.int8)))
+        return pa.Table.from_arrays(arrays, names=names)
+
+    u = left.map_batches(_left_pad, batch_format="pyarrow").union(
+        right.map_batches(_right_pad, batch_format="pyarrow"),
+    )
+    search_side = "right" if inequality == ">=" else "left"
+
+    def _merge(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy(zero_copy_only=False)
+        lefts = g.filter(pa.array(side == 0)).select(l_names)
+        rights = g.filter(pa.array(side == 1)).sort_by([("_asof_ts", "ascending")])
+        if lefts.num_rows == 0:
+            for out in out_names:
+                lefts = lefts.append_column(
+                    out, pa.nulls(0, r_type_of[take[out]]),
+                )
+            return lefts
+        if rights.num_rows == 0:
+            for out in out_names:
+                lefts = lefts.append_column(
+                    out, pa.nulls(lefts.num_rows, r_type_of[take[out]]),
+                )
+            return lefts
+        rts = rights.column("_asof_ts").to_numpy(zero_copy_only=False)
+        lts = lefts.column(left_on).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(rts, lts, side=search_side) - 1
+        # null index -> null row through take (LEFT-join semantics)
+        idx = pa.array(pos.astype(np.int64), mask=pos < 0)
+        for out in out_names:
+            col = rights.column(out)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lefts = lefts.append_column(out, col.take(idx))
+        return lefts
+
+    return u.groupby(key).map_groups(_merge, batch_format="pyarrow")
 
 
 def pack_by_budget(

@@ -53,6 +53,58 @@ def test_global_row_number(ray_session):
     assert [r["row_number"] for r in out] == list(range(1, 501))
 
 
+def test_lag_by(ray_session):
+    from pybel_ray.ops.window import lag_by
+
+    rows = [
+        {"u": u, "t": t, "v": u * 100 + t}
+        for u in range(5) for t in range(10)
+    ]
+    out = lag_by(_ds(rows, blocks=4), "u", ["t"], "v", out_col="prev").take_all()
+    for r in out:
+        if r["t"] == 0:
+            assert r["prev"] is None
+        else:
+            assert r["prev"] == r["v"] - 1
+
+
+def test_asof_join_matches_duckdb(ray_session):
+    import duckdb
+
+    from pybel_ray.ops.window import asof_join
+
+    rs = np.random.RandomState(3)
+    left_rows = [
+        {"k": int(rs.randint(4)), "ts": int(rs.randint(1000)), "lx": i}
+        for i in range(300)
+    ]
+    right_rows = [
+        {"k": k, "rts": t, "payload": k * 10000 + t}
+        for k in range(3)  # key 3 never matches
+        for t in sorted(rs.choice(1000, size=40, replace=False).tolist())
+    ]
+    for ineq, op in ((">=", ">="), (">", ">")):
+        got = sorted(
+            (r["lx"], r["payload"])
+            for r in asof_join(
+                _ds(left_rows, blocks=5), _ds(right_rows, blocks=3),
+                key="k", left_on="ts", right_on="rts",
+                take={"payload": "payload"}, inequality=ineq,
+            ).take_all()
+        )
+        con = duckdb.connect()
+        con.register("l", pa.Table.from_pylist(left_rows))
+        con.register("r", pa.Table.from_pylist(right_rows))
+        want = sorted(
+            (lx, p)
+            for lx, p in con.execute(
+                "SELECT l.lx, r.payload FROM l ASOF LEFT JOIN r "
+                "ON l.k = r.k AND l.ts {} r.rts".format(op),
+            ).fetchall()
+        )
+        assert got == want, ineq
+
+
 def test_pack_by_budget(ray_session):
     from pybel_ray.ops.window import pack_by_budget
 
