@@ -583,6 +583,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["event_id", "user_id", "click_value"])
 
+    def events_signup_window_value(sf_dir):
+        # SCD-style range join: attach the signup whose 7-day window
+        # (clamped at the user's next signup, so windows never overlap
+        # and gaps exist) contains each event
+        from pybel_ray.ops.window import interval_join, lag_by
+
+        _US_7D = 7 * 86400 * 1_000_000
+
+        def _signups(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.equal(t.column("event_type"), "signup"),
+            ).select(["user_id", "ts", "value"])
+
+        sign = _read(sf_dir, "events").map_batches(_signups, batch_format="pyarrow")
+
+        def _rev(t: pa.Table) -> pa.Table:
+            us = pc.cast(t.column("ts"), pa.int64())
+            return t.append_column("_rev", pc.multiply(us, -1))
+
+        # lead(ts) == lag over the reversed order
+        sign = lag_by(
+            sign.map_batches(_rev, batch_format="pyarrow"),
+            "user_id", ["_rev"], "ts", out_col="next_ts",
+        )
+
+        def _mkend(t: pa.Table) -> pa.Table:
+            us = pc.cast(t.column("ts"), pa.int64())
+            end7 = pc.add(us, _US_7D)
+            nxt = pc.subtract(pc.cast(t.column("next_ts"), pa.int64()), 1)
+            end = pc.if_else(
+                pc.is_valid(nxt), pc.min_element_wise(end7, nxt), end7,
+            )
+            return t.append_column("win_end", pc.cast(end, pa.timestamp("us")))
+
+        windows = sign.map_batches(_mkend, batch_format="pyarrow")
+        out = interval_join(
+            _read(sf_dir, "events"), windows,
+            key="user_id", left_on="ts", start_col="ts", end_col="win_end",
+            take={"signup_value": "value"},
+        )
+        return out.select_columns(["event_id", "user_id", "signup_value"])
+
     def doc_running_tokens(sf_dir):
         # distributed window function: sum(n_tokens) OVER (ORDER BY doc_id)
         from pybel_ray.ops.window import running_sum
@@ -831,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": doc_weighted_sample,
         "corpus_vocab_topk": corpus_vocab_topk,
         "events_lag_value": events_lag_value,
+        "events_signup_window_value": events_signup_window_value,
         "events_last_click_value": events_last_click_value,
         "doc_running_tokens": doc_running_tokens,
         "doc_token_shards": doc_token_shards,
@@ -1313,6 +1356,24 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, value FROM events
                 WHERE event_type = 'click'
             ) c ON e.user_id = c.user_id AND e.ts > c.ts
+        """,
+        "events_signup_window_value": """
+            WITH s AS (
+                SELECT user_id, ts, value,
+                       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+                FROM events WHERE event_type = 'signup'
+            ),
+            w AS (
+                SELECT user_id, ts AS win_start, value,
+                       least(ts + INTERVAL 7 DAY,
+                             coalesce(next_ts - INTERVAL 1 MICROSECOND,
+                                      ts + INTERVAL 7 DAY)) AS win_end
+                FROM s
+            )
+            SELECT e.event_id, e.user_id, w.value AS signup_value
+            FROM events e LEFT JOIN w
+                 ON e.user_id = w.user_id
+                AND e.ts BETWEEN w.win_start AND w.win_end
         """,
         # distributed prefix scan == SQL window functions
         "doc_running_tokens": r"""

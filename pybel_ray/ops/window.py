@@ -41,6 +41,7 @@ __all__ = [
     "pack_by_budget",
     "lag_by",
     "asof_join",
+    "interval_join",
 ]
 
 
@@ -248,6 +249,50 @@ def asof_join(
         return lefts
 
     return u.groupby(key).map_groups(_merge, batch_format="pyarrow")
+
+
+def interval_join(
+    left,
+    right,
+    key: str,
+    left_on: str,
+    start_col: str,
+    end_col: str,
+    take: dict,
+):
+    """Range join for per-key NON-OVERLAPPING intervals (the SCD-2 /
+    versioned-dimension case): attach the right row whose
+    ``[start, end]`` contains ``left_on`` (both ends closed; a null
+    ``end`` is open-ended); unmatched left rows get nulls.
+
+    Because intervals don't overlap within a key, containment reduces to
+    the as-of join on ``start`` plus a vectorized end check — one
+    ``groupby(key)`` exchange total.  Equivalent SQL:
+    ``LEFT JOIN r ON l.k = r.k AND l.ts BETWEEN r.s AND r.e``.
+    For overlapping intervals (one-to-many output) use a dedicated
+    sweep, not this operator.
+    """
+    import pyarrow.compute as pc
+
+    inner = dict(take)
+    inner["_ivl_start"] = start_col
+    inner["_ivl_end"] = end_col
+    joined = asof_join(left, right, key, left_on, start_col, inner, ">=")
+
+    def _check(t: pa.Table) -> pa.Table:
+        matched = pc.is_valid(t.column("_ivl_start"))
+        # null end = open interval -> containment holds once start matched
+        end_ok = pc.fill_null(
+            pc.greater_equal(t.column("_ivl_end"), t.column(left_on)), True,
+        )
+        keep = pc.and_(matched, end_ok)
+        for out in take:
+            col = t.column(out)
+            nulled = pc.if_else(keep, col, pa.nulls(1, col.type)[0])
+            t = t.set_column(t.schema.get_field_index(out), out, nulled)
+        return t.drop_columns(["_ivl_start", "_ivl_end"])
+
+    return joined.map_batches(_check, batch_format="pyarrow")
 
 
 def pack_by_budget(

@@ -105,6 +105,50 @@ def test_asof_join_matches_duckdb(ray_session):
         assert got == want, ineq
 
 
+def test_interval_join_matches_duckdb(ray_session):
+    import duckdb
+
+    from pybel_ray.ops.window import interval_join
+
+    rs = np.random.RandomState(11)
+    # non-overlapping intervals with gaps per key
+    right_rows = []
+    for k in range(3):
+        pos = 0
+        for i in range(30):
+            pos += int(rs.randint(5, 40))          # gap
+            length = int(rs.randint(0, 20))
+            right_rows.append(
+                {"k": k, "s": pos, "e": pos + length, "tag": k * 1000 + i},
+            )
+            pos += length
+    left_rows = [
+        {"k": int(rs.randint(4)), "ts": int(rs.randint(1200)), "lx": i}
+        for i in range(400)
+    ]
+    got = sorted(
+        (r["lx"], r["tag"])
+        for r in interval_join(
+            _ds(left_rows, blocks=5), _ds(right_rows, blocks=3),
+            key="k", left_on="ts", start_col="s", end_col="e",
+            take={"tag": "tag"},
+        ).take_all()
+    )
+    con = duckdb.connect()
+    con.register("l", pa.Table.from_pylist(left_rows))
+    con.register("r", pa.Table.from_pylist(right_rows))
+    want = sorted(
+        tuple(row)
+        for row in con.execute(
+            "SELECT l.lx, r.tag FROM l LEFT JOIN r "
+            "ON l.k = r.k AND l.ts BETWEEN r.s AND r.e",
+        ).fetchall()
+    )
+    assert got == want
+    # gaps really exercise the end check: some matched-by-start rows fail it
+    assert any(tag is None for _, tag in got)
+
+
 def test_pack_by_budget(ray_session):
     from pybel_ray.ops.window import pack_by_budget
 
