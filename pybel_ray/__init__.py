@@ -50,6 +50,23 @@ def __getattr__(name):
         # protocol
         "Pipeline": ("pybel_ray.struct.pipeline_protocol", "Pipeline"),
         "Query": ("pybel_ray.struct.pipeline_protocol", "Query"),
+        # training-data pipeline operators
+        "exact_dedup": ("pybel_ray.ops.text", "exact_dedup"),
+        "near_dedup_corpus": ("pybel_ray.ops.dedup_approx", "near_dedup_corpus"),
+        "word_frequencies": ("pybel_ray.ops.text", "word_frequencies"),
+        "vocab_topk": ("pybel_ray.ops.text", "vocab_topk"),
+        "add_pii_stats": ("pybel_ray.ops.pii", "add_pii_stats"),
+        "redact_pii": ("pybel_ray.ops.pii", "redact_pii"),
+        "filter_lines": ("pybel_ray.ops.lines", "filter_lines"),
+        "flag_contamination": ("pybel_ray.ops.decontam", "flag_contamination"),
+        "hash_sample": ("pybel_ray.ops.sampling", "hash_sample"),
+        "weighted_sample": ("pybel_ray.ops.sampling", "weighted_sample"),
+        "running_sum": ("pybel_ray.ops.window", "running_sum"),
+        "global_row_number": ("pybel_ray.ops.window", "global_row_number"),
+        "pack_by_budget": ("pybel_ray.ops.window", "pack_by_budget"),
+        "lag_by": ("pybel_ray.ops.window", "lag_by"),
+        "asof_join": ("pybel_ray.ops.window", "asof_join"),
+        "interval_join": ("pybel_ray.ops.window", "interval_join"),
     }
     try:
         module, attr = lazy[name]
