@@ -552,6 +552,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return vocab_topk(_read(sf_dir, "documents"), k=50)
 
+    def events_value_quantiles(sf_dir):
+        # exact per-group quantiles (median, p90, p99) via one groupby
+        # exchange + vectorized in-group order statistics
+        from pybel_ray.ops.relational import groupby_quantiles
+
+        return groupby_quantiles(
+            _read(sf_dir, "events"), "event_type", "value",
+            [0.5, 0.9, 0.99],
+        )
+
     def events_lag_value(sf_dir):
         # partitioned window: lag(value) OVER (PARTITION BY user ORDER BY ts)
         from pybel_ray.ops.window import lag_by
@@ -872,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_sample": doc_hash_sample,
         "doc_weighted_sample": doc_weighted_sample,
         "corpus_vocab_topk": corpus_vocab_topk,
+        "events_value_quantiles": events_value_quantiles,
         "events_lag_value": events_lag_value,
         "events_signup_window_value": events_signup_window_value,
         "events_last_click_value": events_last_click_value,
@@ -1343,6 +1354,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             GROUP BY word ORDER BY n DESC, word LIMIT 50
+        """,
+        "events_value_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS q50,
+                   quantile_disc(value, 0.9) AS q90,
+                   quantile_disc(value, 0.99) AS q99
+            FROM events GROUP BY event_type
         """,
         # partitioned window + as-of join over the events stream
         "events_lag_value": """

@@ -19,7 +19,42 @@ __all__ = [
     "broadcast_join",
     "topk",
     "distinct_values",
+    "groupby_quantiles",
 ]
+
+
+def groupby_quantiles(ds, keys, value_col: str, qs: Sequence[float],
+                      prefix: str = "q"):
+    """Exact per-group discrete quantiles — the order statistic at
+    ``ceil(q*n) - 1``, which is exactly DuckDB's ``quantile_disc``
+    (verified empirically across n in 1..101, q in 0..1).
+
+    One ``groupby`` exchange co-locates each group; the quantile itself
+    is a vectorized in-group sort.  Output columns ``{prefix}{pct}``
+    (e.g. ``q50``) so oracles can name them identically.  Group payloads
+    must fit a worker — true for key-bounded groups (event types,
+    statuses); for unbounded skew, pre-aggregate or sketch instead.
+    """
+    import numpy as np
+
+    if isinstance(keys, str):
+        keys = [keys]
+    names = ["{}{:g}".format(prefix, q * 100) for q in qs]
+
+    def _q(g: pa.Table) -> pa.Table:
+        vals = np.sort(
+            g.column(value_col).to_numpy(zero_copy_only=False),
+        )
+        # quantile_disc: element at ceil(q * n) - 1, clamped at 0
+        idx = [max(int(np.ceil(q * len(vals))) - 1, 0) for q in qs]
+        out = {k: [g.column(k)[0].as_py()] for k in keys}
+        for name, i in zip(names, idx):
+            out[name] = [float(vals[i])]
+        return pa.Table.from_pydict(out)
+
+    return ds.select_columns(list(keys) + [value_col]).groupby(
+        list(keys),
+    ).map_groups(_q, batch_format="pyarrow")
 
 
 def groupby_count(ds, keys, count_name: str = "n"):
