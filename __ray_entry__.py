@@ -562,6 +562,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [0.5, 0.9, 0.99],
         )
 
+    def events_top3_by_type(sf_dir):
+        # partitioned top-k: 3 highest-value events per type
+        from pybel_ray.ops.relational import topk_per_group
+
+        out = topk_per_group(
+            _read(sf_dir, "events"), "event_type", "value", 3,
+            tie_keys=["event_id"],
+        )
+        return out.select_columns(["event_type", "event_id", "value"])
+
     def events_lag_value(sf_dir):
         # partitioned window: lag(value) OVER (PARTITION BY user ORDER BY ts)
         from pybel_ray.ops.window import lag_by
@@ -650,6 +660,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = add_token_counts(_read(sf_dir, "documents"))
         out = pack_by_budget(ds, 2000, "doc_id", "n_tokens")
         return out.select_columns(["doc_id", "shard_id"])
+
+    def doc_tfidf_topk(sf_dir):
+        # top-5 TF-IDF terms per document (tf * ln(N/df), df broadcast)
+        from pybel_ray.ops.text import tfidf_topk
+
+        out = tfidf_topk(_read(sf_dir, "documents"), k=5)
+        return out.select_columns(["doc_id", "word", "tfidf"])
 
     def doc_pretrain_pipeline(sf_dir):
         """End-to-end pre-training cleanup, each stage a streaming Ray
@@ -883,11 +900,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": doc_weighted_sample,
         "corpus_vocab_topk": corpus_vocab_topk,
         "events_value_quantiles": events_value_quantiles,
+        "events_top3_by_type": events_top3_by_type,
         "events_lag_value": events_lag_value,
         "events_signup_window_value": events_signup_window_value,
         "events_last_click_value": events_last_click_value,
         "doc_running_tokens": doc_running_tokens,
         "doc_token_shards": doc_token_shards,
+        "doc_tfidf_topk": doc_tfidf_topk,
         "doc_pretrain_pipeline": doc_pretrain_pipeline,
         # similarity
         "emb_knn_brute": emb_knn_brute,
@@ -1362,6 +1381,13 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.99) AS q99
             FROM events GROUP BY event_type
         """,
+        "events_top3_by_type": """
+            SELECT event_type, event_id, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type ORDER BY value DESC, event_id
+            ) <= 3
+        """,
         # partitioned window + as-of join over the events stream
         "events_lag_value": """
             SELECT event_id, user_id,
@@ -1413,6 +1439,21 @@ def oracle_sql() -> dict[str, str]:
                        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
                 FROM documents
             )
+        """,
+        "doc_tfidf_topk": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, word, tf * ln(n.n::DOUBLE / df.df) AS tfidf
+            FROM tf JOIN df USING (word), n
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, word
+            ) <= 5
         """,
         # end-to-end cleanup chain: exact dedup -> quality filter -> PII
         # redaction -> deterministic 50% hash sample, mirrored stage by

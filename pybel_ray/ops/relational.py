@@ -20,7 +20,28 @@ __all__ = [
     "topk",
     "distinct_values",
     "groupby_quantiles",
+    "topk_per_group",
 ]
+
+
+def topk_per_group(ds, keys, value_col: str, k: int,
+                   descending: bool = True, tie_keys: Sequence[str] = ()):
+    """Top-``k`` rows per group by ``value_col`` (``row_number() OVER
+    (PARTITION BY keys ORDER BY v DESC, ties) <= k``).
+
+    One ``groupby`` exchange; the per-group head is a vectorized sort of
+    a co-located group.  ``tie_keys`` make the cut deterministic when
+    values repeat.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    order = [(value_col, "descending" if descending else "ascending")]
+    order += [(t, "ascending") for t in tie_keys]
+
+    def _head(g: pa.Table) -> pa.Table:
+        return g.sort_by(order).slice(0, k)
+
+    return ds.groupby(list(keys)).map_groups(_head, batch_format="pyarrow")
 
 
 def groupby_quantiles(ds, keys, value_col: str, qs: Sequence[float],

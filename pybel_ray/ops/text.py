@@ -27,6 +27,8 @@ __all__ = [
     "exact_dedup",
     "word_frequencies",
     "vocab_topk",
+    "term_frequencies",
+    "tfidf_topk",
     "LANG_MARKERS",
 ]
 
@@ -250,6 +252,107 @@ def vocab_topk(ds, k: int = 100, text_col: str = "text"):
 
     freqs = word_frequencies(ds, text_col)
     return topk(freqs, "n", k, tie_keys=["word"])
+
+
+#: df tables at or below this many distinct terms broadcast via ray.put;
+#: above it the df attach becomes a bucketed join on the term
+_DF_BROADCAST_BUDGET = 2_000_000
+
+
+def term_frequencies(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """One (doc_id, word, tf) row per distinct (document, word) pair.
+
+    Per batch: one ``dictionary_encode`` + one lexsort over the flat
+    word stream — run lengths are the term frequencies; no Python loop.
+    """
+
+    def _tf(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column(text_col))
+        parts = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        offs = np.asarray(parts.offsets)
+        lens = np.diff(offs)
+        enc = parts.values.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        if not codes.size:
+            return pa.Table.from_arrays(
+                [t.column(id_col).slice(0, 0), pa.array([], pa.string()),
+                 pa.array([], pa.int64())],
+                names=[id_col, "word", "tf"],
+            )
+        order = np.lexsort((codes, doc_idx))
+        dc, cc = doc_idx[order], codes[order]
+        starts = np.flatnonzero(np.r_[True, (dc[1:] != dc[:-1]) | (cc[1:] != cc[:-1])])
+        tf = np.diff(np.r_[starts, dc.size])
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                ids.take(pa.array(dc[starts], pa.int64())),
+                enc.dictionary.take(pa.array(cc[starts], pa.int64())),
+                pa.array(tf, pa.int64()),
+            ],
+            names=[id_col, "word", "tf"],
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _tf, batch_format="pyarrow",
+    )
+
+
+def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id"):
+    """Top-``k`` TF-IDF terms per document: ``tf * ln(N / df)``.
+
+    tf rows come from :func:`term_frequencies` (already one row per
+    distinct pair, so df is a plain ``groupby(word).count()``); the df
+    table is broadcast when small (≤ ``_DF_BROADCAST_BUDGET`` terms),
+    else attached with a bucketed join on the term.  The final head is
+    :func:`~pybel_ray.ops.relational.topk_per_group`, ties broken by
+    word, so a SQL window oracle compares exactly.
+    """
+    import ray
+
+    from .relational import groupby_count, topk_per_group
+
+    n_docs = ds.count()
+    tf = term_frequencies(ds, text_col, id_col).materialize()
+    df = groupby_count(tf, "word", "df").materialize()
+
+    if df.count() <= _DF_BROADCAST_BUDGET:
+        chunks = []
+        for b in df.iter_batches(batch_format="pyarrow"):
+            chunks.append(b)
+        df_table = pa.concat_tables(chunks)
+        df_ref = ray.put(df_table)
+
+        def _score(t: pa.Table) -> pa.Table:
+            lkp = ray.get(df_ref)
+            idx = pc.index_in(t.column("word"), value_set=lkp.column("word"))
+            dfv = pc.take(lkp.column("df").combine_chunks(), idx)
+            score = t.column("tf").to_numpy(zero_copy_only=False) * np.log(
+                n_docs / dfv.to_numpy(zero_copy_only=False).astype(np.float64),
+            )
+            return t.append_column("tfidf", pa.array(score, pa.float64()))
+
+        scored = tf.map_batches(_score, batch_format="pyarrow")
+    else:
+        from ..struct.degree import bucketed_attach
+
+        joined = bucketed_attach(tf, "word", df, "word", ["df"], how="left")
+
+        def _score(t: pa.Table) -> pa.Table:
+            score = t.column("tf").to_numpy(zero_copy_only=False) * np.log(
+                n_docs / t.column("df").to_numpy(zero_copy_only=False).astype(np.float64),
+            )
+            t = t.append_column("tfidf", pa.array(score, pa.float64()))
+            return t.drop_columns(["df"])
+
+        scored = joined.map_batches(_score, batch_format="pyarrow")
+
+    return topk_per_group(scored, id_col, "tfidf", k, tie_keys=["word"])
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
