@@ -572,6 +572,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["event_type", "event_id", "value"])
 
+    def events_sessionize(sf_dir):
+        # 30-minute-gap sessionization per user
+        from pybel_ray.ops.window import sessionize
+
+        out = sessionize(
+            _read(sf_dir, "events"), "user_id", "ts",
+            gap_us=30 * 60 * 1_000_000,
+        )
+        return out.select_columns(["event_id", "user_id", "session_seq"])
+
+    def customers_without_orders(sf_dir):
+        # distributed anti-join (bucketed hash co-location)
+        from pybel_ray.ops.relational import anti_join
+
+        out = anti_join(
+            _read(sf_dir, "customer"), "c_custkey",
+            _read(sf_dir, "orders"), "o_custkey",
+        ).select_columns(["c_custkey", "c_mktsegment"])
+        # Arrow table so a 0-row result keeps its schema (an empty
+        # Dataset drops column metadata through to_pandas)
+        tables = [b for b in out.iter_batches(batch_format="pyarrow")]
+        if not tables:
+            return pa.schema(
+                [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())],
+            ).empty_table()
+        return pa.concat_tables(tables)
+
+    def customers_with_orders(sf_dir):
+        # distributed semi-join
+        from pybel_ray.ops.relational import semi_join
+
+        out = semi_join(
+            _read(sf_dir, "customer"), "c_custkey",
+            _read(sf_dir, "orders"), "o_custkey",
+        )
+        return out.select_columns(["c_custkey", "c_mktsegment"])
+
     def events_lag_value(sf_dir):
         # partitioned window: lag(value) OVER (PARTITION BY user ORDER BY ts)
         from pybel_ray.ops.window import lag_by
@@ -901,6 +938,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_vocab_topk": corpus_vocab_topk,
         "events_value_quantiles": events_value_quantiles,
         "events_top3_by_type": events_top3_by_type,
+        "events_sessionize": events_sessionize,
+        "customers_without_orders": customers_without_orders,
+        "customers_with_orders": customers_with_orders,
         "events_lag_value": events_lag_value,
         "events_signup_window_value": events_signup_window_value,
         "events_last_click_value": events_last_click_value,
@@ -1387,6 +1427,29 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY event_type ORDER BY value DESC, event_id
             ) <= 3
+        """,
+        "events_sessionize": """
+            WITH g AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts
+                            ) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS flag
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(flag) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_seq
+            FROM g
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
         """,
         # partitioned window + as-of join over the events stream
         "events_lag_value": """

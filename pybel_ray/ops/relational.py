@@ -21,7 +21,46 @@ __all__ = [
     "distinct_values",
     "groupby_quantiles",
     "topk_per_group",
+    "semi_join",
+    "anti_join",
 ]
+
+
+def semi_join(ds, key: str, keys_ds, keys_key: Optional[str] = None,
+              anti: bool = False):
+    """Distributed semi-join: keep rows of ``ds`` whose ``key`` appears
+    in ``keys_ds[keys_key]`` (``anti=True`` keeps the complement).
+
+    Wraps the bucketed hash-co-location join (one ``groupby(bucket)``
+    exchange, one vectorized ``pc.is_in`` per bucket — neither side ever
+    visits the driver), casting keys to strings internally so any key
+    type works.
+    """
+    from ..struct.degree import bucketed_semi_join
+
+    keys_key = keys_key or key
+
+    def _tag(col):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.append_column("_sj_key", pc.cast(t.column(col), pa.string()))
+
+        return _f
+
+    tagged = ds.map_batches(_tag(key), batch_format="pyarrow")
+    keys_tagged = keys_ds.select_columns([keys_key]).map_batches(
+        _tag(keys_key), batch_format="pyarrow",
+    )
+    out = bucketed_semi_join(tagged, "_sj_key", keys_tagged, "_sj_key", anti=anti)
+
+    def _drop(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["_sj_key"])
+
+    return out.map_batches(_drop, batch_format="pyarrow")
+
+
+def anti_join(ds, key: str, keys_ds, keys_key: Optional[str] = None):
+    """Rows of ``ds`` whose ``key`` does NOT appear in ``keys_ds``."""
+    return semi_join(ds, key, keys_ds, keys_key, anti=True)
 
 
 def topk_per_group(ds, keys, value_col: str, k: int,

@@ -42,6 +42,7 @@ __all__ = [
     "lag_by",
     "asof_join",
     "interval_join",
+    "sessionize",
 ]
 
 
@@ -249,6 +250,34 @@ def asof_join(
         return lefts
 
     return u.groupby(key).map_groups(_merge, batch_format="pyarrow")
+
+
+def sessionize(
+    ds,
+    partition_col: str,
+    ts_col: str,
+    gap_us: int,
+    out_col: str = "session_seq",
+):
+    """Assign 0-based session sequence numbers per partition: a new
+    session starts when the gap to the previous event exceeds ``gap_us``
+    (microseconds — the int64 representation of ``timestamp[us]``).
+
+    One ``groupby(partition)`` exchange; inside a group it is a sort +
+    one vectorized diff + cumsum.  Equivalent SQL: cumulative sum over
+    ``(ts - lag(ts) > gap)`` flags.
+    """
+    import pyarrow.compute as pc
+
+    def _sess(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(ts_col, "ascending")])
+        ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        flags = np.zeros(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            flags[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        return g.append_column(out_col, pa.array(np.cumsum(flags), pa.int64()))
+
+    return ds.groupby(partition_col).map_groups(_sess, batch_format="pyarrow")
 
 
 def interval_join(
