@@ -705,6 +705,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = tfidf_topk(_read(sf_dir, "documents"), k=5)
         return out.select_columns(["doc_id", "word", "tfidf"])
 
+    def doc_distinct_words_kmv(sf_dir):
+        # KMV distinct-count sketch; EXACT here because the corpus
+        # vocabulary is far below k=1024 (documented sketch property),
+        # so the count(DISTINCT) oracle is sound; the approximate regime
+        # is covered by tests/test_sketch.py
+        from pybel_ray.ops.sketch import approx_distinct
+        from pybel_ray.ops.text import term_frequencies
+
+        words = term_frequencies(_read(sf_dir, "documents"))
+        est = approx_distinct(words, "word", k=1024)
+        return pa.Table.from_arrays(
+            [pa.array([est], pa.int64())], names=["n_distinct"],
+        )
+
     def doc_pretrain_pipeline(sf_dir):
         """End-to-end pre-training cleanup, each stage a streaming Ray
         Data transform: exact dedup (one survivor per duplicate cluster)
@@ -947,6 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_running_tokens": doc_running_tokens,
         "doc_token_shards": doc_token_shards,
         "doc_tfidf_topk": doc_tfidf_topk,
+        "doc_distinct_words_kmv": doc_distinct_words_kmv,
         "doc_pretrain_pipeline": doc_pretrain_pipeline,
         # similarity
         "emb_knn_brute": emb_knn_brute,
@@ -1517,6 +1532,13 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY doc_id ORDER BY tfidf DESC, word
             ) <= 5
+        """,
+        "doc_distinct_words_kmv": r"""
+            SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_distinct
+            FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+                FROM documents
+            )
         """,
         # end-to-end cleanup chain: exact dedup -> quality filter -> PII
         # redaction -> deterministic 50% hash sample, mirrored stage by
