@@ -95,6 +95,9 @@ def run_queries(sf_dir: str) -> dict:
         "doc_decontaminate",
         "doc_weighted_sample",
         "corpus_vocab_topk",
+        "doc_tfidf_topk",
+        "events_sessionize",
+        "events_last_click_value",
         "emb_knn_brute",
         "kg_triples",
         "kg_top_hubs",

@@ -67,6 +67,14 @@ def __getattr__(name):
         "lag_by": ("pybel_ray.ops.window", "lag_by"),
         "asof_join": ("pybel_ray.ops.window", "asof_join"),
         "interval_join": ("pybel_ray.ops.window", "interval_join"),
+        "sessionize": ("pybel_ray.ops.window", "sessionize"),
+        "semi_join": ("pybel_ray.ops.relational", "semi_join"),
+        "anti_join": ("pybel_ray.ops.relational", "anti_join"),
+        "groupby_quantiles": ("pybel_ray.ops.relational", "groupby_quantiles"),
+        "topk_per_group": ("pybel_ray.ops.relational", "topk_per_group"),
+        "term_frequencies": ("pybel_ray.ops.text", "term_frequencies"),
+        "tfidf_topk": ("pybel_ray.ops.text", "tfidf_topk"),
+        "approx_distinct": ("pybel_ray.ops.sketch", "approx_distinct"),
     }
     try:
         module, attr = lazy[name]
