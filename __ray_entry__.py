@@ -572,6 +572,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["event_type", "event_id", "value"])
 
+    def events_user_running_value(sf_dir):
+        # per-user cumulative value over time
+        from pybel_ray.ops.window import running_sum_by
+
+        out = running_sum_by(
+            _read(sf_dir, "events"), "user_id", ["ts"], "value",
+            out_col="cum_value",
+        )
+        return out.select_columns(["event_id", "user_id", "cum_value"])
+
+    def events_value_quantiles_global(sf_dir):
+        # exact global quantiles: one sort, one row fetched per rank
+        from pybel_ray.ops.window import global_quantiles
+
+        return global_quantiles(
+            _read(sf_dir, "events"), "value", [0.5, 0.9, 0.99],
+        )
+
     def events_sessionize(sf_dir):
         # 30-minute-gap sessionization per user
         from pybel_ray.ops.window import sessionize
@@ -952,6 +970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_vocab_topk": corpus_vocab_topk,
         "events_value_quantiles": events_value_quantiles,
         "events_top3_by_type": events_top3_by_type,
+        "events_user_running_value": events_user_running_value,
+        "events_value_quantiles_global": events_value_quantiles_global,
         "events_sessionize": events_sessionize,
         "customers_without_orders": customers_without_orders,
         "customers_with_orders": customers_with_orders,
@@ -1465,6 +1485,20 @@ def oracle_sql() -> dict[str, str]:
         "customers_with_orders": """
             SELECT c_custkey, c_mktsegment FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "events_user_running_value": """
+            SELECT event_id, user_id,
+                   sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum_value
+            FROM events
+        """,
+        "events_value_quantiles_global": """
+            SELECT quantile_disc(value, 0.5) AS q50,
+                   quantile_disc(value, 0.9) AS q90,
+                   quantile_disc(value, 0.99) AS q99
+            FROM events
         """,
         # partitioned window + as-of join over the events stream
         "events_lag_value": """

@@ -43,6 +43,8 @@ __all__ = [
     "asof_join",
     "interval_join",
     "sessionize",
+    "running_sum_by",
+    "global_quantiles",
 ]
 
 
@@ -250,6 +252,49 @@ def asof_join(
         return lefts
 
     return u.groupby(key).map_groups(_merge, batch_format="pyarrow")
+
+
+def running_sum_by(
+    ds,
+    partition_col: str,
+    order_cols,
+    value_col: str,
+    out_col: str = "running",
+):
+    """``sum(v) OVER (PARTITION BY p ORDER BY o ROWS UNBOUNDED
+    PRECEDING)``: per-partition inclusive prefix sum — one groupby
+    exchange, vectorized in-group sort + cumsum."""
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def _cum(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(c, "ascending") for c in order_cols])
+        vals = g.column(value_col).to_numpy(zero_copy_only=False)
+        return g.append_column(out_col, pa.array(np.cumsum(vals)))
+
+    return ds.groupby(partition_col).map_groups(_cum, batch_format="pyarrow")
+
+
+def global_quantiles(ds, col: str, qs, out_prefix: str = "q"):
+    """Exact global discrete quantiles (DuckDB ``quantile_disc``:
+    order statistic at ``ceil(q·n) − 1``) without materializing the
+    column on the driver: one distributed sort, then each target rank is
+    fetched by splitting the sorted Dataset at that index and reading
+    ONE row.  Returns a one-row Arrow table ``{prefix}{pct}`` columns.
+    """
+    n = ds.count()
+    if n == 0:
+        raise ValueError("empty dataset")
+    sorted_ds = ds.select_columns([col]).sort(col).materialize()
+    names, vals = [], []
+    for q in qs:
+        r = max(int(np.ceil(q * n)) - 1, 0)
+        if r == 0:
+            row = sorted_ds.limit(1).take_all()[0]
+        else:
+            row = sorted_ds.split_at_indices([r])[1].limit(1).take_all()[0]
+        names.append("{}{:g}".format(out_prefix, q * 100))
+        vals.append(row[col])
+    return pa.Table.from_arrays([pa.array([v]) for v in vals], names=names)
 
 
 def sessionize(
