@@ -163,3 +163,41 @@ def test_node_roundtrip(node):
     term = _parser.parse_bel_term(cur)
     assert cur.at_end(), "parser left input: {!r}".format(bel[cur.pos:])
     assert term.node == node, bel
+
+
+#: one-way causal keywords — none collide with structural auto-edge
+#: relations (hasVariant/partOf/hasReactant/hasProduct/...), so exactly
+#: one primary edge must come back
+_ONE_WAY_RELATIONS = [
+    "increases", "decreases", "directlyIncreases", "directlyDecreases",
+    "regulates", "causesNoChange",
+]
+
+
+@settings(max_examples=150, deadline=None)
+@given(subj=all_nodes, obj=all_nodes, rel=st.sampled_from(_ONE_WAY_RELATIONS))
+def test_statement_roundtrip(subj, obj, rel):
+    """Full statement round-trip: render 'subj rel obj' from random node
+    dicts, parse it through the statement grammar with citation/evidence
+    set, and require the primary edge to reproduce both node dicts and
+    the relation exactly."""
+    from pybel_ray.grammar.statements import BELStatementParser, Emissions
+
+    parser = BELStatementParser()
+    parser.start_document()
+    parser.control.parse_line('SET Citation = {"PubMed", "12345"}', 1)
+    parser.control.parse_line('SET Evidence = "ev"', 2)
+
+    em = Emissions()
+    line = "{} {} {}".format(node_to_bel(subj), rel, node_to_bel(obj))
+    parser.parse_statement(line, 3, em)
+
+    primary = [e for e in em.edges if e["data"]["relation"] == rel]
+    assert len(primary) == 1, line
+    edge = primary[0]
+    assert edge["src_bel"] == node_to_bel(subj)
+    assert edge["dst_bel"] == node_to_bel(obj)
+    by_bel = dict(em.nodes)
+    assert by_bel[node_to_bel(subj)] == subj
+    assert by_bel[node_to_bel(obj)] == obj
+    assert edge["data"]["citation"] == {"db": "PubMed", "db_id": "12345"}
