@@ -737,6 +737,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array([est], pa.int64())], names=["n_distinct"],
         )
 
+    def doc_token_percentile_filter(sf_dir):
+        # composition: keep docs at or above the corpus p25 token count
+        # (global quantile computed distributed, broadcast as a scalar)
+        from pybel_ray.ops.window import global_quantiles
+
+        ds = add_token_counts(_read(sf_dir, "documents"))
+        p25 = global_quantiles(ds, "n_tokens", [0.25]).column("q25")[0].as_py()
+
+        def _keep(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t.column("n_tokens"), p25))
+
+        out = ds.map_batches(_keep, batch_format="pyarrow")
+        return out.select_columns(["doc_id", "n_tokens"])
+
+    def doc_sample_k_per_source(sf_dir):
+        # deterministic stratified sampling: the 5 docs with the
+        # smallest md5(doc_id) per source (balanced eval-set
+        # construction; stable across runs and engines)
+        from pybel_ray.ops.relational import topk_per_group
+
+        def _h(t: pa.Table) -> pa.Table:
+            import hashlib
+
+            vals = [
+                hashlib.md5(str(v).encode()).hexdigest()  # noqa: S324
+                for v in t.column("doc_id").to_pylist()
+            ]
+            return t.append_column("_h", pa.array(vals, pa.string()))
+
+        ds = _read(sf_dir, "documents").map_batches(_h, batch_format="pyarrow")
+        out = topk_per_group(ds, "source", "_h", 5, descending=False)
+        return out.select_columns(["source", "doc_id"])
+
     def doc_pretrain_pipeline(sf_dir):
         """End-to-end pre-training cleanup, each stage a streaming Ray
         Data transform: exact dedup (one survivor per duplicate cluster)
@@ -982,6 +1015,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_shards": doc_token_shards,
         "doc_tfidf_topk": doc_tfidf_topk,
         "doc_distinct_words_kmv": doc_distinct_words_kmv,
+        "doc_token_percentile_filter": doc_token_percentile_filter,
+        "doc_sample_k_per_source": doc_sample_k_per_source,
         "doc_pretrain_pipeline": doc_pretrain_pipeline,
         # similarity
         "emb_knn_brute": emb_knn_brute,
@@ -1573,6 +1608,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
                 FROM documents
             )
+        """,
+        "doc_token_percentile_filter": r"""
+            WITH tc AS (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens FROM tc
+            WHERE n_tokens >= (SELECT quantile_disc(n_tokens, 0.25) FROM tc)
+        """,
+        "doc_sample_k_per_source": """
+            SELECT source, doc_id FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR))
+            ) <= 5
         """,
         # end-to-end cleanup chain: exact dedup -> quality filter -> PII
         # redaction -> deterministic 50% hash sample, mirrored stage by
