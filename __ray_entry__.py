@@ -627,6 +627,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["c_custkey", "c_mktsegment"])
 
+    def events_user_type_pivot(sf_dir):
+        # wide pivot: one row per user, one count column per event type
+        # (per-batch partial counts -> one small groupby-sum exchange)
+        from pybel_ray.ops.relational import pivot_counts
+
+        out = pivot_counts(
+            _read(sf_dir, "events"), "user_id", "event_type",
+            ["click", "view", "purchase", "signup", "error"],
+        )
+        return out
+
     def events_lag_value(sf_dir):
         # partitioned window: lag(value) OVER (PARTITION BY user ORDER BY ts)
         from pybel_ray.ops.window import lag_by
@@ -1005,6 +1016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top3_by_type": events_top3_by_type,
         "events_user_running_value": events_user_running_value,
         "events_value_quantiles_global": events_value_quantiles_global,
+        "events_user_type_pivot": events_user_type_pivot,
         "events_sessionize": events_sessionize,
         "customers_without_orders": customers_without_orders,
         "customers_with_orders": customers_with_orders,
@@ -1534,6 +1546,15 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.9) AS q90,
                    quantile_disc(value, 0.99) AS q99
             FROM events
+        """,
+        "events_user_type_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+            FROM events GROUP BY user_id
         """,
         # partitioned window + as-of join over the events stream
         "events_lag_value": """

@@ -23,7 +23,52 @@ __all__ = [
     "topk_per_group",
     "semi_join",
     "anti_join",
+    "pivot_counts",
 ]
+
+
+def pivot_counts(ds, index: str, key: str, key_values: Sequence[str],
+                 prefix: str = "n_"):
+    """Pivot to wide format: one row per ``index`` value, one
+    ``{prefix}{v}`` count column per enumerated ``key`` value
+    (``count(*) FILTER (WHERE key = v)`` in SQL).
+
+    Pre-aggregates per batch (one groupby of (index, key) pairs never
+    happens — each batch emits one partial row per distinct index with
+    per-key counts), so the exchange is a plain ``groupby(index).sum``
+    over ``len(key_values)`` int columns.  ``key_values`` must be
+    enumerated (pivot output schema must be static); get them from
+    ``distinct_values`` when unknown.
+    """
+    import numpy as np
+
+    cols = [prefix + v for v in key_values]
+    vset = pa.array(list(key_values), pa.string())
+
+    def _partial(t: pa.Table) -> pa.Table:
+        idx = t.column(index)
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        enc = idx.dictionary_encode()
+        gi = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        ki = pc.index_in(
+            pc.cast(t.column(key), pa.string()), value_set=vset,
+        ).to_numpy(zero_copy_only=False)
+        n_groups = len(enc.dictionary)
+        arrays = [enc.dictionary]
+        for j in range(len(key_values)):
+            mask = ki == j
+            arrays.append(pa.array(
+                np.bincount(gi[mask], minlength=n_groups).astype(np.int64)
+                if mask.any() else np.zeros(n_groups, np.int64),
+                pa.int64(),
+            ))
+        return pa.Table.from_arrays(arrays, names=[index] + cols)
+
+    partials = ds.select_columns([index, key]).map_batches(
+        _partial, batch_format="pyarrow",
+    )
+    return groupby_agg(partials, index, {c: ("sum", c) for c in cols})
 
 
 def semi_join(ds, key: str, keys_ds, keys_key: Optional[str] = None,
