@@ -871,6 +871,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # materialize inside the tempdir's lifetime
             return knn_lsh(ds, q, k=10, index=index).materialize()
 
+    def emb_quantized(sf_dir):
+        # symmetric int8 quantization with a corpus-wide scale, exploded
+        # to (vec_id, pos, q) scalar rows so the value-hash compare is
+        # representation-independent
+        import numpy as np
+
+        from pybel_ray.ops.similarity import quantize_embeddings
+
+        out = quantize_embeddings(_read(sf_dir, "embeddings"))
+
+        def _explode(t: pa.Table) -> pa.Table:
+            arr = t.column("embedding_q")
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            offs = np.asarray(arr.offsets)
+            lens = np.diff(offs)
+            ids = t.column("vec_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            rep = ids.take(pa.array(
+                np.repeat(np.arange(t.num_rows, dtype=np.int64), lens),
+            ))
+            pos = np.concatenate(
+                [np.arange(1, n + 1, dtype=np.int64) for n in lens],
+            ) if lens.size else np.array([], np.int64)
+            return pa.Table.from_arrays(
+                [rep, pa.array(pos, pa.int64()), arr.values],
+                names=["vec_id", "pos", "q"],
+            )
+
+        return out.select_columns(["vec_id", "embedding_q"]).map_batches(
+            _explode, batch_format="pyarrow",
+        )
+
     # -- multimodal plumbing (deterministic fake decode) ---------------------
 
     def media_features(sf_dir):
@@ -1039,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_hist": emb_label_hist,
         "emb_near_dups": emb_near_dups,
         "emb_near_dups_exact": emb_near_dups_exact,
+        "emb_quantized": emb_quantized,
         # multimodal
         "media_features": media_features,
         "media_resize": media_resize,
@@ -1403,6 +1438,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.vec_id AS BIGINT) AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+        """,
+        # symmetric int8 quantization; identical IEEE op order both sides
+        "emb_quantized": """
+            WITH m AS (
+                SELECT greatest(
+                    max(abs(list_aggregate(embedding, 'min'))),
+                    max(abs(list_aggregate(embedding, 'max')))
+                ) AS a
+                FROM embeddings
+            )
+            SELECT vec_id,
+                   unnest(range(1, len(embedding) + 1)) AS pos,
+                   unnest(list_transform(
+                       embedding,
+                       x -> CAST(round(x * 127 / m.a) AS BIGINT)
+                   )) AS q
+            FROM embeddings, m
         """,
         # PII family: both pyarrow and DuckDB compile RE2, so the shared
         # patterns match identically; planted text mirrors _with_planted_pii

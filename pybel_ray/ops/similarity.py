@@ -18,7 +18,60 @@ __all__ = [
     "knn_brute", "knn_brute_multi", "knn_lsh", "get_vector",
     "LshIndex", "build_lsh_index",
     "IvfIndex", "build_ivf_index", "knn_ivf",
+    "max_abs_value", "quantize_embeddings",
 ]
+
+
+def max_abs_value(ds, vec_col: str = "embedding") -> float:
+    """Global max |element| over a vector column: per-batch partial max
+    (one float per batch) → driver reduce.  Never collects vectors."""
+    def _partial(t: pa.Table) -> pa.Table:
+        m = _matrix(t, vec_col)
+        val = float(np.abs(m).max()) if m.size else 0.0
+        return pa.Table.from_arrays([pa.array([val], pa.float64())], names=["m"])
+
+    best = 0.0
+    for b in ds.select_columns([vec_col]).map_batches(
+        _partial, batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        col = b.column("m").to_numpy(zero_copy_only=False)
+        if col.size:
+            best = max(best, float(col.max()))
+    return best
+
+
+def quantize_embeddings(
+    ds,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_q",
+    max_abs: Optional[float] = None,
+):
+    """Symmetric int8 quantization for embedding storage:
+    ``q = round_half_away(v * 127 / max_abs)`` ∈ [-127, 127].
+
+    ``max_abs`` defaults to the distributed global maximum (so the scale
+    is corpus-wide, not per-batch).  The arithmetic is written as
+    ``(v * 127) / max_abs`` then half-away-from-zero rounding — the
+    exact IEEE op order of ``round(x * 127 / a)`` in DuckDB, so a SQL
+    oracle matches bit-for-bit.
+    """
+    if max_abs is None:
+        max_abs = max_abs_value(ds, vec_col)
+    if max_abs == 0.0:
+        raise ValueError("all-zero embedding column")
+
+    def _q(t: pa.Table) -> pa.Table:
+        arr = t.column(vec_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = (np.asarray(arr.values, dtype=np.float64) * 127.0) / max_abs
+        q = np.sign(flat) * np.floor(np.abs(flat) + 0.5)  # half away from zero
+        la = pa.ListArray.from_arrays(
+            arr.offsets, pa.array(q.astype(np.int64), pa.int64()),
+        )
+        return t.append_column(out_col, la)
+
+    return ds.map_batches(_q, batch_format="pyarrow")
 
 
 def _matrix(batch: pa.Table, vec_col: str) -> np.ndarray:

@@ -103,3 +103,31 @@ def test_lsh_index_prunes_partitions(clustered, tmp_path):
     }
     assert got_buckets <= set(probes)
     assert pruned.count() < clustered.count()
+
+
+def test_quantize_embeddings_roundtrip(ray_session):
+    """int8 quantization preserves cosine similarity to ~1% and stays in
+    [-127, 127]; the scale is corpus-wide (max element maps to ±127)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.similarity import max_abs_value, quantize_embeddings
+
+    rs = np.random.RandomState(2)
+    vecs = rs.randn(200, 32) * 3.0
+    t = pa.Table.from_pylist([
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)
+    ])
+    ds = ray.data.from_arrow(t).repartition(5)
+    assert abs(max_abs_value(ds) - np.abs(vecs).max()) < 1e-12
+
+    out = quantize_embeddings(ds).take_all()
+    q = np.array([r["embedding_q"] for r in sorted(out, key=lambda r: r["vec_id"])])
+    assert q.min() >= -127 and q.max() <= 127
+    assert np.abs(q).max() == 127  # corpus-wide scale saturates once
+    # cosine preserved
+    for i in range(0, 200, 37):
+        a, b = vecs[i], q[i].astype(np.float64)
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.995
