@@ -75,6 +75,9 @@ def __getattr__(name):
         "term_frequencies": ("pybel_ray.ops.text", "term_frequencies"),
         "tfidf_topk": ("pybel_ray.ops.text", "tfidf_topk"),
         "approx_distinct": ("pybel_ray.ops.sketch", "approx_distinct"),
+        "pivot_counts": ("pybel_ray.ops.relational", "pivot_counts"),
+        "quantize_embeddings": ("pybel_ray.ops.similarity", "quantize_embeddings"),
+        "sample_rate_threshold": ("pybel_ray.ops.sampling", "rate_to_threshold"),
     }
     try:
         module, attr = lazy[name]
