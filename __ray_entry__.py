@@ -638,6 +638,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out
 
+    def events_type_counts_long(sf_dir):
+        # pivot -> unpivot round trip: wide per-user type counts melted
+        # back to long (user_id, key, value) rows, zeros included
+        from pybel_ray.ops.relational import pivot_counts, unpivot
+
+        types = ["click", "view", "purchase", "signup", "error"]
+        wide = pivot_counts(
+            _read(sf_dir, "events"), "user_id", "event_type", types,
+        )
+        return unpivot(wide, ["user_id"], ["n_" + t for t in types])
+
+    def events_value_histogram(sf_dir):
+        # fixed-width histogram over value with explicit bounds
+        from pybel_ray.ops.relational import histogram
+
+        return histogram(_read(sf_dir, "events"), "value", bins=20,
+                         lo=0.0, hi=500.0)
+
     def events_lag_value(sf_dir):
         # partitioned window: lag(value) OVER (PARTITION BY user ORDER BY ts)
         from pybel_ray.ops.window import lag_by
@@ -1051,6 +1069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_running_value": events_user_running_value,
         "events_value_quantiles_global": events_value_quantiles_global,
         "events_user_type_pivot": events_user_type_pivot,
+        "events_type_counts_long": events_type_counts_long,
+        "events_value_histogram": events_value_histogram,
         "events_sessionize": events_sessionize,
         "customers_without_orders": customers_without_orders,
         "customers_with_orders": customers_with_orders,
@@ -1607,6 +1627,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
                    CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
             FROM events GROUP BY user_id
+        """,
+        "events_type_counts_long": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            k AS (SELECT unnest(['click','view','purchase','signup','error']) AS t),
+            c AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT u.user_id, 'n_' || k.t AS key,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS value
+            FROM u CROSS JOIN k
+            LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = k.t
+        """,
+        "events_value_histogram": """
+            SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19)
+                        AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY bucket
         """,
         # partitioned window + as-of join over the events stream
         "events_lag_value": """

@@ -24,7 +24,61 @@ __all__ = [
     "semi_join",
     "anti_join",
     "pivot_counts",
+    "unpivot",
+    "histogram",
 ]
+
+
+def unpivot(ds, index_cols: Sequence[str], value_cols: Sequence[str],
+            key_col: str = "key", value_col: str = "value"):
+    """Melt wide columns to long format: one output row per (input row,
+    value column), ``key`` holding the column name.  Pure per-batch
+    reshaping (one vertical concat of column slices), no exchange.
+    """
+    index_cols = list(index_cols)
+    value_cols = list(value_cols)
+
+    def _melt(t: pa.Table) -> pa.Table:
+        pieces = []
+        for c in value_cols:
+            cols = [t.column(i) for i in index_cols]
+            cols.append(pa.array([c] * t.num_rows, pa.string()))
+            cols.append(t.column(c))
+            pieces.append(pa.Table.from_arrays(
+                cols, names=index_cols + [key_col, value_col],
+            ))
+        return pa.concat_tables(pieces)
+
+    return ds.select_columns(index_cols + value_cols).map_batches(
+        _melt, batch_format="pyarrow",
+    )
+
+
+def histogram(ds, col: str, bins: int, lo: float, hi: float):
+    """Fixed-width histogram with explicit bounds: bucket =
+    ``clamp(floor((v - lo) / width), 0, bins-1)``; returns one
+    ``(bucket, n)`` row per non-empty bucket.  Per batch, one vectorized
+    bucket assignment + bincount partial; the exchange is a
+    ``groupby(bucket).sum`` over at most ``bins`` rows per batch.
+    """
+    import numpy as np
+
+    width = (hi - lo) / bins
+
+    def _partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(np.floor((v - lo) / width), 0, bins - 1).astype(np.int64)
+        counts = np.bincount(b, minlength=bins)
+        nz = np.flatnonzero(counts)
+        return pa.Table.from_arrays(
+            [pa.array(nz, pa.int64()), pa.array(counts[nz], pa.int64())],
+            names=["bucket", "n"],
+        )
+
+    partials = ds.select_columns([col]).map_batches(
+        _partial, batch_format="pyarrow",
+    )
+    return groupby_agg(partials, "bucket", {"n": ("sum", "n")})
 
 
 def pivot_counts(ds, index: str, key: str, key_values: Sequence[str],
