@@ -656,6 +656,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return histogram(_read(sf_dir, "events"), "value", bins=20,
                          lo=0.0, hi=500.0)
 
+    def events_impute_value(sf_dir):
+        # plant nulls deterministically (event_id % 11 == 0), then fill
+        # with the per-type median of the remaining values — exact order
+        # statistic, so the SQL oracle matches bit-for-bit
+        from pybel_ray.ops.relational import impute_by_group_median
+
+        def _plant(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            eid = t.column("event_id").to_numpy(zero_copy_only=False)
+            v = t.column("value")
+            nulled = pc.if_else(
+                pa.array(eid % 11 == 0), pa.nulls(1, pa.float64())[0], v,
+            )
+            return t.set_column(t.schema.get_field_index("value"), "value", nulled)
+
+        ds = _read(sf_dir, "events").map_batches(_plant, batch_format="pyarrow")
+        out = impute_by_group_median(ds, "event_type", "value")
+        return out.select_columns(["event_id", "event_type", "value"])
+
     def events_lag_value(sf_dir):
         # partitioned window: lag(value) OVER (PARTITION BY user ORDER BY ts)
         from pybel_ray.ops.window import lag_by
@@ -1071,6 +1091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_type_pivot": events_user_type_pivot,
         "events_type_counts_long": events_type_counts_long,
         "events_value_histogram": events_value_histogram,
+        "events_impute_value": events_impute_value,
         "events_sessionize": events_sessionize,
         "customers_without_orders": customers_without_orders,
         "customers_with_orders": customers_with_orders,
@@ -1645,6 +1666,20 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS bucket,
                    CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY bucket
+        """,
+        "events_impute_value": """
+            WITH p AS (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value
+                FROM events
+            ),
+            m AS (
+                SELECT event_type, quantile_disc(value, 0.5) AS med
+                FROM p WHERE value IS NOT NULL GROUP BY event_type
+            )
+            SELECT p.event_id, p.event_type,
+                   coalesce(p.value, m.med) AS value
+            FROM p JOIN m USING (event_type)
         """,
         # partitioned window + as-of join over the events stream
         "events_lag_value": """

@@ -26,7 +26,43 @@ __all__ = [
     "pivot_counts",
     "unpivot",
     "histogram",
+    "impute_by_group_median",
 ]
+
+
+def impute_by_group_median(ds, group_col: str, value_col: str):
+    """Fill nulls in ``value_col`` with the per-group median of the
+    non-null values (the exact ``quantile_disc(0.5)`` order statistic —
+    bit-identical across engines, unlike a float mean).
+
+    The median table is one row per group (small by construction) and is
+    shipped inside the fill UDF's closure; the fill itself is one
+    vectorized ``index_in`` + ``coalesce`` per batch.
+    """
+
+    def _non_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(value_col)))
+
+    med = groupby_quantiles(
+        ds.map_batches(_non_null, batch_format="pyarrow"),
+        group_col, value_col, [0.5], prefix="m",
+    )
+    med_batches = [b for b in med.iter_batches(batch_format="pyarrow")]
+    lkp = pa.concat_tables(med_batches)
+    keys = pc.cast(lkp.column(group_col), pa.string()).combine_chunks()
+    meds = lkp.column("m50").combine_chunks()
+
+    def _fill(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(
+            pc.cast(t.column(group_col), pa.string()), value_set=keys,
+        )
+        fallback = pc.take(meds, idx).cast(t.schema.field(value_col).type)
+        filled = pc.coalesce(t.column(value_col), fallback)
+        return t.set_column(
+            t.schema.get_field_index(value_col), value_col, filled,
+        )
+
+    return ds.map_batches(_fill, batch_format="pyarrow")
 
 
 def unpivot(ds, index_cols: Sequence[str], value_cols: Sequence[str],
