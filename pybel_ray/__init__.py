@@ -76,6 +76,11 @@ def __getattr__(name):
         "tfidf_topk": ("pybel_ray.ops.text", "tfidf_topk"),
         "approx_distinct": ("pybel_ray.ops.sketch", "approx_distinct"),
         "pivot_counts": ("pybel_ray.ops.relational", "pivot_counts"),
+        "unpivot": ("pybel_ray.ops.relational", "unpivot"),
+        "histogram": ("pybel_ray.ops.relational", "histogram"),
+        "impute_by_group_median": ("pybel_ray.ops.relational", "impute_by_group_median"),
+        "global_quantiles": ("pybel_ray.ops.window", "global_quantiles"),
+        "running_sum_by": ("pybel_ray.ops.window", "running_sum_by"),
         "quantize_embeddings": ("pybel_ray.ops.similarity", "quantize_embeddings"),
         "sample_rate_threshold": ("pybel_ray.ops.sampling", "rate_to_threshold"),
     }
