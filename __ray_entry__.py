@@ -676,6 +676,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = impute_by_group_median(ds, "event_type", "value")
         return out.select_columns(["event_id", "event_type", "value"])
 
+    def events_rolling_max_value(sf_dir):
+        # rolling peak: max(value) over the 7 preceding + current events
+        # per user (exact — comparisons only)
+        from pybel_ray.ops.window import rolling_extremum
+
+        out = rolling_extremum(
+            _read(sf_dir, "events"), "user_id", ["ts"], "value",
+            preceding=7, out_col="rolling_max",
+        )
+        return out.select_columns(["event_id", "user_id", "rolling_max"])
+
     def events_lag_value(sf_dir):
         # partitioned window: lag(value) OVER (PARTITION BY user ORDER BY ts)
         from pybel_ray.ops.window import lag_by
@@ -1092,6 +1103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_counts_long": events_type_counts_long,
         "events_value_histogram": events_value_histogram,
         "events_impute_value": events_impute_value,
+        "events_rolling_max_value": events_rolling_max_value,
         "events_sessionize": events_sessionize,
         "customers_without_orders": customers_without_orders,
         "customers_with_orders": customers_with_orders,
@@ -1680,6 +1692,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.event_id, p.event_type,
                    coalesce(p.value, m.med) AS value
             FROM p JOIN m USING (event_type)
+        """,
+        "events_rolling_max_value": """
+            SELECT event_id, user_id,
+                   max(value) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+                   ) AS rolling_max
+            FROM events
         """,
         # partitioned window + as-of join over the events stream
         "events_lag_value": """

@@ -45,6 +45,7 @@ __all__ = [
     "sessionize",
     "running_sum_by",
     "global_quantiles",
+    "rolling_extremum",
 ]
 
 
@@ -295,6 +296,37 @@ def global_quantiles(ds, col: str, qs, out_prefix: str = "q"):
         names.append("{}{:g}".format(out_prefix, q * 100))
         vals.append(row[col])
     return pa.Table.from_arrays([pa.array([v]) for v in vals], names=names)
+
+
+def rolling_extremum(
+    ds,
+    partition_col: str,
+    order_cols,
+    value_col: str,
+    preceding: int,
+    out_col: str = "rolling",
+    kind: str = "max",
+):
+    """``max/min(v) OVER (PARTITION BY p ORDER BY o ROWS BETWEEN k
+    PRECEDING AND CURRENT ROW)`` — exact (comparisons only, no float
+    accumulation), one groupby exchange, vectorized sliding-window
+    reduce per group."""
+    if kind not in ("max", "min"):
+        raise ValueError("kind must be 'max' or 'min'")
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    pad = -np.inf if kind == "max" else np.inf
+    reducer = np.max if kind == "max" else np.min
+
+    def _roll(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(c, "ascending") for c in order_cols])
+        v = g.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        padded = np.r_[np.full(preceding, pad), v]
+        windows = np.lib.stride_tricks.sliding_window_view(padded, preceding + 1)
+        return g.append_column(
+            out_col, pa.array(reducer(windows, axis=1), pa.float64()),
+        )
+
+    return ds.groupby(partition_col).map_groups(_roll, batch_format="pyarrow")
 
 
 def sessionize(
