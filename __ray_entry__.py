@@ -573,14 +573,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["event_type", "event_id", "value"])
 
     def events_user_running_value(sf_dir):
-        # per-user cumulative value over time
+        # per-user cumulative value over time, accumulated in integer
+        # cents: float accumulation order differs between engines
+        # (np.cumsum vs DuckDB's window sum measured ~1e-12 apart), so
+        # the sum must be exact-integer for the value-hash to match
+        import numpy as np
+
         from pybel_ray.ops.window import running_sum_by
 
+        def _cents(t: pa.Table) -> pa.Table:
+            v = t.column("value").to_numpy(zero_copy_only=False)
+            c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            return t.append_column("value_cents", pa.array(c, pa.int64()))
+
+        ds = _read(sf_dir, "events").map_batches(_cents, batch_format="pyarrow")
         out = running_sum_by(
-            _read(sf_dir, "events"), "user_id", ["ts"], "value",
-            out_col="cum_value",
+            ds, "user_id", ["ts"], "value_cents", out_col="cum_cents",
         )
-        return out.select_columns(["event_id", "user_id", "cum_value"])
+        return out.select_columns(["event_id", "user_id", "cum_cents"])
 
     def events_value_quantiles_global(sf_dir):
         # exact global quantiles: one sort, one row fetched per rank
@@ -777,11 +787,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["doc_id", "shard_id"])
 
     def doc_tfidf_topk(sf_dir):
-        # top-5 TF-IDF terms per document (tf * ln(N/df), df broadcast)
+        # top-5 TF-IDF terms per document; the score is quantized to
+        # integer micros BEFORE ranking (raw doubles differ between
+        # engines by ~1e-15, which could flip boundary ranks and always
+        # breaks a byte-level value hash)
+        import numpy as np
+
+        from pybel_ray.ops.relational import topk_per_group
         from pybel_ray.ops.text import tfidf_topk
 
-        out = tfidf_topk(_read(sf_dir, "documents"), k=5)
-        return out.select_columns(["doc_id", "word", "tfidf"])
+        scored = tfidf_topk(_read(sf_dir, "documents"), k=10**9)
+        # tfidf_topk ranks on the raw double; re-quantize and re-rank
+
+        def _quant(t: pa.Table) -> pa.Table:
+            x = t.column("tfidf").to_numpy(zero_copy_only=False)
+            q = np.floor(x * 1e6 + 0.5).astype(np.int64)
+            return t.append_column("tfidf_e6", pa.array(q, pa.int64()))
+
+        out = topk_per_group(
+            scored.map_batches(_quant, batch_format="pyarrow"),
+            "doc_id", "tfidf_e6", 5, tie_keys=["word"],
+        )
+        return out.select_columns(["doc_id", "word", "tfidf_e6"])
 
     def doc_distinct_words_kmv(sf_dir):
         # KMV distinct-count sketch; EXACT here because the corpus
@@ -1640,10 +1667,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_user_running_value": """
             SELECT event_id, user_id,
-                   sum(value) OVER (
+                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts
                        ROWS UNBOUNDED PRECEDING
-                   ) AS cum_value
+                   ) AS BIGINT) AS cum_cents
             FROM events
         """,
         "events_value_quantiles_global": """
@@ -1762,10 +1789,12 @@ def oracle_sql() -> dict[str, str]:
             tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
             df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
             n AS (SELECT count(*) AS n FROM documents)
-            SELECT doc_id, word, tf * ln(n.n::DOUBLE / df.df) AS tfidf
+            SELECT doc_id, word,
+                   CAST(floor(tf * ln(n.n::DOUBLE / df.df) * 1e6 + 0.5)
+                        AS BIGINT) AS tfidf_e6
             FROM tf JOIN df USING (word), n
             QUALIFY row_number() OVER (
-                PARTITION BY doc_id ORDER BY tfidf DESC, word
+                PARTITION BY doc_id ORDER BY tfidf_e6 DESC, word
             ) <= 5
         """,
         "doc_distinct_words_kmv": r"""

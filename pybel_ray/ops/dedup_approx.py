@@ -318,7 +318,7 @@ def _verify_pairs_distributed(
             if j >= threshold:
                 out_a.append(ia)
                 out_b.append(ib)
-                out_j.append(round(j, 6))
+                out_j.append(j)
         return pa.Table.from_arrays(
             [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64()),
              pa.array(out_j, pa.float64())],
@@ -674,7 +674,7 @@ def _ngram_jaccard_dense(ds, text_col, id_col, ngram, threshold, vocab):
             [
                 pa.array(g_ids[rows[ia]], pa.int64()),
                 pa.array(g_ids[ib], pa.int64()),
-                pa.array(np.round(jac[ia, ib], 6), pa.float64()),
+                pa.array(jac[ia, ib], pa.float64()),
             ],
             schema=_PAIRS_SCHEMA,
         )
@@ -868,7 +868,7 @@ def ngram_jaccard_pairs_brute(
             k = i + 1 + int(off)
             j = jaccard_arrays(shingles[ids[i]], shingles[ids[k]])
             if j >= threshold:
-                out.append({"id_a": ids[i], "id_b": ids[k], "jaccard": round(j, 6)})
+                out.append({"id_a": ids[i], "id_b": ids[k], "jaccard": j})
     import ray.data
 
     if not out:
