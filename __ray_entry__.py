@@ -796,8 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pybel_ray.ops.relational import topk_per_group
         from pybel_ray.ops.text import tfidf_topk
 
-        scored = tfidf_topk(_read(sf_dir, "documents"), k=10**9)
-        # tfidf_topk ranks on the raw double; re-quantize and re-rank
+        scored = tfidf_topk(_read(sf_dir, "documents"), k=None)
 
         def _quant(t: pa.Table) -> pa.Table:
             x = t.column("tfidf").to_numpy(zero_copy_only=False)

@@ -303,8 +303,11 @@ def term_frequencies(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id"):
+def tfidf_topk(ds, k=5, text_col: str = "text", id_col: str = "doc_id"):
     """Top-``k`` TF-IDF terms per document: ``tf * ln(N / df)``.
+    ``k=None`` returns every scored (doc, word, tfidf) row unranked
+    (callers that re-quantize the score before ranking skip the
+    redundant global sort).
 
     tf rows come from :func:`term_frequencies` (already one row per
     distinct pair, so df is a plain ``groupby(word).count()``); the df
@@ -352,6 +355,8 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id"):
 
         scored = joined.map_batches(_score, batch_format="pyarrow")
 
+    if k is None:
+        return scored
     return topk_per_group(scored, id_col, "tfidf", k, tie_keys=["word"])
 
 
