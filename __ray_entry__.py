@@ -394,6 +394,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = add_fingerprint_md5(_read(sf_dir, "documents"))
         return ds.select_columns(["doc_id", "fingerprint_md5"])
 
+    # -- entity linking (alias gazetteer derived from the corpus itself so
+    #    the DuckDB oracle can rebuild it; see ops/linking.py) --------------
+
+    def _aliases(sf_dir):
+        from pybel_ray.ops.linking import alias_table_from_corpus
+
+        key = ("aliases", sf_dir)
+        if key not in _KG_CACHE:
+            _KG_CACHE[key] = alias_table_from_corpus(_read(sf_dir, "documents"))
+        return _KG_CACHE[key]
+
+    def doc_entity_mentions(sf_dir):
+        from pybel_ray.ops.linking import link_entities
+
+        return link_entities(_read(sf_dir, "documents"), _aliases(sf_dir))
+
+    def doc_entity_mentions_trie(sf_dir):
+        from pybel_ray.ops.linking import link_entities_trie
+
+        return link_entities_trie(_read(sf_dir, "documents"), _aliases(sf_dir))
+
+    def doc_entity_link_counts(sf_dir):
+        from pybel_ray.ops.linking import entity_link_counts, link_entities
+
+        return entity_link_counts(
+            link_entities(_read(sf_dir, "documents"), _aliases(sf_dir)),
+        )
+
     def doc_simhash_pairs(sf_dir):
         return simhash_near_dup_pairs(_read(sf_dir, "documents"), max_hamming=3)
 
@@ -1103,6 +1131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_token_counts": doc_bpe_token_counts,
         "doc_fingerprints": doc_fingerprints,
         "doc_fingerprints_md5": doc_fingerprints_md5,
+        "doc_entity_mentions": doc_entity_mentions,
+        "doc_entity_mentions_trie": doc_entity_mentions_trie,
+        "doc_entity_link_counts": doc_entity_link_counts,
         "doc_minhash_near_dups": doc_minhash_near_dups,
         "doc_simhash": doc_simhash,
         "doc_simhash_pairs": doc_simhash_pairs,
@@ -1263,6 +1294,37 @@ def _pii_sql_patterns() -> dict:
     }
 
 
+#: shared CTE: the corpus-derived alias gazetteer + every n-gram match
+#: (mirrors ops/linking.py link_entities / alias_table_from_corpus exactly)
+_ENTITY_LINKS_SQL = """
+    WITH raw AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok,
+               unnest(generate_series(
+                   1, len(regexp_split_to_array(lower(text), '[^a-z0-9]+')))) AS rp
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, tok,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY rp) AS BIGINT) AS pos
+        FROM raw WHERE tok <> ''
+    ), uni_alias AS (
+        SELECT DISTINCT tok AS mention, 'W:' || tok AS curie
+        FROM toks WHERE doc_id % 50 = 0 AND length(tok) >= 5
+    ), bigrams AS (
+        SELECT a.doc_id, a.pos, a.tok || ' ' || b.tok AS mention
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), bi_alias AS (
+        SELECT DISTINCT mention, 'B:' || replace(mention, ' ', '_') AS curie
+        FROM bigrams WHERE doc_id % 100 = 0
+    )
+    SELECT t.doc_id, t.pos, CAST(1 AS BIGINT) AS gram, t.tok AS mention, u.curie
+    FROM toks t JOIN uni_alias u ON t.tok = u.mention
+    UNION ALL
+    SELECT g.doc_id, g.pos, CAST(2 AS BIGINT), g.mention, b.curie
+    FROM bigrams g JOIN bi_alias b USING (mention)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     langid_hits = {
         "en": [(" the ", 5), (" and ", 5), (" of ", 4)],
@@ -1415,6 +1477,15 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint_md5
             FROM documents
         """,
+        "doc_entity_mentions": _ENTITY_LINKS_SQL,
+        "doc_entity_mentions_trie": _ENTITY_LINKS_SQL,
+        "doc_entity_link_counts": """
+            WITH links AS ({links})
+            SELECT curie,
+                   CAST(count(*) AS BIGINT) AS n_mentions,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM links GROUP BY curie
+        """.format(links=_ENTITY_LINKS_SQL),
         "emb_near_dups_exact": """
             SELECT CAST(a.vec_id AS BIGINT) AS id_a,
                    CAST(b.vec_id AS BIGINT) AS id_b

@@ -96,6 +96,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_weighted_sample",
         "corpus_vocab_topk",
         "doc_tfidf_topk",
+        "doc_entity_mentions",
         "events_sessionize",
         "events_last_click_value",
         "emb_knn_brute",

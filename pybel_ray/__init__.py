@@ -83,6 +83,12 @@ def __getattr__(name):
         "running_sum_by": ("pybel_ray.ops.window", "running_sum_by"),
         "quantize_embeddings": ("pybel_ray.ops.similarity", "quantize_embeddings"),
         "sample_rate_threshold": ("pybel_ray.ops.sampling", "rate_to_threshold"),
+        "link_entities": ("pybel_ray.ops.linking", "link_entities"),
+        "link_entities_trie": ("pybel_ray.ops.linking", "link_entities_trie"),
+        "link_entities_bucketed": ("pybel_ray.ops.linking", "link_entities_bucketed"),
+        "entity_link_counts": ("pybel_ray.ops.linking", "entity_link_counts"),
+        "alias_table_from_corpus": ("pybel_ray.ops.linking", "alias_table_from_corpus"),
+        "alias_table_from_registry": ("pybel_ray.ops.linking", "alias_table_from_registry"),
     }
     try:
         module, attr = lazy[name]
