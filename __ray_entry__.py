@@ -422,6 +422,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
             link_entities(_read(sf_dir, "documents"), _aliases(sf_dir)),
         )
 
+    # -- chunking / sentences / domains --------------------------------------
+
+    def doc_chunks(sf_dir):
+        from pybel_ray.ops.chunk import chunk_text
+
+        return chunk_text(_read(sf_dir, "documents"), chunk=40, stride=20)
+
+    def doc_sentences(sf_dir):
+        from pybel_ray.ops.chunk import split_sentences
+
+        # the corpus has no sentence punctuation; plant periods after
+        # every 'batch' (both engines apply the same replace)
+        def _plant(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index("text"), "text",
+                pc.replace_substring(t.column("text"), "batch", "batch."),
+            )
+
+        ds = _read(sf_dir, "documents").map_batches(_plant, batch_format="pyarrow")
+        return split_sentences(ds)
+
+    def doc_domain_stats(sf_dir):
+        from pybel_ray.ops.urls import domain_stats
+
+        def _plant(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = t.column("doc_id")
+            mod = np.asarray(ids.to_numpy(zero_copy_only=False)) % 3
+            tld = pc.take(pa.array(["com", "org", "net"]), pa.array(mod))
+            url = pc.binary_join_element_wise(
+                "https://", t.column("source").combine_chunks(), ".example.", tld,
+                "/d/", pc.cast(ids, pa.string()).combine_chunks(), "",
+            )
+            return t.append_column("url", url)
+
+        ds = _read(sf_dir, "documents").map_batches(_plant, batch_format="pyarrow")
+        return domain_stats(ds, weight_col="n_chars")
+
+    # -- semantic dedup (SemDeDup) -------------------------------------------
+
+    def _first_k_centroids(sf_dir, k=8):
+        import numpy as np
+
+        emb = _read_arrow(sf_dir, "embeddings")
+        mask = pc.less(emb.column("vec_id"), k)
+        sub = emb.filter(mask)
+        order = pc.sort_indices(sub.column("vec_id"))
+        sub = sub.take(order)
+        return np.array(sub.column("embedding").to_pylist(), dtype=float)
+
+    def emb_assign_centroids(sf_dir):
+        from pybel_ray.ops.semdedup import assign_centroids
+
+        return assign_centroids(
+            _read(sf_dir, "embeddings"), _first_k_centroids(sf_dir),
+        )
+
+    def emb_semantic_dedup(sf_dir):
+        from pybel_ray.ops.semdedup import semantic_dedup
+
+        return semantic_dedup(
+            _read(sf_dir, "embeddings"), _first_k_centroids(sf_dir),
+            threshold=0.4,
+        )
+
     def doc_simhash_pairs(sf_dir):
         return simhash_near_dup_pairs(_read(sf_dir, "documents"), max_hamming=3)
 
@@ -1134,6 +1200,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entity_mentions": doc_entity_mentions,
         "doc_entity_mentions_trie": doc_entity_mentions_trie,
         "doc_entity_link_counts": doc_entity_link_counts,
+        "doc_chunks": doc_chunks,
+        "doc_sentences": doc_sentences,
+        "doc_domain_stats": doc_domain_stats,
+        "emb_assign_centroids": emb_assign_centroids,
+        "emb_semantic_dedup": emb_semantic_dedup,
         "doc_minhash_near_dups": doc_minhash_near_dups,
         "doc_simhash": doc_simhash,
         "doc_simhash_pairs": doc_simhash_pairs,
@@ -1476,6 +1547,97 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint_md5
             FROM documents
+        """,
+        "doc_chunks": r"""
+            WITH raw AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+                       unnest(generate_series(
+                           1, len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+                FROM documents
+            ), n AS (
+                SELECT doc_id, max(pos) AS n_tok FROM raw GROUP BY doc_id
+            ), starts AS (
+                SELECT doc_id, unnest(generate_series(0, n_tok - 1, 20)) AS s
+                FROM n
+            )
+            SELECT r.doc_id,
+                   CAST(st.s / 20 AS BIGINT) AS chunk_id,
+                   string_agg(r.tok, ' ' ORDER BY r.pos) AS chunk,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM raw r
+            JOIN starts st ON r.doc_id = st.doc_id
+                          AND r.pos > st.s AND r.pos <= st.s + 40
+            GROUP BY r.doc_id, st.s
+        """,
+        "doc_sentences": """
+            WITH planted AS (
+                SELECT doc_id, replace(text, 'batch', 'batch.') AS text
+                FROM documents
+            ), raw AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '[.!?]+')) AS part,
+                       unnest(generate_series(
+                           1, len(regexp_split_to_array(text, '[.!?]+')))) AS rp
+                FROM planted
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY rp) AS BIGINT) AS sent_id,
+                   trim(part) AS sentence
+            FROM raw WHERE trim(part) <> ''
+        """,
+        "doc_domain_stats": """
+            WITH planted AS (
+                SELECT *,
+                       'https://' || source || '.example.' ||
+                       CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                                       ELSE 'net' END ||
+                       '/d/' || CAST(doc_id AS VARCHAR) AS url
+                FROM documents
+            )
+            SELECT regexp_extract(url, '^([a-z][a-z0-9+.-]*)://([^/?#]*)', 2)
+                       AS host,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_n_chars
+            FROM planted GROUP BY host
+        """,
+        "emb_assign_centroids": """
+            WITH sims AS (
+                SELECT e.vec_id, c.vec_id AS centroid_id,
+                       list_cosine_similarity(e.embedding, c.embedding) AS sim
+                FROM embeddings e, embeddings c
+                WHERE c.vec_id < 8
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(centroid_id AS BIGINT) AS centroid_id
+            FROM sims
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1
+        """,
+        "emb_semantic_dedup": """
+            WITH sims AS (
+                SELECT e.vec_id, c.vec_id AS centroid_id,
+                       list_cosine_similarity(e.embedding, c.embedding) AS sim
+                FROM embeddings e, embeddings c
+                WHERE c.vec_id < 8
+            ), assign AS (
+                SELECT vec_id, centroid_id FROM sims
+                QUALIFY row_number() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1
+            )
+            SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+                   CAST(a.centroid_id AS BIGINT) AS centroid_id,
+                   NOT EXISTS (
+                       SELECT 1
+                       FROM assign b
+                       JOIN embeddings eb ON b.vec_id = eb.vec_id
+                       WHERE b.centroid_id = a.centroid_id
+                         AND b.vec_id < a.vec_id
+                         AND list_cosine_similarity(ea.embedding, eb.embedding)
+                             > 0.4
+                   ) AS kept
+            FROM assign a JOIN embeddings ea ON a.vec_id = ea.vec_id
         """,
         "doc_entity_mentions": _ENTITY_LINKS_SQL,
         "doc_entity_mentions_trie": _ENTITY_LINKS_SQL,

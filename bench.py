@@ -97,6 +97,8 @@ def run_queries(sf_dir: str) -> dict:
         "corpus_vocab_topk",
         "doc_tfidf_topk",
         "doc_entity_mentions",
+        "doc_chunks",
+        "emb_semantic_dedup",
         "events_sessionize",
         "events_last_click_value",
         "emb_knn_brute",

@@ -89,6 +89,12 @@ def __getattr__(name):
         "entity_link_counts": ("pybel_ray.ops.linking", "entity_link_counts"),
         "alias_table_from_corpus": ("pybel_ray.ops.linking", "alias_table_from_corpus"),
         "alias_table_from_registry": ("pybel_ray.ops.linking", "alias_table_from_registry"),
+        "chunk_text": ("pybel_ray.ops.chunk", "chunk_text"),
+        "split_sentences": ("pybel_ray.ops.chunk", "split_sentences"),
+        "add_url_parts": ("pybel_ray.ops.urls", "add_url_parts"),
+        "domain_stats": ("pybel_ray.ops.urls", "domain_stats"),
+        "assign_centroids": ("pybel_ray.ops.semdedup", "assign_centroids"),
+        "semantic_dedup": ("pybel_ray.ops.semdedup", "semantic_dedup"),
     }
     try:
         module, attr = lazy[name]

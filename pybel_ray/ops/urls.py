@@ -1,0 +1,92 @@
+"""URL column operators for crawl-style corpora: parse scheme/host/path
+and aggregate per-domain statistics.
+
+Complements ``pages.normalize_urls`` (the kg ingest hygiene): these are
+generic per-batch RE2 kernels (``pc.extract_regex``) over any url column,
+with DuckDB ``regexp_extract`` reproducing them exactly for the driver
+oracle.  One pass, no shuffle for the parse; ``domain_stats`` is a
+partial-count groupby (one row per distinct host per batch enters the
+exchange).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["add_url_parts", "domain_stats"]
+
+#: RE2, shared verbatim with the SQL oracle (both engines compile RE2)
+URL_PATTERN = r"^(?P<scheme>[a-z][a-z0-9+.-]*)://(?P<host>[^/?#]*)(?P<path>[^?#]*)"
+
+
+def add_url_parts(ds, url_col: str = "url"):
+    """Append ``scheme``, ``host``, ``path`` (empty string when the url
+    does not parse — same as DuckDB ``regexp_extract``'s no-match value)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        url = t.column(url_col)
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        st = pc.extract_regex(url, URL_PATTERN)
+        for name in ("scheme", "host", "path"):
+            col = pc.fill_null(pc.struct_field(st, name), "")
+            if name in t.column_names:
+                t = t.drop_columns([name])
+            t = t.append_column(name, col)
+        return t
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def domain_stats(ds, url_col: str = "url", weight_col: str | None = None):
+    """Per-host document count (and optional integer weight sum):
+    (host, n_docs[, total_<weight_col>]).
+
+    Per-batch partial counts (lexsort run lengths) → one
+    ``groupby(host)`` exchange over one row per distinct host per batch.
+    """
+    parsed = add_url_parts(ds, url_col=url_col)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        host = t.column("host").combine_chunks()
+        enc = host.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(codes, kind="stable")
+        c = codes[order]
+        starts = np.r_[True, c[1:] != c[:-1]]
+        start_idx = np.flatnonzero(starts)
+        cnt = np.diff(np.r_[start_idx, len(c)])
+        arrays = [
+            pc.take(host, pa.array(order[start_idx])),
+            pa.array(cnt, pa.int64()),
+        ]
+        names = ["host", "n_docs"]
+        if weight_col is not None:
+            w = np.asarray(
+                t.column(weight_col).to_numpy(zero_copy_only=False), dtype=np.int64,
+            )[order]
+            sums = np.add.reduceat(w, start_idx) if len(w) else np.array([], np.int64)
+            arrays.append(pa.array(sums, pa.int64()))
+            names.append("total_" + weight_col)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    cols = ["host"] + ([weight_col] if weight_col else [])
+    partial = parsed.select_columns(cols).map_batches(_partial, batch_format="pyarrow")
+
+    def _final(g: pa.Table) -> pa.Table:
+        arrays = [
+            g.column("host").slice(0, 1),
+            pa.array([int(pc.sum(g.column("n_docs")).as_py() or 0)], pa.int64()),
+        ]
+        names = ["host", "n_docs"]
+        if weight_col is not None:
+            arrays.append(pa.array(
+                [int(pc.sum(g.column("total_" + weight_col)).as_py() or 0)],
+                pa.int64(),
+            ))
+            names.append("total_" + weight_col)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return partial.groupby("host").map_groups(_final, batch_format="pyarrow")
