@@ -488,6 +488,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
             threshold=0.4,
         )
 
+    def doc_entity_cooccurrence(sf_dir):
+        from pybel_ray.ops.linking import cooccurrence_edges, link_entities
+
+        links = link_entities(_read(sf_dir, "documents"), _aliases(sf_dir))
+        uni = links.map_batches(
+            lambda t: t.filter(pc.equal(t.column("gram"), 1)),
+            batch_format="pyarrow",
+        )
+        return cooccurrence_edges(uni)
+
+    # -- generic graph family ------------------------------------------------
+
+    def graph_pagerank(sf_dir):
+        from pybel_ray.ops.graph import pagerank
+
+        def _edges(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ok = np.asarray(
+                t.column("l_orderkey").to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            sk = np.asarray(
+                t.column("l_suppkey").to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            return pa.Table.from_arrays(
+                [pa.array(2 * ok, pa.int64()), pa.array(2 * sk + 1, pa.int64())],
+                names=["src", "dst"],
+            )
+
+        edges = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_suppkey"],
+        ).map_batches(_edges, batch_format="pyarrow")
+        return pagerank(edges, iters=3)
+
+    def graph_components(sf_dir):
+        from pybel_ray.struct.components import connected_components
+
+        # planted sparse graph over doc ids: chains of 10 plus a bridge
+        # from every 50th doc to doc+25 (corpus sizes are %50 == 0)
+        def _edges(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = np.asarray(
+                t.column("doc_id").to_numpy(zero_copy_only=False), np.int64,
+            )
+            chain = ids[ids % 10 != 9]
+            bridge = ids[ids % 50 == 0]
+            a = np.r_[chain, bridge]
+            b = np.r_[chain + 1, bridge + 25]
+            # zero-pad so lexicographic min-label == numeric min
+            return pa.Table.from_arrays(
+                [
+                    pa.array([f"{x:08d}" for x in a], pa.string()),
+                    pa.array([f"{x:08d}" for x in b], pa.string()),
+                ],
+                names=["a", "b"],
+            )
+
+        edges = _read(sf_dir, "documents").select_columns(["doc_id"]).map_batches(
+            _edges, batch_format="pyarrow",
+        )
+        comp = connected_components(edges, a_col="a", b_col="b")
+
+        def _unpad(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [
+                    pc.cast(t.column("id"), pa.int64()),
+                    pc.cast(t.column("component"), pa.int64()),
+                ],
+                names=["node", "component"],
+            )
+
+        return comp.map_batches(_unpad, batch_format="pyarrow")
+
     def doc_simhash_pairs(sf_dir):
         return simhash_near_dup_pairs(_read(sf_dir, "documents"), max_hamming=3)
 
@@ -1205,6 +1281,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_domain_stats": doc_domain_stats,
         "emb_assign_centroids": emb_assign_centroids,
         "emb_semantic_dedup": emb_semantic_dedup,
+        "doc_entity_cooccurrence": doc_entity_cooccurrence,
+        "graph_pagerank": graph_pagerank,
+        "graph_components": graph_components,
         "doc_minhash_near_dups": doc_minhash_near_dups,
         "doc_simhash": doc_simhash,
         "doc_simhash_pairs": doc_simhash_pairs,
@@ -1641,6 +1720,79 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_entity_mentions": _ENTITY_LINKS_SQL,
         "doc_entity_mentions_trie": _ENTITY_LINKS_SQL,
+        "doc_entity_cooccurrence": """
+            WITH links AS ({links}),
+            dc AS (SELECT DISTINCT doc_id, curie FROM links WHERE gram = 1)
+            SELECT a.curie AS curie_a, b.curie AS curie_b,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM dc a JOIN dc b
+              ON a.doc_id = b.doc_id AND a.curie < b.curie
+            GROUP BY 1, 2
+        """.format(links=_ENTITY_LINKS_SQL),
+        "graph_pagerank": """
+            WITH edges AS (
+                SELECT 2 * l_orderkey AS src, 2 * l_suppkey + 1 AS dst
+                FROM lineitem
+            ),
+            nodes AS (
+                SELECT DISTINCT src AS node FROM edges
+                UNION SELECT DISTINCT dst FROM edges
+            ),
+            outdeg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+            i1 AS (
+                SELECT n.node,
+                       CAST(150000 + (85 * COALESCE(inc.s, 0)) // 100 AS BIGINT)
+                           AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node, sum(r.rank // o.d) AS s
+                    FROM edges e
+                    JOIN r0 r ON e.src = r.node
+                    JOIN outdeg o ON o.node = e.src
+                    GROUP BY e.dst) inc USING (node)
+            ),
+            i2 AS (
+                SELECT n.node,
+                       CAST(150000 + (85 * COALESCE(inc.s, 0)) // 100 AS BIGINT)
+                           AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node, sum(r.rank // o.d) AS s
+                    FROM edges e
+                    JOIN i1 r ON e.src = r.node
+                    JOIN outdeg o ON o.node = e.src
+                    GROUP BY e.dst) inc USING (node)
+            ),
+            i3 AS (
+                SELECT n.node,
+                       CAST(150000 + (85 * COALESCE(inc.s, 0)) // 100 AS BIGINT)
+                           AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node, sum(r.rank // o.d) AS s
+                    FROM edges e
+                    JOIN i2 r ON e.src = r.node
+                    JOIN outdeg o ON o.node = e.src
+                    GROUP BY e.dst) inc USING (node)
+            )
+            SELECT CAST(node AS BIGINT) AS node, rank FROM i3
+        """,
+        "graph_components": """
+            WITH RECURSIVE e0 AS (
+                SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+                WHERE doc_id % 10 <> 9
+                UNION ALL
+                SELECT doc_id, doc_id + 25 FROM documents WHERE doc_id % 50 = 0
+            ),
+            edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, lab) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(min(lab) AS BIGINT) AS component
+            FROM reach GROUP BY node
+        """,
         "doc_entity_link_counts": """
             WITH links AS ({links})
             SELECT curie,

@@ -95,6 +95,11 @@ def __getattr__(name):
         "domain_stats": ("pybel_ray.ops.urls", "domain_stats"),
         "assign_centroids": ("pybel_ray.ops.semdedup", "assign_centroids"),
         "semantic_dedup": ("pybel_ray.ops.semdedup", "semantic_dedup"),
+        "cooccurrence_edges": ("pybel_ray.ops.linking", "cooccurrence_edges"),
+        "pagerank": ("pybel_ray.ops.graph", "pagerank"),
+        "graph_connected_components": (
+            "pybel_ray.struct.components", "connected_components",
+        ),
     }
     try:
         module, attr = lazy[name]

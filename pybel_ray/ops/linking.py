@@ -49,6 +49,7 @@ __all__ = [
     "TrieLinker",
     "link_entities_trie",
     "entity_link_counts",
+    "cooccurrence_edges",
 ]
 
 #: one-split-regex tokenization shared with the DuckDB oracle
@@ -523,3 +524,102 @@ def entity_link_counts(links, id_col: str = "doc_id"):
         )
 
     return partial.groupby("curie").map_groups(_final, batch_format="pyarrow")
+
+
+def cooccurrence_edges(links, id_col: str = "doc_id"):
+    """Entity co-occurrence graph from a mention table: one
+    (curie_a, curie_b, n_docs) row per unordered pair of distinct curies
+    appearing in the same document (``curie_a < curie_b``).
+
+    The KG-construction step after linking: co-mention edges feed
+    relation candidates / PMI scoring.  Shape: per-batch distinct
+    (doc, curie) pairs → ``groupby(doc)`` exchange → vectorized pair
+    expansion per group (triu indices, no Python loop over pairs) →
+    per-batch partial pair counts → ``groupby(pair)`` sum.  Pair volume
+    is quadratic in distinct-entities-per-doc — bounded by linking
+    density, the documented assumption (cap upstream for adversarial
+    docs).
+    """
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], t.column(id_col).type), pa.array([], pa.string())],
+                names=[id_col, "curie"],
+            )
+        enc = t.column("curie").combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        docs = t.column(id_col).combine_chunks()
+        dv = docs.to_numpy(zero_copy_only=False)
+        order = np.lexsort((codes, dv))
+        d, c = dv[order], codes[order]
+        firsts = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
+        take = pa.array(order[np.flatnonzero(firsts)])
+        return pa.Table.from_arrays(
+            [pc.take(docs, take), pc.take(enc, take).cast(pa.string())],
+            names=[id_col, "curie"],
+        )
+
+    distinct = links.select_columns([id_col, "curie"]).map_batches(
+        _distinct, batch_format="pyarrow",
+    )
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        curies = sorted(set(g.column("curie").to_pylist()))
+        n = len(curies)
+        if n < 2:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string()),
+                 pa.array([], pa.int64())],
+                names=["curie_a", "curie_b", "n_docs"],
+            )
+        arr = pa.array(curies, pa.string())
+        ia, ib = np.triu_indices(n, 1)
+        return pa.Table.from_arrays(
+            [
+                pc.take(arr, pa.array(ia)), pc.take(arr, pa.array(ib)),
+                pa.array(np.ones(len(ia), np.int64), pa.int64()),
+            ],
+            names=["curie_a", "curie_b", "n_docs"],
+        )
+
+    pairs = distinct.groupby(id_col).map_groups(_pairs, batch_format="pyarrow")
+
+    def _partial_cnt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        key = pc.binary_join_element_wise(
+            t.column("curie_a").combine_chunks(),
+            t.column("curie_b").combine_chunks(), "\x00",
+        )
+        enc = key.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        order = np.argsort(codes, kind="stable")
+        c = codes[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        cnt = np.diff(np.r_[starts, len(c)])
+        take = pa.array(order[starts])
+        return pa.Table.from_arrays(
+            [
+                pc.take(t.column("curie_a").combine_chunks(), take),
+                pc.take(t.column("curie_b").combine_chunks(), take),
+                pa.array(cnt, pa.int64()),
+            ],
+            names=["curie_a", "curie_b", "n_docs"],
+        )
+
+    partial = pairs.map_batches(_partial_cnt, batch_format="pyarrow")
+
+    def _sum(g: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                g.column("curie_a").slice(0, 1),
+                g.column("curie_b").slice(0, 1),
+                pa.array([int(pc.sum(g.column("n_docs")).as_py())], pa.int64()),
+            ],
+            names=["curie_a", "curie_b", "n_docs"],
+        )
+
+    return partial.groupby(["curie_a", "curie_b"]).map_groups(
+        _sum, batch_format="pyarrow",
+    )

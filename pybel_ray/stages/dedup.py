@@ -50,7 +50,9 @@ def _bucket_codes(arr: pa.ChunkedArray, num_buckets: int) -> np.ndarray:
     import zlib
 
     unique_buckets = np.fromiter(
-        (zlib.crc32(u.encode("utf8")) % num_buckets if u is not None else 0
+        (zlib.crc32(
+            u.encode("utf8") if isinstance(u, str) else repr(u).encode("utf8")
+        ) % num_buckets if u is not None else 0
          for u in uniques),
         dtype=np.int64, count=len(uniques),
     )

@@ -1,0 +1,82 @@
+"""Integer PageRank (broadcast vs distributed branch equality, dangling
+mass, determinism across block layouts) and entity co-occurrence."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _edges_ds(src, dst, blocks=4):
+    import ray
+
+    t = pa.Table.from_arrays(
+        [pa.array(src, pa.int64()), pa.array(dst, pa.int64())],
+        names=["src", "dst"],
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def _ref_pagerank(src, dst, iters, scale=1_000_000):
+    nodes = sorted(set(src) | set(dst))
+    deg = {}
+    for s in src:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: scale for n in nodes}
+    for _ in range(iters):
+        inc = {n: 0 for n in nodes}
+        for s, d in zip(src, dst):
+            inc[d] += rank[s] // deg[s]
+        rank = {n: (15 * scale) // 100 + (85 * inc[n]) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference(ray_session):
+    from pybel_ray.ops.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    src = [int(x) for x in rng.integers(0, 40, 200)]
+    dst = [int(x) for x in rng.integers(40, 80, 200)]
+    out = {r["node"]: r["rank"] for r in
+           pagerank(_edges_ds(src, dst), iters=4).take_all()}
+    assert out == _ref_pagerank(src, dst, 4)
+
+
+def test_pagerank_branches_and_layout_invariance(ray_session):
+    from pybel_ray.ops.graph import pagerank
+
+    rng = np.random.default_rng(5)
+    src = [int(x) for x in rng.integers(0, 30, 150)]
+    dst = [int(x) for x in rng.integers(0, 30, 150)]
+    a = {r["node"]: r["rank"] for r in
+         pagerank(_edges_ds(src, dst, blocks=2), iters=3).take_all()}
+    b = {r["node"]: r["rank"] for r in
+         pagerank(_edges_ds(src, dst, blocks=7), iters=3,
+                  force_distributed=True, num_buckets=8).take_all()}
+    assert a == b == _ref_pagerank(src, dst, 3)
+
+
+def test_pagerank_dangling_and_sink(ray_session):
+    from pybel_ray.ops.graph import pagerank
+
+    # 1 -> 2 -> 3 (3 is dangling: its mass evaporates)
+    out = {r["node"]: r["rank"] for r in
+           pagerank(_edges_ds([1, 2], [2, 3]), iters=2).take_all()}
+    assert out == _ref_pagerank([1, 2], [2, 3], 2)
+    assert out[1] == 150000  # source node gets teleport mass only
+
+
+def test_cooccurrence_edges(ray_session):
+    import ray
+
+    from pybel_ray.ops.linking import cooccurrence_edges
+
+    links = pa.Table.from_pylist([
+        {"doc_id": 1, "curie": "A"}, {"doc_id": 1, "curie": "B"},
+        {"doc_id": 1, "curie": "A"},  # duplicate mention, one doc-pair
+        {"doc_id": 2, "curie": "B"}, {"doc_id": 2, "curie": "A"},
+        {"doc_id": 2, "curie": "C"},
+        {"doc_id": 3, "curie": "C"},  # singleton doc emits nothing
+    ])
+    out = {(r["curie_a"], r["curie_b"]): r["n_docs"] for r in
+           cooccurrence_edges(
+               ray.data.from_arrow(links).repartition(3)).take_all()}
+    assert out == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
