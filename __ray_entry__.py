@@ -312,6 +312,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            take_columns=["r_name"])
         return groupby_count(j, "r_name")
 
+    def orders_lineitem_join(sf_dir):
+        from pybel_ray.ops.relational import equi_join
+
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_linenumber", "l_suppkey"],
+        )
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey"],
+        )
+        out = equi_join(li, orders, "l_orderkey", right_on="o_orderkey")
+        return out.select_columns(
+            ["l_orderkey", "l_linenumber", "l_suppkey", "o_custkey"],
+        )
+
+    def customer_orders_left_join(sf_dir):
+        from pybel_ray.ops.relational import equi_join
+
+        cust = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_nationkey"],
+        )
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey"],
+        )
+        out = equi_join(cust, orders, "c_custkey", right_on="o_custkey",
+                        how="left")
+        return out.select_columns(["c_custkey", "c_nationkey", "o_orderkey"])
+
     def top_parts_by_price(sf_dir):
         ds = _read(sf_dir, "part").select_columns(
             ["p_partkey", "p_name", "p_retailprice"],
@@ -1284,6 +1311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entity_cooccurrence": doc_entity_cooccurrence,
         "graph_pagerank": graph_pagerank,
         "graph_components": graph_components,
+        "orders_lineitem_join": orders_lineitem_join,
+        "customer_orders_left_join": customer_orders_left_join,
         "doc_minhash_near_dups": doc_minhash_near_dups,
         "doc_simhash": doc_simhash,
         "doc_simhash_pairs": doc_simhash_pairs,
@@ -1774,6 +1803,14 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY e.dst) inc USING (node)
             )
             SELECT CAST(node AS BIGINT) AS node, rank FROM i3
+        """,
+        "orders_lineitem_join": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, o.o_custkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
+        "customer_orders_left_join": """
+            SELECT c.c_custkey, c.c_nationkey, o.o_orderkey
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         """,
         "graph_components": """
             WITH RECURSIVE e0 AS (

@@ -96,6 +96,7 @@ def __getattr__(name):
         "assign_centroids": ("pybel_ray.ops.semdedup", "assign_centroids"),
         "semantic_dedup": ("pybel_ray.ops.semdedup", "semantic_dedup"),
         "cooccurrence_edges": ("pybel_ray.ops.linking", "cooccurrence_edges"),
+        "equi_join": ("pybel_ray.ops.relational", "equi_join"),
         "pagerank": ("pybel_ray.ops.graph", "pagerank"),
         "graph_connected_components": (
             "pybel_ray.struct.components", "connected_components",

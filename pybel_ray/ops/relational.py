@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Mapping, Optional, Sequence
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -196,6 +197,99 @@ def semi_join(ds, key: str, keys_ds, keys_key: Optional[str] = None,
 def anti_join(ds, key: str, keys_ds, keys_key: Optional[str] = None):
     """Rows of ``ds`` whose ``key`` does NOT appear in ``keys_ds``."""
     return semi_join(ds, key, keys_ds, keys_key, anti=True)
+
+
+def equi_join(
+    left,
+    right,
+    on,
+    right_on=None,
+    how: str = "inner",
+    suffix: str = "_r",
+    num_buckets: int = 64,
+):
+    """General many-to-many distributed equi-join (Ray Data has no
+    native join): hash-bucket both sides on the key, ONE
+    ``groupby(bucket)`` exchange co-locates equal keys, and each bucket
+    resolves with pyarrow's hash join (``pa.Table.join``) — vectorized,
+    many-to-many, never on the driver.
+
+    ``on`` / ``right_on`` may be a column name or a list (composite keys
+    are joined on a ``\\x00``-separated string rendering; values
+    containing NUL would alias — documented limit).  ``how`` is
+    ``inner`` / ``left`` / ``full``.  Right-side non-key columns that
+    collide with left names get ``suffix``.  Broadcast a small side with
+    :func:`broadcast_join` instead when it fits in the object store —
+    this operator is for two big sides.
+    """
+    if how not in ("inner", "left", "full"):
+        raise ValueError(how)
+    join_type = {"inner": "inner", "left": "left outer", "full": "full outer"}[how]
+    lkeys = [on] if isinstance(on, str) else list(on)
+    rkeys = lkeys if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    from ..stages.dedup import add_hash_bucket
+
+    lschema = left.schema()
+    lbase = getattr(lschema, "base_schema", None) or lschema
+    rschema = right.schema()
+    rbase = getattr(rschema, "base_schema", None) or rschema
+    lnames = list(lbase.names)
+    rename = {
+        n: (n + suffix if n in lnames else n)
+        for n in rbase.names if n not in rkeys
+    }
+    rvalue_names = [rename[n] for n in rbase.names if n not in rkeys]
+    rvalue_types = {rename[n]: rbase.field(n).type for n in rbase.names
+                    if n not in rkeys}
+
+    def _jk(t: pa.Table, keys) -> pa.ChunkedArray:
+        casted = [pc.cast(t.column(k), pa.string()) for k in keys]
+        if len(casted) == 1:
+            return casted[0]
+        return pc.binary_join_element_wise(*casted, "\x00")
+
+    def _left_side(t: pa.Table) -> pa.Table:
+        for c in rvalue_names:
+            t = t.append_column(c, pa.nulls(t.num_rows, rvalue_types[c]))
+        t = t.append_column("_jk", _jk(t, lkeys))
+        t = t.append_column("_side", pa.array(np.zeros(t.num_rows, bool)))
+        return add_hash_bucket(t, "_jk", num_buckets)
+
+    def _right_side(t: pa.Table) -> pa.Table:
+        jk = _jk(t, rkeys)
+        arrays, names = [], []
+        for f in lbase:
+            names.append(f.name)
+            arrays.append(pa.nulls(t.num_rows, f.type))
+        out = pa.Table.from_arrays(arrays, names=names)
+        for n in rbase.names:
+            if n not in rkeys:
+                out = out.append_column(rename[n], t.column(n))
+        out = out.append_column("_jk", jk)
+        out = out.append_column("_side", pa.array(np.ones(t.num_rows, bool)))
+        return add_hash_bucket(out, "_jk", num_buckets)
+
+    tagged_l = left.map_batches(_left_side, batch_format="pyarrow")
+    tagged_r = right.map_batches(_right_side, batch_format="pyarrow")
+
+    out_names = lnames + rvalue_names
+
+    def _join(group: pa.Table) -> pa.Table:
+        side = group.column("_side")
+        lt = group.filter(pc.invert(side)).select(lnames + ["_jk"])
+        rt = group.filter(side).select(rvalue_names + ["_jk"])
+        joined = lt.join(
+            rt, keys=["_jk"], join_type=join_type,
+            # deterministic column order regardless of match side
+        )
+        return joined.select(out_names)
+
+    out = tagged_l.union(tagged_r).groupby("_bucket").map_groups(
+        _join, batch_format="pyarrow",
+    )
+    return out
 
 
 def topk_per_group(ds, keys, value_col: str, k: int,

@@ -1,0 +1,78 @@
+"""General many-to-many distributed equi-join vs DuckDB on planted
+corner cases: duplicate keys both sides, null keys, name collisions,
+composite keys, all three join types."""
+
+import duckdb
+import pyarrow as pa
+
+
+L = pa.Table.from_pylist([
+    {"k": 1, "x": "a"}, {"k": 1, "x": "b"}, {"k": 2, "x": "c"},
+    {"k": 3, "x": "d"}, {"k": None, "x": "e"},
+])
+R = pa.Table.from_pylist([
+    {"k": 1, "y": 10}, {"k": 1, "y": 11}, {"k": 2, "y": 20},
+    {"k": 4, "y": 40}, {"k": None, "y": 50},
+])
+
+_KEY = lambda t: tuple((v is None, v) for v in t)
+
+
+def _sorted(rows):
+    return sorted(rows, key=_KEY)
+
+
+def test_equi_join_types_match_duckdb(ray_session):
+    import ray
+
+    from pybel_ray.ops.relational import equi_join
+
+    lds = ray.data.from_arrow(L).repartition(2)
+    rds = ray.data.from_arrow(R).repartition(3)
+    con = duckdb.connect()
+    con.register("L", L)
+    con.register("R", R)
+    for how, sql_how in [("inner", "JOIN"), ("left", "LEFT JOIN"),
+                         ("full", "FULL JOIN")]:
+        got = _sorted(
+            tuple(r.get(c) for c in ("k", "x", "y"))
+            for r in equi_join(lds, rds, "k", how=how, num_buckets=4).take_all()
+        )
+        exp = _sorted(map(tuple, con.execute(
+            f"SELECT L.k, L.x, R.y FROM L {sql_how} R ON L.k = R.k",
+        ).fetchall()))
+        assert got == exp, how
+    # null keys never match (5 rows inner: 2x2 fanout + one k=2 pair)
+    assert len(equi_join(lds, rds, "k", num_buckets=4).take_all()) == 5
+
+
+def test_equi_join_composite_and_suffix(ray_session):
+    import ray
+
+    from pybel_ray.ops.relational import equi_join
+
+    l2 = pa.Table.from_pylist([
+        {"a": 1, "b": "u", "v": 5}, {"a": 1, "b": "w", "v": 6},
+    ])
+    r2 = pa.Table.from_pylist([
+        {"a": 1, "b": "u", "v": 99}, {"a": 2, "b": "u", "v": 98},
+    ])
+    out = equi_join(
+        ray.data.from_arrow(l2), ray.data.from_arrow(r2), ["a", "b"],
+        num_buckets=4,
+    ).take_all()
+    assert out == [{"a": 1, "b": "u", "v": 5, "v_r": 99}]
+
+
+def test_equi_join_different_key_names(ray_session):
+    import ray
+
+    from pybel_ray.ops.relational import equi_join
+
+    l2 = pa.Table.from_pylist([{"lk": 7, "x": "p"}])
+    r2 = pa.Table.from_pylist([{"rk": 7, "y": "q"}, {"rk": 8, "y": "z"}])
+    out = equi_join(
+        ray.data.from_arrow(l2), ray.data.from_arrow(r2),
+        "lk", right_on="rk", num_buckets=2,
+    ).take_all()
+    assert out == [{"lk": 7, "x": "p", "y": "q"}]
