@@ -525,6 +525,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return cooccurrence_edges(uni)
 
+    def doc_mention_contexts(sf_dir):
+        from pybel_ray.ops.linking import link_entities
+
+        return link_entities(
+            _read(sf_dir, "documents"), _aliases(sf_dir), context_window=3,
+        )
+
+    def events_tumbling_5min(sf_dir):
+        import numpy as np
+
+        from pybel_ray.ops.window import tumbling_window_agg
+
+        def _cents(t: pa.Table) -> pa.Table:
+            v = t.column("value").to_numpy(zero_copy_only=False)
+            c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            return t.append_column("value_cents", pa.array(c, pa.int64()))
+
+        ds = _read(sf_dir, "events").map_batches(_cents, batch_format="pyarrow")
+        return tumbling_window_agg(
+            ds, "ts", 300, keys=["event_type"], sum_cols=["value_cents"],
+        )
+
     # -- generic graph family ------------------------------------------------
 
     def graph_pagerank(sf_dir):
@@ -1313,6 +1335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
+        "doc_mention_contexts": doc_mention_contexts,
+        "events_tumbling_5min": events_tumbling_5min,
         "doc_minhash_near_dups": doc_minhash_near_dups,
         "doc_simhash": doc_simhash,
         "doc_simhash_pairs": doc_simhash_pairs,
@@ -1803,6 +1827,36 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY e.dst) inc USING (node)
             )
             SELECT CAST(node AS BIGINT) AS node, rank FROM i3
+        """,
+        "doc_mention_contexts": """
+            WITH links AS ({links}), raw2 AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                           AS tok,
+                       unnest(generate_series(
+                           1, len(regexp_split_to_array(
+                               lower(text), '[^a-z0-9]+')))) AS rp
+                FROM documents
+            ), toks2 AS (
+                SELECT doc_id, tok,
+                       CAST(row_number() OVER (
+                           PARTITION BY doc_id ORDER BY rp) AS BIGINT) AS pos
+                FROM raw2 WHERE tok <> ''
+            )
+            SELECT m.doc_id, m.pos, m.gram, m.mention, m.curie,
+                   string_agg(t.tok, ' ' ORDER BY t.pos) AS context
+            FROM links m JOIN toks2 t
+              ON t.doc_id = m.doc_id
+             AND t.pos >= m.pos - 3 AND t.pos <= m.pos + m.gram - 1 + 3
+            GROUP BY m.doc_id, m.pos, m.gram, m.mention, m.curie
+        """.format(links=_ENTITY_LINKS_SQL),
+        "events_tumbling_5min": """
+            SELECT (epoch_us(ts) // 300000000) * 300 AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY 1, 2
         """,
         "orders_lineitem_join": """
             SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, o.o_custkey

@@ -97,6 +97,7 @@ def __getattr__(name):
         "semantic_dedup": ("pybel_ray.ops.semdedup", "semantic_dedup"),
         "cooccurrence_edges": ("pybel_ray.ops.linking", "cooccurrence_edges"),
         "equi_join": ("pybel_ray.ops.relational", "equi_join"),
+        "tumbling_window_agg": ("pybel_ray.ops.window", "tumbling_window_agg"),
         "pagerank": ("pybel_ray.ops.graph", "pagerank"),
         "graph_connected_components": (
             "pybel_ray.struct.components", "connected_components",

@@ -95,17 +95,24 @@ def _alias_by_gram(aliases: pa.Table):
     return out
 
 
-def _match_batch(t: pa.Table, by_gram, text_col: str, id_col: str) -> pa.Table:
+def _match_batch(
+    t: pa.Table, by_gram, text_col: str, id_col: str,
+    context_window: Optional[int] = None,
+) -> pa.Table:
     vals, doc_idx, pos = _link_tokens(t, text_col)
     ids = t.column(id_col).combine_chunks()
-    out_id, out_pos, out_gram, out_mention, out_curie = [], [], [], [], []
+    names = [id_col, "pos", "gram", "mention", "curie"]
+    if context_window is not None:
+        names.append("context")
+    out: dict = {k: [] for k in names}
+    flat_pos = np.arange(len(doc_idx), dtype=np.int64)
     for n, (mentions, curies) in sorted(by_gram.items()):
         m = len(vals) - n + 1
         if m <= 0:
             continue
         if n == 1:
             grams = vals
-            gpos, gdoc = pos, doc_idx
+            gpos, gdoc, gflat = pos, doc_idx, flat_pos
         else:
             grams = pc.binary_join_element_wise(
                 *[vals.slice(k, m) for k in range(n)], " ",
@@ -113,48 +120,82 @@ def _match_batch(t: pa.Table, by_gram, text_col: str, id_col: str) -> pa.Table:
             valid = doc_idx[:m] == doc_idx[n - 1:]
             grams = grams.filter(pa.array(valid))
             gpos, gdoc = pos[:m][valid], doc_idx[:m][valid]
+            gflat = flat_pos[:m][valid]
         idx = pc.index_in(grams, value_set=mentions)
         hit = pc.is_valid(idx).to_numpy(zero_copy_only=False)
         if not hit.any():
             continue
         hit_arr = pa.array(hit)
-        out_id.append(pc.take(ids, pa.array(gdoc[hit])))
-        out_pos.append(pa.array(gpos[hit], pa.int64()))
-        out_gram.append(pa.array(np.full(int(hit.sum()), n, dtype=np.int64)))
-        out_mention.append(grams.filter(hit_arr))
-        out_curie.append(pc.take(curies, pc.filter(idx, hit_arr)))
-    if not out_id:
-        return pa.Table.from_arrays(
-            [
-                pa.array([], ids.type), pa.array([], pa.int64()),
-                pa.array([], pa.int64()), pa.array([], pa.string()),
-                pa.array([], pa.string()),
-            ],
-            names=[id_col, "pos", "gram", "mention", "curie"],
-        )
+        out[id_col].append(pc.take(ids, pa.array(gdoc[hit])))
+        out["pos"].append(pa.array(gpos[hit], pa.int64()))
+        out["gram"].append(pa.array(np.full(int(hit.sum()), n, dtype=np.int64)))
+        out["mention"].append(grams.filter(hit_arr))
+        out["curie"].append(pc.take(curies, pc.filter(idx, hit_arr)))
+        if context_window is not None:
+            w = int(context_window)
+            g = gflat[hit]
+            p = gpos[hit]
+            # clamp the ±w token window to the document bounds
+            doc_start = g - (p - 1)
+            doc_len = np.bincount(doc_idx, minlength=t.num_rows)[gdoc[hit]] \
+                if len(doc_idx) else np.zeros(0, np.int64)
+            doc_end = doc_start + doc_len  # exclusive
+            lo = np.maximum(doc_start, g - w)
+            hi = np.minimum(doc_end, g + n + w)
+            lens = hi - lo
+            offs = np.r_[0, np.cumsum(lens)]
+            gather = np.arange(offs[-1], dtype=np.int64) - np.repeat(
+                offs[:-1], lens,
+            ) + np.repeat(lo, lens)
+            taken = pc.take(vals, pa.array(gather))
+            if isinstance(taken, pa.ChunkedArray):
+                taken = taken.combine_chunks()
+            ctx = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(offs, pa.int32()), taken), " ",
+            )
+            out["context"].append(ctx)
+    if not out[id_col]:
+        arrays = [
+            pa.array([], ids.type), pa.array([], pa.int64()),
+            pa.array([], pa.int64()), pa.array([], pa.string()),
+            pa.array([], pa.string()),
+        ]
+        if context_window is not None:
+            arrays.append(pa.array([], pa.string()))
+        return pa.Table.from_arrays(arrays, names=names)
     cat = lambda chunks: pa.concat_arrays(
         [c if isinstance(c, pa.Array) else c.combine_chunks() for c in chunks]
     )
-    return pa.Table.from_arrays(
-        [cat(out_id), cat(out_pos), cat(out_gram), cat(out_mention), cat(out_curie)],
-        names=[id_col, "pos", "gram", "mention", "curie"],
-    )
+    return pa.Table.from_arrays([cat(out[k]) for k in names], names=names)
 
 
-def link_entities(ds, aliases: pa.Table, text_col: str = "text", id_col: str = "doc_id"):
+def link_entities(
+    ds,
+    aliases: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    context_window: Optional[int] = None,
+):
     """Vectorized alias linking: one (id, pos, gram, mention, curie) row per
     within-document n-gram that exactly matches an alias mention.
 
     ``aliases`` must have ``mention`` (lowercased, single-space-joined
     tokens) and ``curie`` columns, unique on mention; it is broadcast via
-    ``ray.put`` once.
+    ``ray.put`` once.  With ``context_window=w`` each row also carries a
+    ``context`` column: the mention ±w surrounding tokens (clamped to the
+    document), space-joined — the relation-extraction training-example
+    shape.  Context gathering is one ragged vectorized take + ListArray
+    join per gram length, no Python loop.
     """
     import ray
 
     by_gram_ref = ray.put(_alias_by_gram(aliases))
 
     def _f(t: pa.Table) -> pa.Table:
-        return _match_batch(t, ray.get(by_gram_ref), text_col, id_col)
+        return _match_batch(
+            t, ray.get(by_gram_ref), text_col, id_col,
+            context_window=context_window,
+        )
 
     return ds.map_batches(_f, batch_format="pyarrow")
 

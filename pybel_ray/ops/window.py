@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = [
     "running_sum",
@@ -46,7 +47,99 @@ __all__ = [
     "running_sum_by",
     "global_quantiles",
     "rolling_extremum",
+    "tumbling_window_agg",
 ]
+
+
+def tumbling_window_agg(
+    ds,
+    ts_col: str,
+    width_secs: int,
+    keys=(),
+    sum_cols=(),
+):
+    """Event-time tumbling-window aggregate: one row per
+    (window_start, *keys) with ``n`` (row count) and ``sum_<col>`` for
+    every integer column in ``sum_cols``.
+
+    ``window_start`` is the window's epoch-second start
+    (``(epoch_us // (width*1e6)) * width`` — pure integer arithmetic, so
+    it reproduces DuckDB exactly and is independent of batch layout).
+    Per-batch partial aggregation (lexsort run lengths) means the
+    ``groupby`` exchange moves one row per (window, key) per batch, not
+    per event — the streaming-aggregation shape at any scale.  Sum
+    columns must be integer (convert money to cents upstream) so the
+    totals are order-independent.
+    """
+    import numpy as np
+
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            arrays = [pa.array([], pa.int64())]
+            names = ["window_start"]
+            for k in keys:
+                arrays.append(pa.array([], t.column(k).type))
+                names.append(k)
+            arrays.append(pa.array([], pa.int64()))
+            names.append("n")
+            for c in sum_cols:
+                arrays.append(pa.array([], pa.int64()))
+                names.append("sum_" + c)
+            return pa.Table.from_arrays(arrays, names=names)
+        ts = t.column(ts_col).combine_chunks()
+        epoch_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (epoch_us // (width_secs * 1_000_000)) * width_secs
+        t = t.append_column("window_start", pa.array(win, pa.int64()))
+        group_arrays = [win] + [
+            t.column(k).combine_chunks().dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            for k in keys
+        ]
+        order = np.lexsort(group_arrays[::-1])
+        cols = [a[order] for a in group_arrays]
+        change = np.zeros(len(order), dtype=bool)
+        change[0] = True
+        for a in cols:
+            change[1:] |= a[1:] != a[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.r_[starts, len(order)])
+        take = pa.array(order[starts])
+        arrays = [pc.take(t.column("window_start"), take)]
+        names = ["window_start"]
+        for k in keys:
+            arrays.append(pc.take(t.column(k), take))
+            names.append(k)
+        arrays.append(pa.array(lens, pa.int64()))
+        names.append("n")
+        for c in sum_cols:
+            v = t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            arrays.append(pa.array(np.add.reduceat(v, starts), pa.int64()))
+            names.append("sum_" + c)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _final(g: pa.Table) -> pa.Table:
+        arrays = [g.column("window_start").slice(0, 1)]
+        names = ["window_start"]
+        for k in keys:
+            arrays.append(g.column(k).slice(0, 1))
+            names.append(k)
+        arrays.append(pa.array([int(pc.sum(g.column("n")).as_py())], pa.int64()))
+        names.append("n")
+        for c in sum_cols:
+            arrays.append(pa.array(
+                [int(pc.sum(g.column("sum_" + c)).as_py())], pa.int64(),
+            ))
+            names.append("sum_" + c)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return partial.groupby(["window_start"] + keys).map_groups(
+        _final, batch_format="pyarrow",
+    )
 
 
 def _scan(ds, order_col, value_of, out_cols, emit):

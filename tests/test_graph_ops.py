@@ -80,3 +80,47 @@ def test_cooccurrence_edges(ray_session):
            cooccurrence_edges(
                ray.data.from_arrow(links).repartition(3)).take_all()}
     assert out == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
+def test_tumbling_window_agg(ray_session):
+    import ray
+
+    from pybel_ray.ops.window import tumbling_window_agg
+
+    rows = [
+        {"ts": 1_000_000 * t, "v": v, "k": k}
+        for t, v, k in [
+            (10, 1, "a"), (250, 2, "a"), (299, 4, "b"),
+            (300, 8, "a"), (550, 16, "a"), (900, 32, "b"),
+        ]
+    ]
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(0, "ts", t.column("ts").cast(pa.timestamp("us")))
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = {(r["window_start"], r["k"]): (r["n"], r["sum_v"]) for r in
+           tumbling_window_agg(ds, "ts", 300, keys=["k"],
+                               sum_cols=["v"]).take_all()}
+    assert out == {
+        (0, "a"): (2, 3), (0, "b"): (1, 4),
+        (300, "a"): (2, 24), (900, "b"): (1, 32),
+    }
+
+
+def test_mention_contexts_clamped(ray_session):
+    import ray
+
+    from pybel_ray.ops.linking import link_entities
+
+    docs = pa.Table.from_pylist(
+        [{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"}],
+    )
+    aliases = pa.Table.from_pylist(
+        [{"mention": "beta", "curie": "X:1"},
+         {"mention": "delta epsilon", "curie": "X:2"}],
+    )
+    out = {r["curie"]: r["context"] for r in link_entities(
+        ray.data.from_arrow(docs), aliases, context_window=2,
+    ).take_all()}
+    # window clamps at the document start / end
+    assert out["X:1"] == "alpha beta gamma delta"
+    assert out["X:2"] == "beta gamma delta epsilon zeta"
