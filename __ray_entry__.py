@@ -525,6 +525,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return cooccurrence_edges(uni)
 
+    def corpus_bpe_merges(sf_dir):
+        # rows-only: iterative merge learning is not SQL-expressible;
+        # pinned by the pure-Python reference in tests/test_bpe.py
+        from pybel_ray.ops.bpe import learn_bpe
+
+        merges, _state = learn_bpe(_read(sf_dir, "documents"), num_merges=10)
+        return pa.Table.from_arrays(
+            [
+                pa.array([m[0] for m in merges], pa.int64()),
+                pa.array([m[1] for m in merges], pa.string()),
+                pa.array([m[2] for m in merges], pa.string()),
+                pa.array([m[3] for m in merges], pa.string()),
+                pa.array([m[4] for m in merges], pa.int64()),
+            ],
+            names=["rank", "left", "right", "merged", "cnt"],
+        )
+
     def doc_mention_contexts(sf_dir):
         from pybel_ray.ops.linking import link_entities
 
@@ -1337,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_left_join": customer_orders_left_join,
         "doc_mention_contexts": doc_mention_contexts,
         "events_tumbling_5min": events_tumbling_5min,
+        "corpus_bpe_merges": corpus_bpe_merges,
         "doc_minhash_near_dups": doc_minhash_near_dups,
         "doc_simhash": doc_simhash,
         "doc_simhash_pairs": doc_simhash_pairs,
