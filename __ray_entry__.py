@@ -525,6 +525,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return cooccurrence_edges(uni)
 
+    def kg_pagerank(sf_dir):
+        # rows-only (BEL-compiled input): integer PageRank directly over
+        # the md5-keyed KG edge table — the centrality analog of
+        # kg_top_hubs' degree ranking
+        from pybel_ray.ops.graph import pagerank
+
+        edges = _kg(sf_dir).edges().select_columns(["src_md5", "dst_md5"])
+        return pagerank(edges, src_col="src_md5", dst_col="dst_md5", iters=3)
+
     def corpus_bpe_merges(sf_dir):
         # rows-only: iterative merge learning is not SQL-expressible;
         # pinned by the pure-Python reference in tests/test_bpe.py
@@ -1355,6 +1364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mention_contexts": doc_mention_contexts,
         "events_tumbling_5min": events_tumbling_5min,
         "corpus_bpe_merges": corpus_bpe_merges,
+        "kg_pagerank": kg_pagerank,
         "doc_minhash_near_dups": doc_minhash_near_dups,
         "doc_simhash": doc_simhash,
         "doc_simhash_pairs": doc_simhash_pairs,

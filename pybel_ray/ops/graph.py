@@ -40,8 +40,8 @@ def edge_nodes(edges, src_col: str = "src", dst_col: str = "dst"):
 
     def _local(t: pa.Table) -> pa.Table:
         both = pa.concat_arrays([
-            t.column(src_col).combine_chunks().cast(pa.int64()),
-            t.column(dst_col).combine_chunks().cast(pa.int64()),
+            t.column(src_col).combine_chunks(),
+            t.column(dst_col).combine_chunks(),
         ])
         return pa.Table.from_arrays([pc.unique(both)], names=["node"])
 
@@ -58,11 +58,12 @@ def out_degrees(edges, src_col: str = "src"):
     one ``groupby`` sum (multi-edges count multiply)."""
 
     def _partial(t: pa.Table) -> pa.Table:
-        src = t.column(src_col).combine_chunks().cast(pa.int64())
-        vals = src.to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(vals, return_counts=True)
+        src = t.column(src_col).combine_chunks()
+        enc = src.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
         return pa.Table.from_arrays(
-            [pa.array(uniq, pa.int64()), pa.array(cnt, pa.int64())],
+            [enc.dictionary, pa.array(cnt.astype(np.int64), pa.int64())],
             names=["node", "outdeg"],
         )
 
@@ -113,59 +114,39 @@ def pagerank(
         )
 
     # ---- broadcast branch: rank vector on the driver -------------------
-    def _local_deg(t: pa.Table) -> pa.Table:
-        src = t.column(src_col).combine_chunks().cast(pa.int64())
-        both = pa.concat_arrays([
-            src, t.column(dst_col).combine_chunks().cast(pa.int64()),
-        ])
-        uniq, cnt = np.unique(
-            src.to_numpy(zero_copy_only=False), return_counts=True,
-        )
-        n = pc.unique(both).to_numpy(zero_copy_only=False)
-        k = max(len(uniq), len(n))
-        return pa.Table.from_arrays(
-            [
-                pa.array(np.r_[uniq, np.zeros(k - len(uniq), np.int64)], pa.int64()),
-                pa.array(np.r_[cnt, np.zeros(k - len(uniq), np.int64)], pa.int64()),
-                pa.array(np.r_[n, np.zeros(k - len(n), np.int64)], pa.int64()),
-                pa.array(np.r_[np.ones(len(uniq), bool), np.zeros(k - len(uniq), bool)]),
-                pa.array(np.r_[np.ones(len(n), bool), np.zeros(k - len(n), bool)]),
-            ],
-            names=["deg_node", "cnt", "node", "deg_ok", "node_ok"],
-        )
-
+    # two distributed partial-aggregate drains (node set + out-degrees);
+    # both are O(nodes) on the driver, which the budget gate bounds
     deg: dict = {}
-    node_set: set = set()
-    for b in edges.map_batches(_local_deg, batch_format="pyarrow").iter_batches(
+    for b in out_degrees(edges, src_col).iter_batches(batch_format="pyarrow"):
+        for n_, c_ in zip(b.column("node").to_pylist(),
+                          b.column("outdeg").to_pylist()):
+            deg[n_] = int(c_)
+    node_set: set = set(deg)
+    for b in edge_nodes(edges, src_col, dst_col).iter_batches(
         batch_format="pyarrow",
     ):
-        dn = b.column("deg_node").to_numpy(zero_copy_only=False)
-        ct = b.column("cnt").to_numpy(zero_copy_only=False)
-        ok = b.column("deg_ok").to_numpy(zero_copy_only=False)
-        for n_, c_ in zip(dn[ok], ct[ok]):
-            deg[int(n_)] = deg.get(int(n_), 0) + int(c_)
-        nn = b.column("node").to_numpy(zero_copy_only=False)
-        nok = b.column("node_ok").to_numpy(zero_copy_only=False)
-        node_set.update(int(x) for x in nn[nok])
+        node_set.update(b.column("node").to_pylist())
 
-    nodes = np.array(sorted(node_set), dtype=np.int64)
-    outdeg = np.array([deg.get(int(n), 0) for n in nodes], dtype=np.int64)
+    nodes = np.array(sorted(node_set))
+    outdeg = np.array([deg.get(n, 0) for n in nodes], dtype=np.int64)
     safe_deg = np.where(outdeg == 0, 1, outdeg)
     rank = np.full(len(nodes), scale, dtype=np.int64)
 
+    nodes_arr = pa.array(nodes.tolist())
+    nodes_ref = ray.put(nodes_arr)
     for _ in range(iters):
         contrib = rank // safe_deg  # dangling rows never matched by edges
-        nodes_ref = ray.put(nodes)
         contrib_ref = ray.put(contrib)
 
         def _partial_in(t: pa.Table, _n=nodes_ref, _c=contrib_ref) -> pa.Table:
             nds = ray.get(_n)
             ctr = ray.get(_c)
-            src = t.column(src_col).combine_chunks().cast(pa.int64())
-            dst = t.column(dst_col).combine_chunks().cast(pa.int64())
-            si = np.searchsorted(nds, src.to_numpy(zero_copy_only=False))
-            di = np.searchsorted(nds, dst.to_numpy(zero_copy_only=False))
-            sums = np.bincount(di, weights=ctr[si].astype(np.float64),
+            src = t.column(src_col).combine_chunks()
+            dst = t.column(dst_col).combine_chunks()
+            si = pc.index_in(src, value_set=nds).to_numpy(zero_copy_only=False)
+            di = pc.index_in(dst, value_set=nds).to_numpy(zero_copy_only=False)
+            sums = np.bincount(di.astype(np.int64),
+                               weights=ctr[si.astype(np.int64)].astype(np.float64),
                                minlength=len(nds)).astype(np.int64)
             nz = np.flatnonzero(sums)
             return pa.Table.from_arrays(
@@ -183,7 +164,7 @@ def pagerank(
         rank = teleport + (85 * incoming) // 100
 
     return ray.data.from_arrow(pa.Table.from_arrays(
-        [pa.array(nodes, pa.int64()), pa.array(rank, pa.int64())],
+        [pa.array(nodes.tolist()), pa.array(rank, pa.int64())],
         names=["node", "rank"],
     ))
 
@@ -235,16 +216,18 @@ def _pagerank_distributed(
         )
 
         def _partial(t: pa.Table) -> pa.Table:
-            dst = t.column(dst_col).combine_chunks().cast(pa.int64())
-            vals = dst.to_numpy(zero_copy_only=False)
+            dst = t.column(dst_col).combine_chunks()
+            enc = dst.dictionary_encode()
+            codes = np.asarray(
+                enc.indices.to_numpy(zero_copy_only=False), np.int64,
+            )
             c = t.column("contrib").to_numpy(zero_copy_only=False)
-            order = np.argsort(vals, kind="stable")
-            v, cs = vals[order], c[order]
-            starts = np.r_[True, v[1:] != v[:-1]]
-            si = np.flatnonzero(starts)
-            sums = np.add.reduceat(cs, si) if len(cs) else np.array([], np.int64)
+            sums = np.bincount(
+                codes, weights=c.astype(np.float64),
+                minlength=len(enc.dictionary),
+            ).astype(np.int64)
             return pa.Table.from_arrays(
-                [pa.array(v[si], pa.int64()), pa.array(sums, pa.int64())],
+                [enc.dictionary, pa.array(sums, pa.int64())],
                 names=["node", "s"],
             )
 
