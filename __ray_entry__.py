@@ -573,6 +573,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, "ts", 300, keys=["event_type"], sum_cols=["value_cents"],
         )
 
+    def events_hopping_10min(sf_dir):
+        import numpy as np
+
+        from pybel_ray.ops.window import hopping_window_agg
+
+        def _cents(t: pa.Table) -> pa.Table:
+            v = t.column("value").to_numpy(zero_copy_only=False)
+            c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            return t.append_column("value_cents", pa.array(c, pa.int64()))
+
+        ds = _read(sf_dir, "events").map_batches(_cents, batch_format="pyarrow")
+        return hopping_window_agg(
+            ds, "ts", 600, 300, keys=["event_type"], sum_cols=["value_cents"],
+        )
+
     # -- generic graph family ------------------------------------------------
 
     def graph_pagerank(sf_dir):
@@ -1363,6 +1378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_left_join": customer_orders_left_join,
         "doc_mention_contexts": doc_mention_contexts,
         "events_tumbling_5min": events_tumbling_5min,
+        "events_hopping_10min": events_hopping_10min,
         "corpus_bpe_merges": corpus_bpe_merges,
         "kg_pagerank": kg_pagerank,
         "doc_minhash_near_dups": doc_minhash_near_dups,
@@ -1885,6 +1901,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
                         AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping_10min": """
+            SELECT ws.window_start, e.event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_value_cents
+            FROM events e, LATERAL (
+                SELECT unnest(generate_series(
+                    ((epoch_us(e.ts) // 1000000) // 300 - 1) * 300,
+                    ((epoch_us(e.ts) // 1000000) // 300) * 300,
+                    300)) AS window_start
+            ) ws
+            WHERE ws.window_start >= 0
+              AND epoch_us(e.ts) // 1000000 < ws.window_start + 600
+            GROUP BY 1, 2
         """,
         "orders_lineitem_join": """
             SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, o.o_custkey

@@ -98,6 +98,7 @@ def __getattr__(name):
         "cooccurrence_edges": ("pybel_ray.ops.linking", "cooccurrence_edges"),
         "equi_join": ("pybel_ray.ops.relational", "equi_join"),
         "tumbling_window_agg": ("pybel_ray.ops.window", "tumbling_window_agg"),
+        "hopping_window_agg": ("pybel_ray.ops.window", "hopping_window_agg"),
         "learn_bpe": ("pybel_ray.ops.bpe", "learn_bpe"),
         "apply_bpe": ("pybel_ray.ops.bpe", "apply_bpe"),
         "pagerank": ("pybel_ray.ops.graph", "pagerank"),

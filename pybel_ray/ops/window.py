@@ -48,7 +48,72 @@ __all__ = [
     "global_quantiles",
     "rolling_extremum",
     "tumbling_window_agg",
+    "hopping_window_agg",
 ]
+
+
+def hopping_window_agg(
+    ds,
+    ts_col: str,
+    width_secs: int,
+    hop_secs: int,
+    keys=(),
+    sum_cols=(),
+):
+    """Hopping (sliding) window aggregate: windows of ``width_secs``
+    starting every ``hop_secs``; each event lands in
+    ``ceil(width/hop)`` windows.
+
+    Implemented as a vectorized per-batch window-replication pass (one
+    numpy pass per replica index, same pattern as ``chunk_text``'s
+    overlap expansion) feeding the tumbling partial-aggregation shape:
+    the exchange still moves one row per (window, key) per batch.
+    Windows are labelled by their epoch-second start; only windows with
+    ``start >= 0`` and ``start % hop == 0`` exist (the standard aligned
+    hopping scheme, reproducible in SQL via a ``generate_series`` join).
+    """
+    if width_secs <= 0 or hop_secs <= 0:
+        raise ValueError("width and hop must be positive")
+    n_rep = -(-width_secs // hop_secs)
+
+    def _replicate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("window_start", pa.array([], pa.int64()))
+        ts = t.column(ts_col).combine_chunks()
+        epoch_s = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        base = (epoch_s // hop_secs) * hop_secs
+        parts = []
+        for r in range(n_rep):
+            start = base - r * hop_secs
+            ok = (start >= 0) & (epoch_s < start + width_secs)
+            if not ok.any():
+                continue
+            sub = t.filter(pa.array(ok))
+            parts.append(sub.append_column(
+                "window_start", pa.array(start[ok], pa.int64()),
+            ))
+        if not parts:
+            return t.slice(0, 0).append_column(
+                "window_start", pa.array([], pa.int64()),
+            )
+        return pa.concat_tables(parts)
+
+    replicated = ds.map_batches(_replicate, batch_format="pyarrow")
+    # reuse the tumbling partial/final machinery with window width = hop
+    # over the precomputed window_start labels: width 1s on an integer
+    # second column reproduces the label itself
+    out = tumbling_window_agg(
+        replicated.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("window_start"), "window_start",
+                pc.multiply(t.column("window_start"), 1_000_000)
+                .cast(pa.timestamp("us")),
+            ),
+            batch_format="pyarrow",
+        ),
+        "window_start", 1, keys=keys, sum_cols=sum_cols,
+    )
+    return out
 
 
 def tumbling_window_agg(
@@ -92,6 +157,8 @@ def tumbling_window_agg(
         ts = t.column(ts_col).combine_chunks()
         epoch_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
         win = (epoch_us // (width_secs * 1_000_000)) * width_secs
+        if "window_start" in t.column_names:
+            t = t.drop_columns(["window_start"])
         t = t.append_column("window_start", pa.array(win, pa.int64()))
         group_arrays = [win] + [
             t.column(k).combine_chunks().dictionary_encode()

@@ -124,3 +124,19 @@ def test_mention_contexts_clamped(ray_session):
     # window clamps at the document start / end
     assert out["X:1"] == "alpha beta gamma delta"
     assert out["X:2"] == "beta gamma delta epsilon zeta"
+
+
+def test_hopping_window_agg(ray_session):
+    import ray
+
+    from pybel_ray.ops.window import hopping_window_agg
+
+    # width 4s, hop 2s: event at t=5 lands in windows starting 2 and 4
+    rows = [{"ts": 1_000_000 * t, "v": v} for t, v in
+            [(1, 1), (5, 2), (9, 4)]]
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(0, "ts", t.column("ts").cast(pa.timestamp("us")))
+    out = {r["window_start"]: (r["n"], r["sum_v"]) for r in
+           hopping_window_agg(ray.data.from_arrow(t).repartition(2),
+                              "ts", 4, 2, sum_cols=["v"]).take_all()}
+    assert out == {0: (1, 1), 2: (1, 2), 4: (1, 2), 6: (1, 4), 8: (1, 4)}
