@@ -525,6 +525,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return cooccurrence_edges(uni)
 
+    def _bigram_model(sf_dir):
+        from pybel_ray.ops.lm import train_bigram_counts
+
+        def _subset(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = np.asarray(
+                t.column("doc_id").to_numpy(zero_copy_only=False), np.int64,
+            )
+            return t.filter(pa.array(ids % 10 == 0))
+
+        key = ("bigram_model", sf_dir)
+        if key not in _KG_CACHE:
+            ds = _read(sf_dir, "documents").map_batches(
+                _subset, batch_format="pyarrow",
+            )
+            _KG_CACHE[key] = train_bigram_counts(ds).materialize()
+        return _KG_CACHE[key]
+
+    def doc_bigram_familiarity(sf_dir):
+        from pybel_ray.ops.lm import score_bigram_familiarity
+
+        out = score_bigram_familiarity(
+            _read(sf_dir, "documents"), _bigram_model(sf_dir),
+        )
+        return out.select_columns(
+            ["doc_id", "n_bigrams", "n_known", "sum_model_counts"],
+        )
+
+    def doc_perplexity(sf_dir):
+        # rows-only: float accumulation (log2 sums) is order-dependent;
+        # pinned by the numpy reference in tests/test_lm.py
+        from pybel_ray.ops.lm import add_perplexity
+
+        out = add_perplexity(
+            _read(sf_dir, "documents"), _bigram_model(sf_dir),
+            vocab_size=10_000,
+        )
+        return out.select_columns(["doc_id", "bits_per_token"])
+
     def kg_pagerank(sf_dir):
         # rows-only (BEL-compiled input): integer PageRank directly over
         # the md5-keyed KG edge table — the centrality analog of
@@ -1381,6 +1421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_10min": events_hopping_10min,
         "corpus_bpe_merges": corpus_bpe_merges,
         "kg_pagerank": kg_pagerank,
+        "doc_bigram_familiarity": doc_bigram_familiarity,
+        "doc_perplexity": doc_perplexity,
         "doc_minhash_near_dups": doc_minhash_near_dups,
         "doc_simhash": doc_simhash,
         "doc_simhash_pairs": doc_simhash_pairs,
@@ -1901,6 +1943,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
                         AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "doc_bigram_familiarity": r"""
+            WITH raw AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+                       unnest(generate_series(
+                           1, len(regexp_split_to_array(trim(text), '\s+'))))
+                           AS pos
+                FROM documents
+            ), big AS (
+                SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+                FROM raw a JOIN raw b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ), model AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+                FROM big WHERE doc_id % 10 = 0 GROUP BY 1, 2
+            ), per AS (
+                SELECT bg.doc_id,
+                       CAST(count(*) AS BIGINT) AS nb,
+                       CAST(count(m.n) AS BIGINT) AS nk,
+                       CAST(COALESCE(sum(m.n), 0) AS BIGINT) AS sc
+                FROM big bg LEFT JOIN model m
+                  ON bg.w1 = m.w1 AND bg.w2 = m.w2
+                GROUP BY bg.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.nb, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(p.nk, 0) AS BIGINT) AS n_known,
+                   CAST(COALESCE(p.sc, 0) AS BIGINT) AS sum_model_counts
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "events_hopping_10min": """
             SELECT ws.window_start, e.event_type,

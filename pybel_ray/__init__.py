@@ -101,6 +101,11 @@ def __getattr__(name):
         "hopping_window_agg": ("pybel_ray.ops.window", "hopping_window_agg"),
         "learn_bpe": ("pybel_ray.ops.bpe", "learn_bpe"),
         "apply_bpe": ("pybel_ray.ops.bpe", "apply_bpe"),
+        "train_bigram_counts": ("pybel_ray.ops.lm", "train_bigram_counts"),
+        "score_bigram_familiarity": (
+            "pybel_ray.ops.lm", "score_bigram_familiarity",
+        ),
+        "add_perplexity": ("pybel_ray.ops.lm", "add_perplexity"),
         "pagerank": ("pybel_ray.ops.graph", "pagerank"),
         "graph_connected_components": (
             "pybel_ray.struct.components", "connected_components",
