@@ -598,6 +598,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents"), _aliases(sf_dir), context_window=3,
         )
 
+    def events_props_field(sf_dir):
+        from pybel_ray.ops.json_cols import json_int_field
+
+        out = json_int_field(_read(sf_dir, "events"), "props", "k")
+        return out.select_columns(["event_id", "k"])
+
     def events_tumbling_5min(sf_dir):
         import numpy as np
 
@@ -1419,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mention_contexts": doc_mention_contexts,
         "events_tumbling_5min": events_tumbling_5min,
         "events_hopping_10min": events_hopping_10min,
+        "events_props_field": events_props_field,
         "corpus_bpe_merges": corpus_bpe_merges,
         "kg_pagerank": kg_pagerank,
         "doc_bigram_familiarity": doc_bigram_familiarity,
@@ -1973,6 +1980,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(p.nk, 0) AS BIGINT) AS n_known,
                    CAST(COALESCE(p.sc, 0) AS BIGINT) AS sum_model_counts
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "events_props_field": r"""
+            SELECT event_id,
+                   TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?[0-9]+)', 1)
+                            AS BIGINT) AS k
+            FROM events
         """,
         "events_hopping_10min": """
             SELECT ws.window_start, e.event_type,

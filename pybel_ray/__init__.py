@@ -106,6 +106,8 @@ def __getattr__(name):
             "pybel_ray.ops.lm", "score_bigram_familiarity",
         ),
         "add_perplexity": ("pybel_ray.ops.lm", "add_perplexity"),
+        "json_int_field": ("pybel_ray.ops.json_cols", "json_int_field"),
+        "json_string_field": ("pybel_ray.ops.json_cols", "json_string_field"),
         "pagerank": ("pybel_ray.ops.graph", "pagerank"),
         "graph_connected_components": (
             "pybel_ray.struct.components", "connected_components",

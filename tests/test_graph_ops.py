@@ -140,3 +140,23 @@ def test_hopping_window_agg(ray_session):
            hopping_window_agg(ray.data.from_arrow(t).repartition(2),
                               "ts", 4, 2, sum_cols=["v"]).take_all()}
     assert out == {0: (1, 1), 2: (1, 2), 4: (1, 2), 6: (1, 4), 8: (1, 4)}
+
+
+def test_json_field_extraction(ray_session):
+    import ray
+
+    from pybel_ray.ops.json_cols import json_int_field, json_string_field
+
+    rows = [
+        {"id": 0, "props": '{"k": 87, "name": "web"}'},
+        {"id": 1, "props": '{"name":"x","k":-3}'},
+        {"id": 2, "props": '{"other": 1}'},
+        {"id": 3, "props": 'not json'},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    ints = {r["id"]: r["k"] for r in
+            json_int_field(ds, "props", "k").take_all()}
+    assert ints == {0: 87, 1: -3, 2: None, 3: None}
+    strs = {r["id"]: r["name"] for r in
+            json_string_field(ds, "props", "name").take_all()}
+    assert strs == {0: "web", 1: "x", 2: None, 3: None}
