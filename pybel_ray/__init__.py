@@ -107,6 +107,9 @@ def __getattr__(name):
         ),
         "add_perplexity": ("pybel_ray.ops.lm", "add_perplexity"),
         "json_int_field": ("pybel_ray.ops.json_cols", "json_int_field"),
+        "load_table": ("pybel_ray.sources", "load_table"),
+        "load_documents": ("pybel_ray.sources", "load_documents"),
+        "load_pages": ("pybel_ray.sources", "load_pages"),
         "json_string_field": ("pybel_ray.ops.json_cols", "json_string_field"),
         "pagerank": ("pybel_ray.ops.graph", "pagerank"),
         "graph_connected_components": (

@@ -1,0 +1,93 @@
+"""Format readers: parquet / JSONL / CSV ingestion normalizes to one
+canonical schema; documents round-trip byte-identical across formats."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def doc_files(tmp_path_factory):
+    base = tmp_path_factory.mktemp("sources")
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    rows = t.to_pylist()[:50]
+    pq.write_table(pa.Table.from_pylist(rows), str(base / "docs.parquet"))
+    with open(base / "docs.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    import csv
+
+    with open(base / "docs.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    return base, rows
+
+
+def test_load_documents_all_formats(ray_session, doc_files):
+    from pybel_ray.sources import load_documents
+
+    base, rows = doc_files
+    expected = sorted(
+        (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in rows
+    )
+    for fmt, name in [("parquet", "docs.parquet"), ("jsonl", "docs.jsonl"),
+                      ("csv", "docs.csv")]:
+        got = sorted(
+            (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+            for r in load_documents(str(base / name), format=fmt).take_all()
+        )
+        assert got == expected, fmt
+
+
+def test_load_table_column_pruning_and_cast(ray_session, doc_files):
+    from pybel_ray.sources import load_table
+
+    base, rows = doc_files
+    ds = load_table(
+        str(base / "docs.parquet"), columns=["doc_id", "n_chars"],
+        dtypes={"n_chars": pa.int32()},
+    )
+    schema = ds.schema()
+    base_schema = getattr(schema, "base_schema", None) or schema
+    assert base_schema.names == ["doc_id", "n_chars"]
+    assert base_schema.field("n_chars").type == pa.int32()
+    assert ds.count() == len(rows)
+
+
+def test_load_table_missing_column_raises(ray_session, doc_files):
+    from pybel_ray.sources import load_table
+
+    base, _rows = doc_files
+    with pytest.raises(Exception):
+        load_table(
+            str(base / "docs.parquet"), columns=["nope"],
+        ).take_all()
+
+
+def test_load_pages_jsonl_binary_cast(ray_session, tmp_path):
+    from pybel_ray.pages import generate_pages_table
+    from pybel_ray.sources import load_pages
+
+    pages = generate_pages_table(20)
+    path = tmp_path / "pages.jsonl"
+    with open(path, "w") as f:
+        for r in pages.to_pylist():
+            f.write(json.dumps({
+                "url": r["url"],
+                "warc_ts": r["warc_ts"].isoformat(),
+                "html": r["html"].decode("utf-8"),
+                "text": r["text"],
+                "lang": r["lang"],
+            }) + "\n")
+    out = load_pages(str(path), format="jsonl").take_all()
+    orig = {r["url"]: r for r in pages.to_pylist()}
+    assert len(out) == 20
+    for r in out:
+        assert isinstance(r["html"], bytes)
+        assert r["html"] == orig[r["url"]]["html"]
+        assert r["text"] == orig[r["url"]]["text"]
