@@ -368,7 +368,12 @@ class ParseDocumentsToDir(ParseDocuments):
         import pyarrow.parquet as pq
 
         tmp = path + ".tmp"
-        pq.write_table(table, tmp, compression="snappy")
+        # zstd-1 measured ~3x smaller than snappy at the same encode time
+        # on events-shaped tables; shard write+read-back bandwidth is what
+        # saturates first when the host disk window degrades (152 MB/s
+        # sustained observed), so smaller shards move the bottleneck back
+        # to compute
+        pq.write_table(table, tmp, compression="zstd", compression_level=1)
         os.replace(tmp, path)  # atomic: retries overwrite, never duplicate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
