@@ -250,6 +250,28 @@ def _probe_cpu(seconds: float = 4.0) -> float:
     return total / seconds
 
 
+def _probe_disk(mb: int = 256) -> float:
+    """Sustained write MB/s to the bench scratch filesystem.
+
+    The 300k-page legs stream several GB of shard writes; a degraded host
+    disk window (152 MB/s sustained observed vs 568 MB/s bursts) throttles
+    the wide leg far more than the narrow one and silently wrecks the
+    scaling ratio, so it is probed and recorded alongside delivered CPU.
+    Only runs BETWEEN legs (never concurrently with one).
+    """
+    path = "/tmp/.pybel_ray_diskprobe"
+    buf = b"\0" * (1024 * 1024)
+    t0 = time.time()
+    with open(path, "wb") as f:
+        for _ in range(mb):
+            f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    dt = time.time() - t0
+    os.unlink(path)
+    return mb / dt
+
+
 def _wait_for_quiet_machine(best_probe: float, tries: int = 5) -> float:
     """Block until the probe reaches ≥93% of the best observed; returns the
     updated best."""
@@ -293,12 +315,14 @@ def scaling(sf_dir: str, low: int, high: int, repeats: int = 2) -> dict:
     results = {}
     first = True
     best_probe = 0.0
+    disk_probes = []
     for n in (low, high):
         for _ in range(repeats):
             if not first:
                 _settle()
             first = False
             best_probe = _wait_for_quiet_machine(best_probe)
+            disk_probes.append(round(_probe_disk(), 1))
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", str(n),
                  "--sf-dir", sf_dir, "--pages-dir", pages_dir],
@@ -322,6 +346,8 @@ def scaling(sf_dir: str, low: int, high: int, repeats: int = 2) -> dict:
         "high_triples_per_sec": tp_high,
         "low_wall_sec": results[low]["wall_sec"],
         "high_wall_sec": results[high]["wall_sec"],
+        "cpu_probe_best_units_per_sec": round(best_probe, 1),
+        "disk_probe_mb_per_sec": disk_probes,
         "pages": results[high]["pages"],
         "statements": results[high]["statements"],
         "triples": results[high]["triples"],
