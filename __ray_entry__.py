@@ -1359,7 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["media_id", "media_type", "embedding"])
 
-    return {
+    q = {
         # KG construction
         "kg_triples": kg_triples,
         "kg_nodes": kg_nodes,
@@ -1486,6 +1486,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": media_frames,
         "media_embeddings": media_embeddings,
     }
+
+    # The driver's correctness check samples the FIRST 50 entries, so order
+    # the oracle-backed queries first — kg_triples stays in slot 1 as the
+    # flagship rows-only entry, then everything with a DuckDB oracle, then
+    # the remaining rows-only families (VERDICT r2, next-round item 1).
+    oracled = set(oracle_sql())
+    ordered = {"kg_triples": q["kg_triples"]}
+    ordered.update({k: v for k, v in q.items() if k in oracled})
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    return ordered
 
 
 # ---------------------------------------------------------------------------
