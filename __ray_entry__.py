@@ -1993,7 +1993,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_props_field": r"""
             SELECT event_id,
-                   TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?[0-9]+)', 1)
+                   TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?[0-9]+)\s*[,}\]]', 1)
                             AS BIGINT) AS k
             FROM events
         """,

@@ -250,7 +250,7 @@ def _probe_cpu(seconds: float = 4.0) -> float:
     return total / seconds
 
 
-def _probe_disk(mb: int = 256) -> float:
+def _probe_disk(mb: int = 256, scratch_dir: str = None) -> float:
     """Sustained write MB/s to the bench scratch filesystem.
 
     The 300k-page legs stream several GB of shard writes; a degraded host
@@ -258,8 +258,13 @@ def _probe_disk(mb: int = 256) -> float:
     the wide leg far more than the narrow one and silently wrecks the
     scaling ratio, so it is probed and recorded alongside delivered CPU.
     Only runs BETWEEN legs (never concurrently with one).
+
+    ``scratch_dir`` pins the probe to the filesystem the legs actually
+    write their shards to (ADVICE fix — /tmp can be a different device
+    from the scratch tree); sf_dir itself is read-only testdata, so the
+    probe lands next to the pages/events scratch instead.
     """
-    path = "/tmp/.pybel_ray_diskprobe"
+    path = os.path.join(scratch_dir or "/tmp", ".pybel_ray_diskprobe")
     buf = b"\0" * (1024 * 1024)
     t0 = time.time()
     with open(path, "wb") as f:
@@ -322,7 +327,7 @@ def scaling(sf_dir: str, low: int, high: int, repeats: int = 2) -> dict:
                 _settle()
             first = False
             best_probe = _wait_for_quiet_machine(best_probe)
-            disk_probes.append(round(_probe_disk(), 1))
+            disk_probes.append(round(_probe_disk(scratch_dir=pages_dir), 1))
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", str(n),
                  "--sf-dir", sf_dir, "--pages-dir", pages_dir],

@@ -1054,10 +1054,11 @@ def near_dedup_corpus(
         raise ValueError("unknown dedup method: {}".format(method))
 
     pairs = pairs.select_columns(["id_a", "id_b"]).materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ds
 
-    if pairs.count() <= _DRIVER_PAIR_BUDGET:
+    if n_pairs <= _DRIVER_PAIR_BUDGET:
         from ..struct.operations import connected_components_driver
 
         edges = [

@@ -21,7 +21,10 @@ __all__ = ["json_int_field", "json_string_field"]
 
 
 def _int_pattern(key: str) -> str:
-    return '"' + re.escape(key) + '"\\s*:\\s*(?P<v>-?[0-9]+)'
+    # RE2 has no lookahead; a well-formed JSON value is always followed
+    # by ',' '}' or ']', so requiring that terminator rejects the integer
+    # prefix of floats ("k": 1.25) and of larger tokens (ADVICE fix).
+    return '"' + re.escape(key) + '"\\s*:\\s*(?P<v>-?[0-9]+)\\s*[,}\\]]'
 
 
 def _str_pattern(key: str) -> str:

@@ -456,6 +456,8 @@ class TrieLinker:
         out_id, out_pos, out_gram, out_mention, out_curie = [], [], [], [], []
         scan = self.automaton.scan
         for row_id, doc in zip(ids, joined.to_pylist()):
+            if doc is None:  # null text yields no mentions (matches link_entities)
+                continue
             # normalize: collapse the empty tokens the split left behind
             norm = " ".join(w for w in doc.split(" ") if w)
             n = len(norm)

@@ -218,9 +218,11 @@ def equi_join(
     are joined on a ``\\x00``-separated string rendering; values
     containing NUL would alias — documented limit).  ``how`` is
     ``inner`` / ``left`` / ``full``.  Right-side non-key columns that
-    collide with left names get ``suffix``.  Broadcast a small side with
-    :func:`broadcast_join` instead when it fits in the object store —
-    this operator is for two big sides.
+    collide with left names get ``suffix``.  For ``full``, right-unmatched
+    rows surface their key through the LEFT key columns (SQL
+    ``COALESCE(l.k, r.k)`` USING semantics) — the key is never lost.
+    Broadcast a small side with :func:`broadcast_join` instead when it
+    fits in the object store — this operator is for two big sides.
     """
     if how not in ("inner", "left", "full"):
         raise ValueError(how)
@@ -250,9 +252,17 @@ def equi_join(
             return casted[0]
         return pc.binary_join_element_wise(*casted, "\x00")
 
+    # full outer: carry the right key columns (as hidden ``_rk{i}``) so
+    # right-unmatched rows can coalesce their key into the left key
+    # columns after the join (SQL USING semantics — ADVICE fix).
+    rk_names = ["_rk{}".format(i) for i in range(len(rkeys))] if how == "full" else []
+    rk_types = [rbase.field(k).type for k in rkeys] if how == "full" else []
+
     def _left_side(t: pa.Table) -> pa.Table:
         for c in rvalue_names:
             t = t.append_column(c, pa.nulls(t.num_rows, rvalue_types[c]))
+        for c, typ in zip(rk_names, rk_types):
+            t = t.append_column(c, pa.nulls(t.num_rows, typ))
         t = t.append_column("_jk", _jk(t, lkeys))
         t = t.append_column("_side", pa.array(np.zeros(t.num_rows, bool)))
         return add_hash_bucket(t, "_jk", num_buckets)
@@ -267,6 +277,8 @@ def equi_join(
         for n in rbase.names:
             if n not in rkeys:
                 out = out.append_column(rename[n], t.column(n))
+        for c, k in zip(rk_names, rkeys):
+            out = out.append_column(c, t.column(k))
         out = out.append_column("_jk", jk)
         out = out.append_column("_side", pa.array(np.ones(t.num_rows, bool)))
         return add_hash_bucket(out, "_jk", num_buckets)
@@ -275,15 +287,24 @@ def equi_join(
     tagged_r = right.map_batches(_right_side, batch_format="pyarrow")
 
     out_names = lnames + rvalue_names
+    ltypes = [lbase.field(k).type for k in lkeys]
 
     def _join(group: pa.Table) -> pa.Table:
         side = group.column("_side")
         lt = group.filter(pc.invert(side)).select(lnames + ["_jk"])
-        rt = group.filter(side).select(rvalue_names + ["_jk"])
+        rt = group.filter(side).select(rvalue_names + rk_names + ["_jk"])
         joined = lt.join(
             rt, keys=["_jk"], join_type=join_type,
             # deterministic column order regardless of match side
         )
+        if how == "full":
+            for lk, rk, typ in zip(lkeys, rk_names, ltypes):
+                merged = pc.coalesce(
+                    joined.column(lk), pc.cast(joined.column(rk), typ),
+                )
+                joined = joined.set_column(
+                    joined.schema.get_field_index(lk), lk, merged,
+                )
         return joined.select(out_names)
 
     out = tagged_l.union(tagged_r).groupby("_bucket").map_groups(

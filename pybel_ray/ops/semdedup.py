@@ -16,6 +16,14 @@ exactly.
 The reference engine has no embedding surface; this belongs to the
 training-data family (SURVEY.md §2 "beyond-reference" operators) and
 composes with ``build_ivf_index``'s sampled k-means for centroid learning.
+
+Tolerance assumption: ``kept`` and ``centroid_id`` gate on strict float
+comparisons (sim > threshold, argmax), which two engines computing in
+different operation orders could flip for similarities within ~1 ulp of
+the boundary.  The driver oracle is only exact when the corpus keeps a
+margin from the threshold — verified for the bench corpora by
+``test_semdedup_oracle_threshold_margin`` (min |sim − threshold| and the
+argmax runner-up gap both > 1e-6 at sf0.001 and sf0.01).
 """
 
 from __future__ import annotations

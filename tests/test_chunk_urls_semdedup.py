@@ -157,3 +157,44 @@ def test_semantic_dedup_chain_rule(ray_session):
     out = {r["vec_id"]: r["kept"] for r in
            semantic_dedup(_ds(rows), cent, threshold=0.5).take_all()}
     assert out == {0: True, 1: False, 2: False}
+
+
+def test_semdedup_oracle_threshold_margin():
+    """ADVICE r2: the driver oracle compares strict float thresholds
+    (sim > 0.4, argmax) computed by two engines with different operation
+    orders.  Verify on the actual bench corpora that every within-cluster
+    pairwise similarity and every argmax runner-up gap sits far from the
+    decision boundary (>> 1e-9, vastly above accumulated ulp error), so
+    the oracle cannot flip on rounding."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    THRESHOLD = 0.4  # must match emb_semantic_dedup in __ray_entry__.py
+    EPS = 1e-6
+    for sf in ("sf0.001", "sf0.01"):
+        path = os.path.join("/root/testdata", sf, "embeddings.parquet")
+        t = pq.read_table(path)
+        order = np.argsort(t.column("vec_id").to_numpy())
+        mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        cent = mat[:8]  # _first_k_centroids: vec_id 0..7
+        sims_c = mat @ cent.T
+        top2 = np.sort(sims_c, axis=1)[:, -2:]
+        gaps = top2[:, 1] - top2[:, 0]
+        # argmax margin (ignore the centroids themselves, which tie at 1
+        # only with an exact self-match)
+        assert gaps.min() > EPS, (sf, gaps.min())
+        assign = np.argmax(sims_c, axis=1)
+        worst = np.inf
+        for c in range(8):
+            sub = mat[assign == c]
+            if len(sub) < 2:
+                continue
+            s = sub @ sub.T
+            iu = np.triu_indices(len(sub), k=1)
+            d = np.abs(s[iu] - THRESHOLD)
+            worst = min(worst, d.min())
+        assert worst > EPS, (sf, worst)

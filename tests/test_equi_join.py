@@ -32,16 +32,24 @@ def test_equi_join_types_match_duckdb(ray_session):
     con = duckdb.connect()
     con.register("L", L)
     con.register("R", R)
-    for how, sql_how in [("inner", "JOIN"), ("left", "LEFT JOIN"),
-                         ("full", "FULL JOIN")]:
+    # full outer coalesces the key (SQL USING semantics) so the key of
+    # right-unmatched rows survives — ADVICE r2 fix
+    for how, key_expr, sql_how in [
+        ("inner", "L.k", "JOIN"),
+        ("left", "L.k", "LEFT JOIN"),
+        ("full", "COALESCE(L.k, R.k)", "FULL JOIN"),
+    ]:
         got = _sorted(
             tuple(r.get(c) for c in ("k", "x", "y"))
             for r in equi_join(lds, rds, "k", how=how, num_buckets=4).take_all()
         )
         exp = _sorted(map(tuple, con.execute(
-            f"SELECT L.k, L.x, R.y FROM L {sql_how} R ON L.k = R.k",
+            f"SELECT {key_expr} AS k, L.x, R.y FROM L {sql_how} R ON L.k = R.k",
         ).fetchall()))
         assert got == exp, how
+    # the right-only k=4 row keeps its key in the full join output
+    full = equi_join(lds, rds, "k", how="full", num_buckets=4).take_all()
+    assert {"k": 4, "x": None, "y": 40} in full
     # null keys never match (5 rows inner: 2x2 fanout + one k=2 pair)
     assert len(equi_join(lds, rds, "k", num_buckets=4).take_all()) == 5
 

@@ -152,11 +152,13 @@ def test_json_field_extraction(ray_session):
         {"id": 1, "props": '{"name":"x","k":-3}'},
         {"id": 2, "props": '{"other": 1}'},
         {"id": 3, "props": 'not json'},
+        {"id": 4, "props": '{"k": 1.25}'},           # float: NOT an int literal
+        {"id": 5, "props": '{"k": 12, "name": "y"}'},
     ]
     ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
     ints = {r["id"]: r["k"] for r in
             json_int_field(ds, "props", "k").take_all()}
-    assert ints == {0: 87, 1: -3, 2: None, 3: None}
+    assert ints == {0: 87, 1: -3, 2: None, 3: None, 4: None, 5: 12}
     strs = {r["id"]: r["name"] for r in
             json_string_field(ds, "props", "name").take_all()}
-    assert strs == {0: "web", 1: "x", 2: None, 3: None}
+    assert strs == {0: "web", 1: "x", 2: None, 3: None, 4: None, 5: "y"}

@@ -22,6 +22,7 @@ DOCS = [
     {"doc_id": 2, "text": "cox 2 and COX  2 and protein-kinase-C"},
     {"doc_id": 3, "text": ""},
     {"doc_id": 4, "text": "!!! ??? ..."},
+    {"doc_id": 5, "text": None},
 ]
 
 ALIASES = pa.Table.from_pylist([
@@ -55,8 +56,8 @@ def test_vectorized_matches(ray_session):
     assert (2, 1, 2, "cox 2", "HGNC:PTGS2") in rows
     assert (2, 4, 2, "cox 2", "HGNC:PTGS2") in rows
     assert (2, 7, 3, "protein kinase c", "HGNC:PRKC") in rows
-    # empty / punctuation-only docs emit nothing
-    assert not any(r[0] in (3, 4) for r in rows)
+    # empty / punctuation-only / null docs emit nothing
+    assert not any(r[0] in (3, 4, 5) for r in rows)
 
 
 def test_three_engines_identical(ray_session):
