@@ -54,6 +54,13 @@ def _sf_of(sf_dir: str) -> float:
 _KG_CACHE: dict = {}
 
 
+#: fixed Parquet snapshot of the compiled KG tables (nodes/edges/errors) the
+#: kg_* aggregate oracles read — written by the query callables themselves
+#: (the driver runs the Ray query before its oracle SQL, as does the pytest
+#: mirror), refreshed whenever a different sf_dir is queried.
+_KG_SNAP_PATH = "/tmp/pybel_ray_kgsnap"
+
+
 def _kg(sf_dir: str):
     """Build (and cache) the compiled KG for the synthetic corpus at this sf."""
     from pybel_ray.pages import default_registry, page_count_for_sf, pages_dataset
@@ -120,18 +127,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _kg(sf_dir).edges().sort("edge_md5")
 
     def kg_errors_by_class(sf_dir):
+        _kg_snapshot(sf_dir)
         return groupby_count(_kg(sf_dir).errors(), "error_class").sort("error_class")
 
     def kg_docs(sf_dir):
         return _kg(sf_dir).docs().sort("url")
 
     def kg_count_relations(sf_dir):
+        _kg_snapshot(sf_dir)
         return groupby_count(_kg(sf_dir).edges(), "relation").sort("relation")
 
     def kg_count_functions(sf_dir):
+        _kg_snapshot(sf_dir)
         return groupby_count(_kg(sf_dir).nodes(), "function").sort("function")
 
     def kg_count_namespaces(sf_dir):
+        _kg_snapshot(sf_dir)
+
         def _nn(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_valid(t.column("namespace")))
 
@@ -140,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_top_hubs(sf_dir):
         """Degree top-15 (reference get_top_hubs, node_summary.py:209)."""
+        _kg_snapshot(sf_dir)
         edges = _kg(sf_dir).edges()
 
         def _endpoints(t: pa.Table) -> pa.Table:
@@ -159,7 +172,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return topk(degrees, "degree", 15, tie_keys=["bel"]).select_columns(["bel", "degree"])
 
-    # -- graph-structure operators (rows-only; semantics tested in tests/) --
+    # -- graph-structure operators ------------------------------------------
+    # The parse itself is not SQL-expressible (golden conformance covers it);
+    # the aggregate/filter/degree/collapse machinery IS — each kg_* query
+    # below dumps the compiled nodes/edges/errors tables to a fixed Parquet
+    # snapshot path first, and its oracle_sql() runs DuckDB over that
+    # snapshot, giving the distributed operators an independent cross-check.
 
     def _graph(sf_dir):
         key = sf_dir + "::graph"
@@ -167,14 +185,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _KG_CACHE[key] = _kg(sf_dir).graph().materialize()
         return _KG_CACHE[key]
 
+    def _kg_snapshot(sf_dir):
+        """Write nodes/edges/errors Parquet snapshots of the compiled KG to
+        the fixed path the kg_* oracles read (refreshed when sf_dir
+        changes; write-once per process otherwise)."""
+        import shutil
+
+        if _KG_CACHE.get("snapshot_for") == sf_dir:
+            return _KG_SNAP_PATH
+        g = _graph(sf_dir)
+        tmp = _KG_SNAP_PATH + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        g.nodes.write_parquet(os.path.join(tmp, "nodes"))
+        g.edges.write_parquet(os.path.join(tmp, "edges"))
+        _kg(sf_dir).errors().write_parquet(os.path.join(tmp, "errors"))
+        shutil.rmtree(_KG_SNAP_PATH, ignore_errors=True)
+        os.rename(tmp, _KG_SNAP_PATH)
+        _KG_CACHE["snapshot_for"] = sf_dir
+        return _KG_SNAP_PATH
+
     def kg_filter_causal_edges(sf_dir):
         from pybel_ray.struct import filter_edges
 
+        _kg_snapshot(sf_dir)
         return filter_edges(_graph(sf_dir).edges, "is_causal_relation").sort("edge_md5")
 
     def kg_filter_protein_variants(sf_dir):
         from pybel_ray.struct import filter_nodes
 
+        _kg_snapshot(sf_dir)
         return filter_nodes(
             _graph(sf_dir).nodes, ["is_protein", "has_variant"],
         ).sort("bel")
@@ -182,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_collapse_variants(sf_dir):
         from pybel_ray.struct import collapse_all_variants, count_functions
 
+        _kg_snapshot(sf_dir)
         return count_functions(collapse_variants_cached(sf_dir))
 
     def collapse_variants_cached(sf_dir):
@@ -200,21 +240,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_origin_enrichment(sf_dir):
         from pybel_ray.struct import count_relations, enrich_protein_and_rna_origins
 
+        _kg_snapshot(sf_dir)
         return count_relations(enrich_protein_and_rna_origins(_graph(sf_dir)))
 
     def kg_metaedges(sf_dir):
         from pybel_ray.struct.summary import get_metaedge_counts
 
+        _kg_snapshot(sf_dir)
         return get_metaedge_counts(_graph(sf_dir))
 
     def kg_annotation_values(sf_dir):
         from pybel_ray.struct.summary import get_annotation_values
 
+        _kg_snapshot(sf_dir)
         return get_annotation_values(_graph(sf_dir), "Species")
 
     def kg_subgraph_annotation(sf_dir):
         from pybel_ray.struct.induction import get_subgraph_by_annotation_value
 
+        _kg_snapshot(sf_dir)
         sub = get_subgraph_by_annotation_value(_graph(sf_dir), "Species", "9606")
         return sub.edges.sort("edge_md5")
 
@@ -229,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_query_protocol(sf_dir):
         from pybel_ray.struct import Pipeline
 
+        _kg_snapshot(sf_dir)
         p = Pipeline().append("remove_associations").append("remove_isolated_nodes")
         out = p.run(_graph(sf_dir))
         from pybel_ray.struct import count_relations
@@ -238,26 +283,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_top_pathologies(sf_dir):
         from pybel_ray.struct.summary import get_top_pathologies
 
+        _kg_snapshot(sf_dir)
         return get_top_pathologies(_graph(sf_dir), 10)
 
     def kg_count_variants(sf_dir):
         from pybel_ray.struct.summary import count_variants
 
+        _kg_snapshot(sf_dir)
         return count_variants(_graph(sf_dir))
 
     def kg_pubmed_identifiers(sf_dir):
         from pybel_ray.struct.summary import get_pubmed_identifiers
 
+        _kg_snapshot(sf_dir)
         return get_pubmed_identifiers(_graph(sf_dir)).sort("citation_id")
 
     def kg_sif_export(sf_dir):
         from pybel_ray.export.extras import to_sif
 
+        _kg_snapshot(sf_dir)
         return to_sif(_graph(sf_dir)).sort(["src_bel", "relation", "dst_bel"])
 
     def kg_edgelist_export(sf_dir):
         from pybel_ray.export.extras import to_edgelist
 
+        _kg_snapshot(sf_dir)
         return to_edgelist(_graph(sf_dir)).sort(["h", "relation_json", "t"])
 
     def kg_citation_enrichment(sf_dir):
@@ -1662,7 +1712,144 @@ def oracle_sql() -> dict[str, str]:
         FROM h
     """.format(en=hits_expr("en"), de=hits_expr("de"), fr=hits_expr("fr"))
 
+    # -- kg_* snapshot oracles ------------------------------------------------
+    # Each kg_* query callable writes the compiled nodes/edges/errors tables
+    # to _KG_SNAP_PATH before computing its result (driver and pytest both
+    # run the Ray query before its oracle), so DuckDB independently
+    # recomputes the aggregate/filter/degree/collapse over the same input.
+    _E = "read_parquet('{}/edges/*.parquet')".format(_KG_SNAP_PATH)
+    _N = "read_parquet('{}/nodes/*.parquet')".format(_KG_SNAP_PATH)
+    _ERR = "read_parquet('{}/errors/*.parquet')".format(_KG_SNAP_PATH)
+
+    def _func_case(col):
+        # mirror of struct/graph.py bel_function_of (prefix -> function)
+        return """CASE regexp_extract({c}, '^([a-zA-Z]+)\\(', 1)
+            WHEN 'a' THEN 'Abundance' WHEN 'g' THEN 'Gene'
+            WHEN 'm' THEN 'miRNA' WHEN 'p' THEN 'Protein'
+            WHEN 'r' THEN 'RNA' WHEN 'bp' THEN 'BiologicalProcess'
+            WHEN 'path' THEN 'Pathology' WHEN 'complex' THEN 'Complex'
+            WHEN 'composite' THEN 'Composite' WHEN 'pop' THEN 'Population'
+            WHEN 'rxn' THEN 'Reaction' ELSE NULL END""".format(c=col)
+
+    _ELIGIBLE = ("json_extract(node_json, '$.variants') IS NULL"
+                 " AND json_extract(node_json, '$.concept') IS NOT NULL")
+
+    kg_oracles = {
+        "kg_count_relations":
+            "SELECT relation, count(*) AS n FROM {E} GROUP BY relation".format(E=_E),
+        "kg_count_functions":
+            "SELECT function, count(*) AS n FROM {N} GROUP BY function".format(N=_N),
+        "kg_count_namespaces": """
+            SELECT namespace, count(*) AS n FROM {N}
+            WHERE namespace IS NOT NULL GROUP BY namespace
+        """.format(N=_N),
+        "kg_errors_by_class":
+            "SELECT error_class, count(*) AS n FROM {ERR} GROUP BY error_class".format(ERR=_ERR),
+        "kg_top_hubs": """
+            WITH ends AS (
+                SELECT src_md5 AS md5, src_bel AS bel FROM {E}
+                UNION ALL SELECT dst_md5, dst_bel FROM {E}
+            ), deg AS (
+                SELECT md5, bel, CAST(count(*) AS BIGINT) AS degree
+                FROM ends GROUP BY md5, bel
+            )
+            SELECT bel, degree FROM deg ORDER BY degree DESC, bel LIMIT 15
+        """.format(E=_E),
+        "kg_top_pathologies": """
+            WITH ends AS (
+                SELECT src_md5 AS md5, src_bel AS bel FROM {E}
+                UNION ALL SELECT dst_md5, dst_bel FROM {E}
+            ), deg AS (
+                SELECT md5, bel, CAST(count(*) AS BIGINT) AS degree
+                FROM ends GROUP BY md5, bel
+            )
+            SELECT bel, degree FROM deg WHERE bel LIKE 'path(%'
+            ORDER BY degree DESC, bel LIMIT 10
+        """.format(E=_E),
+        "kg_metaedges": """
+            SELECT {src} AS src_function, relation, {dst} AS dst_function,
+                   count(*) AS n
+            FROM {E} GROUP BY 1, 2, 3
+        """.format(src=_func_case("src_bel"), dst=_func_case("dst_bel"), E=_E),
+        "kg_count_variants": """
+            SELECT v ->> 'kind' AS kind, count(*) AS n FROM (
+                SELECT unnest(CAST(json_extract(node_json, '$.variants')
+                                   AS JSON[])) AS v
+                FROM {N} WHERE json_extract(node_json, '$.variants') IS NOT NULL
+            ) GROUP BY 1
+        """.format(N=_N),
+        "kg_annotation_values": """
+            SELECT DISTINCT unnest(json_keys(TRY_CAST(annotations_json AS JSON),
+                                             '$.Species')) AS value
+            FROM {E}
+            WHERE json_extract(TRY_CAST(annotations_json AS JSON),
+                               '$.Species') IS NOT NULL
+        """.format(E=_E),
+        "kg_pubmed_identifiers": """
+            SELECT DISTINCT citation_id FROM {E} WHERE citation_db = 'PubMed'
+        """.format(E=_E),
+        "kg_filter_causal_edges": """
+            SELECT * FROM {E} WHERE relation IN
+            ('increases', 'directlyIncreases', 'decreases',
+             'directlyDecreases', 'regulates')
+        """.format(E=_E),
+        "kg_filter_protein_variants": """
+            SELECT * FROM {N}
+            WHERE function = 'Protein' AND node_json LIKE '%"variants":%'
+        """.format(N=_N),
+        "kg_subgraph_annotation": """
+            SELECT * FROM {E}
+            WHERE annotations_json LIKE '%"Species":{{%'
+              AND annotations_json LIKE '%"9606":true%'
+        """.format(E=_E),
+        "kg_sif_export":
+            "SELECT src_bel, relation, dst_bel FROM {E}".format(E=_E),
+        "kg_edgelist_export": """
+            SELECT triple_h AS h, triple_t AS t,
+                   '{{"relation": "' || triple_r || '"}}' AS relation_json
+            FROM {E} WHERE triple_h IS NOT NULL
+        """.format(E=_E),
+        "kg_query_protocol": """
+            SELECT relation, count(*) AS n FROM {E}
+            WHERE relation <> 'association' GROUP BY relation
+        """.format(E=_E),
+        "kg_collapse_variants": """
+            SELECT function, count(*) AS n FROM {N}
+            WHERE md5 NOT IN (SELECT DISTINCT dst_md5 FROM {E}
+                              WHERE relation = 'hasVariant')
+            GROUP BY function
+        """.format(N=_N, E=_E),
+        "kg_origin_enrichment": """
+            WITH base AS (
+                SELECT relation, CAST(count(*) AS BIGINT) AS n
+                FROM {E} GROUP BY relation
+            ), prot AS (
+                SELECT bel FROM {N} WHERE function = 'Protein' AND {ELIG}
+            ), rna_exist AS (
+                SELECT bel FROM {N} WHERE function = 'RNA' AND {ELIG}
+            ), mirna AS (
+                SELECT bel FROM {N} WHERE function = 'miRNA' AND {ELIG}
+            ), rna_all AS (
+                SELECT DISTINCT bel FROM (
+                    SELECT 'r(' || substr(bel, 3) AS bel FROM prot
+                    UNION ALL SELECT bel FROM rna_exist
+                )
+            ), adds AS (
+                SELECT 'translatedTo' AS relation,
+                       (SELECT count(*) FROM prot) AS n
+                UNION ALL
+                SELECT 'transcribedTo',
+                       (SELECT count(*) FROM rna_all)
+                       + (SELECT count(*) FROM mirna)
+            )
+            SELECT relation, CAST(sum(n) AS BIGINT) AS n
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM adds WHERE n > 0)
+            GROUP BY relation
+        """.format(E=_E, N=_N, ELIG=_ELIGIBLE),
+    }
+
     return {
+        **kg_oracles,
         "events_count_by_type":
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
         "orders_count_by_status":
