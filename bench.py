@@ -79,6 +79,8 @@ def run_headline(sf: float, num_cpus: int, pages_dir: str | None = None) -> dict
 
 
 def run_queries(sf_dir: str) -> dict:
+    # time the operators themselves, not the kg oracle-support snapshot dump
+    os.environ["PYBEL_RAY_SKIP_KG_SNAPSHOT"] = "1"
     import __ray_entry__ as entry
 
     chosen = [

@@ -716,14 +716,17 @@ def ngram_jaccard_pairs(
     # Shingles travel as int64 BIT VIEWS of the uint64 hashes — Ray's
     # groupby coerces uint64 keys — identity is all the df count needs.
     def _df_partial(t: pa.Table) -> pa.Table:
-        counts: dict = {}
-        for text in t.column(text_col).to_pylist():
-            for v in shingle_hashes(text, ngram).view(np.int64):
-                counts[v] = counts.get(v, 0) + 1
-        vals = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
-        cnts = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        # shingle_hashes is unique-per-doc, so counting occurrences across
+        # the concatenation IS the document frequency — one vectorized
+        # np.unique instead of a per-shingle Python dict loop
+        parts = [
+            shingle_hashes(text, ngram).view(np.int64)
+            for text in t.column(text_col).to_pylist()
+        ]
+        allv = np.concatenate(parts) if parts else np.array([], np.int64)
+        vals, cnts = np.unique(allv, return_counts=True)
         return pa.Table.from_arrays(
-            [pa.array(vals, pa.int64()), pa.array(cnts, pa.int64())],
+            [pa.array(vals, pa.int64()), pa.array(cnts.astype(np.int64), pa.int64())],
             names=["shingle", "df"],
         )
 
