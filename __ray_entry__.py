@@ -314,6 +314,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _kg_snapshot(sf_dir)
         return to_edgelist(_graph(sf_dir)).sort(["h", "relation_json", "t"])
 
+    def kg_from_hetionet(sf_dir):
+        """Hetionet JSON bulk import (rows-only; golden-tested vs the
+        reference mapping in tests/test_io_hetionet.py)."""
+        import json as _json
+
+        from pybel_ray.io_hetionet import from_hetionet_json
+
+        fixture = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tests", "corpora", "hetionet_fixture.json",
+        )
+        with open(fixture) as f:
+            het = _json.load(f)
+        g = from_hetionet_json(het, num_blocks=4)
+        return g.edges.select_columns(
+            ["edge_md5", "src_bel", "relation", "dst_bel"],
+        ).sort("edge_md5")
+
     def kg_citation_enrichment(sf_dir):
         from pybel_ray.enrichment import enrich_citations, synthetic_pubmed_table
         from pybel_ray.struct.summary import get_pubmed_identifiers
@@ -1441,6 +1459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sif_export": kg_sif_export,
         "kg_edgelist_export": kg_edgelist_export,
         "kg_citation_enrichment": kg_citation_enrichment,
+        "kg_from_hetionet": kg_from_hetionet,
         # relational
         "events_count_by_type": events_count_by_type,
         "orders_count_by_status": orders_count_by_status,

@@ -32,6 +32,9 @@ def __getattr__(name):
         "save_graph": ("pybel_ray.io_bulk", "save_graph"),
         "load_graph": ("pybel_ray.io_bulk", "load_graph"),
         "from_edge_table": ("pybel_ray.io_bulk", "from_edge_table"),
+        "from_hetionet_json": ("pybel_ray.io_hetionet", "from_hetionet_json"),
+        "from_hetionet_file": ("pybel_ray.io_hetionet", "from_hetionet_file"),
+        "from_hetionet_gz": ("pybel_ray.io_hetionet", "from_hetionet_gz"),
         # interchange (reference flat-API parity)
         "to_nodelink": ("pybel_ray.export.nodelink", "to_nodelink"),
         "from_nodelink": ("pybel_ray.export.nodelink", "from_nodelink"),

@@ -181,6 +181,9 @@ def _register_builtins():
     register_importer("cx", from_cx)
     register_importer("jgif", from_jgif)
     register_importer("cbn_jgif", from_cbn_jgif)
+    from .io_hetionet import from_hetionet_json
+
+    register_importer("hetionet", from_hetionet_json)
 
 
 _register_builtins()

@@ -372,8 +372,12 @@ class ParseDocumentsToDir(ParseDocuments):
         # on events-shaped tables; shard write+read-back bandwidth is what
         # saturates first when the host disk window degrades (152 MB/s
         # sustained observed), so smaller shards move the bottleneck back
-        # to compute
-        pq.write_table(table, tmp, compression="zstd", compression_level=1)
+        # to compute.  PYBEL_RAY_SHARD_CODEC=snappy flips the trade for
+        # fast-disk hosts (and for A/B attribution of bench deltas).
+        if os.environ.get("PYBEL_RAY_SHARD_CODEC", "zstd1") == "snappy":
+            pq.write_table(table, tmp, compression="snappy")
+        else:
+            pq.write_table(table, tmp, compression="zstd", compression_level=1)
         os.replace(tmp, path)  # atomic: retries overwrite, never duplicate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
