@@ -49,6 +49,7 @@ __all__ = [
     "rolling_extremum",
     "tumbling_window_agg",
     "hopping_window_agg",
+    "max_group_rows",
 ]
 
 
@@ -288,12 +289,102 @@ def global_row_number(ds, order_col: str, out_col: str = "row_number"):
     return _scan(ds, order_col, value_of, [out_col], emit)
 
 
+def max_group_rows(ds, partition_col: str) -> int:
+    """Largest key-group size — ONE narrow groupby-count exchange over the
+    partition column only (the skew probe for the per-key window ops)."""
+    from .relational import groupby_count
+
+    counts = groupby_count(ds.select_columns([partition_col]), partition_col)
+    return int(counts.max("n") or 0)
+
+
+def _first_row_tuple(t: pa.Table, cols) -> tuple:
+    return tuple(t.column(c)[0].as_py() for c in cols)
+
+
+def _lag_sorted(ds, partition_col, order_cols, value_col, out_col):
+    """Skew-proof lag: ONE distributed sort by (partition, order) + a
+    boundary-row exchange (one row per block to the driver) instead of
+    co-locating each key group on one worker — a degenerate hot key spans
+    as many blocks as the sort gives it, so no group ever has to fit a
+    single worker.  Requires non-null partition/order values (the driver
+    orders block partials by Python comparison of the first-row sort
+    tuple, mirroring Arrow's ascending sort)."""
+    import ray
+
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    sort_cols = [partition_col] + order_cols
+    sorted_ds = ds.sort(sort_cols).materialize()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"_tup": [], "_last_key": [], "_last_val": []},
+            )
+        import json as _json
+
+        tup = _json.dumps(_first_row_tuple(t, sort_cols), default=str)
+        return pa.Table.from_pydict({
+            "_tup": [tup],
+            "_last_key": [t.column(partition_col)[-1].as_py()],
+            "_last_val": [t.column(value_col)[-1].as_py()],
+        })
+
+    partials = sorted_ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None,
+    ).take_all()
+
+    # order blocks by their first-row sort tuple (Python comparison)
+    import json as _json
+
+    def _sort_key(r):
+        return tuple(r2 for r2 in _json.loads(r["_tup"]))
+
+    partials.sort(key=lambda r: _sort_key(r))
+    boundaries = {}
+    prev_key, prev_val = None, None
+    for r in partials:
+        boundaries[r["_tup"]] = (prev_key, prev_val)
+        prev_key, prev_val = r["_last_key"], r["_last_val"]
+    b_ref = ray.put(boundaries)
+
+    def _shift_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            vt = t.schema.field(value_col).type
+            return t.append_column(out_col, pa.array([], vt))
+        tup = _json.dumps(_first_row_tuple(t, sort_cols), default=str)
+        b_key, b_val = ray.get(b_ref)[tup]
+        keys = t.column(partition_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        vals = t.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        first = pa.array(
+            [b_val if b_key == keys[0].as_py() else None], vals.type,
+        )
+        shifted = pa.concat_arrays([first, vals.slice(0, len(vals) - 1)])
+        # null out rows whose previous row belongs to a different key
+        eq = pc.equal(keys.slice(1), keys.slice(0, len(keys) - 1))
+        if isinstance(eq, pa.ChunkedArray):
+            eq = eq.combine_chunks()
+        same = pa.concat_arrays([pa.array([True]), eq])
+        lag = pc.if_else(pc.fill_null(same, False), shifted,
+                         pa.scalar(None, vals.type))
+        return t.append_column(out_col, lag)
+
+    return sorted_ds.map_batches(
+        _shift_block, batch_format="pyarrow", batch_size=None,
+    )
+
+
 def lag_by(
     ds,
     partition_col: str,
     order_cols,
     value_col: str,
     out_col: str = "lag",
+    max_rows_per_group: int | None = None,
 ):
     """``lag(value) OVER (PARTITION BY p ORDER BY o)``: each row gets the
     previous row's value within its partition (null for the first).
@@ -301,8 +392,17 @@ def lag_by(
     Partitions co-locate with one ``groupby`` exchange; the shift inside
     a group is a zero-copy slice.  Deterministic iff ``order_cols`` are
     unique within a partition.
+
+    Each key group must fit one worker.  Pass ``max_rows_per_group`` to
+    guard against degenerate single-key skew: one narrow groupby-count
+    probe runs first, and if any group exceeds the bound the operator
+    switches to the skew-proof sorted path (global sort + boundary-row
+    exchange — no group co-location at all).
     """
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    if max_rows_per_group is not None and \
+            max_group_rows(ds, partition_col) > max_rows_per_group:
+        return _lag_sorted(ds, partition_col, order_cols, value_col, out_col)
 
     def _shift(g: pa.Table) -> pa.Table:
         g = g.sort_by([(c, "ascending") for c in order_cols])
@@ -326,6 +426,7 @@ def asof_join(
     right_on: str,
     take: dict,
     inequality: str = ">=",
+    max_rows_per_group: int | None = None,
 ):
     """Distributed as-of join: for each left row, attach columns of the
     single right row with the same ``key`` and the largest ``right_on``
@@ -341,10 +442,26 @@ def asof_join(
     ``groupby(key)`` exchange, and merged per key group with a vectorized
     ``np.searchsorted`` — no driver materialization, no per-row Python.
     Deterministic iff ``right_on`` is unique per key.  Skewed keys pay
-    the usual groupby cost (salt upstream if one key dominates).
+    the usual groupby cost; ``max_rows_per_group`` adds an upfront probe
+    that fails fast with an actionable message instead of the silent
+    worker-OOM a degenerate single-key input would hit.
     """
     if inequality not in (">=", ">"):
         raise ValueError("inequality must be '>=' or '>'")
+    if max_rows_per_group is not None:
+        worst = max(
+            max_group_rows(left, key), max_group_rows(right, key),
+        )
+        if worst > max_rows_per_group:
+            raise ValueError(
+                "asof_join: a '{}' key group holds {} rows (> {}); a group "
+                "must fit one worker. Split the hot key upstream — e.g. "
+                "bucket left_on/right_on into coarse time ranges, asof-join "
+                "within each bucket, and patch bucket heads with a second "
+                "pass over the bucket-boundary rows.".format(
+                    key, worst, max_rows_per_group,
+                ),
+            )
 
     ls = left.schema()
     l_names = list(ls.names)
@@ -489,12 +606,109 @@ def rolling_extremum(
     return ds.groupby(partition_col).map_groups(_roll, batch_format="pyarrow")
 
 
+def _sessionize_sorted(ds, partition_col, ts_col, gap_us, out_col):
+    """Skew-proof sessionize: ONE sort by (partition, ts) + a per-block
+    boundary exchange.  Each block emits (first key/ts, last key/ts, the
+    session-start flag counts of its first and last key runs); the driver
+    walks blocks in order carrying the running session count of the key
+    that crosses each boundary — O(#blocks) driver state, no key group
+    ever co-located."""
+    import json as _json
+
+    import ray
+
+    sort_cols = [partition_col, ts_col]
+    sorted_ds = ds.sort(sort_cols).materialize()
+
+    def _block_stats(t: pa.Table):
+        keys = t.column(partition_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        ts = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        kn = keys.to_numpy(zero_copy_only=False)
+        new_key = np.zeros(n, dtype=bool)
+        new_key[0] = True
+        if n > 1:
+            new_key[1:] = kn[1:] != kn[:-1]
+        flags = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            flags[1:] = ((ts[1:] - ts[:-1]) > gap_us) & ~new_key[1:]
+        # per-row session seq with per-key reset: cumsum minus the cumsum
+        # value at each row's key-run start
+        cs = np.cumsum(flags)
+        run_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        seq = cs - cs[run_start]
+        return keys, ts, new_key, flags, seq, run_start
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict({
+                "_tup": [], "_first_key": [], "_first_ts": [], "_last_key": [],
+                "_last_ts": [], "_nf_first": [], "_nf_last": [],
+            })
+        keys, ts, new_key, flags, seq, run_start = _block_stats(t)
+        n = len(ts)
+        starts = np.flatnonzero(new_key)
+        first_end = int(starts[1]) if len(starts) > 1 else n
+        last_start = int(starts[-1])
+        return pa.Table.from_pydict({
+            "_tup": [_json.dumps(_first_row_tuple(t, sort_cols), default=str)],
+            "_first_key": [keys[0].as_py()],
+            "_first_ts": [int(ts[0])],
+            "_last_key": [keys[-1].as_py()],
+            "_last_ts": [int(ts[-1])],
+            "_nf_first": [int(flags[:first_end].sum())],
+            "_nf_last": [int(flags[last_start:].sum())],
+        })
+
+    import json as _json2
+
+    partials = sorted_ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None,
+    ).take_all()
+    partials.sort(key=lambda r: tuple(_json2.loads(r["_tup"])))
+
+    offsets = {}
+    prev_key, prev_ts, prev_cum = None, None, 0
+    for r in partials:
+        if r["_first_key"] == prev_key:
+            # does the block boundary itself start a new session?
+            bflag = 1 if (r["_first_ts"] - prev_ts) > gap_us else 0
+            offset = prev_cum + bflag
+        else:
+            offset = 0
+        offsets[r["_tup"]] = offset
+        if r["_first_key"] == r["_last_key"]:
+            prev_cum = offset + r["_nf_last"]
+        else:
+            prev_cum = r["_nf_last"]
+        prev_key, prev_ts = r["_last_key"], r["_last_ts"]
+    off_ref = ray.put(offsets)
+
+    def _apply(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        keys, ts, new_key, flags, seq, run_start = _block_stats(t)
+        tup = _json2.dumps(_first_row_tuple(t, sort_cols), default=str)
+        offset = ray.get(off_ref)[tup]
+        # the offset applies only to the block's FIRST key run
+        seq = seq.copy()
+        seq[run_start == 0] += offset
+        return t.append_column(out_col, pa.array(seq, pa.int64()))
+
+    return sorted_ds.map_batches(
+        _apply, batch_format="pyarrow", batch_size=None,
+    )
+
+
 def sessionize(
     ds,
     partition_col: str,
     ts_col: str,
     gap_us: int,
     out_col: str = "session_seq",
+    max_rows_per_group: int | None = None,
 ):
     """Assign 0-based session sequence numbers per partition: a new
     session starts when the gap to the previous event exceeds ``gap_us``
@@ -503,8 +717,18 @@ def sessionize(
     One ``groupby(partition)`` exchange; inside a group it is a sort +
     one vectorized diff + cumsum.  Equivalent SQL: cumulative sum over
     ``(ts - lag(ts) > gap)`` flags.
+
+    Each key group must fit one worker.  ``max_rows_per_group`` adds a
+    skew probe (one narrow groupby count): if any group exceeds it, the
+    skew-proof sorted path runs instead (sort + boundary exchange; the
+    first-row (key, ts) of each block must be unique, true whenever ts
+    is unique per key).
     """
     import pyarrow.compute as pc
+
+    if max_rows_per_group is not None and \
+            max_group_rows(ds, partition_col) > max_rows_per_group:
+        return _sessionize_sorted(ds, partition_col, ts_col, gap_us, out_col)
 
     def _sess(g: pa.Table) -> pa.Table:
         g = g.sort_by([(ts_col, "ascending")])
@@ -525,6 +749,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     take: dict,
+    max_rows_per_group: int | None = None,
 ):
     """Range join for per-key NON-OVERLAPPING intervals (the SCD-2 /
     versioned-dimension case): attach the right row whose
@@ -543,7 +768,8 @@ def interval_join(
     inner = dict(take)
     inner["_ivl_start"] = start_col
     inner["_ivl_end"] = end_col
-    joined = asof_join(left, right, key, left_on, start_col, inner, ">=")
+    joined = asof_join(left, right, key, left_on, start_col, inner, ">=",
+                       max_rows_per_group=max_rows_per_group)
 
     def _check(t: pa.Table) -> pa.Table:
         matched = pc.is_valid(t.column("_ivl_start"))

@@ -172,3 +172,80 @@ def test_pack_by_budget(ray_session):
     for sid, total in shards.items():
         if sid != max(shards):
             assert total <= budget + max_item
+
+
+def _skew_rows(n_hot=5000, seed=3):
+    """One degenerate hot key + a few normal keys, shuffled row order."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_hot):
+        # non-monotonic timestamps with occasional large session gaps
+        rows.append({"k": "hot", "ts": i * 1000 + (7919 * i) % 997,
+                     "v": i % 101})
+    for key in ("a", "b"):
+        for i in range(40):
+            rows.append({"k": key, "ts": i * 50_000, "v": i})
+    rng.shuffle(rows)
+    return rows
+
+
+def test_lag_by_salted_path_matches_groupby(ray_session):
+    """Planted single-key skew: the sorted (skew-proof) path must produce
+    the same result as the per-group path, and the probe must engage it."""
+    from pybel_ray.ops.window import lag_by, max_group_rows
+
+    rows = _skew_rows()
+    ds = _ds(rows, blocks=8)
+    assert max_group_rows(ds, "k") == 5000
+
+    def _key(out):
+        return sorted((r["k"], r["ts"], r["lag"]) for r in out)
+
+    plain = _key(lag_by(ds, "k", "ts", "v").take_all())
+    # threshold far below the hot group -> sorted path engages; 8 blocks
+    # mean the hot key spans many blocks, so boundary rows are exercised
+    salted = _key(
+        lag_by(ds, "k", "ts", "v", max_rows_per_group=100).take_all(),
+    )
+    assert salted == plain
+    assert sum(1 for _, _, lag in salted if lag is None) == 3  # one per key
+
+
+def test_sessionize_salted_path_matches_groupby(ray_session):
+    from pybel_ray.ops.window import sessionize
+
+    rows = []
+    # hot key with gaps: sessions split every 10 events (gap 10x normal)
+    for i in range(3000):
+        ts = i * 1_000 + (9_000 if (i % 10 == 0 and i) else 0)
+        ts = i * 1_000 + (i // 10) * 50_000
+        rows.append({"k": "hot", "ts": ts, "v": i})
+    for i in range(25):
+        rows.append({"k": "cold", "ts": i * 30_000, "v": i})
+    ds = _ds(rows, blocks=7)
+
+    def _key(out):
+        return sorted((r["k"], r["ts"], r["session_seq"]) for r in out)
+
+    plain = _key(sessionize(ds, "k", "ts", gap_us=5_000).take_all())
+    salted = _key(
+        sessionize(ds, "k", "ts", gap_us=5_000, max_rows_per_group=50).take_all(),
+    )
+    assert salted == plain
+    # the hot key really has many sessions (boundary flags mattered)
+    hot_sessions = {s for k, _, s in salted if k == "hot"}
+    assert len(hot_sessions) == 300
+
+
+def test_asof_join_skew_guard_raises(ray_session):
+    import pytest
+
+    from pybel_ray.ops.window import asof_join
+
+    left = _ds([{"k": "x", "ts": i, "lx": i} for i in range(500)], blocks=4)
+    right = _ds([{"k": "x", "rts": i, "tag": i} for i in range(10)], blocks=2)
+    with pytest.raises(ValueError, match="fit one worker"):
+        asof_join(left, right, "k", "ts", "rts", {"tag": "tag"},
+                  max_rows_per_group=100)
