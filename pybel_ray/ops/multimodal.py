@@ -1,11 +1,13 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Media payloads are opaque ``binary`` columns with typed metadata.  The
-decode / feature-extraction kernels require codec libraries that are not in
-this environment, so the *kernels* are stubbed behind
-``NotImplementedError`` or a deterministic fake — but the Ray-side plumbing
-(schema, actor-pool stage shape, small batches for large payloads, output
-layout) is real and tested.
+Media payloads are opaque ``binary`` columns with typed metadata.  Image
+decode/resize/featurize run for real via the vendored pure-numpy
+uncompressed-BMP/PPM codec (:mod:`.imagecodec`); compressed image formats
+fall back to Pillow when present, and audio/video decode kernels stay
+stubbed behind ``NotImplementedError`` (no codec libraries in this
+environment) with ``mode='fake'`` deterministic stand-ins.  The Ray-side
+plumbing (schema, actor-pool stage shape, small batches for large
+payloads, output layout) is real and tested in both modes.
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ __all__ = [
     "ImageResizer",
     "VideoFrameSampler",
     "fake_media_table",
+    "synthetic_image_table",
 ]
 
 MEDIA_SCHEMA = pa.schema([
@@ -35,6 +38,36 @@ MEDIA_SCHEMA = pa.schema([
     ("height", pa.int32()),
     ("duration_ms", pa.int32()),
 ])
+
+
+def synthetic_image_table(n: int = 16, seed: int = 5) -> pa.Table:
+    """Deterministic REAL image rows: gradient+noise pixel arrays encoded
+    as uncompressed BMP (even ids) / binary PPM (odd ids) — decodable by
+    the vendored codec, so ``mode='real'`` stages run end-to-end in CI."""
+    from .imagecodec import encode_bmp, encode_ppm
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        w = 24 + (i % 4) * 8
+        h = 16 + (i % 3) * 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        arr = np.stack([
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            rng.randint(0, 256, size=(h, w)),
+        ], axis=-1).astype(np.uint8)
+        payload = encode_bmp(arr) if i % 2 == 0 else encode_ppm(arr)
+        rows.append({
+            "media_id": i,
+            "url": "https://example.org/img/{:06d}".format(i),
+            "media_type": "image",
+            "payload": payload,
+            "width": w,
+            "height": h,
+            "duration_ms": None,
+        })
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
 def fake_media_table(n: int = 32, seed: int = 5) -> pa.Table:
