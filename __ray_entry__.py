@@ -1374,6 +1374,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def media_resize_real(sf_dir):
+        """REAL decode path: BMP/PPM images decoded, nearest-neighbor
+        resized and re-encoded by the vendored pure-numpy codec."""
+        import ray.data
+
+        from pybel_ray.ops.multimodal import ImageResizer, synthetic_image_table
+
+        ds = ray.data.from_arrow(synthetic_image_table(24))
+        return ds.map_batches(
+            ImageResizer,
+            fn_constructor_kwargs={"width": 16, "height": 12, "mode": "real"},
+            batch_size=8,
+            concurrency=2,
+            batch_format="pyarrow",
+        ).select_columns(["media_id", "media_type", "width", "height"]).sort("media_id")
+
     def media_resize(sf_dir):
         import ray.data
 
@@ -1556,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal
         "media_features": media_features,
         "media_resize": media_resize,
+        "media_resize_real": media_resize_real,
         "media_frames": media_frames,
         "media_embeddings": media_embeddings,
     }

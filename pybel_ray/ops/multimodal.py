@@ -100,8 +100,10 @@ class MediaFeatureExtractor:
                        batch_format="pyarrow")
 
     ``mode='fake'`` produces a deterministic 8-dim feature from the payload
-    hash (tests the plumbing); ``mode='real'`` raises NotImplementedError
-    until codec libraries are available.
+    hash (tests the plumbing); ``mode='real'`` decodes image payloads with
+    the vendored BMP/PPM codec and emits real pixel statistics (per-channel
+    mean/std + log dimensions); audio/video decode still raises
+    NotImplementedError (no codec libraries in this environment).
     """
 
     DIM = 8
@@ -110,14 +112,26 @@ class MediaFeatureExtractor:
         if mode not in ("fake", "real"):
             raise ValueError(mode)
         self.mode = mode
-        # model/codec load would happen here, once per actor
+        self._decode_image = None
+        if mode == "real":  # codec bind happens once per actor
+            from .imagecodec import decode_image
+
+            self._decode_image = decode_image
 
     def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
         if self.mode == "real":
-            raise NotImplementedError(
-                "media decode requires codec libraries not present in this "
-                "environment; run with mode='fake' for plumbing tests",
-            )
+            if media_type != "image":
+                raise NotImplementedError(
+                    "audio/video decode requires codec libraries not present "
+                    "in this environment; run with mode='fake'",
+                )
+            arr = self._decode_image(payload).astype(np.float32)
+            flat = arr.reshape(-1, 3)
+            return np.concatenate([
+                flat.mean(axis=0) / 255.0,
+                flat.std(axis=0) / 255.0,
+                [np.log1p(arr.shape[1]), np.log1p(arr.shape[0])],
+            ]).astype(np.float32)
         digest = hashlib.blake2b(payload, digest_size=self.DIM * 4).digest()
         return np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / 2**32
 
@@ -139,12 +153,14 @@ class MediaFeatureExtractor:
 class ImageResizer:
     """Actor-pool stage: resize image payloads to a target box.
 
-    Real mode decodes with Pillow if present (not in this container —
-    import-gated, raising a clear error otherwise); fake mode emits a
+    Real mode decodes uncompressed BMP / binary PPM with the vendored
+    pure-numpy codec (nearest-neighbor resize, re-encoded in the source
+    format) and falls back to Pillow for other formats when present
+    (import-gated with a clear error otherwise); fake mode emits a
     deterministic pseudo-thumbnail (payload-hash bytes sized to the target)
     so the Ray-side plumbing — small batches, per-actor setup, binary
-    output column, metadata rewrite — is testable offline.  Non-image rows
-    pass through unchanged.
+    output column, metadata rewrite — is testable without real images.
+    Non-image rows pass through unchanged.
     """
 
     def __init__(self, width: int = 64, height: int = 64, mode: str = "fake"):
@@ -153,21 +169,33 @@ class ImageResizer:
         self.width = width
         self.height = height
         self.mode = mode
+        self._codec = None
         self._pil = None
         if mode == "real":
-            try:  # once per actor
+            from . import imagecodec  # once per actor
+
+            self._codec = imagecodec
+            try:
                 import PIL.Image  # noqa: F401
 
                 self._pil = PIL.Image
-            except ImportError as exc:
-                raise NotImplementedError(
-                    "ImageResizer(mode='real') requires Pillow, which is not "
-                    "in this environment; use mode='fake' for plumbing tests",
-                ) from exc
+            except ImportError:
+                self._pil = None  # BMP/PPM still work via the vendored codec
 
     def _resize(self, payload: bytes) -> bytes:
-        if self.mode == "real":  # pragma: no cover - needs Pillow
-            import io
+        if self.mode == "real":
+            fmt = self._codec.sniff_format(payload)
+            if fmt is not None:
+                arr = self._codec.decode_image(payload)
+                out = self._codec.resize_nearest(arr, self.width, self.height)
+                return (self._codec.encode_bmp(out) if fmt == "bmp"
+                        else self._codec.encode_ppm(out))
+            if self._pil is None:  # pragma: no cover - needs Pillow
+                raise NotImplementedError(
+                    "ImageResizer(mode='real'): payload is not BMP/PPM and "
+                    "Pillow is not available for other formats",
+                )
+            import io  # pragma: no cover - needs Pillow
 
             img = self._pil.open(io.BytesIO(payload))
             img = img.resize((self.width, self.height))

@@ -70,10 +70,94 @@ def test_video_frame_sampler(media):
 
 
 def test_real_mode_gated(media):
-    from pybel_ray.ops.multimodal import MediaFeatureExtractor
+    """audio/video decode stays codec-gated; non-BMP/PPM image bytes get a
+    clear format error from the vendored codec."""
+    from pybel_ray.ops.multimodal import MediaFeatureExtractor, VideoFrameSampler
 
     with pytest.raises(NotImplementedError):
-        MediaFeatureExtractor(mode="real")._decode(b"x", "image")
+        MediaFeatureExtractor(mode="real")._decode(b"x", "audio")
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(mode="real")._frame(b"x", 10)
+    with pytest.raises(ValueError, match="unsupported image format"):
+        MediaFeatureExtractor(mode="real")._decode(b"\x89PNG1234", "image")
+
+
+def test_imagecodec_roundtrip():
+    import numpy as np
+
+    from pybel_ray.ops.imagecodec import (
+        decode_bmp, decode_image, decode_ppm, encode_bmp, encode_ppm,
+        resize_nearest, sniff_format,
+    )
+
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 256, size=(13, 21, 3)).astype(np.uint8)
+    bmp = encode_bmp(arr)
+    ppm = encode_ppm(arr)
+    assert sniff_format(bmp) == "bmp" and sniff_format(ppm) == "ppm"
+    np.testing.assert_array_equal(decode_bmp(bmp), arr)
+    np.testing.assert_array_equal(decode_ppm(ppm), arr)
+    np.testing.assert_array_equal(decode_image(bmp), decode_image(ppm))
+    # PPM comment handling
+    commented = b"P6\n# a comment\n21 13\n255\n" + arr.tobytes()
+    np.testing.assert_array_equal(decode_ppm(commented), arr)
+    # nearest resize: identity at same size; 2x downscale picks pixel centers
+    np.testing.assert_array_equal(resize_nearest(arr, 21, 13), arr)
+    small = resize_nearest(arr, 10, 6)
+    assert small.shape == (6, 10, 3)
+    assert small[0, 0].tolist() == arr[1, 1].tolist()
+
+
+def test_image_resizer_real_mode(ray_session):
+    """mode='real' end-to-end: decode -> resize -> re-encode in the source
+    format, verified by decoding the output payloads back."""
+    import numpy as np
+    import ray
+
+    from pybel_ray.ops.imagecodec import decode_image, resize_nearest, sniff_format
+    from pybel_ray.ops.multimodal import ImageResizer, synthetic_image_table
+
+    src = synthetic_image_table(12)
+    out = ray.data.from_arrow(src).map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"width": 16, "height": 12, "mode": "real"},
+        batch_size=4, concurrency=2, batch_format="pyarrow",
+    ).take_all()
+    src_payloads = {r["media_id"]: r["payload"] for r in src.to_pylist()}
+    assert len(out) == 12
+    for r in out:
+        assert (r["width"], r["height"]) == (16, 12)
+        original = src_payloads[r["media_id"]]
+        # output keeps the source container format
+        assert sniff_format(r["payload"]) == sniff_format(original)
+        got = decode_image(r["payload"])
+        want = resize_nearest(decode_image(original), 16, 12)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_feature_extractor_real_mode(ray_session):
+    """mode='real' features are true pixel statistics of the decoded image."""
+    import numpy as np
+    import ray
+
+    from pybel_ray.ops.imagecodec import decode_image
+    from pybel_ray.ops.multimodal import MediaFeatureExtractor, synthetic_image_table
+
+    src = synthetic_image_table(8)
+    out = ray.data.from_arrow(src).map_batches(
+        MediaFeatureExtractor, fn_constructor_kwargs={"mode": "real"},
+        batch_size=4, concurrency=2, batch_format="pyarrow",
+    ).take_all()
+    payloads = {r["media_id"]: r["payload"] for r in src.to_pylist()}
+    for r in out:
+        arr = decode_image(payloads[r["media_id"]]).astype(np.float32)
+        feat = np.asarray(r["feature"], dtype=np.float32)
+        np.testing.assert_allclose(
+            feat[:3], arr.reshape(-1, 3).mean(axis=0) / 255.0, rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            feat[3:6], arr.reshape(-1, 3).std(axis=0) / 255.0, rtol=1e-4,
+        )
 
 
 def test_media_embedder_batched_inference(media):
