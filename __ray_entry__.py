@@ -1427,6 +1427,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["media_id", "frame_index", "timestamp_ms"])
 
+    def media_audio_features_real(sf_dir):
+        """REAL audio decode path: PCM WAV decoded by the vendored codec;
+        features are true signal statistics (rms/zcr/spectral centroid)."""
+        import ray.data
+
+        from pybel_ray.ops.multimodal import (
+            MediaFeatureExtractor,
+            synthetic_audio_table,
+        )
+
+        ds = ray.data.from_arrow(synthetic_audio_table(24))
+        return ds.map_batches(
+            MediaFeatureExtractor,
+            fn_constructor_kwargs={"mode": "real"},
+            batch_size=8,
+            concurrency=2,
+            batch_format="pyarrow",
+        ).select_columns(["media_id", "media_type", "duration_ms"]).sort("media_id")
+
+    def media_audio_resample_real(sf_dir):
+        """REAL audio resample path: WAV decode -> nearest resample ->
+        re-encode; returns decoded output frame counts per row."""
+        import pyarrow as pa
+        import ray.data
+
+        from pybel_ray.ops.multimodal import AudioResampler, synthetic_audio_table
+
+        def frame_counts(batch: "pa.Table") -> "pa.Table":
+            from pybel_ray.ops.audiocodec import decode_wav
+
+            counts, rates = [], []
+            for p in batch.column("payload").to_pylist():
+                samples, rate = decode_wav(p)
+                counts.append(samples.shape[0])
+                rates.append(rate)
+            return pa.Table.from_arrays(
+                [
+                    batch.column("media_id"),
+                    pa.array(counts, pa.int64()),
+                    pa.array(rates, pa.int32()),
+                ],
+                names=["media_id", "n_frames", "rate"],
+            )
+
+        ds = ray.data.from_arrow(synthetic_audio_table(24))
+        out = ds.map_batches(
+            AudioResampler,
+            fn_constructor_kwargs={"rate": 4000, "mode": "real"},
+            batch_size=8,
+            concurrency=2,
+            batch_format="pyarrow",
+        )
+        return out.map_batches(frame_counts, batch_format="pyarrow").sort("media_id")
+
+    def media_video_frames_real(sf_dir):
+        """REAL video decode path: uncompressed AVI decoded once per row by
+        the vendored codec; sampled frames re-encoded as BMP."""
+        import ray.data
+
+        from pybel_ray.ops.multimodal import VideoFrameSampler, synthetic_video_table
+
+        ds = ray.data.from_arrow(synthetic_video_table(12))
+        out = ds.map_batches(
+            VideoFrameSampler,
+            fn_constructor_kwargs={"frames_per_video": 4, "mode": "real"},
+            batch_size=4,
+            concurrency=2,
+            batch_format="pyarrow",
+        )
+        return out.select_columns(
+            ["media_id", "frame_index", "timestamp_ms"],
+        ).sort(["media_id", "frame_index"])
+
     def media_embeddings(sf_dir):
         # decode (small batches) -> batched model inference (large batches)
         import ray.data
@@ -1580,6 +1653,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features,
         "media_resize": media_resize,
         "media_resize_real": media_resize_real,
+        "media_audio_features_real": media_audio_features_real,
+        "media_audio_resample_real": media_audio_resample_real,
+        "media_video_frames_real": media_video_frames_real,
         "media_frames": media_frames,
         "media_embeddings": media_embeddings,
     }

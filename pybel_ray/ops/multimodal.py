@@ -1,13 +1,15 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Media payloads are opaque ``binary`` columns with typed metadata.  Image
-decode/resize/featurize run for real via the vendored pure-numpy
-uncompressed-BMP/PPM codec (:mod:`.imagecodec`); compressed image formats
-fall back to Pillow when present, and audio/video decode kernels stay
-stubbed behind ``NotImplementedError`` (no codec libraries in this
-environment) with ``mode='fake'`` deterministic stand-ins.  The Ray-side
-plumbing (schema, actor-pool stage shape, small batches for large
-payloads, output layout) is real and tested in both modes.
+Media payloads are opaque ``binary`` columns with typed metadata.  ALL
+three modalities have real decode kernels via vendored pure-numpy codecs:
+images as uncompressed BMP / binary PPM (:mod:`.imagecodec`), audio as
+RIFF/WAVE PCM (:mod:`.audiocodec`), video as uncompressed 24-bit RGB AVI
+(:mod:`.videocodec`).  Compressed formats (PNG/JPEG, MP3, H.264, ...)
+fall back to external libraries when present and raise a clear
+``NotImplementedError`` otherwise; ``mode='fake'`` deterministic
+hash-based stand-ins remain for plumbing tests that don't want real
+payloads.  The Ray-side shape (schema, actor-pool stage, small batches
+for large payloads, output layout) is identical in both modes.
 """
 
 from __future__ import annotations
@@ -21,12 +23,15 @@ import pyarrow as pa
 __all__ = [
     "MEDIA_SCHEMA",
     "FRAME_SCHEMA",
+    "AudioResampler",
     "MediaFeatureExtractor",
     "MediaEmbedder",
     "ImageResizer",
     "VideoFrameSampler",
     "fake_media_table",
+    "synthetic_audio_table",
     "synthetic_image_table",
+    "synthetic_video_table",
 ]
 
 MEDIA_SCHEMA = pa.schema([
@@ -70,6 +75,70 @@ def synthetic_image_table(n: int = 16, seed: int = 5) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+def synthetic_audio_table(n: int = 16, seed: int = 7) -> pa.Table:
+    """Deterministic REAL audio rows: sine + noise int16 PCM encoded as
+    canonical WAV — decodable by the vendored codec, so ``mode='real'``
+    audio stages run end-to-end in CI."""
+    from .audiocodec import encode_wav
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        rate = 8000 if i % 2 == 0 else 16000
+        channels = 1 if i % 3 else 2
+        n_frames = rate // 10 + (i % 5) * rate // 100  # 100-140 ms
+        t = np.arange(n_frames) / rate
+        freq = 220.0 * (1 + i % 8)
+        wave_ = np.sin(2 * np.pi * freq * t) * 12000
+        noise = rng.standard_normal(n_frames) * 500
+        mono = (wave_ + noise).astype(np.int16)
+        samples = mono if channels == 1 else np.stack([mono, mono // 2], axis=1)
+        rows.append({
+            "media_id": i,
+            "url": "https://example.org/audio/{:06d}".format(i),
+            "media_type": "audio",
+            "payload": encode_wav(samples, rate),
+            "width": None,
+            "height": None,
+            "duration_ms": int(n_frames * 1000 / rate),
+        })
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def synthetic_video_table(n: int = 8, seed: int = 9) -> pa.Table:
+    """Deterministic REAL video rows: short gradient+noise frame sequences
+    encoded as uncompressed 24-bit AVI — decodable by the vendored codec,
+    so ``mode='real'`` video stages run end-to-end in CI."""
+    from .videocodec import encode_avi
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        w = 16 + (i % 3) * 8
+        h = 12 + (i % 2) * 8
+        k = 4 + i % 5
+        fps = 10.0
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = np.stack([
+            np.stack([
+                (xx * 255 // max(w - 1, 1) + 7 * j) % 256,
+                (yy * 255 // max(h - 1, 1)) % 256,
+                rng.randint(0, 256, size=(h, w)),
+            ], axis=-1)
+            for j in range(k)
+        ]).astype(np.uint8)
+        rows.append({
+            "media_id": i,
+            "url": "https://example.org/video/{:06d}".format(i),
+            "media_type": "video",
+            "payload": encode_avi(frames, fps=fps),
+            "width": w,
+            "height": h,
+            "duration_ms": int(k * 1000 / fps),
+        })
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
 def fake_media_table(n: int = 32, seed: int = 5) -> pa.Table:
     """Deterministic fake media rows (payload = seeded pseudo-bytes)."""
     rng = np.random.RandomState(seed)
@@ -100,10 +169,13 @@ class MediaFeatureExtractor:
                        batch_format="pyarrow")
 
     ``mode='fake'`` produces a deterministic 8-dim feature from the payload
-    hash (tests the plumbing); ``mode='real'`` decodes image payloads with
-    the vendored BMP/PPM codec and emits real pixel statistics (per-channel
-    mean/std + log dimensions); audio/video decode still raises
-    NotImplementedError (no codec libraries in this environment).
+    hash (tests the plumbing); ``mode='real'`` decodes with the vendored
+    codecs — BMP/PPM images (per-channel pixel mean/std + log dims),
+    WAV audio (level/rms, zero-crossing rate, spectral centroid + peak
+    frequency from one rFFT, log frames/rate) and uncompressed AVI video
+    (per-channel mean/std over all frames + log frame count/area).
+    Compressed formats raise NotImplementedError without external codec
+    libraries.
     """
 
     DIM = 8
@@ -112,28 +184,69 @@ class MediaFeatureExtractor:
         if mode not in ("fake", "real"):
             raise ValueError(mode)
         self.mode = mode
-        self._decode_image = None
         if mode == "real":  # codec bind happens once per actor
-            from .imagecodec import decode_image
+            from . import audiocodec, imagecodec, videocodec
 
-            self._decode_image = decode_image
+            self._image = imagecodec
+            self._audio = audiocodec
+            self._video = videocodec
 
     def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
         if self.mode == "real":
-            if media_type != "image":
-                raise NotImplementedError(
-                    "audio/video decode requires codec libraries not present "
-                    "in this environment; run with mode='fake'",
-                )
-            arr = self._decode_image(payload).astype(np.float32)
+            return self._decode_real(payload, media_type)
+        digest = hashlib.blake2b(payload, digest_size=self.DIM * 4).digest()
+        return np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / 2**32
+
+    def _decode_real(self, payload: bytes, media_type: str) -> np.ndarray:
+        if media_type == "image":
+            arr = self._image.decode_image(payload).astype(np.float32)
             flat = arr.reshape(-1, 3)
             return np.concatenate([
                 flat.mean(axis=0) / 255.0,
                 flat.std(axis=0) / 255.0,
                 [np.log1p(arr.shape[1]), np.log1p(arr.shape[0])],
             ]).astype(np.float32)
-        digest = hashlib.blake2b(payload, digest_size=self.DIM * 4).digest()
-        return np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / 2**32
+        if media_type == "audio":
+            if self._audio.sniff_audio_format(payload) is None:
+                raise NotImplementedError(
+                    "compressed audio decode requires codec libraries not "
+                    "present in this environment (only PCM WAV supported)",
+                )
+            samples, rate = self._audio.decode_wav(payload)
+            mono = samples.mean(axis=1) / 32768.0  # mixdown, [-1, 1)
+            zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+            spectrum = np.abs(np.fft.rfft(mono))
+            freqs = np.fft.rfftfreq(mono.shape[0], d=1.0 / rate)
+            nyquist = rate / 2.0
+            total = spectrum.sum()
+            centroid = float((spectrum * freqs).sum() / total) if total else 0.0
+            peak = float(freqs[int(np.argmax(spectrum))]) if total else 0.0
+            return np.array([
+                float(mono.mean()),
+                float(mono.std()),
+                float(np.sqrt(np.mean(mono ** 2))),
+                zcr,
+                centroid / nyquist,
+                peak / nyquist,
+                np.log1p(mono.shape[0]),
+                np.log1p(rate),
+            ], dtype=np.float32)
+        if media_type == "video":
+            if self._video.sniff_video_format(payload) is None:
+                raise NotImplementedError(
+                    "compressed video decode requires codec libraries not "
+                    "present in this environment (only uncompressed AVI "
+                    "supported)",
+                )
+            frames, _fps = self._video.decode_avi(payload)
+            flat = frames.astype(np.float32).reshape(-1, 3)
+            return np.concatenate([
+                flat.mean(axis=0) / 255.0,
+                flat.std(axis=0) / 255.0,
+                [np.log1p(frames.shape[0]),
+                 np.log1p(frames.shape[1] * frames.shape[2])],
+            ]).astype(np.float32)
+        raise ValueError("unknown media_type {!r}".format(media_type))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [
@@ -241,6 +354,60 @@ class ImageResizer:
         )
 
 
+class AudioResampler:
+    """Actor-pool stage: resample audio payloads to a target sample rate.
+
+    Real mode decodes PCM WAV with the vendored pure-numpy codec,
+    converts the rate with sample-center nearest-neighbor selection and
+    re-encodes 16-bit PCM WAV; compressed formats raise a clear
+    NotImplementedError.  Fake mode emits a deterministic pseudo-payload
+    sized to the target rate so plumbing is testable without real audio.
+    Non-audio rows pass through unchanged.
+    """
+
+    def __init__(self, rate: int = 8000, mode: str = "real"):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.rate = rate
+        self.mode = mode
+        if mode == "real":
+            from . import audiocodec  # once per actor
+
+            self._codec = audiocodec
+
+    def _resample(self, payload: bytes) -> bytes:
+        if self.mode == "real":
+            if self._codec.sniff_audio_format(payload) is None:
+                raise NotImplementedError(
+                    "compressed audio decode requires codec libraries not "
+                    "present in this environment (only PCM WAV supported)",
+                )
+            samples, rate = self._codec.decode_wav(payload)
+            out = self._codec.resample_nearest(samples, rate, self.rate)
+            return self._codec.encode_wav(out, self.rate)
+        size = 64 + self.rate // 100
+        out = bytearray()
+        counter = 0
+        while len(out) < size:
+            out += hashlib.blake2b(
+                payload + counter.to_bytes(4, "big"), digest_size=32,
+            ).digest()
+            counter += 1
+        return bytes(out[:size])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        types = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out = [
+            self._resample(p) if t == "audio" else p
+            for t, p in zip(types, payloads)
+        ]
+        return batch.set_column(
+            batch.schema.get_field_index("payload"), "payload",
+            pa.array(out, pa.binary()),
+        )
+
+
 FRAME_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("frame_index", pa.int32()),
@@ -252,11 +419,14 @@ FRAME_SCHEMA = pa.schema([
 class VideoFrameSampler:
     """Actor-pool stage: explode each video row into k sampled frame rows.
 
-    The sampling plumbing is real — evenly spaced timestamps over
-    ``duration_ms``, one output row per sampled frame (a ``map_batches``
-    row explosion, the Ray-native flat_map shape) — while the frame decode
-    kernel is fake (payload-hash pseudo-frames) or raises without codec
-    libraries.  Non-video rows produce no output rows.
+    The sampling plumbing is the same in both modes — evenly spaced
+    timestamps over ``duration_ms``, one output row per sampled frame (a
+    ``map_batches`` row explosion, the Ray-native flat_map shape).  Real
+    mode decodes uncompressed AVI ONCE per row with the vendored codec,
+    picks the nearest stored frame per timestamp, and emits each sampled
+    frame re-encoded as BMP (so downstream image stages can consume it);
+    fake mode emits payload-hash pseudo-frames.  Non-video rows produce
+    no output rows.
     """
 
     def __init__(self, frames_per_video: int = 4, mode: str = "fake"):
@@ -264,16 +434,32 @@ class VideoFrameSampler:
             raise ValueError(mode)
         self.k = frames_per_video
         self.mode = mode
+        if mode == "real":
+            from . import imagecodec, videocodec  # once per actor
+
+            self._video = videocodec
+            self._image = imagecodec
 
     def _frame(self, payload: bytes, ts_ms: int) -> bytes:
-        if self.mode == "real":
-            raise NotImplementedError(
-                "video frame decode requires codec libraries not present in "
-                "this environment; use mode='fake' for plumbing tests",
-            )
         return hashlib.blake2b(
             payload + int(ts_ms).to_bytes(8, "big"), digest_size=64,
         ).digest()
+
+    def _real_frames(self, payload: bytes, duration: int) -> list[tuple[int, bytes]]:
+        if self._video.sniff_video_format(payload) is None:
+            raise NotImplementedError(
+                "compressed video decode requires codec libraries not "
+                "present in this environment (only uncompressed AVI "
+                "supported)",
+            )
+        frames, _fps = self._video.decode_avi(payload)  # decode ONCE per row
+        n = frames.shape[0]
+        out = []
+        for j in range(self.k):
+            ts = int(duration * (j + 0.5) / self.k)
+            src = min(int(n * (j + 0.5) / self.k), n - 1)
+            out.append((ts, self._image.encode_bmp(frames[src])))
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, idxs, stamps, frames = [], [], [], []
@@ -284,6 +470,13 @@ class VideoFrameSampler:
             batch.column("duration_ms").to_pylist(),
         ):
             if mtype != "video" or not duration:
+                continue
+            if self.mode == "real":
+                for j, (ts, fr) in enumerate(self._real_frames(payload, duration)):
+                    ids.append(mid)
+                    idxs.append(j)
+                    stamps.append(ts)
+                    frames.append(fr)
                 continue
             for j in range(self.k):
                 ts = int(duration * (j + 0.5) / self.k)

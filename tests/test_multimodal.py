@@ -70,14 +70,20 @@ def test_video_frame_sampler(media):
 
 
 def test_real_mode_gated(media):
-    """audio/video decode stays codec-gated; non-BMP/PPM image bytes get a
-    clear format error from the vendored codec."""
-    from pybel_ray.ops.multimodal import MediaFeatureExtractor, VideoFrameSampler
+    """compressed audio/video stays codec-gated; non-BMP/PPM image bytes get
+    a clear format error from the vendored codec."""
+    from pybel_ray.ops.multimodal import (
+        AudioResampler, MediaFeatureExtractor, VideoFrameSampler,
+    )
 
     with pytest.raises(NotImplementedError):
-        MediaFeatureExtractor(mode="real")._decode(b"x", "audio")
+        MediaFeatureExtractor(mode="real")._decode(b"ID3\x04mp3data", "audio")
     with pytest.raises(NotImplementedError):
-        VideoFrameSampler(mode="real")._frame(b"x", 10)
+        MediaFeatureExtractor(mode="real")._decode(b"\x00h264", "video")
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(mode="real")._real_frames(b"\x00h264", 1000)
+    with pytest.raises(NotImplementedError):
+        AudioResampler(rate=8000, mode="real")._resample(b"ID3\x04mp3data")
     with pytest.raises(ValueError, match="unsupported image format"):
         MediaFeatureExtractor(mode="real")._decode(b"\x89PNG1234", "image")
 
@@ -157,6 +163,130 @@ def test_feature_extractor_real_mode(ray_session):
         )
         np.testing.assert_allclose(
             feat[3:6], arr.reshape(-1, 3).std(axis=0) / 255.0, rtol=1e-4,
+        )
+
+
+def test_audiocodec_roundtrip():
+    import io
+    import wave
+
+    import numpy as np
+
+    from pybel_ray.ops.audiocodec import (
+        decode_wav, encode_wav, resample_nearest, sniff_audio_format,
+    )
+
+    rng = np.random.RandomState(3)
+    stereo = (rng.standard_normal((700, 2)) * 9000).astype(np.int16)
+    payload = encode_wav(stereo, 16000)
+    assert sniff_audio_format(payload) == "wav"
+    samples, rate = decode_wav(payload)
+    assert rate == 16000
+    np.testing.assert_array_equal(samples, stereo)
+    # our encoder emits canonical WAV the stdlib reader accepts
+    w = wave.open(io.BytesIO(payload))
+    assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (2, 2, 16000)
+    assert w.readframes(700) == stereo.tobytes()
+    # unknown chunks are skipped per the RIFF spec
+    import struct
+
+    riff_len = struct.unpack_from("<I", payload, 4)[0]
+    junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+    padded = (payload[:12] + junk + payload[12:4 + 8 + riff_len])
+    padded = padded[:4] + struct.pack("<I", riff_len + len(junk)) + padded[8:]
+    samples2, rate2 = decode_wav(padded)
+    np.testing.assert_array_equal(samples2, stereo)
+    # integer-ratio downsample keeps every other frame's neighborhood
+    down = resample_nearest(stereo, 16000, 8000)
+    assert down.shape == (350, 2)
+
+
+def test_videocodec_roundtrip():
+    import numpy as np
+
+    from pybel_ray.ops.videocodec import decode_avi, encode_avi, sniff_video_format
+
+    rng = np.random.RandomState(4)
+    frames = rng.randint(0, 256, size=(6, 11, 19, 3)).astype(np.uint8)
+    payload = encode_avi(frames, fps=12.0)
+    assert sniff_video_format(payload) == "avi"
+    got, fps = decode_avi(payload)
+    assert fps == pytest.approx(12.0, rel=1e-4)
+    np.testing.assert_array_equal(got, frames)
+
+
+def test_audio_features_real_mode(ray_session):
+    """mode='real' audio features are true signal statistics of the PCM."""
+    import numpy as np
+    import ray
+
+    from pybel_ray.ops.audiocodec import decode_wav
+    from pybel_ray.ops.multimodal import MediaFeatureExtractor, synthetic_audio_table
+
+    src = synthetic_audio_table(10)
+    out = ray.data.from_arrow(src).map_batches(
+        MediaFeatureExtractor, fn_constructor_kwargs={"mode": "real"},
+        batch_size=4, concurrency=2, batch_format="pyarrow",
+    ).take_all()
+    payloads = {r["media_id"]: r["payload"] for r in src.to_pylist()}
+    assert len(out) == 10
+    for r in out:
+        samples, rate = decode_wav(payloads[r["media_id"]])
+        mono = samples.mean(axis=1) / 32768.0
+        feat = np.asarray(r["feature"], dtype=np.float32)
+        np.testing.assert_allclose(feat[2], np.sqrt(np.mean(mono ** 2)), rtol=1e-4)
+        np.testing.assert_allclose(feat[7], np.log1p(rate), rtol=1e-5)
+        # a clean sine at f has spectral peak near f/nyquist
+        assert 0.0 < feat[5] < 1.0
+
+
+def test_audio_resampler_real_mode(ray_session):
+    """decode -> nearest resample -> re-encode, verified sample-exact."""
+    import numpy as np
+    import ray
+
+    from pybel_ray.ops.audiocodec import decode_wav, resample_nearest
+    from pybel_ray.ops.multimodal import AudioResampler, synthetic_audio_table
+
+    src = synthetic_audio_table(8)
+    out = ray.data.from_arrow(src).map_batches(
+        AudioResampler, fn_constructor_kwargs={"rate": 4000, "mode": "real"},
+        batch_size=4, concurrency=2, batch_format="pyarrow",
+    ).take_all()
+    payloads = {r["media_id"]: r["payload"] for r in src.to_pylist()}
+    for r in out:
+        got, rate = decode_wav(r["payload"])
+        assert rate == 4000
+        orig, orig_rate = decode_wav(payloads[r["media_id"]])
+        want = resample_nearest(orig, orig_rate, 4000)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_video_frame_sampler_real_mode(ray_session):
+    """mode='real': sampled frame payloads are true decoded AVI frames,
+    re-encoded as BMP."""
+    import numpy as np
+    import ray
+
+    from pybel_ray.ops.imagecodec import decode_image, sniff_format
+    from pybel_ray.ops.multimodal import VideoFrameSampler, synthetic_video_table
+    from pybel_ray.ops.videocodec import decode_avi
+
+    src = synthetic_video_table(6)
+    out = ray.data.from_arrow(src).map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"frames_per_video": 3, "mode": "real"},
+        batch_size=2, concurrency=2, batch_format="pyarrow",
+    ).take_all()
+    assert len(out) == 6 * 3
+    source = {r["media_id"]: r["payload"] for r in src.to_pylist()}
+    for r in out:
+        frames, _fps = decode_avi(source[r["media_id"]])
+        n = frames.shape[0]
+        src_idx = min(int(n * (r["frame_index"] + 0.5) / 3), n - 1)
+        assert sniff_format(r["frame_payload"]) == "bmp"
+        np.testing.assert_array_equal(
+            decode_image(r["frame_payload"]), frames[src_idx],
         )
 
 
