@@ -333,6 +333,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["edge_md5", "src_bel", "relation", "dst_bel"],
         ).sort("edge_md5")
 
+    def kg_from_indra(sf_dir):
+        """INDRA statement-JSON bulk import (rows-only; the mapping is
+        pinned by tests/test_io_indra.py incl. a statement round trip)."""
+        from pybel_ray.io_indra import from_indra_statements
+
+        stmts = []
+        genes = [("6840", "MAP2K1"), ("6871", "MAPK1"), ("1097", "BRAF"),
+                 ("11187", "SOS1"), ("6407", "KRAS"), ("11998", "TP53")]
+        for i, (enz, sub) in enumerate(
+            (a, b) for a in genes for b in genes if a != b
+        ):
+            stmts.append({
+                "type": ["Phosphorylation", "Activation", "IncreaseAmount",
+                         "Ubiquitination"][i % 4],
+                "enz" if i % 4 in (0, 3) else "subj":
+                    {"name": enz[1], "db_refs": {"HGNC": enz[0]}},
+                "sub" if i % 4 in (0, 3) else "obj":
+                    {"name": sub[1], "db_refs": {"HGNC": sub[0]}},
+                "residue": "S" if i % 4 in (0, 3) else None,
+                "position": str(100 + i) if i % 4 in (0, 3) else None,
+                "evidence": [{"text": "ev {}".format(i),
+                              "pmid": str(20000000 + i)}],
+            })
+        g = from_indra_statements(stmts, num_blocks=4)
+        return g.edges.select_columns(
+            ["edge_md5", "src_bel", "relation", "dst_bel"],
+        ).sort("edge_md5")
+
     def kg_citation_enrichment(sf_dir):
         """Distributed citation enrichment (broadcast lookup join).  The
         driver check compares the title column — deterministic
@@ -1556,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edgelist_export": kg_edgelist_export,
         "kg_citation_enrichment": kg_citation_enrichment,
         "kg_from_hetionet": kg_from_hetionet,
+        "kg_from_indra": kg_from_indra,
         # relational
         "events_count_by_type": events_count_by_type,
         "orders_count_by_status": orders_count_by_status,

@@ -35,6 +35,9 @@ def __getattr__(name):
         "from_hetionet_json": ("pybel_ray.io_hetionet", "from_hetionet_json"),
         "from_hetionet_file": ("pybel_ray.io_hetionet", "from_hetionet_file"),
         "from_hetionet_gz": ("pybel_ray.io_hetionet", "from_hetionet_gz"),
+        "from_indra_statements": ("pybel_ray.io_indra", "from_indra_statements"),
+        "from_indra_json_file": ("pybel_ray.io_indra", "from_indra_json_file"),
+        "to_indra_statements": ("pybel_ray.io_indra", "to_indra_statements"),
         # interchange (reference flat-API parity)
         "to_nodelink": ("pybel_ray.export.nodelink", "to_nodelink"),
         "from_nodelink": ("pybel_ray.export.nodelink", "from_nodelink"),

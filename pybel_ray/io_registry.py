@@ -184,6 +184,9 @@ def _register_builtins():
     from .io_hetionet import from_hetionet_json
 
     register_importer("hetionet", from_hetionet_json)
+    from .io_indra import from_indra_statements
+
+    register_importer("indra", from_indra_statements)
 
 
 _register_builtins()
