@@ -123,12 +123,24 @@ def dedup_exact_sorted(ds, key: str, sort_cols=None, num_partitions=None):
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        num_partitions = max(8, cpus)
+        # The sort is a full barrier, so materializing its input is free —
+        # and it lets us size the exchange to the DATA instead of the
+        # cluster: a handful of ~64MB partitions for small outputs (a
+        # 32-partition exchange on 7MB of triples measured ~5s of pure
+        # scheduling overhead; 1 partition runs in <1s), one per CPU in
+        # the mid range, and ~256MB partitions beyond (multi-node sizing
+        # rule, see below).
+        ds = ds.materialize()
+        size = ds.size_bytes() or 0
+        by_64mb = size // (64 << 20)
+        if by_64mb < max(8, cpus):
+            num_partitions = max(1, int(by_64mb))
+        else:
+            num_partitions = int(max(max(8, cpus), size // (256 << 20)))
     # coalesce before the sort: Ray's pull-based sort reduce fetches from
     # every map output, so cost grows with blocks² — 600 small parse blocks
     # sorted directly took 88 s vs 42 s after coalescing to 32 (measured,
-    # 28.7M rows, 32 CPUs).  On a multi-node cluster size this to
-    # ~bytes/256MB instead of CPU count.
+    # 28.7M rows, 32 CPUs).
     ds = ds.repartition(num_partitions)
     ds = ds.sort(sort_cols if sort_cols is not None else key)
     return ds.map_batches(_local, batch_format="pyarrow")
