@@ -51,7 +51,10 @@ def run_headline(sf: float, num_cpus: int, pages_dir: str | None = None) -> dict
         n_pages = pages.count()
     else:
         n_pages = page_count_for_sf(sf)
-        pages = pages_dataset(n_pages, seed=42, block_pages=25)
+        # materialize: pages_dataset is now lazy/distributed; pinning it
+        # keeps corpus generation outside the timed window, comparable
+        # with the r1/r2 numbers (which generated on the driver pre-t0)
+        pages = pages_dataset(n_pages, seed=42, block_pages=25).materialize()
 
     import shutil
     import tempfile
@@ -143,10 +146,12 @@ def run_large_leg(num_cpus: int) -> dict:
     # statements_per_page=100 matches the 300k-page scaling corpus density
     # so large_triples_per_sec is comparable round-over-round with the
     # BASELINE.md steady-state numbers
+    # materialized so (distributed) corpus generation stays outside the
+    # timed window, same as the r1/r2 driver-side generation
     pages = pages_dataset(
         LARGE_LEG_PAGES, seed=42, block_pages=25,
         statements_per_page=SCALING_STMTS,
-    )
+    ).materialize()
     events_dir = tempfile.mkdtemp(prefix="pybel_ray_large_", dir="/tmp")
     t0 = time.time()
     kg = compile_pages(

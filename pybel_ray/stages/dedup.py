@@ -132,10 +132,13 @@ def dedup_exact_sorted(ds, key: str, sort_cols=None, num_partitions=None):
         # rule, see below).
         ds = ds.materialize()
         size = ds.size_bytes() or 0
-        by_64mb = size // (64 << 20)
-        if by_64mb < max(8, cpus):
-            num_partitions = max(1, int(by_64mb))
+        if size < (64 << 20):
+            # tiny output: a wide exchange is pure scheduling overhead
+            num_partitions = max(1, int(size // (16 << 20)))
         else:
+            # one partition per CPU keeps the sort reduce fully parallel
+            # (9 partitions on 600MB at 32 CPUs measured -19% large-leg
+            # throughput); grow past the CPU count only at ~256MB each
             num_partitions = int(max(max(8, cpus), size // (256 << 20)))
     # coalesce before the sort: Ray's pull-based sort reduce fetches from
     # every map output, so cost grows with blocks² — 600 small parse blocks
