@@ -361,6 +361,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["edge_md5", "src_bel", "relation", "dst_bel"],
         ).sort("edge_md5")
 
+    def kg_from_biopax(sf_dir):
+        """BioPAX L3 OWL import (rows-only; the reader + mapping are
+        pinned by tests/test_io_biopax.py)."""
+        from pybel_ray.io_biopax import from_biopax
+
+        fixture = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tests", "corpora", "biopax_fixture.owl",
+        )
+        g = from_biopax(fixture, num_blocks=1)
+        return g.edges.select_columns(
+            ["edge_md5", "src_bel", "relation", "dst_bel"],
+        ).sort("edge_md5")
+
     def kg_citation_enrichment(sf_dir):
         """Distributed citation enrichment (broadcast lookup join).  The
         driver check compares the title column — deterministic
@@ -1585,6 +1599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_citation_enrichment": kg_citation_enrichment,
         "kg_from_hetionet": kg_from_hetionet,
         "kg_from_indra": kg_from_indra,
+        "kg_from_biopax": kg_from_biopax,
         # relational
         "events_count_by_type": events_count_by_type,
         "orders_count_by_status": orders_count_by_status,

@@ -38,6 +38,8 @@ def __getattr__(name):
         "from_indra_statements": ("pybel_ray.io_indra", "from_indra_statements"),
         "from_indra_json_file": ("pybel_ray.io_indra", "from_indra_json_file"),
         "to_indra_statements": ("pybel_ray.io_indra", "to_indra_statements"),
+        "from_biopax": ("pybel_ray.io_biopax", "from_biopax"),
+        "biopax_to_statements": ("pybel_ray.io_biopax", "biopax_to_statements"),
         # interchange (reference flat-API parity)
         "to_nodelink": ("pybel_ray.export.nodelink", "to_nodelink"),
         "from_nodelink": ("pybel_ray.export.nodelink", "from_nodelink"),

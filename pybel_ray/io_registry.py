@@ -187,6 +187,9 @@ def _register_builtins():
     from .io_indra import from_indra_statements
 
     register_importer("indra", from_indra_statements)
+    from .io_biopax import from_biopax
+
+    register_importer("biopax", from_biopax)
 
 
 _register_builtins()
