@@ -418,6 +418,124 @@ def lag_by(
     return ds.groupby(partition_col).map_groups(_shift, batch_format="pyarrow")
 
 
+def _asof_sorted(u, key, l_names, out_names, left_on, inequality):
+    """Skew-proof as-of join over the padded left∪right rows: ONE global
+    sort by (key, ts, side-tiebreak) + a boundary-row exchange (one small
+    row per block to the driver), instead of co-locating each key group.
+    A degenerate hot key spans as many blocks as the sort assigns it.
+
+    Tiebreak at equal timestamps encodes the inequality: for ``>=`` the
+    right row sorts BEFORE the left row (so it matches); for ``>`` after
+    (so it doesn't).  A boundary-carried right row always sorts strictly
+    before the block's rows, which implies it satisfies the inequality
+    for every left row in the block with the same key.  Requires non-null
+    key and timestamp values (same contract as the other sorted paths).
+    """
+    import json as _json
+
+    import ray
+
+    def _with_ts(t: pa.Table) -> pa.Table:
+        lts = t.column(left_on)
+        rts = t.column("_asof_ts")
+        if rts.type != lts.type:
+            rts = rts.cast(lts.type)
+        ts = pc.coalesce(rts, lts)  # right rows carry _asof_ts, left left_on
+        side = t.column("_side")
+        if inequality == ">=":
+            tiebreak = pc.subtract(pa.scalar(1, pa.int8()), side)  # right first
+        else:
+            tiebreak = side  # left first
+        return t.append_column("_ts", ts).append_column("_sidesort", tiebreak)
+
+    sort_cols = [key, "_ts", "_sidesort"]
+    sorted_u = u.map_batches(_with_ts, batch_format="pyarrow") \
+        .sort(sort_cols).materialize()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        row: dict = {"_tup": [], "_first_key": [], "_last_key": [],
+                     "_has_right": []}
+        for out in out_names:
+            row["_r_" + out] = []
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(row)
+        tup = _json.dumps(_first_row_tuple(t, sort_cols), default=str)
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        last_key = keys[-1]
+        cand = np.nonzero((side == 1) & (keys == last_key))[0]
+        row["_tup"].append(tup)
+        row["_first_key"].append(keys[0])
+        row["_last_key"].append(last_key)
+        row["_has_right"].append(bool(len(cand)))
+        for out in out_names:
+            row["_r_" + out].append(
+                t.column(out)[int(cand[-1])].as_py() if len(cand) else None,
+            )
+        return pa.Table.from_pydict(row)
+
+    partials = sorted_u.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None,
+    ).take_all()
+    partials.sort(key=lambda r: tuple(_json.loads(r["_tup"])))
+
+    # fold: running (key, right values) — keys are contiguous after the
+    # sort, so only the most recent key's latest right row can be needed
+    boundaries = {}
+    state_key, state_vals = None, None
+    for r in partials:
+        boundaries[r["_tup"]] = (state_key, state_vals)
+        if r["_last_key"] != state_key:
+            state_key = r["_last_key"]
+            state_vals = (
+                {out: r["_r_" + out] for out in out_names}
+                if r["_has_right"] else None
+            )
+        elif r["_has_right"]:
+            state_vals = {out: r["_r_" + out] for out in out_names}
+    b_ref = ray.put(boundaries)
+
+    def _merge_block(t: pa.Table) -> pa.Table:
+        lefts_empty = t.filter(pc.equal(t.column("_side"), 0)).select(l_names)
+        if t.num_rows == 0:
+            for out in out_names:
+                lefts_empty = lefts_empty.append_column(
+                    out, pa.nulls(0, t.schema.field(out).type),
+                )
+            return lefts_empty
+        tup = _json.dumps(_first_row_tuple(t, sort_cols), default=str)
+        b_key, b_vals = ray.get(b_ref)[tup]
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        last_right = np.maximum.accumulate(
+            np.where(side == 1, np.arange(n), -1),
+        )
+        left_pos = np.nonzero(side == 0)[0]
+        cand = last_right[left_pos]
+        valid = (cand >= 0) & (keys[np.maximum(cand, 0)] == keys[left_pos])
+        idx = pa.array(cand.astype(np.int64), mask=~valid)
+        from_boundary = (~valid) & (keys[left_pos] == b_key) \
+            if b_vals is not None else np.zeros(len(left_pos), bool)
+        bmask = pa.array(from_boundary)
+        lefts = t.select(l_names).take(pa.array(left_pos.astype(np.int64)))
+        for out in out_names:
+            col = t.column(out)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            gathered = col.take(idx)
+            if b_vals is not None:
+                gathered = pc.if_else(
+                    bmask, pa.scalar(b_vals[out], col.type), gathered,
+                )
+            lefts = lefts.append_column(out, gathered)
+        return lefts
+
+    return sorted_u.map_batches(
+        _merge_block, batch_format="pyarrow", batch_size=None,
+    )
+
+
 def asof_join(
     left,
     right,
@@ -442,26 +560,23 @@ def asof_join(
     ``groupby(key)`` exchange, and merged per key group with a vectorized
     ``np.searchsorted`` — no driver materialization, no per-row Python.
     Deterministic iff ``right_on`` is unique per key.  Skewed keys pay
-    the usual groupby cost; ``max_rows_per_group`` adds an upfront probe
-    that fails fast with an actionable message instead of the silent
-    worker-OOM a degenerate single-key input would hit.
+    the usual groupby cost; ``max_rows_per_group`` adds an upfront probe —
+    groups over the bound switch the whole join to the skew-proof sorted
+    path (:func:`_asof_sorted`: one global sort + one boundary row per
+    block to the driver), so a degenerate single-key input runs at
+    bounded worker memory instead of OOMing one worker.
     """
     if inequality not in (">=", ">"):
         raise ValueError("inequality must be '>=' or '>'")
+    use_sorted = False
     if max_rows_per_group is not None:
         worst = max(
             max_group_rows(left, key), max_group_rows(right, key),
         )
-        if worst > max_rows_per_group:
-            raise ValueError(
-                "asof_join: a '{}' key group holds {} rows (> {}); a group "
-                "must fit one worker. Split the hot key upstream — e.g. "
-                "bucket left_on/right_on into coarse time ranges, asof-join "
-                "within each bucket, and patch bucket heads with a second "
-                "pass over the bucket-boundary rows.".format(
-                    key, worst, max_rows_per_group,
-                ),
-            )
+        # degenerate hot key: switch to the skew-proof sorted path (one
+        # global sort + a boundary-row exchange; a hot key spans as many
+        # blocks as the sort gives it — no group must fit one worker)
+        use_sorted = worst > max_rows_per_group
 
     ls = left.schema()
     l_names = list(ls.names)
@@ -499,6 +614,10 @@ def asof_join(
     u = left.map_batches(_left_pad, batch_format="pyarrow").union(
         right.map_batches(_right_pad, batch_format="pyarrow"),
     )
+    if use_sorted:
+        return _asof_sorted(
+            u, key, l_names, out_names, left_on, inequality,
+        )
     search_side = "right" if inequality == ">=" else "left"
 
     def _merge(g: pa.Table) -> pa.Table:

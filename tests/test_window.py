@@ -239,13 +239,55 @@ def test_sessionize_salted_path_matches_groupby(ray_session):
     assert len(hot_sessions) == 300
 
 
-def test_asof_join_skew_guard_raises(ray_session):
-    import pytest
-
+def test_asof_join_sorted_path_matches_groupby(ray_session):
+    """Planted single-key skew: the probe switches asof_join to the sorted
+    boundary-carry path, which must equal the per-group path exactly."""
     from pybel_ray.ops.window import asof_join
 
-    left = _ds([{"k": "x", "ts": i, "lx": i} for i in range(500)], blocks=4)
-    right = _ds([{"k": "x", "rts": i, "tag": i} for i in range(10)], blocks=2)
-    with pytest.raises(ValueError, match="fit one worker"):
-        asof_join(left, right, "k", "ts", "rts", {"tag": "tag"},
-                  max_rows_per_group=100)
+    # hot key spanning many blocks + two normal keys; right rows sparse so
+    # many left rows depend on a right row carried across block boundaries
+    left_rows = [{"k": "hot", "ts": i * 10 + 3, "lx": i} for i in range(4000)]
+    right_rows = [{"k": "hot", "rts": i * 1000, "tag": i} for i in range(11)]
+    for key in ("a", "b"):
+        left_rows += [{"k": key, "ts": i * 100, "lx": i} for i in range(30)]
+        right_rows += [{"k": key, "rts": i * 700 + 1, "tag": 100 + i}
+                       for i in range(4)]
+    left_rows.append({"k": "nomatch", "ts": 5, "lx": -1})
+    left = _ds(left_rows, blocks=9)
+    right = _ds(right_rows, blocks=3)
+
+    def _key(out):
+        return sorted(
+            (r["k"], r["ts"], r["lx"], r["tag"]) for r in out
+        )
+
+    for inequality in (">=", ">"):
+        plain = _key(asof_join(
+            left, right, "k", "ts", "rts", {"tag": "tag"},
+            inequality=inequality,
+        ).take_all())
+        sorted_path = _key(asof_join(
+            left, right, "k", "ts", "rts", {"tag": "tag"},
+            inequality=inequality, max_rows_per_group=100,
+        ).take_all())
+        assert sorted_path == plain
+    # unmatched left rows survive with null tag (LEFT semantics)
+    assert any(k == "nomatch" and tag is None for k, _, _, tag in sorted_path)
+
+
+def test_asof_join_sorted_equal_ts_tiebreak(ray_session):
+    """right row at exactly a left row's timestamp matches under '>=' and
+    not under '>' on the sorted path."""
+    from pybel_ray.ops.window import asof_join
+
+    left = _ds([{"k": "x", "ts": 100 + i, "lx": i} for i in range(300)],
+               blocks=5)
+    right = _ds([{"k": "x", "rts": 100, "tag": 7}], blocks=1)
+    ge = asof_join(left, right, "k", "ts", "rts", {"tag": "tag"},
+                   inequality=">=", max_rows_per_group=10).take_all()
+    assert all(r["tag"] == 7 for r in ge)
+    gt = asof_join(left, right, "k", "ts", "rts", {"tag": "tag"},
+                   inequality=">", max_rows_per_group=10).take_all()
+    by_ts = {r["ts"]: r["tag"] for r in gt}
+    assert by_ts[100] is None  # strictly-less: no match at the equal ts
+    assert all(tag == 7 for ts, tag in by_ts.items() if ts > 100)
