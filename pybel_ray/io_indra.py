@@ -491,35 +491,92 @@ def _edge_to_statement(src: dict, dst: dict, relation: str,
     }
 
 
-def to_indra_statements(graph: Graph):
+#: nodes tables at or below this row count broadcast their md5->node_json
+#: map; above it the edge enrichment runs as two distributed equi-joins
+#: (the same budget-hybrid shape as the entity-linking and segment-dedup
+#: operators)
+_NODE_BROADCAST_BUDGET = 2_000_000
+
+
+def to_indra_statements(graph: Graph, broadcast_budget: int = _NODE_BROADCAST_BUDGET):
     """Engine Graph -> Dataset of INDRA statement JSON strings
     (column ``stmt_json``), the inverse of :func:`from_indra_statements`
     for the supported statement subset.  Distributed: one map_batches
     over the edges (causal statements) plus one over the nodes (Complex
-    statements from complex nodes)."""
+    statements from complex nodes).
+
+    Edges carry only BEL strings + md5s, so node dicts are re-attached
+    from the nodes table: a broadcast md5 -> node_json lookup when the
+    nodes fit ``broadcast_budget`` (one ``ray.put``, read per actor
+    task), else two distributed bucketed equi-joins (src, then dst) —
+    the nodes table never lands on the driver at scale.
+    """
     import pyarrow.compute as pc
 
-    # edges carry only BEL strings + md5s; reconstruct node dicts from the
-    # nodes table via a broadcast md5 -> node_json lookup (one ray.put,
-    # read per actor task — the nodes table is the small side)
-    import ray
+    edge_cols = ["src_md5", "dst_md5", "relation", "evidence",
+                 "citation_id", "object_json"]
 
-    node_map = {
-        r["md5"]: r["node_json"]
-        for r in graph.nodes.select_columns(["md5", "node_json"]).take_all()
-    }
-    node_map_ref = ray.put(node_map)
+    if graph.nodes.count() <= broadcast_budget:
+        import ray
+
+        node_map = {
+            r["md5"]: r["node_json"]
+            for r in graph.nodes.select_columns(["md5", "node_json"]).take_all()
+        }
+        node_map_ref = ray.put(node_map)
+
+        def _attach(t: pa.Table) -> pa.Table:
+            nm = ray.get(node_map_ref)
+            src = pa.array(
+                [nm.get(m) for m in t.column("src_md5").to_pylist()],
+                pa.string(),
+            )
+            dst = pa.array(
+                [nm.get(m) for m in t.column("dst_md5").to_pylist()],
+                pa.string(),
+            )
+            t = t.append_column("src_node_json", src)
+            return t.append_column("dst_node_json", dst)
+
+        enriched = graph.edges.select_columns(edge_cols).map_batches(
+            _attach, batch_format="pyarrow",
+        )
+    else:  # beyond-budget path: two bucketed distributed joins
+        from .ops.relational import equi_join
+
+        nodes_narrow = graph.nodes.select_columns(["md5", "node_json"])
+
+        def _rename(col_from, col_to):
+            def _f(t: pa.Table) -> pa.Table:
+                return t.rename_columns([
+                    col_to if c == col_from else c for c in t.column_names
+                ])
+
+            return _f
+
+        src_side = nodes_narrow.map_batches(
+            _rename("node_json", "src_node_json"), batch_format="pyarrow",
+        )
+        dst_side = nodes_narrow.map_batches(
+            _rename("node_json", "dst_node_json"), batch_format="pyarrow",
+        )
+        enriched = equi_join(
+            graph.edges.select_columns(edge_cols), src_side,
+            on="src_md5", right_on="md5", how="inner",
+        )
+        enriched = equi_join(
+            enriched, dst_side, on="dst_md5", right_on="md5", how="inner",
+        )
 
     def _edge_batch(t: pa.Table) -> pa.Table:
-        nm = ray.get(node_map_ref)
         out = []
         cols = {c: t.column(c).to_pylist() for c in (
-            "src_md5", "dst_md5", "relation", "evidence", "citation_id",
-            "object_json",
+            "src_node_json", "dst_node_json", "relation", "evidence",
+            "citation_id", "object_json",
         )}
         for i in range(t.num_rows):
-            src_json = nm.get(cols["src_md5"][i])
-            dst_json = nm.get(cols["dst_md5"][i])
+            src_json = cols["src_node_json"][i]
+            dst_json = cols["dst_node_json"][i]
             if not src_json or not dst_json:
                 continue
             stmt = _edge_to_statement(
@@ -548,7 +605,7 @@ def to_indra_statements(graph: Graph):
             out, schema=pa.schema([("stmt_json", pa.string())]),
         )
 
-    causal = graph.edges.map_batches(_edge_batch, batch_format="pyarrow")
+    causal = enriched.map_batches(_edge_batch, batch_format="pyarrow")
     complexes = graph.nodes.map_batches(_complex_batch, batch_format="pyarrow")
     from .stages.dedup import dedup_exact
 

@@ -168,6 +168,21 @@ def test_round_trip(ray_session, graph):
     assert frozenset({"6871", "6840"}) in members
 
 
+def test_to_indra_join_path_matches_broadcast(ray_session, graph):
+    """broadcast_budget=0 forces the beyond-budget distributed equi-join
+    path; outputs must be identical to the broadcast path."""
+    from pybel_ray.io_indra import to_indra_statements
+
+    broadcast = sorted(
+        r["stmt_json"] for r in to_indra_statements(graph).take_all()
+    )
+    joined = sorted(
+        r["stmt_json"]
+        for r in to_indra_statements(graph, broadcast_budget=0).take_all()
+    )
+    assert joined == broadcast and len(broadcast) > 0
+
+
 def test_json_file_and_registry(ray_session, tmp_path):
     from pybel_ray.io_indra import from_indra_json_file
     from pybel_ray.io_registry import get_importer
