@@ -318,19 +318,49 @@ def topk_per_group(ds, keys, value_col: str, k: int,
     """Top-``k`` rows per group by ``value_col`` (``row_number() OVER
     (PARTITION BY keys ORDER BY v DESC, ties) <= k``).
 
-    One ``groupby`` exchange; the per-group head is a vectorized sort of
-    a co-located group.  ``tie_keys`` make the cut deterministic when
-    values repeat.
+    A LOCAL combiner runs first: each input block keeps only its own
+    top-``k`` per key (top-k selection composes: local-then-global equals
+    global), so the ``groupby`` exchange moves at most ``k × blocks``
+    rows per key — a degenerate hot key is bounded instead of OOMing one
+    worker, and every workload shuffles less.  ``tie_keys`` make the cut
+    deterministic when values repeat (and are required for local/global
+    composition to be exact under ties).
     """
+    import numpy as np
+
     if isinstance(keys, str):
         keys = [keys]
+    keys = list(keys)
     order = [(value_col, "descending" if descending else "ascending")]
     order += [(t, "ascending") for t in tie_keys]
+    local_order = [(key, "ascending") for key in keys] + order
+
+    def _local_head(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        t = t.sort_by(local_order)
+        n = t.num_rows
+        # vectorized rank-within-consecutive-key-run
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for key in keys:
+            col = t.column(key)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            neq = pc.fill_null(
+                pc.not_equal(col.slice(1), col.slice(0, n - 1)), True,
+            ).to_numpy(zero_copy_only=False)
+            change[1:] |= neq
+        idx = np.arange(n)
+        group_start = np.maximum.accumulate(np.where(change, idx, 0))
+        return t.filter(pa.array(idx - group_start < k))
+
+    ds = ds.map_batches(_local_head, batch_format="pyarrow")
 
     def _head(g: pa.Table) -> pa.Table:
         return g.sort_by(order).slice(0, k)
 
-    return ds.groupby(list(keys)).map_groups(_head, batch_format="pyarrow")
+    return ds.groupby(keys).map_groups(_head, batch_format="pyarrow")
 
 
 def groupby_quantiles(ds, keys, value_col: str, qs: Sequence[float],

@@ -84,3 +84,46 @@ def test_equi_join_different_key_names(ray_session):
         "lk", right_on="rk", num_buckets=2,
     ).take_all()
     assert out == [{"lk": 7, "x": "p", "y": "q"}]
+
+
+def test_topk_per_group_combiner_matches_brute(ray_session):
+    """Planted hot key across many blocks: the local top-k combiner plus
+    the groupby head must equal a driver-side brute top-k exactly."""
+    import ray.data
+
+    from pybel_ray.ops.relational import topk_per_group
+
+    rows = []
+    for i in range(5000):  # hot key spans all blocks
+        rows.append({"g": "hot", "v": (7919 * i) % 4999, "id": i})
+    for key in ("a", "b"):
+        for i in range(7):
+            rows.append({"g": key, "v": i * 10, "id": 10_000 + i})
+    ds = ray.data.from_items(rows).repartition(16)
+
+    got = sorted(
+        (r["g"], r["v"], r["id"])
+        for r in topk_per_group(ds, "g", "v", 5, tie_keys=["id"]).take_all()
+    )
+    brute = {}
+    for r in rows:
+        brute.setdefault(r["g"], []).append(r)
+    want = sorted(
+        (g, r["v"], r["id"])
+        for g, grp in brute.items()
+        for r in sorted(grp, key=lambda x: (-x["v"], x["id"]))[:5]
+    )
+    assert got == want
+
+    asc = sorted(
+        (r["g"], r["v"], r["id"])
+        for r in topk_per_group(
+            ds, "g", "v", 3, descending=False, tie_keys=["id"],
+        ).take_all()
+    )
+    want_asc = sorted(
+        (g, r["v"], r["id"])
+        for g, grp in brute.items()
+        for r in sorted(grp, key=lambda x: (x["v"], x["id"]))[:3]
+    )
+    assert asc == want_asc
