@@ -364,7 +364,7 @@ def topk_per_group(ds, keys, value_col: str, k: int,
 
 
 def groupby_quantiles(ds, keys, value_col: str, qs: Sequence[float],
-                      prefix: str = "q"):
+                      prefix: str = "q", max_rows_per_group: int | None = None):
     """Exact per-group discrete quantiles — the order statistic at
     ``ceil(q*n) - 1``, which is exactly DuckDB's ``quantile_disc``
     (verified empirically across n in 1..101, q in 0..1).
@@ -372,14 +372,23 @@ def groupby_quantiles(ds, keys, value_col: str, qs: Sequence[float],
     One ``groupby`` exchange co-locates each group; the quantile itself
     is a vectorized in-group sort.  Output columns ``{prefix}{pct}``
     (e.g. ``q50``) so oracles can name them identically.  Group payloads
-    must fit a worker — true for key-bounded groups (event types,
-    statuses); for unbounded skew, pre-aggregate or sketch instead.
+    must fit a worker; pass ``max_rows_per_group`` to probe for
+    degenerate skew — oversized groups switch to the skew-proof sorted
+    path (:func:`_quantiles_sorted`), which never co-locates a group.
     """
     import numpy as np
 
     if isinstance(keys, str):
         keys = [keys]
+    keys = list(keys)
     names = ["{}{:g}".format(prefix, q * 100) for q in qs]
+    narrow = ds.select_columns(keys + [value_col])
+
+    if max_rows_per_group is not None and len(keys) == 1:
+        from ..ops.window import max_group_rows
+
+        if max_group_rows(narrow, keys[0]) > max_rows_per_group:
+            return _quantiles_sorted(narrow, keys[0], value_col, qs, names)
 
     def _q(g: pa.Table) -> pa.Table:
         vals = np.sort(
@@ -392,9 +401,115 @@ def groupby_quantiles(ds, keys, value_col: str, qs: Sequence[float],
             out[name] = [float(vals[i])]
         return pa.Table.from_pydict(out)
 
-    return ds.select_columns(list(keys) + [value_col]).groupby(
-        list(keys),
-    ).map_groups(_q, batch_format="pyarrow")
+    return narrow.groupby(keys).map_groups(_q, batch_format="pyarrow")
+
+
+def _quantiles_sorted(ds, key: str, value_col: str, qs, names):
+    """Skew-proof exact per-group quantiles: ONE global sort by
+    (key, value), per-block (key, count) partials to the driver (result-
+    sized: one row per key per block), rank arithmetic picks the order
+    statistics inside each block, and a tiny final groupby assembles one
+    row per key.  No key group ever has to fit one worker.  Requires
+    non-null key/value (same contract as the other sorted paths); the
+    key column is emitted stringified (driver state is keyed by str)."""
+    import json as _json
+
+    import numpy as np
+    import ray
+
+    sorted_ds = ds.sort([key, value_col]).materialize()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict({"_tup": [], "_key": [], "_n": []})
+        col = t.column(key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arr = col.to_numpy(zero_copy_only=False)
+        tup = _json.dumps(
+            (t.column(key)[0].as_py(), t.column(value_col)[0].as_py()),
+            default=str,
+        )
+        # arr is sorted by key, so np.unique's sorted order == appearance
+        uniq, counts = np.unique(arr, return_counts=True)
+        return pa.Table.from_pydict({
+            "_tup": [tup] * len(uniq),
+            "_key": [str(u) for u in uniq],
+            "_n": counts.astype("int64"),
+        })
+
+    partials = sorted_ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None,
+    ).take_all()
+
+    # group partial rows by block, order blocks by first-row sort tuple
+    by_block: dict = {}
+    for r in partials:
+        by_block.setdefault(r["_tup"], []).append(r)
+    ordered = sorted(by_block, key=lambda tup: tuple(_json.loads(tup)))
+
+    totals: dict = {}
+    offsets: dict = {}  # (block tup) -> {key: global start rank}
+    for tup in ordered:
+        offsets[tup] = {}
+        for r in by_block[tup]:
+            offsets[tup][r["_key"]] = totals.get(r["_key"], 0)
+            totals[r["_key"]] = totals.get(r["_key"], 0) + int(r["_n"])
+    # target ranks per key: ceil(q*n)-1 clamped at 0
+    targets = {
+        k: {max(int(np.ceil(q * n)) - 1, 0): None for q in qs}
+        for k, n in totals.items()
+    }
+    state_ref = ray.put((offsets, targets))
+
+    def _pick(t: pa.Table) -> pa.Table:
+        schema = pa.schema([
+            ("_key", pa.string()), ("_rank", pa.int64()),
+            ("_val", pa.float64()),
+        ])
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        import json as _json2
+
+        offs, tgts = ray.get(state_ref)
+        tup = _json2.dumps(
+            (t.column(key)[0].as_py(), t.column(value_col)[0].as_py()),
+            default=str,
+        )
+        block_offs = offs[tup]
+        arr = t.column(key).to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        out = []
+        # local rank within each key run + the block's global offset
+        n = len(arr)
+        idx = np.arange(n)
+        change = np.ones(n, dtype=bool)
+        change[1:] = arr[1:] != arr[:-1]
+        start = np.maximum.accumulate(np.where(change, idx, 0))
+        ranks = idx - start
+        for i in range(n):
+            k = str(arr[i])
+            grank = block_offs[k] + int(ranks[i])
+            if grank in tgts[k]:
+                out.append({"_key": k, "_rank": grank,
+                            "_val": float(vals[i])})
+        return pa.Table.from_pylist(out, schema=schema)
+
+    picked = sorted_ds.map_batches(
+        _pick, batch_format="pyarrow", batch_size=None,
+    ).take_all()  # result-sized: ≤ len(qs) rows per key
+    by_key: dict = {}
+    for r in picked:
+        by_key.setdefault(r["_key"], {})[r["_rank"]] = r["_val"]
+    rows = []
+    for k, n in sorted(totals.items()):
+        row = {key: k}
+        for name, q in zip(names, qs):
+            row[name] = by_key[k][max(int(np.ceil(q * n)) - 1, 0)]
+        rows.append(row)
+    import ray.data
+
+    return ray.data.from_items(rows)
 
 
 def groupby_count(ds, keys, count_name: str = "n"):

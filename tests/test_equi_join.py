@@ -127,3 +127,32 @@ def test_topk_per_group_combiner_matches_brute(ray_session):
         for r in sorted(grp, key=lambda x: (x["v"], x["id"]))[:3]
     )
     assert asc == want_asc
+
+
+def test_groupby_quantiles_sorted_path_matches_groupby(ray_session):
+    """Planted hot key: the sorted rank-arithmetic path must equal the
+    per-group path exactly (DuckDB quantile_disc order statistics)."""
+    import ray.data
+
+    from pybel_ray.ops.relational import groupby_quantiles
+
+    rows = []
+    for i in range(6000):
+        rows.append({"g": "hot", "v": float((7919 * i) % 6007)})
+    for i in range(41):
+        rows.append({"g": "cold", "v": float(i)})
+    rows.append({"g": "one", "v": 42.0})
+    ds = ray.data.from_items(rows).repartition(11)
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+
+    def _key(out):
+        return sorted(
+            (r["g"], tuple(round(r[c], 9) for c in sorted(r) if c != "g"))
+            for r in out
+        )
+
+    plain = _key(groupby_quantiles(ds, "g", "v", qs).take_all())
+    sorted_path = _key(groupby_quantiles(
+        ds, "g", "v", qs, max_rows_per_group=100,
+    ).take_all())
+    assert sorted_path == plain
