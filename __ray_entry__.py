@@ -687,11 +687,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["doc_id", "bits_per_token"])
 
     def kg_pagerank(sf_dir):
-        # rows-only (BEL-compiled input): integer PageRank directly over
-        # the md5-keyed KG edge table — the centrality analog of
-        # kg_top_hubs' degree ranking
+        # integer PageRank directly over the md5-keyed KG edge table —
+        # the centrality analog of kg_top_hubs' degree ranking; the
+        # unrolled-SQL oracle recomputes the exact-int64 recurrence over
+        # the snapshot
         from pybel_ray.ops.graph import pagerank
 
+        _kg_snapshot(sf_dir)
         edges = _kg(sf_dir).edges().select_columns(["src_md5", "dst_md5"])
         return pagerank(edges, src_col="src_md5", dst_col="dst_md5", iters=3)
 
@@ -1879,6 +1881,40 @@ def oracle_sql() -> dict[str, str]:
         FROM h
     """.format(en=hits_expr("en"), de=hits_expr("de"), fr=hits_expr("fr"))
 
+    def _pagerank_sql(edges_sql: str, iters: int = 3) -> str:
+        """Unrolled integer PageRank (ops/graph.py recurrence: rank0 =
+        1e6; contrib = rank // max(outdeg, 1); rank = 150000 +
+        (85 * sum(incoming contrib)) // 100) as pure DuckDB SQL — a real
+        independent oracle because every step is exact int64 arithmetic.
+        """
+        ctes = [
+            "__edges AS ({})".format(edges_sql),
+            "__nodes AS (SELECT src AS node FROM __edges"
+            " UNION SELECT dst FROM __edges)",
+            "__deg AS (SELECT src AS node, count(*) AS outdeg"
+            " FROM __edges GROUP BY src)",
+            '__r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS "rank"'
+            " FROM __nodes)",
+        ]
+        for i in range(iters):
+            ctes.append(
+                '__c{i} AS (SELECT r.node, r."rank" // CAST(CASE WHEN '
+                "coalesce(d.outdeg, 0) = 0 THEN 1 ELSE d.outdeg END AS "
+                "BIGINT) AS contrib FROM __r{i} r LEFT JOIN __deg d "
+                "ON r.node = d.node)".format(i=i),
+            )
+            ctes.append(
+                "__r{j} AS (SELECT n.node, CAST(150000 + "
+                "(85 * coalesce(s.incoming, 0)) // 100 AS BIGINT) AS "
+                '"rank" FROM __nodes n LEFT JOIN (SELECT e.dst AS node, '
+                "sum(c.contrib) AS incoming FROM __edges e JOIN __c{i} c "
+                "ON e.src = c.node GROUP BY e.dst) s ON n.node = s.node)"
+                .format(j=i + 1, i=i),
+            )
+        return "WITH {} SELECT node, \"rank\" FROM __r{}".format(
+            ", ".join(ctes), iters,
+        )
+
     # -- kg_* snapshot oracles ------------------------------------------------
     # Each kg_* query callable writes the compiled nodes/edges/errors tables
     # to _KG_SNAP_PATH before computing its result (driver and pytest both
@@ -2063,10 +2099,45 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM base UNION ALL SELECT * FROM adds WHERE n > 0)
             GROUP BY relation
         """.format(E=_E, N=_N, ELIG=_ELIGIBLE),
+        # integer PageRank over the snapshot edge table (unrolled SQL —
+        # every step is exact int64 arithmetic, see _pagerank_sql)
+        "kg_pagerank": _pagerank_sql(
+            "SELECT src_md5 AS src, dst_md5 AS dst FROM {E}".format(E=_E),
+        ),
     }
 
     return {
         **kg_oracles,
+        # integer PageRank over the lineitem-derived bipartite graph —
+        # fully independent (no snapshot): DuckDB rebuilds the edges and
+        # unrolls the same exact-integer recurrence
+        "graph_pagerank": _pagerank_sql(
+            "SELECT CAST(2 * l_orderkey AS BIGINT) AS src,"
+            " CAST(2 * l_suppkey + 1 AS BIGINT) AS dst FROM lineitem",
+        ),
+        # connected components over the planted doc-id graph: recursive-
+        # CTE min-label reachability (same technique as the
+        # kg_collapse_equivalences oracle)
+        "graph_components": """
+            WITH RECURSIVE pl AS (
+                SELECT CAST(doc_id AS BIGINT) AS a,
+                       CAST(doc_id + 1 AS BIGINT) AS b
+                FROM documents WHERE doc_id % 10 != 9
+                UNION ALL
+                SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 25 AS BIGINT)
+                FROM documents WHERE doc_id % 50 = 0
+            ), und AS (
+                SELECT a, b FROM pl UNION SELECT b AS a, a AS b FROM pl
+            ), nd AS (
+                SELECT DISTINCT a AS node FROM und
+            ), reach(node, label) AS (
+                SELECT node, node FROM nd
+                UNION
+                SELECT u.b, r.label
+                FROM reach r JOIN und u ON u.a = r.node
+            )
+            SELECT node, min(label) AS component FROM reach GROUP BY node
+        """,
         "events_count_by_type":
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
         "orders_count_by_status":
