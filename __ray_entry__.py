@@ -1881,6 +1881,38 @@ def oracle_sql() -> dict[str, str]:
         FROM h
     """.format(en=hits_expr("en"), de=hits_expr("de"), fr=hits_expr("fr"))
 
+    # SQL recomputation of the 64-bit word-3-gram SimHash (shared CTE for
+    # doc_simhash / doc_simhash_pairs): the engine's gram hash is the first
+    # 8 bytes of md5, chosen so DuckDB can recompute it bit-exactly
+    _SIMHASH_CTES = r"""
+        __words AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ), __pos AS (
+          SELECT doc_id, w,
+                 unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+          FROM __words
+        ), __gh AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(coalesce(
+                     array_to_string(list_slice(w, i, i + 2), ' '), '')),
+                     1, 16))::UBIGINT AS h
+          FROM __pos
+        ), __bits AS (
+          SELECT doc_id, h, unnest(generate_series(0, 63)) AS b FROM __gh
+        ), __acc AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN (h >> (63 - b)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM __bits GROUP BY doc_id, b
+        ), __sh AS (
+          SELECT doc_id,
+                 sum(CASE WHEN s > 0 THEN CAST(1 AS UBIGINT) << (63 - b)
+                     ELSE 0 END)::UBIGINT AS u
+          FROM __acc GROUP BY doc_id
+        )
+    """
+
     def _pagerank_sql(edges_sql: str, iters: int = 3) -> str:
         """Unrolled integer PageRank (ops/graph.py recurrence: rank0 =
         1e6; contrib = rank // max(outdeg, 1); rank = 150000 +
@@ -2115,6 +2147,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(2 * l_orderkey AS BIGINT) AS src,"
             " CAST(2 * l_suppkey + 1 AS BIGINT) AS dst FROM lineitem",
         ),
+        # full SimHash recomputed in SQL (shared md5 gram hash); the
+        # engine's banded pair algorithm is provably complete for
+        # max_hamming < bands, so the brute SQL pair scan is its oracle
+        "doc_simhash": "WITH " + _SIMHASH_CTES + """
+            SELECT doc_id,
+                   CAST(CAST(u AS HUGEINT) - 9223372036854775808 AS BIGINT)
+                       AS simhash,
+                   CAST(u >> 48 AS BIGINT) AS simhash_bucket
+            FROM __sh
+        """,
+        "doc_simhash_pairs": "WITH " + _SIMHASH_CTES + """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.u, b.u)) AS BIGINT) AS hamming
+            FROM __sh a JOIN __sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.u, b.u)) <= 3
+        """,
         # connected components over the planted doc-id graph: recursive-
         # CTE min-label reachability (same technique as the
         # kg_collapse_equivalences oracle)

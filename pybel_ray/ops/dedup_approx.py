@@ -469,12 +469,15 @@ def simhash64(text: str, ngram: int = 3) -> int:
     """64-bit SimHash over hashed word n-grams.
 
     Per-gram digests are batched into one matrix so the bit accumulation
-    is a single ``unpackbits`` + column sum instead of a loop.
+    is a single ``unpackbits`` + column sum instead of a loop.  The gram
+    hash is the first 8 bytes of md5 — shared with the DuckDB oracle
+    (`doc_simhash` / `doc_simhash_pairs`), which recomputes the whole
+    simhash in SQL.
     """
     words = text.lower().split()
     grams = [" ".join(words[i:i + ngram]) for i in range(max(1, len(words) - ngram + 1))]
     digests = b"".join(
-        hashlib.blake2b(g.encode("utf8"), digest_size=8).digest() for g in grams
+        hashlib.md5(g.encode("utf8")).digest()[:8] for g in grams
     )
     bits = np.unpackbits(
         np.frombuffer(digests, dtype=np.uint8).reshape(len(grams), 8), axis=1,
