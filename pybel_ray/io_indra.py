@@ -197,13 +197,18 @@ def _activity_modifier(activity: Optional[str]) -> dict:
 
 
 def _evidences(stmt: Mapping[str, Any]) -> list:
-    """(evidence_text, citation_dict|None) per evidence; one default."""
+    """(evidence_text, citation_dict|None) per evidence; one default.
+    ``pmid`` maps to a PubMed citation; otherwise the first (sorted)
+    ``text_refs`` entry becomes the citation database/id pair."""
     out = []
     for ev in stmt.get("evidence") or []:
         citation = None
         if ev.get("pmid"):
             citation = {CITATION_DB: "PubMed",
                         CITATION_IDENTIFIER: str(ev["pmid"])}
+        elif ev.get("text_refs"):
+            db, ident = sorted(ev["text_refs"].items())[0]
+            citation = {CITATION_DB: str(db), CITATION_IDENTIFIER: str(ident)}
         out.append((ev.get("text") or "", citation))
     return out or [("", None)]
 
@@ -273,14 +278,12 @@ def _emit_statement(em: _Emitter, stmt: Mapping[str, Any]) -> bool:
 
     if stype in ("IncreaseAmount", "DecreaseAmount"):
         subj, obj = stmt.get("subj"), stmt.get("obj")
-        if obj is None:
-            return False
+        if subj is None or obj is None:
+            return False  # subject-less amounts carry no BEL edge
         relation = (DIRECTLY_INCREASES if stype == "IncreaseAmount"
                     else DIRECTLY_DECREASES)
-        u_row = em.node(_agent_node(subj)) if subj is not None else None
+        u_row = em.node(_agent_node(subj))
         v_row = em.node(_agent_node(obj))
-        if u_row is None:
-            return False  # subject-less amounts carry no BEL edge
         em.qualified(u_row, v_row, relation, stmt)
         return True
 
@@ -299,7 +302,10 @@ def _emit_statement(em: _Emitter, stmt: Mapping[str, Any]) -> bool:
 
     if stype == "ActiveForm":
         agent = stmt.get("agent")
-        if agent is None:
+        if agent is None or not agent.get("mods"):
+            # a state-less ActiveForm (the state lived in bound conditions
+            # or mutations, which have no BEL pmod form here) would emit a
+            # vacuous self-edge — skip it, as INDRA's own assembler does
             return False
         base = dict(_agent_node(agent))
         base.pop(VARIANTS, None)
@@ -428,7 +434,8 @@ def _node_to_agent(node: Mapping[str, Any]) -> Optional[dict]:
 
 
 def _edge_to_statement(src: dict, dst: dict, relation: str,
-                       evidence: Optional[str], citation_id: Optional[str],
+                       evidence: Optional[str], citation_db: Optional[str],
+                       citation_id: Optional[str],
                        object_json: Optional[str]) -> Optional[dict]:
     """Inverse of :func:`_emit_statement` for one edge row."""
     if relation not in (DIRECTLY_INCREASES, DIRECTLY_DECREASES):
@@ -443,7 +450,11 @@ def _edge_to_statement(src: dict, dst: dict, relation: str,
         if evidence:
             ev["text"] = evidence
         if citation_id:
-            ev["pmid"] = citation_id
+            # only PubMed ids are pmids; everything else rides text_refs
+            if citation_db == "PubMed":
+                ev["pmid"] = citation_id
+            else:
+                ev["text_refs"] = {str(citation_db or "UNKNOWN"): citation_id}
         evidence_list = [ev]
 
     if obj_modifier and obj_modifier.get(MODIFIER) == ACTIVITY:
@@ -514,14 +525,18 @@ def to_indra_statements(graph: Graph, broadcast_budget: int = _NODE_BROADCAST_BU
     import pyarrow.compute as pc
 
     edge_cols = ["src_md5", "dst_md5", "relation", "evidence",
-                 "citation_id", "object_json"]
+                 "citation_db", "citation_id", "object_json"]
 
-    if graph.nodes.count() <= broadcast_budget:
+    # materialize the narrow projection ONCE: count + (broadcast drain or
+    # two join sides) would otherwise re-run the dedup lineage 2-3x
+    nodes_narrow = graph.nodes.select_columns(["md5", "node_json"]).materialize()
+
+    if nodes_narrow.count() <= broadcast_budget:
         import ray
 
         node_map = {
             r["md5"]: r["node_json"]
-            for r in graph.nodes.select_columns(["md5", "node_json"]).take_all()
+            for r in nodes_narrow.take_all()
         }
         node_map_ref = ray.put(node_map)
 
@@ -543,8 +558,6 @@ def to_indra_statements(graph: Graph, broadcast_budget: int = _NODE_BROADCAST_BU
         )
     else:  # beyond-budget path: two bucketed distributed joins
         from .ops.relational import equi_join
-
-        nodes_narrow = graph.nodes.select_columns(["md5", "node_json"])
 
         def _rename(col_from, col_to):
             def _f(t: pa.Table) -> pa.Table:
@@ -572,7 +585,7 @@ def to_indra_statements(graph: Graph, broadcast_budget: int = _NODE_BROADCAST_BU
         out = []
         cols = {c: t.column(c).to_pylist() for c in (
             "src_node_json", "dst_node_json", "relation", "evidence",
-            "citation_id", "object_json",
+            "citation_db", "citation_id", "object_json",
         )}
         for i in range(t.num_rows):
             src_json = cols["src_node_json"][i]
@@ -582,7 +595,8 @@ def to_indra_statements(graph: Graph, broadcast_budget: int = _NODE_BROADCAST_BU
             stmt = _edge_to_statement(
                 json.loads(src_json), json.loads(dst_json),
                 cols["relation"][i], cols["evidence"][i],
-                cols["citation_id"][i], cols["object_json"][i],
+                cols["citation_db"][i], cols["citation_id"][i],
+                cols["object_json"][i],
             )
             if stmt is not None:
                 out.append({"stmt_json": json.dumps(stmt, sort_keys=True)})

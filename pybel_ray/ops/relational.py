@@ -384,7 +384,13 @@ def groupby_quantiles(ds, keys, value_col: str, qs: Sequence[float],
     names = ["{}{:g}".format(prefix, q * 100) for q in qs]
     narrow = ds.select_columns(keys + [value_col])
 
-    if max_rows_per_group is not None and len(keys) == 1:
+    if max_rows_per_group is not None:
+        if len(keys) != 1:
+            raise ValueError(
+                "groupby_quantiles: max_rows_per_group (the skew probe) "
+                "supports a single key column; combine composite keys into "
+                "one column upstream",
+            )
         from ..ops.window import max_group_rows
 
         if max_group_rows(narrow, keys[0]) > max_rows_per_group:
@@ -406,37 +412,64 @@ def groupby_quantiles(ds, keys, value_col: str, qs: Sequence[float],
 
 def _quantiles_sorted(ds, key: str, value_col: str, qs, names):
     """Skew-proof exact per-group quantiles: ONE global sort by
-    (key, value), per-block (key, count) partials to the driver (result-
-    sized: one row per key per block), rank arithmetic picks the order
-    statistics inside each block, and a tiny final groupby assembles one
-    row per key.  No key group ever has to fit one worker.  Requires
-    non-null key/value (same contract as the other sorted paths); the
-    key column is emitted stringified (driver state is keyed by str)."""
+    (key, value, row-id), per-block (key, count) partials to the driver
+    (result-sized: one row per key per block), rank arithmetic picks the
+    order statistics inside each block, and a tiny driver assembly emits
+    one row per key.  No key group ever has to fit one worker.
+
+    A unique ``_rid`` column is attached before the sort so every row —
+    and therefore every block's first row — is distinct, which is what
+    lets the driver identify blocks by their first-row sort tuple even
+    when a hot key repeats one value across many blocks.  Rank order
+    among equal values follows ``_rid``, which cannot change any
+    quantile (equal values yield the same order statistic).  Requires
+    non-null key/value (same contract as the other sorted paths); key
+    values flow through natively (no stringification).
+    """
     import json as _json
+    import uuid
 
     import numpy as np
     import ray
 
-    sorted_ds = ds.sort([key, value_col]).materialize()
+    def _add_rid(t: pa.Table) -> pa.Table:
+        # unique, not deterministic — only uniqueness matters (see above)
+        base = uuid.uuid4().int & ((1 << 62) - 1)
+        rid = (np.full(t.num_rows, base, dtype=np.int64)
+               ^ np.arange(t.num_rows, dtype=np.int64))
+        return t.append_column("_rid", pa.array(rid, pa.int64()))
+
+    sorted_ds = ds.map_batches(_add_rid, batch_format="pyarrow") \
+        .sort([key, value_col, "_rid"]).materialize()
+
+    def _first_tup(t: pa.Table) -> str:
+        return _json.dumps(
+            (t.column(key)[0].as_py(), t.column(value_col)[0].as_py(),
+             t.column("_rid")[0].as_py()),
+            default=str,
+        )
 
     def _partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.Table.from_pydict({"_tup": [], "_key": [], "_n": []})
+            return pa.Table.from_pydict(
+                {"_tup": pa.array([], pa.string()),
+                 "_key": pa.array([], t.schema.field(key).type),
+                 "_n": pa.array([], pa.int64())},
+            )
         col = t.column(key)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         arr = col.to_numpy(zero_copy_only=False)
-        tup = _json.dumps(
-            (t.column(key)[0].as_py(), t.column(value_col)[0].as_py()),
-            default=str,
-        )
         # arr is sorted by key, so np.unique's sorted order == appearance
         uniq, counts = np.unique(arr, return_counts=True)
-        return pa.Table.from_pydict({
-            "_tup": [tup] * len(uniq),
-            "_key": [str(u) for u in uniq],
-            "_n": counts.astype("int64"),
-        })
+        return pa.Table.from_arrays(
+            [
+                pa.array([_first_tup(t)] * len(uniq), pa.string()),
+                pa.array(uniq.tolist(), t.schema.field(key).type),
+                pa.array(counts.astype("int64"), pa.int64()),
+            ],
+            names=["_tup", "_key", "_n"],
+        )
 
     partials = sorted_ds.map_batches(
         _partial, batch_format="pyarrow", batch_size=None,
@@ -457,47 +490,52 @@ def _quantiles_sorted(ds, key: str, value_col: str, qs, names):
             totals[r["_key"]] = totals.get(r["_key"], 0) + int(r["_n"])
     # target ranks per key: ceil(q*n)-1 clamped at 0
     targets = {
-        k: {max(int(np.ceil(q * n)) - 1, 0): None for q in qs}
+        k: np.unique([max(int(np.ceil(q * n)) - 1, 0) for q in qs])
         for k, n in totals.items()
     }
     state_ref = ray.put((offsets, targets))
 
     def _pick(t: pa.Table) -> pa.Table:
         schema = pa.schema([
-            ("_key", pa.string()), ("_rank", pa.int64()),
+            ("_key", t.schema.field(key).type), ("_rank", pa.int64()),
             ("_val", pa.float64()),
         ])
         if t.num_rows == 0:
             return pa.Table.from_pylist([], schema=schema)
-        import json as _json2
-
         offs, tgts = ray.get(state_ref)
-        tup = _json2.dumps(
-            (t.column(key)[0].as_py(), t.column(value_col)[0].as_py()),
-            default=str,
-        )
-        block_offs = offs[tup]
+        block_offs = offs[_first_tup(t)]
         arr = t.column(key).to_numpy(zero_copy_only=False)
         vals = t.column(value_col).to_numpy(zero_copy_only=False)
-        out = []
-        # local rank within each key run + the block's global offset
         n = len(arr)
         idx = np.arange(n)
         change = np.ones(n, dtype=bool)
         change[1:] = arr[1:] != arr[:-1]
-        start = np.maximum.accumulate(np.where(change, idx, 0))
-        ranks = idx - start
-        for i in range(n):
-            k = str(arr[i])
-            grank = block_offs[k] + int(ranks[i])
-            if grank in tgts[k]:
-                out.append({"_key": k, "_rank": grank,
-                            "_val": float(vals[i])})
-        return pa.Table.from_pylist(out, schema=schema)
+        run_starts = np.flatnonzero(change)
+        run_ends = np.r_[run_starts[1:], n]
+        out_keys, out_ranks, out_vals = [], [], []
+        # vectorized per key RUN (few runs per block, never per row)
+        for s, e in zip(run_starts, run_ends):
+            k = arr[s]
+            if hasattr(k, "item"):
+                k = k.item()
+            granks = block_offs[k] + (idx[s:e] - s)
+            hits = np.flatnonzero(np.isin(granks, tgts[k]))
+            for h in hits:
+                out_keys.append(k)
+                out_ranks.append(int(granks[h]))
+                out_vals.append(float(vals[s + h]))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_keys, t.schema.field(key).type),
+                pa.array(out_ranks, pa.int64()),
+                pa.array(out_vals, pa.float64()),
+            ],
+            names=["_key", "_rank", "_val"],
+        )
 
     picked = sorted_ds.map_batches(
         _pick, batch_format="pyarrow", batch_size=None,
-    ).take_all()  # result-sized: ≤ len(qs) rows per key
+    ).take_all()  # result-sized: <= len(qs) rows per key
     by_key: dict = {}
     for r in picked:
         by_key.setdefault(r["_key"], {})[r["_rank"]] = r["_val"]

@@ -156,3 +156,32 @@ def test_groupby_quantiles_sorted_path_matches_groupby(ray_session):
         ds, "g", "v", qs, max_rows_per_group=100,
     ).take_all())
     assert sorted_path == plain
+
+
+def test_groupby_quantiles_sorted_path_repeated_values(ray_session):
+    """Reviewer scenario: a hot key whose value repeats across many blocks
+    used to collapse block partials (identical first-row tuples) and
+    KeyError; the unique row-id tiebreak must keep it exact."""
+    import ray.data
+
+    from pybel_ray.ops.relational import groupby_quantiles
+
+    rows = [{"g": "A", "v": 0.0} for _ in range(4000)]
+    rows += [{"g": "A", "v": 9.0} for _ in range(100)]
+    rows += [{"g": "b", "v": float(i)} for i in range(11)]
+    ds = ray.data.from_items(rows).repartition(10)
+
+    out = {r["g"]: (r["q50"], r["q100"]) for r in groupby_quantiles(
+        ds, "g", "v", [0.5, 1.0], max_rows_per_group=100,
+    ).take_all()}
+    assert out["A"] == (0.0, 9.0)
+    assert out["b"] == (5.0, 10.0)
+    # key dtype preserved (int keys stay ints on the sorted path)
+    rows_int = [{"g": 7, "v": float(i)} for i in range(500)]
+    rows_int += [{"g": 8, "v": 1.0}]
+    out_int = groupby_quantiles(
+        ray.data.from_items(rows_int).repartition(6), "g", "v", [0.5],
+        max_rows_per_group=50,
+    ).take_all()
+    assert {r["g"] for r in out_int} == {7, 8}
+    assert all(isinstance(r["g"], int) for r in out_int)
