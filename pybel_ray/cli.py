@@ -197,6 +197,47 @@ def _write_triples_tsv(tables, path):
                 f.write("{}\t{}\t{}\n".format(r["h"], r["r"], r["t"]))
 
 
+@main.command(name="import")
+@click.argument("fmt")
+@click.argument("path")
+@click.option("-o", "--out", required=True,
+              help="Output graph directory (Parquet nodes/edges snapshot)")
+def import_cmd(fmt, path, out):
+    """Import an external format into a graph snapshot.
+
+    FMT is any registered importer: hetionet (json/bz2), indra
+    (statement-JSON list file), biopax (Level-3 OWL), nodelink, cx,
+    jgif, cbn_jgif.  The result lands as the engine's standard Parquet
+    nodes/edges checkpoint, readable by summarize/serialize.
+    """
+    _ray_init()
+    from .io_bulk import save_graph
+    from .io_registry import get_importer
+
+    importer = get_importer(fmt)
+    if fmt == "indra":
+        from .io_indra import from_indra_json_file
+
+        graph = from_indra_json_file(path)
+    elif fmt == "biopax":
+        graph = importer(path)
+    elif fmt == "hetionet":
+        if path.endswith(".bz2"):
+            from .io_hetionet import from_hetionet_gz
+
+            graph = from_hetionet_gz(path)
+        else:
+            with open(path) as f:
+                graph = importer(json.load(f))
+    else:  # json-document formats (nodelink/cx/jgif/...)
+        with open(path) as f:
+            graph = importer(json.load(f))
+    save_graph(graph, out)
+    click.echo("Imported {} -> {}".format(path, out))
+    for key, value in graph.summary_dict().items():
+        click.echo("  {}: {}".format(key, value))
+
+
 @main.command()
 def formats():
     """List registered I/O formats (the plugin registry)."""

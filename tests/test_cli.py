@@ -137,3 +137,45 @@ def test_from_cbn_jgif(ray_session):
     assert annotations["Tissue"] == {"liver": True}
     assert g.metadata["authors"] == "Causal Biological Networks Database"
     assert g.nodes.count() == 2
+
+
+def test_cli_import_biopax(ray_session, tmp_path):
+    import os
+
+    from click.testing import CliRunner
+
+    from pybel_ray.cli import main
+    from pybel_ray.io_bulk import load_graph
+
+    fixture = os.path.join(os.path.dirname(__file__), "corpora",
+                           "biopax_fixture.owl")
+    out = str(tmp_path / "graph")
+    result = CliRunner().invoke(main, ["import", "biopax", fixture, "-o", out])
+    assert result.exit_code == 0, result.output
+    g = load_graph(out)
+    assert g.edge_count() > 0 and g.node_count() > 0
+
+
+def test_cli_import_indra(ray_session, tmp_path):
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from pybel_ray.cli import main
+    from pybel_ray.io_bulk import load_graph
+
+    stmts = [{
+        "type": "Phosphorylation",
+        "enz": {"name": "MAP2K1", "db_refs": {"HGNC": "6840"}},
+        "sub": {"name": "MAPK1", "db_refs": {"HGNC": "6871"}},
+        "residue": "T", "position": "185",
+        "evidence": [{"text": "ev", "pmid": "1"}],
+    }]
+    path = tmp_path / "stmts.json"
+    path.write_text(_json.dumps(stmts))
+    out = str(tmp_path / "graph")
+    result = CliRunner().invoke(
+        main, ["import", "indra", str(path), "-o", out],
+    )
+    assert result.exit_code == 0, result.output
+    assert load_graph(out).edge_count() == 1
