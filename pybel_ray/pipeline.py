@@ -210,12 +210,26 @@ class KGTables:
             import ray.data
 
             cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            # coalesce the many small per-actor shards to ~one block per
+            # CPU — but ONLY while that keeps blocks reasonable: forcing
+            # cpus blocks on a multi-TB triples dir would build giant
+            # blocks, so above ~256MB/CPU let Ray size blocks itself
+            total_bytes = 0
+            try:
+                for root, _dirs, files in os.walk(self.triples_path):
+                    total_bytes += sum(
+                        os.path.getsize(os.path.join(root, f))
+                        for f in files if f.endswith(".parquet")
+                    )
+            except OSError:
+                total_bytes = 0
+            override = cpus if total_bytes <= cpus * (256 << 20) else None
             ds = ray.data.read_parquet(
                 self.triples_path,
                 schema=pa.schema([
                     ("h", pa.string()), ("r", pa.string()), ("t", pa.string()),
                 ]),
-                override_num_blocks=cpus,
+                override_num_blocks=override,
             )
 
             def _key(t: pa.Table) -> pa.Table:
