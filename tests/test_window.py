@@ -291,3 +291,30 @@ def test_asof_join_sorted_equal_ts_tiebreak(ray_session):
     by_ts = {r["ts"]: r["tag"] for r in gt}
     assert by_ts[100] is None  # strictly-less: no match at the equal ts
     assert all(tag == 7 for ts, tag in by_ts.items() if ts > 100)
+
+
+def test_interval_join_sorted_path_matches_groupby(ray_session):
+    """interval_join inherits asof_join's skew-proof sorted path."""
+    from pybel_ray.ops.window import interval_join
+
+    left = _ds([{"k": "hot", "ts": i * 7, "lx": i} for i in range(3000)],
+               blocks=8)
+    right = _ds([
+        {"k": "hot", "s": j * 3000, "e": j * 3000 + 2000, "tag": j}
+        for j in range(8)
+    ], blocks=2)
+
+    def _key(out):
+        return sorted((r["k"], r["ts"], r["tag"]) for r in out)
+
+    plain = _key(interval_join(
+        left, right, "k", "ts", "s", "e", {"tag": "tag"},
+    ).take_all())
+    sorted_path = _key(interval_join(
+        left, right, "k", "ts", "s", "e", {"tag": "tag"},
+        max_rows_per_group=100,
+    ).take_all())
+    assert sorted_path == plain
+    # gaps between intervals really produce nulls (containment enforced)
+    assert any(tag is None for _, _, tag in plain)
+    assert any(tag is not None for _, _, tag in plain)
