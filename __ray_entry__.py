@@ -58,7 +58,10 @@ _KG_CACHE: dict = {}
 #: kg_* aggregate oracles read — written by the query callables themselves
 #: (the driver runs the Ray query before its oracle SQL, as does the pytest
 #: mirror), refreshed whenever a different sf_dir is queried.
-_KG_SNAP_PATH = "/tmp/pybel_ray_kgsnap"
+# per-user+pid so concurrent drivers / pytest workers can't clobber each
+# other's snapshot mid-oracle; queries() and oracle_sql() always run in
+# the same process, so both sides see the same path
+_KG_SNAP_PATH = "/tmp/pybel_ray_kgsnap_{}_{}".format(os.getuid(), os.getpid())
 
 
 def _kg(sf_dir: str):
@@ -2034,8 +2037,8 @@ def oracle_sql() -> dict[str, str]:
         """.format(N=_N),
         "kg_subgraph_annotation": """
             SELECT * FROM {E}
-            WHERE annotations_json LIKE '%"Species":{{%'
-              AND annotations_json LIKE '%"9606":true%'
+            WHERE json_extract(annotations_json, '$.Species."9606"')
+                  = to_json(true)
         """.format(E=_E),
         "kg_sif_export":
             "SELECT src_bel, relation, dst_bel FROM {E}".format(E=_E),
@@ -2084,7 +2087,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM {E} e
                 LEFT JOIN map m1 ON e.src_md5 = m1.node
                 LEFT JOIN map m2 ON e.dst_md5 = m2.node
+                -- empty map = engine early return (equivalentTo rows kept)
                 WHERE e.relation <> 'equivalentTo'
+                   OR (SELECT count(*) FROM map) = 0
             ),
             dedup AS (
                 -- the engine returns the graph UNCHANGED when no victims

@@ -73,7 +73,10 @@ from .constants import (
     VARIANTS,
     AMINO_ACIDS,
 )
-from .struct.graph import EDGE_COLUMNS, NODE_COLUMNS, Graph, edge_row, node_row_from_dict
+from .struct.graph import (
+    EDGE_COLUMNS, NODE_COLUMNS, Graph, edge_row, emit_schema,
+    node_row_from_dict, pick_emitted,
+)
 
 __all__ = [
     "from_indra_statements",
@@ -355,31 +358,19 @@ def from_indra_statements(stmts: Iterable[Any], name: Optional[str] = None,
     if table.num_rows > num_blocks:
         ds = ds.repartition(num_blocks)
 
-    emit_schema = pa.schema(
-        [("_emit_kind", pa.string())]
-        + [(c, pa.string()) for c in NODE_COLUMNS]
-        + [(c, pa.string()) for c in EDGE_COLUMNS],
-    )
+    schema = emit_schema()
 
     def _emit(t: pa.Table) -> pa.Table:
         em = _Emitter()
         for payload in t.column("stmt_json").to_pylist():
             _emit_statement(em, json.loads(payload))
-        return pa.Table.from_pylist(em.rows, schema=emit_schema)
-
-    import pyarrow.compute as pc
+        return pa.Table.from_pylist(em.rows, schema=schema)
 
     emitted = ds.map_batches(_emit, batch_format="pyarrow").materialize()
 
-    def _pick(kind, columns):
-        def _f(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t.column("_emit_kind"), kind)).select(columns)
-
-        return emitted.map_batches(_f, batch_format="pyarrow")
-
     return Graph(
-        dedup_exact(_pick("node", NODE_COLUMNS), "md5"),
-        dedup_exact(_pick("edge", EDGE_COLUMNS), "edge_md5"),
+        dedup_exact(pick_emitted(emitted, "node", NODE_COLUMNS), "md5"),
+        dedup_exact(pick_emitted(emitted, "edge", EDGE_COLUMNS), "edge_md5"),
         metadata={"name": name or "INDRA", "version": version or "1.0.0"},
     )
 

@@ -299,9 +299,14 @@ def equi_join(
         )
         if how == "full":
             for lk, rk, typ in zip(lkeys, rk_names, ltypes):
-                merged = pc.coalesce(
-                    joined.column(lk), pc.cast(joined.column(rk), typ),
-                )
+                try:
+                    right_as_left = pc.cast(joined.column(rk), typ)
+                except pa.ArrowInvalid:
+                    # mixed-type keys (joined via the string-rendered _jk):
+                    # a right key that can't render in the left key's type
+                    # stays null rather than failing the whole join
+                    right_as_left = pa.nulls(joined.num_rows, typ)
+                merged = pc.coalesce(joined.column(lk), right_as_left)
                 joined = joined.set_column(
                     joined.schema.get_field_index(lk), lk, merged,
                 )
@@ -393,6 +398,7 @@ def groupby_quantiles(ds, keys, value_col: str, qs: Sequence[float],
             )
         from ..ops.window import max_group_rows
 
+        narrow = narrow.materialize()  # probe + op share one execution
         if max_group_rows(narrow, keys[0]) > max_rows_per_group:
             return _quantiles_sorted(narrow, keys[0], value_col, qs, names)
 

@@ -302,6 +302,25 @@ def _first_row_tuple(t: pa.Table, cols) -> tuple:
     return tuple(t.column(c)[0].as_py() for c in cols)
 
 
+def _with_unique_rid(ds):
+    """Attach a unique (NOT deterministic) ``_rid`` column.  Appended to a
+    sort key it makes every row — hence every block's first row — distinct,
+    so the boundary exchanges can identify blocks by first-row tuple even
+    when the semantic sort key repeats across a block boundary (duplicate
+    timestamps within a key used to collide in the boundaries dict and
+    silently corrupt the carried state).  Only uniqueness matters: rows
+    tied on the semantic key were already in arbitrary relative order."""
+    import uuid
+
+    def _add(t: pa.Table) -> pa.Table:
+        base = uuid.uuid4().int & ((1 << 62) - 1)
+        rid = (np.full(t.num_rows, base, dtype=np.int64)
+               ^ np.arange(t.num_rows, dtype=np.int64))
+        return t.append_column("_rid", pa.array(rid, pa.int64()))
+
+    return ds.map_batches(_add, batch_format="pyarrow")
+
+
 def _lag_sorted(ds, partition_col, order_cols, value_col, out_col):
     """Skew-proof lag: ONE distributed sort by (partition, order) + a
     boundary-row exchange (one row per block to the driver) instead of
@@ -313,8 +332,8 @@ def _lag_sorted(ds, partition_col, order_cols, value_col, out_col):
     import ray
 
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
-    sort_cols = [partition_col] + order_cols
-    sorted_ds = ds.sort(sort_cols).materialize()
+    sort_cols = [partition_col] + order_cols + ["_rid"]
+    sorted_ds = _with_unique_rid(ds).sort(sort_cols).materialize()
 
     def _partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -351,7 +370,8 @@ def _lag_sorted(ds, partition_col, order_cols, value_col, out_col):
     def _shift_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             vt = t.schema.field(value_col).type
-            return t.append_column(out_col, pa.array([], vt))
+            return t.append_column(out_col, pa.array([], vt)) \
+                .drop_columns(["_rid"])
         tup = _json.dumps(_first_row_tuple(t, sort_cols), default=str)
         b_key, b_val = ray.get(b_ref)[tup]
         keys = t.column(partition_col)
@@ -371,7 +391,7 @@ def _lag_sorted(ds, partition_col, order_cols, value_col, out_col):
         same = pa.concat_arrays([pa.array([True]), eq])
         lag = pc.if_else(pc.fill_null(same, False), shifted,
                          pa.scalar(None, vals.type))
-        return t.append_column(out_col, lag)
+        return t.append_column(out_col, lag).drop_columns(["_rid"])
 
     return sorted_ds.map_batches(
         _shift_block, batch_format="pyarrow", batch_size=None,
@@ -400,9 +420,11 @@ def lag_by(
     exchange — no group co-location at all).
     """
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
-    if max_rows_per_group is not None and \
-            max_group_rows(ds, partition_col) > max_rows_per_group:
-        return _lag_sorted(ds, partition_col, order_cols, value_col, out_col)
+    if max_rows_per_group is not None:
+        ds = ds.materialize()  # probe + op share one upstream execution
+        if max_group_rows(ds, partition_col) > max_rows_per_group:
+            return _lag_sorted(ds, partition_col, order_cols, value_col,
+                               out_col)
 
     def _shift(g: pa.Table) -> pa.Table:
         g = g.sort_by([(c, "ascending") for c in order_cols])
@@ -570,6 +592,8 @@ def asof_join(
         raise ValueError("inequality must be '>=' or '>'")
     use_sorted = False
     if max_rows_per_group is not None:
+        left = left.materialize()    # probe + join share one execution
+        right = right.materialize()
         worst = max(
             max_group_rows(left, key), max_group_rows(right, key),
         )
@@ -736,8 +760,8 @@ def _sessionize_sorted(ds, partition_col, ts_col, gap_us, out_col):
 
     import ray
 
-    sort_cols = [partition_col, ts_col]
-    sorted_ds = ds.sort(sort_cols).materialize()
+    sort_cols = [partition_col, ts_col, "_rid"]
+    sorted_ds = _with_unique_rid(ds).sort(sort_cols).materialize()
 
     def _block_stats(t: pa.Table):
         keys = t.column(partition_col)
@@ -764,12 +788,10 @@ def _sessionize_sorted(ds, partition_col, ts_col, gap_us, out_col):
         if t.num_rows == 0:
             return pa.Table.from_pydict({
                 "_tup": [], "_first_key": [], "_first_ts": [], "_last_key": [],
-                "_last_ts": [], "_nf_first": [], "_nf_last": [],
+                "_last_ts": [], "_nf_last": [],
             })
         keys, ts, new_key, flags, seq, run_start = _block_stats(t)
-        n = len(ts)
         starts = np.flatnonzero(new_key)
-        first_end = int(starts[1]) if len(starts) > 1 else n
         last_start = int(starts[-1])
         return pa.Table.from_pydict({
             "_tup": [_json.dumps(_first_row_tuple(t, sort_cols), default=str)],
@@ -777,7 +799,6 @@ def _sessionize_sorted(ds, partition_col, ts_col, gap_us, out_col):
             "_first_ts": [int(ts[0])],
             "_last_key": [keys[-1].as_py()],
             "_last_ts": [int(ts[-1])],
-            "_nf_first": [int(flags[:first_end].sum())],
             "_nf_last": [int(flags[last_start:].sum())],
         })
 
@@ -807,14 +828,16 @@ def _sessionize_sorted(ds, partition_col, ts_col, gap_us, out_col):
 
     def _apply(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t.append_column(out_col, pa.array([], pa.int64()))
+            return t.append_column(out_col, pa.array([], pa.int64())) \
+                .drop_columns(["_rid"])
         keys, ts, new_key, flags, seq, run_start = _block_stats(t)
         tup = _json2.dumps(_first_row_tuple(t, sort_cols), default=str)
         offset = ray.get(off_ref)[tup]
         # the offset applies only to the block's FIRST key run
         seq = seq.copy()
         seq[run_start == 0] += offset
-        return t.append_column(out_col, pa.array(seq, pa.int64()))
+        return t.append_column(out_col, pa.array(seq, pa.int64())) \
+            .drop_columns(["_rid"])
 
     return sorted_ds.map_batches(
         _apply, batch_format="pyarrow", batch_size=None,
@@ -839,15 +862,17 @@ def sessionize(
 
     Each key group must fit one worker.  ``max_rows_per_group`` adds a
     skew probe (one narrow groupby count): if any group exceeds it, the
-    skew-proof sorted path runs instead (sort + boundary exchange; the
-    first-row (key, ts) of each block must be unique, true whenever ts
-    is unique per key).
+    skew-proof sorted path runs instead (sort + boundary exchange; a
+    unique row-id sort tiebreak makes block identification safe even
+    with duplicate timestamps).
     """
     import pyarrow.compute as pc
 
-    if max_rows_per_group is not None and \
-            max_group_rows(ds, partition_col) > max_rows_per_group:
-        return _sessionize_sorted(ds, partition_col, ts_col, gap_us, out_col)
+    if max_rows_per_group is not None:
+        ds = ds.materialize()  # probe + op share one upstream execution
+        if max_group_rows(ds, partition_col) > max_rows_per_group:
+            return _sessionize_sorted(ds, partition_col, ts_col, gap_us,
+                                      out_col)
 
     def _sess(g: pa.Table) -> pa.Table:
         g = g.sort_by([(ts_col, "ascending")])

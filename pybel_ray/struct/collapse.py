@@ -177,15 +177,20 @@ def collapse_nodes(graph: Graph, survivor_map: SurvivorMap, drop_relations=()) -
             t = t.filter(
                 pc.invert(pc.is_in(t.column("relation"), value_set=pa.array(sorted(drop_relations)))),
             )
-        # fast path: batches touching no victim endpoint pass through
-        # untouched (victims ≪ edges, so most batches skip the Python work)
+        # fast path: batches touching no victim endpoint skip the Python
+        # rewrite (victims ≪ edges) — but self-edge dropping must still
+        # apply, or the operator's output would depend on which block a
+        # pre-existing self-edge landed in (the slow path drops them all;
+        # collapse_nodes_ds and the DuckDB oracle drop them globally)
         touched_mask = pc.or_(
             pc.is_in(t.column("src_md5"), value_set=victims),
             pc.is_in(t.column("dst_md5"), value_set=victims),
         )
         n_touched = pc.sum(pc.cast(touched_mask, pa.int64())).as_py() or 0
         if n_touched == 0:
-            return t
+            return t.filter(
+                pc.invert(pc.equal(t.column("src_md5"), t.column("dst_md5"))),
+            )
 
         src_md5 = t.column("src_md5").to_pylist()
         dst_md5 = t.column("dst_md5").to_pylist()

@@ -80,6 +80,27 @@ class Graph:
         return Graph(self.nodes.materialize(), self.edges.materialize(), self.metadata)
 
 
+def emit_schema() -> pa.Schema:
+    """Schema for a mixed node+edge emit table (importers / inference):
+    rows discriminated by ``_emit_kind``; explicit because ``from_pylist``
+    infers from the first row only and would drop the other kind's
+    columns."""
+    return pa.schema(
+        [("_emit_kind", pa.string())]
+        + [(c, pa.string()) for c in NODE_COLUMNS]
+        + [(c, pa.string()) for c in EDGE_COLUMNS],
+    )
+
+
+def pick_emitted(emitted, kind: str, columns):
+    """Project one row kind out of a mixed emit Dataset."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("_emit_kind"), kind)).select(columns)
+
+    return emitted.map_batches(_f, batch_format="pyarrow")
+
+
 def node_row_from_dict(node: dict) -> dict:
     """Build a node table row from a node dict (for synthesized nodes)."""
     from ..canon import bel_md5, canonical_json, node_to_bel

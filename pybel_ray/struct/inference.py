@@ -39,16 +39,9 @@ __all__ = [
 
 
 def _emit_schema():
-    from .graph import EDGE_COLUMNS, NODE_COLUMNS
+    from .graph import emit_schema
 
-    # one emitted table carries both node and edge rows, discriminated by
-    # _emit_kind; explicit schema because from_pylist infers from the first
-    # row only and would silently drop the other kind's columns
-    return pa.schema(
-        [("_emit_kind", pa.string())]
-        + [(c, pa.string()) for c in NODE_COLUMNS]
-        + [(c, pa.string()) for c in EDGE_COLUMNS],
-    )
+    return emit_schema()
 
 
 def _emit_parents(nodes_ds, child_function: str, parent_function: str, relation: str):
@@ -76,11 +69,9 @@ def _emit_parents(nodes_ds, child_function: str, parent_function: str, relation:
 
 
 def _pick(emitted, kind, columns):
-    def _f(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t.column("_emit_kind"), kind))
-        return t.select(columns)
+    from .graph import pick_emitted
 
-    return emitted.map_batches(_f, batch_format="pyarrow")
+    return pick_emitted(emitted, kind, columns)
 
 
 def _align(ds, columns):

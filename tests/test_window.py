@@ -318,3 +318,40 @@ def test_interval_join_sorted_path_matches_groupby(ray_session):
     # gaps between intervals really produce nulls (containment enforced)
     assert any(tag is None for _, _, tag in plain)
     assert any(tag is not None for _, _, tag in plain)
+
+
+def test_sorted_paths_with_duplicate_timestamps(ray_session):
+    """Reviewer scenario: duplicate (key, ts) rows spanning block
+    boundaries used to collide in the boundary dict (identical first-row
+    tuples) and corrupt the carried state; the unique row-id tiebreak
+    must keep lag/sessionize exact.  Values are a function of ts so the
+    lag multiset is well-defined under tie reordering."""
+    from pybel_ray.ops.window import lag_by, sessionize
+
+    rows = []
+    for i in range(1500):
+        ts = (i // 6) * 10  # every timestamp repeated 6x
+        rows.append({"k": "hot", "ts": ts, "v": ts * 3})
+    for i in range(10):
+        rows.append({"k": "cold", "ts": i * 100_000, "v": i})
+    ds = _ds(rows, blocks=9)
+
+    def _multiset(out, col):
+        return sorted(
+            (r["k"], r["ts"], -1 if r[col] is None else r[col]) for r in out
+        )
+
+    plain = _multiset(lag_by(ds, "k", "ts", "v").take_all(), "lag")
+    sorted_path = _multiset(
+        lag_by(ds, "k", "ts", "v", max_rows_per_group=100).take_all(), "lag",
+    )
+    assert sorted_path == plain
+
+    plain_s = _multiset(
+        sessionize(ds, "k", "ts", gap_us=5).take_all(), "session_seq",
+    )
+    sorted_s = _multiset(
+        sessionize(ds, "k", "ts", gap_us=5,
+                   max_rows_per_group=100).take_all(), "session_seq",
+    )
+    assert sorted_s == plain_s
