@@ -1032,6 +1032,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events"), "value", [0.5, 0.9, 0.99],
         )
 
+    def events_row_number_per_user(sf_dir):
+        from pybel_ray.ops.relational import row_number_per_group
+
+        out = row_number_per_group(
+            _read(sf_dir, "events"), "user_id", ["ts", "event_id"],
+        )
+        return out.select_columns(["user_id", "event_id", "rn"])
+
+    def events_distinct_types_per_user(sf_dir):
+        from pybel_ray.ops.relational import distinct_count_per_group
+
+        return distinct_count_per_group(
+            _read(sf_dir, "events"), "user_id", "event_type",
+        )
+
     def events_sessionize(sf_dir):
         # 30-minute-gap sessionization per user
         from pybel_ray.ops.window import sessionize
@@ -1676,6 +1691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_impute_value": events_impute_value,
         "events_rolling_max_value": events_rolling_max_value,
         "events_sessionize": events_sessionize,
+        "events_row_number_per_user": events_row_number_per_user,
+        "events_distinct_types_per_user": events_distinct_types_per_user,
         "customers_without_orders": customers_without_orders,
         "customers_with_orders": customers_with_orders,
         "events_lag_value": events_lag_value,
@@ -2193,6 +2210,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_count_by_type":
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        "events_row_number_per_user": """
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS rn
+            FROM events
+        """,
+        "events_distinct_types_per_user": """
+            SELECT user_id,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
+            FROM events GROUP BY user_id
+        """,
         "orders_count_by_status":
             "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
         "lineitem_pricing_summary": """

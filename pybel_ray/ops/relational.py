@@ -20,6 +20,8 @@ __all__ = [
     "broadcast_join",
     "topk",
     "distinct_values",
+    "distinct_count_per_group",
+    "row_number_per_group",
     "groupby_quantiles",
     "topk_per_group",
     "semi_join",
@@ -633,6 +635,76 @@ def topk(ds, key: str, k: int, descending: bool = True, tie_keys: Sequence[str] 
     keys = [key] + list(tie_keys)
     desc = [descending] + [False] * len(tie_keys)
     return ds.sort(keys, descending=desc).limit(k)
+
+
+def row_number_per_group(ds, keys, order_cols, out_col: str = "rn",
+                         descending: bool = False):
+    """``row_number() OVER (PARTITION BY keys ORDER BY order_cols)``
+    (1-based).  One ``groupby`` exchange; the numbering inside a group is
+    a vectorized sort + arange.  Deterministic iff ``order_cols`` are
+    unique within a group (make the last order column a unique id).
+    Group payloads must fit a worker (key-bounded groups); this is the
+    windowed sibling of :func:`topk_per_group` without the k cutoff,
+    so no combiner can shrink the shuffle.
+    """
+    import numpy as np
+
+    if isinstance(keys, str):
+        keys = [keys]
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    direction = "descending" if descending else "ascending"
+    order = [(c, direction) for c in order_cols]
+
+    def _number(g: pa.Table) -> pa.Table:
+        g = g.sort_by(order)
+        return g.append_column(
+            out_col, pa.array(np.arange(1, g.num_rows + 1), pa.int64()),
+        )
+
+    return ds.groupby(list(keys)).map_groups(_number, batch_format="pyarrow")
+
+
+def distinct_count_per_group(ds, keys, value_col: str, out_col: str = "n_distinct"):
+    """Exact ``count(DISTINCT value) GROUP BY keys``.
+
+    Two-level: each batch emits its distinct (keys, value) pairs (the
+    combiner — repeated values collapse before the exchange), ONE
+    ``groupby(keys ∪ value)``-equivalent exchange dedups globally via
+    the bucketed exact-dedup on a composite string key, then a per-batch
+    bincount + small ``groupby(keys).sum`` counts survivors.  Never
+    co-locates a whole key group, so hot keys are safe (their distinct
+    PAIRS spread across buckets).
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    keys = list(keys)
+    from ..stages.dedup import dedup_exact
+
+    def _local_pairs(t: pa.Table) -> pa.Table:
+        t = t.select(keys + [value_col])
+        parts = [pc.cast(t.column(c), pa.string()) for c in keys + [value_col]]
+        composite = parts[0]
+        for p in parts[1:]:
+            composite = pc.binary_join_element_wise(composite, p, "\x1f")
+        t = t.append_column("_pair", composite)
+        # first-occurrence dedup within the batch (the combiner)
+        from ..stages.dedup import local_dedup_table
+
+        return local_dedup_table(t, "_pair")
+
+    pairs = ds.map_batches(_local_pairs, batch_format="pyarrow")
+    deduped = dedup_exact(pairs, "_pair")
+
+    def _partial_counts(t: pa.Table) -> pa.Table:
+        out = t.select(keys)
+        out = out.append_column(
+            out_col, pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+        )
+        return out
+
+    partial = deduped.map_batches(_partial_counts, batch_format="pyarrow")
+    return groupby_agg(partial, keys, {out_col: ("sum", out_col)})
 
 
 def distinct_values(ds, column: str):
