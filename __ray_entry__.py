@@ -2210,6 +2210,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_count_by_type":
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        "doc_fingerprints": r"""
+            -- the engine's polynomial rolling hash (base 257, natural
+            -- uint64 wraparound) recomputed with HUGEINT modular
+            -- arithmetic: a recursive power table + one term-sum per doc
+            WITH RECURSIVE streams AS (
+              SELECT doc_id,
+                     regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+                         || ' ' AS s
+              FROM documents
+            ), maxlen AS (
+              SELECT max(length(s)) AS m FROM streams
+            ), pow(k, p) AS (
+              SELECT 0, CAST(1 AS HUGEINT)
+              UNION ALL
+              SELECT k + 1, (p * 257) % 18446744073709551616
+              FROM pow WHERE k < (SELECT m FROM maxlen)
+            ), chars AS (
+              SELECT doc_id, length(s) AS n,
+                     unnest(generate_series(1, length(s))) AS i, s
+              FROM streams
+            ), terms AS (
+              SELECT c.doc_id,
+                     CAST(ascii(substr(c.s, c.i, 1)) AS HUGEINT) * pw.p AS term
+              FROM chars c JOIN pow pw ON pw.k = c.n - c.i
+            ), h AS (
+              SELECT doc_id, sum(term) % 18446744073709551616 AS u
+              FROM terms GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN u >= 9223372036854775808
+                        THEN u - 18446744073709551616 ELSE u END AS BIGINT)
+                       AS fingerprint
+            FROM h
+        """,
         "events_row_number_per_user": """
             SELECT user_id, event_id,
                    CAST(row_number() OVER (
