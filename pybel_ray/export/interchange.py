@@ -9,7 +9,7 @@ interchange is the Parquet node/edge pair.
 from __future__ import annotations
 
 import json
-from typing import Optional
+from typing import List, Optional
 
 from ..struct.graph import Graph
 from .bel_script import edge_to_bel_statement
@@ -94,17 +94,22 @@ def from_cx(aspects: list) -> Graph:
     for a in by_name.get("edgeAttributes", []):
         edge_attr.setdefault(a["po"], {})[a["n"]] = a["v"]
 
-    # assemble a nodelink document and reuse its importer
+    # assemble a nodelink document and reuse its importer; CX node @ids
+    # are arbitrary (NDEx emits sparse ids), so edges are wired through an
+    # @id -> list-position map, never positionally
     nodes = []
-    for n in by_name["nodes"]:
+    node_pos = {}
+    for pos, n in enumerate(by_name["nodes"]):
         node = json.loads(node_attr[n["@id"]]["json"])
         node["id"] = bel_md5(n["n"])
         node["bel"] = n["n"]
         nodes.append(node)
+        node_pos[n["@id"]] = pos
     links = []
     for e in by_name["edges"]:
         attrs = edge_attr.get(e["@id"], {})
-        link = {"relation": e["i"], "source": e["s"], "target": e["t"]}
+        link = {"relation": e["i"], "source": node_pos[e["s"]],
+                "target": node_pos[e["t"]]}
         if "key" in attrs:
             link["key"] = attrs["key"]
         if "evidence" in attrs:
@@ -264,14 +269,16 @@ def from_jgif(doc: dict) -> Graph:
             continue
         for evidence in edge_metadata.get("evidences") or []:
             citation = evidence.get("citation")
-            if not citation or "type" not in citation or "id" not in citation:
+            if not citation or not citation.get("type") \
+                    or citation.get("id") in (None, ""):
                 continue
             summary_text = (evidence.get("summary_text") or "").strip()
             if not summary_text or summary_text == PLACEHOLDER_EVIDENCE:
                 continue
             parser.control.clear()
-            parser.control.citation_db = citation["type"].strip()
-            parser.control.citation_db_id = citation["id"].strip()
+            # ids may arrive as ints in third-party JGIF
+            parser.control.citation_db = str(citation["type"]).strip()
+            parser.control.citation_db_id = str(citation["id"]).strip()
             parser.control.evidence = summary_text
             for key, value in (evidence.get("experiment_context") or {}).items():
                 # accept {v: True} maps (our to_jgif), lists, or scalars
@@ -328,9 +335,10 @@ def map_cbn(doc: dict) -> dict:
                     continue
                 key = key.strip().lower()
                 if key == "species_common_name":
-                    new_context["Species"] = CBN_SPECIES_MAP[
-                        value.lower() if isinstance(value, str) else value
-                    ]
+                    lookup = value.lower() if isinstance(value, str) else value
+                    # unmapped species pass through verbatim (reference's
+                    # map covers human/rat/mouse only; don't abort the doc)
+                    new_context["Species"] = CBN_SPECIES_MAP.get(lookup, value)
                 elif key in CBN_ANNOTATION_MAP:
                     new_context[CBN_ANNOTATION_MAP[key]] = value
                 else:
@@ -434,6 +442,12 @@ def to_graphdati_jsonl_dir(graph: Graph, path: str, metadata: Optional[dict] = N
     from ..struct.degree import bucketed_attach
 
     os.makedirs(path, exist_ok=True)
+    # clear stale shards: shard names depend on batch content/boundaries,
+    # so a re-export over a mutated graph would otherwise leave orphaned
+    # part files from the previous run mixed into the directory
+    for stale in os.listdir(path):
+        if stale.startswith("part-") and stale.endswith(".jsonl"):
+            os.unlink(os.path.join(path, stale))
     metadata = dict(metadata or {})
 
     def _rename(col_from: str, col_to: str):

@@ -190,15 +190,44 @@ def relation_filter(relations: Union[str, Iterable[str]]) -> Mask:
 
 
 def annotation_value_filter(key: str, value: str) -> Mask:
-    """Edges annotated with key=value (annotations map column probe)."""
-    needle = '"{}":{{'.format(key)
+    """Edges annotated with key=value.
+
+    Two-phase: a cheap vectorized substring prefilter (both needles
+    anywhere in the JSON) selects candidates, then only those rows pay a
+    JSON parse that verifies the value sits under THE key — a value
+    match under a different annotation key must not count (the same
+    contract as the DuckDB oracle's ``json_extract``).
+    """
+    import json as _json
+
+    key_needle = '"{}":{{'.format(key)
+    value_needle = '"{}":true'.format(value)
 
     def mask(t: pa.Table) -> pa.Array:
-        has_key = _json_contains(t.column("annotations_json"), needle)
-        has_value = _json_contains(
-            t.column("annotations_json"), '"{}":true'.format(value),
+        col = t.column("annotations_json")
+        candidates = pc.and_(
+            _json_contains(col, key_needle),
+            _json_contains(col, value_needle),
         )
-        return pc.and_(has_key, has_value)
+        if isinstance(candidates, pa.ChunkedArray):
+            candidates = candidates.combine_chunks()
+        cand_np = candidates.to_numpy(zero_copy_only=False)
+        if not cand_np.any():
+            return candidates
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out = cand_np.copy()
+        import numpy as np
+
+        for i in np.flatnonzero(cand_np):
+            payload = col[int(i)].as_py()
+            try:
+                annotations = _json.loads(payload)
+            except (TypeError, ValueError):
+                out[i] = False
+                continue
+            out[i] = bool((annotations.get(key) or {}).get(value))
+        return pa.array(out)
 
     return mask
 

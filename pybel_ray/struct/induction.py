@@ -138,15 +138,28 @@ def get_subgraph_by_neighborhood(graph: Graph, seed_md5s: Iterable[str], hops: i
     return subgraph(graph, ids)
 
 
+def _causal_subgraph(graph: Graph, ids) -> Graph:
+    """Induce over ``ids`` keeping CAUSAL edges only — a causal expansion
+    must not pull associations/correlations between the grown nodes into
+    the result (they were never on a causal path)."""
+    from .filters import filter_edges, relation_filter
+
+    sub = subgraph(graph, ids)
+    return Graph(sub.nodes, filter_edges(sub.edges,
+                                         relation_filter(CAUSAL_RELATIONS)),
+                 sub.metadata)
+
+
 def expand_upstream(graph: Graph, seed_md5s: Iterable[str], hops: int = 1) -> Graph:
-    """Upstream causal expansion (expansion/upstream.py)."""
+    """Upstream causal expansion (expansion/upstream.py): grow via causal
+    in-edges, induce causal edges among the grown set."""
     ids = _expand(graph, set(seed_md5s), hops, "in", relations=CAUSAL_RELATIONS)
-    return subgraph(graph, ids)
+    return _causal_subgraph(graph, ids)
 
 
 def expand_downstream(graph: Graph, seed_md5s: Iterable[str], hops: int = 1) -> Graph:
     ids = _expand(graph, set(seed_md5s), hops, "out", relations=CAUSAL_RELATIONS)
-    return subgraph(graph, ids)
+    return _causal_subgraph(graph, ids)
 
 
 def get_random_subgraph(
@@ -311,7 +324,7 @@ def get_random_path(
 
 
 def get_subgraph_by_shortest_paths(
-    graph: Graph, seed_md5s, weight: bool = False, max_hops: int = 6,
+    graph: Graph, seed_md5s, max_hops: int = 6,
 ) -> Graph:
     """Induce over nodes on shortest paths between seeds
     (reference induction/paths.py:82).

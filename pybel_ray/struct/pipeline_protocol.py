@@ -29,11 +29,29 @@ _REGISTRY: Dict[str, Callable] = {}
 _UNIVERSE_REGISTRY: Dict[str, Callable] = {}
 
 
+def _keep_metadata(fn, graph_arg_index: int):
+    """Wrap a transformation so the input graph's metadata survives:
+    transformations rebuild Graph(nodes, edges) freely, and without this
+    every pipeline step would silently strip provenance (name/authors/...)
+    from the result."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        out = fn(*args, **kwargs)
+        source = args[graph_arg_index]
+        if isinstance(out, Graph) and not out.metadata and source.metadata:
+            out.metadata = dict(source.metadata)
+        return out
+
+    return wrapper
+
+
 def transformation(name: Optional[str] = None):
     """Register a Graph -> Graph transformation under a stable name."""
 
     def decorator(fn):
-        _REGISTRY[name or fn.__name__] = fn
+        _REGISTRY[name or fn.__name__] = _keep_metadata(fn, 0)
         return fn
 
     return decorator
@@ -45,7 +63,7 @@ def uni_transformation(name: Optional[str] = None):
     with content drawn from the stored universe graph."""
 
     def decorator(fn):
-        _UNIVERSE_REGISTRY[name or fn.__name__] = fn
+        _UNIVERSE_REGISTRY[name or fn.__name__] = _keep_metadata(fn, 1)
         return fn
 
     return decorator
@@ -233,6 +251,33 @@ class Query:
 
 # -- built-in registered transformations ------------------------------------
 
+def _remove_nodes_by_function(graph: Graph, function: str) -> Graph:
+    """Drop all nodes of one BEL function + every touching edge — the
+    shared body of remove_pathologies / remove_biological_processes
+    (deletion/deletion.py:55-77)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .graph import bel_function_of
+
+    def _nodes(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.equal(t.column("function"), function)))
+
+    def _edges(t: pa.Table) -> pa.Table:
+        src_ok = pc.invert(pc.fill_null(
+            pc.equal(bel_function_of(t.column("src_bel")), function), False,
+        ))
+        dst_ok = pc.invert(pc.fill_null(
+            pc.equal(bel_function_of(t.column("dst_bel")), function), False,
+        ))
+        return t.filter(pc.and_(src_ok, dst_ok))
+
+    return Graph(
+        graph.nodes.map_batches(_nodes, batch_format="pyarrow"),
+        graph.edges.map_batches(_edges, batch_format="pyarrow"),
+    )
+
+
 def _register_builtins():
     from .collapse import collapse_all_variants, collapse_equivalences, collapse_to_genes
     from .filters import EDGE_PREDICATES, filter_edges
@@ -258,28 +303,9 @@ def _register_builtins():
     @transformation("remove_pathologies")
     def remove_pathologies(graph: Graph) -> Graph:
         """Drop pathology nodes + their edges (deletion/deletion.py:55-66)."""
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
         from ..constants import PATHOLOGY
-        from .graph import bel_function_of
 
-        def _nodes(t: pa.Table) -> pa.Table:
-            return t.filter(pc.invert(pc.equal(t.column("function"), PATHOLOGY)))
-
-        def _edges(t: pa.Table) -> pa.Table:
-            src_ok = pc.invert(pc.fill_null(
-                pc.equal(bel_function_of(t.column("src_bel")), PATHOLOGY), False,
-            ))
-            dst_ok = pc.invert(pc.fill_null(
-                pc.equal(bel_function_of(t.column("dst_bel")), PATHOLOGY), False,
-            ))
-            return t.filter(pc.and_(src_ok, dst_ok))
-
-        return Graph(
-            graph.nodes.map_batches(_nodes, batch_format="pyarrow"),
-            graph.edges.map_batches(_edges, batch_format="pyarrow"),
-        )
+        return _remove_nodes_by_function(graph, PATHOLOGY)
 
     @transformation("remove_isolated_nodes")
     def remove_isolated_nodes(graph: Graph) -> Graph:
@@ -330,23 +356,7 @@ def _register_more_builtins():
     @transformation("remove_biological_processes")
     def remove_biological_processes(graph: Graph) -> Graph:
         """Drop bp nodes + their edges (deletion/deletion.py:69-77)."""
-
-        def _nodes(t: pa.Table) -> pa.Table:
-            return t.filter(pc.invert(pc.equal(t.column("function"), BIOPROCESS)))
-
-        def _edges(t: pa.Table) -> pa.Table:
-            src_ok = pc.invert(pc.fill_null(
-                pc.equal(bel_function_of(t.column("src_bel")), BIOPROCESS), False,
-            ))
-            dst_ok = pc.invert(pc.fill_null(
-                pc.equal(bel_function_of(t.column("dst_bel")), BIOPROCESS), False,
-            ))
-            return t.filter(pc.and_(src_ok, dst_ok))
-
-        return Graph(
-            graph.nodes.map_batches(_nodes, batch_format="pyarrow"),
-            graph.edges.map_batches(_edges, batch_format="pyarrow"),
-        )
+        return _remove_nodes_by_function(graph, BIOPROCESS)
 
     @transformation("remove_isolated_list_abundances")
     def remove_isolated_list_abundances(graph: Graph) -> Graph:
