@@ -1270,6 +1270,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array([est], pa.int64())], names=["n_distinct"],
         )
 
+    def corpus_cms_heavy_hitters(sf_dir):
+        # Count-Min sketch heavy hitters: width 32 over a 31-word
+        # vocabulary forces real collisions, so the estimates exercise
+        # the min-over-rows upper bound, and the DuckDB oracle recomputes
+        # the identical sketch (same md5-slice hashes, same width/depth)
+        from pybel_ray.ops.sketch import cms_heavy_hitters
+
+        return cms_heavy_hitters(
+            _read(sf_dir, "documents"), threshold=800, width=32, depth=2,
+        )
+
+    def corpus_inverted_index(sf_dir):
+        from pybel_ray.ops.text import inverted_index
+
+        return inverted_index(_read(sf_dir, "documents"), min_df=5)
+
+    def doc_entity_pmi(sf_dir):
+        from pybel_ray.ops.linking import link_entities, pmi_scores
+
+        docs = _read(sf_dir, "documents")
+        links = link_entities(docs, _aliases(sf_dir))
+        uni = links.map_batches(
+            lambda t: t.filter(pc.equal(t.column("gram"), 1)),
+            batch_format="pyarrow",
+        )
+        return pmi_scores(uni, n_docs=docs.count())
+
     def doc_token_percentile_filter(sf_dir):
         # composition: keep docs at or above the corpus p25 token count
         # (global quantile computed distributed, broadcast as a scalar)
@@ -1702,6 +1729,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_shards": doc_token_shards,
         "doc_tfidf_topk": doc_tfidf_topk,
         "doc_distinct_words_kmv": doc_distinct_words_kmv,
+        "corpus_cms_heavy_hitters": corpus_cms_heavy_hitters,
+        "corpus_inverted_index": corpus_inverted_index,
+        "doc_entity_pmi": doc_entity_pmi,
         "doc_token_percentile_filter": doc_token_percentile_filter,
         "doc_sample_k_per_source": doc_sample_k_per_source,
         "doc_pretrain_pipeline": doc_pretrain_pipeline,
@@ -2476,6 +2506,30 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id = b.doc_id AND a.curie < b.curie
             GROUP BY 1, 2
         """.format(links=_ENTITY_LINKS_SQL),
+        "doc_entity_pmi": """
+            WITH links AS ({links}),
+            dc AS (SELECT DISTINCT doc_id, curie FROM links WHERE gram = 1),
+            ec AS (
+                SELECT curie, CAST(count(*) AS DOUBLE) AS n
+                FROM dc GROUP BY curie
+            ),
+            pairs AS (
+                SELECT a.curie AS curie_a, b.curie AS curie_b,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM dc a JOIN dc b
+                  ON a.doc_id = b.doc_id AND a.curie < b.curie
+                GROUP BY 1, 2
+            ),
+            nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+            SELECT p.curie_a, p.curie_b, p.n_ab,
+                   CAST(floor(
+                       ln((nd.n * CAST(p.n_ab AS DOUBLE)) / (ea.n * eb.n))
+                       * 1000000 + 0.5) AS BIGINT) AS pmi_e6
+            FROM pairs p
+            JOIN ec ea ON ea.curie = p.curie_a
+            JOIN ec eb ON eb.curie = p.curie_b
+            CROSS JOIN nd
+        """.format(links=_ENTITY_LINKS_SQL),
         "graph_pagerank": """
             WITH edges AS (
                 SELECT 2 * l_orderkey AS src, 2 * l_suppkey + 1 AS dst
@@ -2847,6 +2901,45 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             GROUP BY word ORDER BY n DESC, word LIMIT 50
+        """,
+        "corpus_cms_heavy_hitters": r"""
+            WITH words AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+                FROM documents
+            ),
+            counts AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS n
+                FROM words GROUP BY word
+            ),
+            slots AS (
+                SELECT word, n, i,
+                       ('0x' || substr(md5(word), 1 + 8*i, 8))::BIGINT % 32
+                           AS slot
+                FROM counts CROSS JOIN (SELECT unnest([0, 1]) AS i) d
+            ),
+            cells AS (
+                SELECT i, slot, sum(n) AS cell FROM slots GROUP BY i, slot
+            ),
+            est AS (
+                SELECT s.word, CAST(min(c.cell) AS BIGINT) AS est_n
+                FROM slots s JOIN cells c ON c.i = s.i AND c.slot = s.slot
+                GROUP BY s.word
+            )
+            SELECT word, est_n FROM est WHERE est_n >= 800
+        """,
+        "corpus_inverted_index": r"""
+            WITH pairs AS (
+                SELECT DISTINCT doc_id, word FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\s+'))
+                               AS word
+                    FROM documents
+                )
+            )
+            SELECT word, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                       AS postings
+            FROM pairs GROUP BY word HAVING count(*) >= 5
         """,
         "events_value_quantiles": """
             SELECT event_type,

@@ -50,6 +50,7 @@ __all__ = [
     "link_entities_trie",
     "entity_link_counts",
     "cooccurrence_edges",
+    "pmi_scores",
 ]
 
 #: one-split-regex tokenization shared with the DuckDB oracle
@@ -666,3 +667,56 @@ def cooccurrence_edges(links, id_col: str = "doc_id"):
     return partial.groupby(["curie_a", "curie_b"]).map_groups(
         _sum, batch_format="pyarrow",
     )
+
+
+def pmi_scores(links, n_docs: int, id_col: str = "doc_id"):
+    """PMI-scored co-occurrence edges: ``(curie_a, curie_b, n_ab,
+    pmi_e6)`` where ``pmi = ln(n_docs · n_ab / (n_a · n_b))`` over
+    document frequencies, quantized to integer micros
+    (``floor(pmi·1e6 + 0.5)``) so a DuckDB oracle hash-compares exactly.
+
+    The relation-candidate scorer on top of :func:`cooccurrence_edges`
+    (KG construction: co-mention strength normalized by marginal entity
+    frequency).  Per-entity doc counts come from the skew-safe
+    :func:`~pybel_ray.ops.relational.distinct_count_per_group`; that
+    table is bounded by the linking registry (entities, not documents),
+    so it broadcasts via one ``ray.put`` and the scoring pass is one
+    vectorized ``pc.index_in`` probe per batch — no extra exchange
+    beyond the two inside the upstream aggregations.
+    """
+    import ray
+
+    from .relational import distinct_count_per_group
+
+    edges = cooccurrence_edges(links, id_col)
+    counts = distinct_count_per_group(
+        links.select_columns([id_col, "curie"]), "curie", id_col,
+    )
+    lkp = pa.concat_tables(
+        list(counts.iter_batches(batch_format="pyarrow")),
+    ).combine_chunks()
+    ref = ray.put(lkp)
+    n_total = float(n_docs)
+
+    def _score(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = m.column("curie").combine_chunks()
+        nd = m.column("n_distinct").combine_chunks()
+        ia = pc.index_in(t.column("curie_a"), value_set=keys)
+        ib = pc.index_in(t.column("curie_b"), value_set=keys)
+        na = pc.take(nd, ia).to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = pc.take(nd, ib).to_numpy(zero_copy_only=False).astype(np.float64)
+        nab = t.column("n_docs").to_numpy(zero_copy_only=False).astype(np.float64)
+        # operation order mirrors the SQL oracle literally:
+        # ln((N * n_ab) / (n_a * n_b))
+        pmi = np.log((n_total * nab) / (na * nb))
+        q = np.floor(pmi * 1e6 + 0.5).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column("curie_a"), t.column("curie_b"),
+                t.column("n_docs"), pa.array(q, pa.int64()),
+            ],
+            names=["curie_a", "curie_b", "n_ab", "pmi_e6"],
+        )
+
+    return edges.map_batches(_score, batch_format="pyarrow")

@@ -27,7 +27,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["approx_distinct", "kmv_partials"]
+__all__ = [
+    "approx_distinct",
+    "kmv_partials",
+    "cms_from_partials",
+    "cms_heavy_hitters",
+    "CMS_MAX_DEPTH",
+]
 
 
 def _hash64(values) -> np.ndarray:
@@ -80,3 +86,122 @@ def approx_distinct(ds, col: str, k: int = 1024) -> int:
         return int(len(merged))
     h_k = float(merged[-1]) / float(2**64)
     return int(round((k - 1) / h_k))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+#: the d hash rows slice disjoint 8-hex-char (32-bit) windows of ONE md5
+#: per value — so a DuckDB oracle recomputes the identical sketch with
+#: ``('0x' || substr(md5(word), 1+8*i, 8))::BIGINT % width``
+CMS_MAX_DEPTH = 4
+
+
+def _cms_slots(values, width: int, depth: int) -> np.ndarray:
+    """(depth, n) slot indices; one md5 per value, sliced per row."""
+    out = np.empty((depth, len(values)), np.int64)
+    for j, v in enumerate(values):
+        h = hashlib.md5(str(v).encode("utf8")).hexdigest()  # noqa: S324
+        for i in range(depth):
+            out[i, j] = int(h[8 * i:8 * i + 8], 16) % width
+    return out
+
+
+def cms_from_partials(
+    partials,
+    value_col: str = "word",
+    count_col: str = "n",
+    width: int = 4096,
+    depth: int = 4,
+):
+    """Fold ``(value, count)`` partial rows into a Count-Min matrix.
+
+    Every batch folds its own rows into a LOCAL ``(depth, width)``
+    int64 matrix and emits only the nonzero cells as ``(cell, n)`` rows
+    (cell = row·width + slot) — so however large the corpus, the merge
+    traffic is bounded by ``depth × width`` per batch and the driver
+    merge is a streaming O(depth·width) accumulation: no groupby
+    exchange anywhere.  Estimates are the classic CMS upper bound:
+    ``est(v) = min_i M[i, slot_i(v)] ≥ true(v)``.
+    """
+    if not 1 <= depth <= CMS_MAX_DEPTH:
+        raise ValueError("depth must be in 1..%d" % CMS_MAX_DEPTH)
+
+    def _fold(t: pa.Table) -> pa.Table:
+        vals = t.column(value_col).to_pylist()
+        n = t.column(count_col).to_numpy(zero_copy_only=False)
+        local = np.zeros((depth, width), np.int64)
+        if vals:
+            slots = _cms_slots(vals, width, depth)
+            for i in range(depth):
+                np.add.at(local[i], slots[i], n)
+        cells = np.flatnonzero(local.ravel())
+        return pa.Table.from_arrays(
+            [pa.array(cells, pa.int64()),
+             pa.array(local.ravel()[cells], pa.int64())],
+            names=["cell", "n"],
+        )
+
+    folded = partials.map_batches(_fold, batch_format="pyarrow")
+    matrix = np.zeros(depth * width, np.int64)
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        cells = b.column("cell").to_numpy(zero_copy_only=False)
+        np.add.at(matrix, cells, b.column("n").to_numpy(zero_copy_only=False))
+    return matrix.reshape(depth, width)
+
+
+def cms_heavy_hitters(
+    ds,
+    text_col: str = "text",
+    threshold: int = 100,
+    width: int = 4096,
+    depth: int = 4,
+):
+    """Heavy-hitter words by Count-Min estimate: every word whose CMS
+    estimate is ≥ ``threshold`` — a guaranteed SUPERSET of the true heavy
+    hitters (CMS never underestimates).
+
+    Two streaming passes over the token stream, NO full-vocabulary
+    exchange (the point of the sketch at 100 TB): pass 1 folds per-batch
+    token counts into the fixed-size matrix; pass 2 broadcasts the matrix
+    (``ray.put`` once), re-scans each batch's distinct words, and emits
+    only candidates — the final dedup groupby moves one row per
+    (candidate, batch), a tiny fraction of the vocabulary.
+    Returns a Dataset of ``(word, est_n)``.
+    """
+    import ray
+
+    from .relational import groupby_agg
+    from .text import token_count_partials
+
+    partials = token_count_partials(ds, text_col)
+    matrix = cms_from_partials(partials, "word", "n", width, depth)
+    ref = ray.put(matrix)
+
+    def _candidates(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        vals = t.column("word").to_pylist()
+        if not vals:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["word", "est_n"],
+            )
+        slots = _cms_slots(vals, width, depth)
+        est = np.min(
+            np.stack([m[i, slots[i]] for i in range(depth)]), axis=0,
+        )
+        keep = est >= threshold
+        return pa.Table.from_arrays(
+            [pc.filter(t.column("word"), pa.array(keep)),
+             pa.array(est[keep], pa.int64())],
+            names=["word", "est_n"],
+        )
+
+    # the second token scan re-executes the tokenize lineage (the standard
+    # two-pass trade: re-reading beats materializing a 100 TB token table)
+    cands = token_count_partials(ds, text_col).map_batches(
+        _candidates, batch_format="pyarrow",
+    )
+    # est is a global constant per word, so max() is pure dedup
+    return groupby_agg(cands, "word", {"est_n": ("max", "est_n")})

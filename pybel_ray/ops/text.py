@@ -25,10 +25,12 @@ __all__ = [
     "STOPWORDS",
     "BPE_TOKEN_PATTERN",
     "exact_dedup",
+    "token_count_partials",
     "word_frequencies",
     "vocab_topk",
     "term_frequencies",
     "tfidf_topk",
+    "inverted_index",
     "LANG_MARKERS",
 ]
 
@@ -214,14 +216,14 @@ def add_fingerprint_md5(ds, text_col: str = "text", out_col: str = "fingerprint_
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
-def word_frequencies(ds, text_col: str = "text"):
-    """Corpus-wide word frequencies: one (word, n) row per distinct word.
+def token_count_partials(ds, text_col: str = "text"):
+    """Per-batch word-count partials: one ``(word, n)`` row per distinct
+    word per batch (one ``dictionary_encode`` + bincount, no exchange).
 
-    The canonical partial-aggregate shape for a 100 TB corpus: each batch
-    counts its own words locally (one ``dictionary_encode`` + bincount),
-    so the ``groupby`` exchange moves one row per *distinct word per
-    batch* — orders of magnitude less than one row per token.  Equivalent
-    SQL: ``SELECT word, count(*) FROM unnest(split(text)) GROUP BY word``.
+    The shared first stage of :func:`word_frequencies` and the Count-Min
+    sketch (:func:`pybel_ray.ops.sketch.cms_from_partials`): downstream
+    consumers either merge with one ``groupby(word)`` exchange (exact
+    counts) or fold into a fixed-size sketch (no exchange at all).
     """
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -237,11 +239,23 @@ def word_frequencies(ds, text_col: str = "text"):
             names=["word", "n"],
         )
 
-    from .relational import groupby_agg
-
-    partials = ds.select_columns([text_col]).map_batches(
+    return ds.select_columns([text_col]).map_batches(
         _partial, batch_format="pyarrow",
     )
+
+
+def word_frequencies(ds, text_col: str = "text"):
+    """Corpus-wide word frequencies: one (word, n) row per distinct word.
+
+    The canonical partial-aggregate shape for a 100 TB corpus: each batch
+    counts its own words locally (:func:`token_count_partials`), so the
+    ``groupby`` exchange moves one row per *distinct word per batch* —
+    orders of magnitude less than one row per token.  Equivalent SQL:
+    ``SELECT word, count(*) FROM unnest(split(text)) GROUP BY word``.
+    """
+    from .relational import groupby_agg
+
+    partials = token_count_partials(ds, text_col)
     return groupby_agg(partials, "word", {"n": ("sum", "n")})
 
 
@@ -386,3 +400,51 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         {"doc_id": ("min", id_col), "n_copies": ("count", id_col)},
     )
     return out.drop_columns(["text_hash"])
+
+
+def inverted_index(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df=None,
+):
+    """Inverted index: one ``(word, df, postings)`` row per word, where
+    ``postings`` is the comma-joined list of doc ids sorted ascending and
+    ``df`` is the document frequency.
+
+    Shape: :func:`term_frequencies` already emits exactly one row per
+    distinct (document, word) pair — each document lives in one batch, so
+    per-batch distinct IS global distinct — then ONE ``groupby(word)``
+    exchange builds each posting list vectorized (numpy sort + join).
+    ``min_df`` / ``max_df`` gate the output: at corpus scale stopword
+    posting lists are result-sized (the documented per-group co-location
+    caveat), so callers cap ``max_df`` to keep every group
+    worker-resident; the filter runs inside the group so dropped lists
+    are never concatenated.  SQL equivalent: ``string_agg(doc_id, ','
+    ORDER BY doc_id)`` grouped by word.
+    """
+    tf = term_frequencies(ds, text_col, id_col).select_columns(
+        ["word", id_col],
+    )
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.string()), pa.array([], pa.int64()),
+         pa.array([], pa.string())],
+        names=["word", "df", "postings"],
+    )
+
+    def _postings(g: pa.Table) -> pa.Table:
+        df = g.num_rows
+        if df < min_df or (max_df is not None and df > max_df):
+            return empty
+        ids = np.sort(g.column(id_col).to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays(
+            [
+                g.column("word").slice(0, 1),
+                pa.array([df], pa.int64()),
+                pa.array([",".join(map(str, ids))], pa.string()),
+            ],
+            names=["word", "df", "postings"],
+        )
+
+    return tf.groupby("word").map_groups(_postings, batch_format="pyarrow")

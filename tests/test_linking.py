@@ -131,3 +131,45 @@ def test_corpus_alias_table_deterministic(ray_session):
     a2 = alias_table_from_corpus(ds2)
     assert a1.equals(a2)  # block-layout invariant
     assert a1.num_rows > 0
+
+
+def test_pmi_scores_match_brute(ray_session):
+    import math
+
+    import ray
+
+    from pybel_ray.ops.linking import (
+        alias_table_from_registry,
+        link_entities,
+        pmi_scores,
+    )
+
+    # planted corpus: X and Y always co-occur (high PMI); X and Z rarely
+    # (negative PMI exercises the round-half-up on negative values)
+    docs = []
+    for i in range(60):
+        words = ["xxxxx", "yyyyy"] if i % 2 == 0 else ["zzzzz"]
+        if i == 0:
+            words = ["xxxxx", "zzzzz"]
+        docs.append({"doc_id": i, "text": " ".join(words + ["filler"])})
+    aliases = pa.Table.from_pylist(
+        [{"mention": m, "curie": "C:" + m} for m in ("xxxxx", "yyyyy", "zzzzz")],
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pylist(docs)).repartition(4)
+    links = link_entities(ds, aliases)
+    out = pmi_scores(links, n_docs=60).to_pandas()
+
+    # brute-force reference over the planted membership
+    n_docs_of = {"C:xxxxx": 30, "C:yyyyy": 29, "C:zzzzz": 31}
+    pairs = {("C:xxxxx", "C:yyyyy"): 29, ("C:xxxxx", "C:zzzzz"): 1}
+    assert len(out) == len(pairs)
+    for r in out.itertuples():
+        n_ab = pairs[(r.curie_a, r.curie_b)]
+        assert r.n_ab == n_ab
+        na, nb = n_docs_of[r.curie_a], n_docs_of[r.curie_b]
+        pmi = math.log((60.0 * n_ab) / (na * nb))
+        assert r.pmi_e6 == math.floor(pmi * 1e6 + 0.5)
+    # the rare pair scores negative, the systematic pair positive
+    by_pair = {(r.curie_a, r.curie_b): r.pmi_e6 for r in out.itertuples()}
+    assert by_pair[("C:xxxxx", "C:yyyyy")] > 0
+    assert by_pair[("C:xxxxx", "C:zzzzz")] < 0

@@ -77,3 +77,35 @@ def test_vocab_topk(ray_session):
     assert top[0]["word"] == "common" and top[0]["n"] == 400
     # ties broken by word ascending
     assert [r["word"] for r in top[1:]] == sorted(r["word"] for r in top[1:])
+
+
+def test_inverted_index_postings(ray_session):
+    from pybel_ray.ops.text import inverted_index
+
+    docs = [
+        {"doc_id": 30, "text": "apple banana"},
+        {"doc_id": 2, "text": " banana  cherry banana "},
+        {"doc_id": 11, "text": "apple"},
+    ]
+    out = inverted_index(_ds(docs, blocks=3)).to_pandas()
+    idx = {r.word: (r.df, r.postings) for r in out.itertuples()}
+    # postings sorted ascending by doc id; df counts documents not tokens
+    assert idx["apple"] == (2, "11,30")
+    assert idx["banana"] == (2, "2,30")
+    assert idx["cherry"] == (1, "2")
+
+
+def test_inverted_index_df_gates(ray_session):
+    from pybel_ray.ops.text import inverted_index
+
+    # "common" appears in all 400 docs; w0..w6 (the i%7 words) in ~57 each;
+    # the unique w{i} words in exactly 1..2
+    ds = _ds(DOCS, blocks=5)
+    out = inverted_index(ds, min_df=3, max_df=100).to_pandas()
+    assert "common" not in set(out["word"])  # max_df drops the stopword
+    assert all(3 <= df <= 100 for df in out["df"])
+    # block layout can't change the index
+    out2 = inverted_index(_ds(DOCS, blocks=11), min_df=3, max_df=100).to_pandas()
+    a = out.sort_values("word").reset_index(drop=True)
+    b = out2.sort_values("word").reset_index(drop=True)
+    assert a.equals(b)

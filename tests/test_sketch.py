@@ -35,3 +35,89 @@ def test_kmv_block_layout_invariant(ray_session):
     a = approx_distinct(_ds(vals, blocks=3), "v", k=512)
     b = approx_distinct(_ds(vals, blocks=23), "v", k=512)
     assert a == b  # the merged k-minimum set is layout-independent
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def _docs_ds(texts, blocks=4):
+    import ray
+
+    t = pa.Table.from_arrays(
+        [pa.array(list(range(len(texts))), pa.int64()), pa.array(texts)],
+        names=["doc_id", "text"],
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def _true_counts(texts):
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        c.update(t.strip().split())
+    return c
+
+
+def test_cms_never_underestimates(ray_session):
+    from pybel_ray.ops.sketch import cms_heavy_hitters
+
+    rs = np.random.RandomState(7)
+    vocab = ["w%d" % i for i in range(300)]
+    texts = [
+        " ".join(rs.choice(vocab, size=40).tolist()) for _ in range(200)
+    ]
+    true = _true_counts(texts)
+    # narrow sketch -> collisions guaranteed (300 words into 64 slots)
+    out = cms_heavy_hitters(
+        _docs_ds(texts), threshold=1, width=64, depth=2,
+    ).to_pandas()
+    est = dict(zip(out["word"], out["est_n"]))
+    assert set(est) == set(true)  # threshold=1 keeps everything
+    for w, n in true.items():
+        assert est[w] >= n  # the CMS upper-bound guarantee
+
+
+def test_cms_exact_when_wide(ray_session):
+    from pybel_ray.ops.sketch import cms_heavy_hitters
+
+    texts = ["a a a b b c"] * 50 + ["d e"] * 10
+    true = _true_counts(texts)
+    # wide sketch over a tiny vocabulary -> (almost surely) no collisions
+    out = cms_heavy_hitters(
+        _docs_ds(texts), threshold=1, width=1 << 16, depth=4,
+    ).to_pandas()
+    est = dict(zip(out["word"], out["est_n"]))
+    assert est == dict(true)
+
+
+def test_cms_threshold_superset(ray_session):
+    from pybel_ray.ops.sketch import cms_heavy_hitters
+
+    rs = np.random.RandomState(11)
+    vocab = ["w%d" % i for i in range(500)]
+    heavy = ["hot1", "hot2"]
+    texts = [
+        " ".join(rs.choice(vocab, size=20).tolist() + heavy)
+        for _ in range(300)
+    ]
+    true = _true_counts(texts)
+    out = cms_heavy_hitters(
+        _docs_ds(texts, blocks=7), threshold=250, width=128, depth=2,
+    ).to_pandas()
+    got = set(out["word"])
+    true_heavy = {w for w, n in true.items() if n >= 250}
+    assert true_heavy <= got  # every true heavy hitter survives
+
+
+def test_cms_depth_validation(ray_session):
+    import pytest
+
+    from pybel_ray.ops.sketch import cms_from_partials
+    from pybel_ray.ops.text import token_count_partials
+
+    partials = token_count_partials(_docs_ds(["a b c"]))
+    with pytest.raises(ValueError):
+        cms_from_partials(partials, width=16, depth=5)
