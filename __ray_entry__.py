@@ -63,6 +63,12 @@ _KG_CACHE: dict = {}
 # the same process, so both sides see the same path
 _KG_SNAP_PATH = "/tmp/pybel_ray_kgsnap_{}_{}".format(os.getuid(), os.getpid())
 
+#: Parquet snapshot of the k-means centroids the ``emb_kmeans_assign``
+#: oracle reads — same write-before-oracle contract as the kg snapshot
+_KM_SNAP_PATH = "/tmp/pybel_ray_kmsnap_{}_{}.parquet".format(
+    os.getuid(), os.getpid(),
+)
+
 
 def _kg(sf_dir: str):
     """Build (and cache) the compiled KG for the synthetic corpus at this sf."""
@@ -638,6 +644,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "embeddings"), _first_k_centroids(sf_dir),
             threshold=0.4,
         )
+
+    def _km_centroids(sf_dir, k=8, n_iter=3):
+        """Fit the distributed k-means and snapshot the centroids to the
+        fixed Parquet path the ``emb_kmeans_assign`` oracle reads (same
+        contract as the kg snapshot: the driver and the pytest mirror
+        both run the Ray query before its oracle SQL)."""
+        import numpy as np
+
+        from pybel_ray.ops.kmeans import kmeans_fit
+
+        key = ("km_centroids", sf_dir, k, n_iter)
+        if key in _KG_CACHE:
+            return _KG_CACHE[key]
+        c = kmeans_fit(_read(sf_dir, "embeddings"), k=k, n_iter=n_iter)
+        import pyarrow.parquet as pq
+
+        dim = c.shape[1]
+        flat = pa.array(c.ravel(), pa.float64())
+        offs = pa.array(
+            np.arange(k + 1, dtype=np.int32) * dim, pa.int32(),
+        )
+        t = pa.Table.from_arrays(
+            [
+                pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+                pa.ListArray.from_arrays(offs, flat),
+            ],
+            names=["centroid_id", "centroid"],
+        )
+        tmp = _KM_SNAP_PATH + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, _KM_SNAP_PATH)
+        _KG_CACHE[key] = c
+        return c
+
+    def emb_kmeans_assign(sf_dir):
+        from pybel_ray.ops.kmeans import assign_kmeans
+
+        out = assign_kmeans(
+            _read(sf_dir, "embeddings"), _km_centroids(sf_dir),
+        )
+        return out.select_columns(["vec_id", "centroid"])
 
     def doc_entity_cooccurrence(sf_dir):
         from pybel_ray.ops.linking import cooccurrence_edges, link_entities
@@ -1677,6 +1724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_domain_stats": doc_domain_stats,
         "emb_assign_centroids": emb_assign_centroids,
         "emb_semantic_dedup": emb_semantic_dedup,
+        "emb_kmeans_assign": emb_kmeans_assign,
         "doc_entity_cooccurrence": doc_entity_cooccurrence,
         "graph_pagerank": graph_pagerank,
         "graph_components": graph_components,
@@ -2495,6 +2543,23 @@ def oracle_sql() -> dict[str, str]:
                    ) AS kept
             FROM assign a JOIN embeddings ea ON a.vec_id = ea.vec_id
         """,
+        "emb_kmeans_assign": """
+            WITH c AS (
+                SELECT centroid_id, centroid
+                FROM read_parquet('{km}')
+            ),
+            sims AS (
+                SELECT e.vec_id, c.centroid_id,
+                       list_inner_product(
+                           CAST(e.embedding AS DOUBLE[]), c.centroid) AS sim
+                FROM embeddings e CROSS JOIN c
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   centroid_id AS centroid
+            FROM sims
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1
+        """.format(km=_KM_SNAP_PATH),
         "doc_entity_mentions": _ENTITY_LINKS_SQL,
         "doc_entity_mentions_trie": _ENTITY_LINKS_SQL,
         "doc_entity_cooccurrence": """
