@@ -1344,6 +1344,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pmi_scores(uni, n_docs=docs.count())
 
+    def orders_returned_semi_bloom(sf_dir):
+        # Bloom pre-filter + bucketed verify == SQL WHERE EXISTS exactly;
+        # tiny n_bits on purpose so real false positives flow through the
+        # exact verification path at driver scale
+        from pybel_ray.ops.bloom import bloom_semi_join
+
+        keys = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_returnflag"],
+        ).map_batches(
+            lambda t: t.filter(pc.equal(t.column("l_returnflag"), "R")),
+            batch_format="pyarrow",
+        )
+        out = bloom_semi_join(
+            _read(sf_dir, "orders"), "o_orderkey", keys, "l_orderkey",
+            n_bits=1 << 14,
+        )
+        return out.select_columns(["o_orderkey", "o_totalprice"])
+
     def doc_token_percentile_filter(sf_dir):
         # composition: keep docs at or above the corpus p25 token count
         # (global quantile computed distributed, broadcast as a scalar)
@@ -1780,6 +1798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_cms_heavy_hitters": corpus_cms_heavy_hitters,
         "corpus_inverted_index": corpus_inverted_index,
         "doc_entity_pmi": doc_entity_pmi,
+        "orders_returned_semi_bloom": orders_returned_semi_bloom,
         "doc_token_percentile_filter": doc_token_percentile_filter,
         "doc_sample_k_per_source": doc_sample_k_per_source,
         "doc_pretrain_pipeline": doc_pretrain_pipeline,
@@ -2991,6 +3010,13 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY s.word
             )
             SELECT word, est_n FROM est WHERE est_n >= 800
+        """,
+        "orders_returned_semi_bloom": """
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+            )
         """,
         "corpus_inverted_index": r"""
             WITH pairs AS (
