@@ -113,6 +113,12 @@ def run_queries(sf_dir: str) -> dict:
         "kg_pagerank",
         "graph_pagerank",
         "graph_components",
+        # round-3 additions: sketches, index build, join pre-filter
+        "corpus_cms_heavy_hitters",
+        "corpus_inverted_index",
+        "doc_entity_pmi",
+        "emb_kmeans_assign",
+        "orders_returned_semi_bloom",
     ]
     q = entry.queries()
     out = {}
