@@ -1328,6 +1328,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents"), threshold=800, width=32, depth=2,
         )
 
+    def corpus_hll_registers(sf_dir):
+        # HyperLogLog over the word stream: the register table is
+        # integer-exact (bucket = md5 hex prefix, rho = leading zeros of
+        # the 52-bit rank field), so the oracle recomputes the sketch
+        # itself; the float estimate is pinned by error-bound pytests
+        from pybel_ray.ops.sketch import hll_registers_table
+        from pybel_ray.ops.text import token_count_partials
+
+        partials = token_count_partials(_read(sf_dir, "documents"))
+        return hll_registers_table(partials, "word")
+
     def corpus_inverted_index(sf_dir):
         from pybel_ray.ops.text import inverted_index
 
@@ -1796,6 +1807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk": doc_tfidf_topk,
         "doc_distinct_words_kmv": doc_distinct_words_kmv,
         "corpus_cms_heavy_hitters": corpus_cms_heavy_hitters,
+        "corpus_hll_registers": corpus_hll_registers,
         "corpus_inverted_index": corpus_inverted_index,
         "doc_entity_pmi": doc_entity_pmi,
         "orders_returned_semi_bloom": orders_returned_semi_bloom,
@@ -3010,6 +3022,24 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY s.word
             )
             SELECT word, est_n FROM est WHERE est_n >= 800
+        """,
+        "corpus_hll_registers": r"""
+            WITH words AS (
+                SELECT DISTINCT
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS word
+                FROM documents
+            ),
+            h AS (
+                SELECT ('0x' || substr(md5(word), 1, 2))::BIGINT AS bucket,
+                       ('0x' || substr(md5(word), 3, 13))::BIGINT AS v
+                FROM words
+            )
+            SELECT bucket,
+                   CAST(max(CASE WHEN v = 0 THEN 53
+                                 ELSE 53 - length(bin(v)) END) AS BIGINT)
+                       AS rho
+            FROM h GROUP BY bucket
         """,
         "orders_returned_semi_bloom": """
             SELECT o_orderkey, o_totalprice FROM orders o

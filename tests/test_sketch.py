@@ -121,3 +121,51 @@ def test_cms_depth_validation(ray_session):
     partials = token_count_partials(_docs_ds(["a b c"]))
     with pytest.raises(ValueError):
         cms_from_partials(partials, width=16, depth=5)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_error_bound(ray_session):
+    from pybel_ray.ops.sketch import hll_distinct
+
+    rs = np.random.RandomState(13)
+    vals = rs.randint(0, 10**12, size=60000)
+    true = len(set(vals.tolist()))
+    est = hll_distinct(_ds(vals.tolist(), blocks=9), "v")
+    assert abs(est - true) / true < 0.20  # ~3 sigma at m=256
+
+
+def test_hll_small_range_reasonable(ray_session):
+    from pybel_ray.ops.sketch import hll_distinct
+
+    vals = [i % 40 for i in range(5000)]  # 40 distinct << m
+    est = hll_distinct(_ds(vals), "v")
+    assert abs(est - 40) <= 8  # linear-counting regime
+
+
+def test_hll_layout_and_merge_invariant(ray_session):
+    from pybel_ray.ops.sketch import hll_registers
+
+    vals = [i * 3 for i in range(20000)]
+    a = hll_registers(_ds(vals, blocks=2), "v")
+    b = hll_registers(_ds(vals, blocks=17), "v")
+    assert np.array_equal(a, b)  # max-merge is layout-independent
+
+
+def test_hll_registers_match_python(ray_session):
+    import hashlib
+
+    from pybel_ray.ops.sketch import HLL_M, hll_registers
+
+    vals = ["item%d" % i for i in range(3000)]
+    regs = hll_registers(_ds(vals, blocks=5), "v")
+    ref = np.zeros(HLL_M, np.int64)
+    for v in vals:
+        h = hashlib.md5(v.encode()).hexdigest()
+        b, rank = int(h[:2], 16), int(h[2:15], 16)
+        rho = 53 - rank.bit_length() if rank else 53
+        ref[b] = max(ref[b], rho)
+    assert np.array_equal(regs, ref)
