@@ -69,6 +69,11 @@ _KM_SNAP_PATH = "/tmp/pybel_ray_kmsnap_{}_{}.parquet".format(
     os.getuid(), os.getpid(),
 )
 
+#: WET shard directory the doc_wet_roundtrip query writes then re-reads
+_WET_SNAP_DIR = "/tmp/pybel_ray_wetsnap_{}_{}".format(
+    os.getuid(), os.getpid(),
+)
+
 
 def _kg(sf_dir: str):
     """Build (and cache) the compiled KG for the synthetic corpus at this sf."""
@@ -1339,6 +1344,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         partials = token_count_partials(_read(sf_dir, "documents"))
         return hll_registers_table(partials, "word")
 
+    def doc_wet_roundtrip(sf_dir):
+        # documents → distributed WET shard sink → WET source → rows;
+        # the oracle recomputes (url, text) straight from the Parquet, so
+        # the whole WARC/WET record format round-trips byte-exactly
+        import shutil
+
+        from pybel_ray.sources import load_wet, to_wet_shards
+
+        # one shared dir → track WHICH sf it currently holds (same
+        # refresh contract as the kg snapshot)
+        if _KG_CACHE.get("wet_snapshot_for") != sf_dir:
+            def _pagify(t: pa.Table) -> pa.Table:
+                urls = pc.binary_join_element_wise(
+                    "https://example.org/doc/",
+                    pc.cast(t.column("doc_id"), pa.string()), "",
+                )
+                ts = pa.array(
+                    ["2024-01-01T00:00:00Z"] * t.num_rows, pa.string(),
+                )
+                return pa.Table.from_arrays(
+                    [urls, ts, t.column("text")],
+                    names=["url", "warc_ts", "text"],
+                )
+
+            pages = _read(sf_dir, "documents").select_columns(
+                ["doc_id", "text"],
+            ).map_batches(_pagify, batch_format="pyarrow")
+            shutil.rmtree(_WET_SNAP_DIR, ignore_errors=True)
+            to_wet_shards(pages, _WET_SNAP_DIR).count()  # drive the writes
+            _KG_CACHE["wet_snapshot_for"] = sf_dir
+        out = load_wet(_WET_SNAP_DIR)
+        return out.select_columns(["url", "text"])
+
     def corpus_inverted_index(sf_dir):
         from pybel_ray.ops.text import inverted_index
 
@@ -1809,6 +1847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_cms_heavy_hitters": corpus_cms_heavy_hitters,
         "corpus_hll_registers": corpus_hll_registers,
         "corpus_inverted_index": corpus_inverted_index,
+        "doc_wet_roundtrip": doc_wet_roundtrip,
         "doc_entity_pmi": doc_entity_pmi,
         "orders_returned_semi_bloom": orders_returned_semi_bloom,
         "doc_token_percentile_filter": doc_token_percentile_filter,
@@ -3047,6 +3086,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM lineitem l
                 WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
             )
+        """,
+        "doc_wet_roundtrip": """
+            SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   text
+            FROM documents
         """,
         "corpus_inverted_index": r"""
             WITH pairs AS (

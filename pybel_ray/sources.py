@@ -21,7 +21,14 @@ from typing import Optional, Sequence
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["load_table", "load_documents", "load_pages"]
+__all__ = [
+    "load_table",
+    "load_documents",
+    "load_pages",
+    "load_wet",
+    "write_wet_file",
+    "to_wet_shards",
+]
 
 _READERS = {"parquet", "jsonl", "csv"}
 
@@ -112,3 +119,169 @@ def load_pages(path: str, format: str = "parquet", **kw):
     return load_table(
         path, format=format, columns=PAGE_COLUMNS, dtypes=PAGE_DTYPES, **kw,
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC/WET (Common-Crawl extracted-text) records
+# ---------------------------------------------------------------------------
+
+#: WET "conversion" record header fields we surface as columns
+_WET_COLUMNS = ["url", "warc_ts", "text"]
+
+
+def _parse_wet_bytes(blob: bytes) -> list:
+    """Parse one WET file's bytes into (url, warc_ts, text) tuples.
+
+    The public WARC/1.0 layout: ``WARC/1.0\\r\\n`` + header lines +
+    blank line + exactly ``Content-Length`` payload bytes + two CRLFs.
+    Only ``WARC-Type: conversion`` records become rows (the ``warcinfo``
+    preamble is skipped).  Parsing walks by Content-Length — payloads
+    may contain anything, including lines that look like headers.
+    """
+    out = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and blob[pos:pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        head_end = blob.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError("truncated WARC header at byte %d" % pos)
+        header = blob[pos:head_end].decode("utf8", "replace")
+        lines = header.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError("expected WARC/1.x version line at byte %d" % pos)
+        fields = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        length = int(fields.get("content-length", "0"))
+        payload = blob[head_end + 4:head_end + 4 + length]
+        pos = head_end + 4 + length
+        if fields.get("warc-type") == "conversion":
+            out.append((
+                fields.get("warc-target-uri", ""),
+                fields.get("warc-date", ""),
+                payload.decode("utf8", "replace"),
+            ))
+    return out
+
+
+def load_wet(paths, override_num_blocks: Optional[int] = None):
+    """Read WET extracted-text archives into a page Dataset
+    ``(url, warc_ts, text)``.
+
+    ``paths`` is a file, directory, or list (``.warc.wet`` plain or
+    ``.gz`` — multi-member gzip per the published format decompresses
+    with one stdlib call).  Files are the parallel unit:
+    ``ray.data.read_binary_files`` streams one row per file and a
+    ``map_batches`` pass splits records by Content-Length — so a shard
+    directory fans out across the cluster with no driver parsing.
+    """
+    import gzip
+
+    import ray.data
+
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    files = ray.data.read_binary_files(paths, **kwargs)
+
+    def _split(t: pa.Table) -> pa.Table:
+        urls, tss, texts = [], [], []
+        for blob in t.column("bytes").to_pylist():
+            # sniff the gzip magic rather than trusting the extension —
+            # ray.data.read_binary_files already auto-decompresses ``.gz``
+            # paths via the pyarrow filesystem layer
+            if blob[:2] == b"\x1f\x8b":
+                blob = gzip.decompress(blob)
+            for url, ts, text in _parse_wet_bytes(blob):
+                urls.append(url)
+                tss.append(ts)
+                texts.append(text)
+        return pa.Table.from_arrays(
+            [pa.array(urls, pa.string()), pa.array(tss, pa.string()),
+             pa.array(texts, pa.string())],
+            names=_WET_COLUMNS,
+        )
+
+    return files.map_batches(_split, batch_format="pyarrow")
+
+
+def _wet_record(url: str, ts: str, text: str) -> bytes:
+    payload = text.encode("utf8")
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: {u}\r\n"
+        "WARC-Date: {d}\r\n"
+        "Content-Type: text/plain\r\n"
+        "Content-Length: {n}\r\n\r\n"
+    ).format(u=url, d=ts, n=len(payload)).encode("utf8")
+    return head + payload + b"\r\n\r\n"
+
+
+def write_wet_file(rows, path: str) -> None:
+    """Write (url, warc_ts, text) rows as ONE WET file (``.gz`` →
+    per-record gzip members, matching the published archives).  Driver-
+    side fixture/round-trip helper; the distributed sink is
+    :func:`to_wet_shards`."""
+    import gzip
+
+    with open(path, "wb") as f:
+        for url, ts, text in rows:
+            rec = _wet_record(url, ts, text)
+            f.write(gzip.compress(rec) if path.endswith(".gz") else rec)
+
+
+def to_wet_shards(
+    ds,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    compress: bool = True,
+):
+    """Distributed WET sink: every batch writes its own shard file
+    (deterministic md5-of-first-url names + atomic rename → idempotent
+    retries, same contract as the events shard writer) and emits one
+    manifest row ``(shard, n_records)``.  Returns the manifest Dataset;
+    consume it to drive the writes."""
+    import gzip
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = ".warc.wet.gz" if compress else ".warc.wet"
+
+    def _write(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["shard", "n_records"],
+            )
+        first = str(t.column(url_col)[0].as_py())
+        name = hashlib.md5(  # noqa: S324
+            first.encode("utf8"),
+        ).hexdigest()[:16] + suffix
+        dest = os.path.join(out_dir, name)
+        tmp = dest + ".tmp"
+        with open(tmp, "wb") as f:
+            for url, ts, text in zip(
+                t.column(url_col).to_pylist(),
+                t.column(ts_col).to_pylist(),
+                t.column(text_col).to_pylist(),
+            ):
+                rec = _wet_record(str(url), str(ts or ""), str(text or ""))
+                f.write(gzip.compress(rec) if compress else rec)
+        os.replace(tmp, dest)
+        return pa.Table.from_arrays(
+            [pa.array([name], pa.string()),
+             pa.array([t.num_rows], pa.int64())],
+            names=["shard", "n_records"],
+        )
+
+    return ds.map_batches(_write, batch_format="pyarrow")

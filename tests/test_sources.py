@@ -91,3 +91,76 @@ def test_load_pages_jsonl_binary_cast(ray_session, tmp_path):
         assert isinstance(r["html"], bytes)
         assert r["html"] == orig[r["url"]]["html"]
         assert r["text"] == orig[r["url"]]["text"]
+
+
+# ---------------------------------------------------------------------------
+# WARC/WET records
+# ---------------------------------------------------------------------------
+
+
+def _wet_rows():
+    return [
+        ("https://a.example/x", "2024-01-01T00:00:00Z", "hello world\nline two"),
+        # payload containing header-lookalike lines: Content-Length walking
+        # must not resync on them
+        ("https://a.example/y", "2024-01-02T00:00:00Z",
+         "WARC/1.0\r\nWARC-Type: fake\r\n\r\nnot a record"),
+        ("https://a.example/z", "2024-01-03T00:00:00Z", ""),
+    ]
+
+
+def test_wet_roundtrip_plain_and_gz(ray_session, tmp_path):
+    from pybel_ray.sources import load_wet, write_wet_file
+
+    for name in ("f.warc.wet", "f.warc.wet.gz"):
+        p = str(tmp_path / name)
+        write_wet_file(_wet_rows(), p)
+        out = load_wet(p).to_pandas().sort_values("url").reset_index(drop=True)
+        assert list(out["url"]) == [u for u, _, _ in _wet_rows()]
+        assert list(out["text"]) == [t for _, _, t in _wet_rows()]
+        assert list(out["warc_ts"]) == [d for _, d, d2 in
+                                        [(u, d, d) for u, d, _ in _wet_rows()]]
+
+
+def test_wet_skips_warcinfo(ray_session, tmp_path):
+    from pybel_ray.sources import load_wet
+
+    p = str(tmp_path / "info.warc.wet")
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\n"
+            b"meta\r\n\r\n")
+    conv = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Target-URI: https://q.example\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 2\r\n\r\n"
+            b"ok\r\n\r\n")
+    with open(p, "wb") as f:
+        f.write(info + conv)
+    out = load_wet(p).to_pandas()
+    assert len(out) == 1
+    assert out["url"][0] == "https://q.example"
+    assert out["text"][0] == "ok"
+
+
+def test_wet_shards_distributed_sink(ray_session, tmp_path):
+    import os
+
+    import ray
+
+    from pybel_ray.sources import load_wet, to_wet_shards
+
+    rows = [
+        {"url": "https://s.example/%d" % i,
+         "warc_ts": "2024-01-01T00:00:00Z",
+         "text": "doc %d body" % i}
+        for i in range(40)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out_dir = str(tmp_path / "shards")
+    manifest = to_wet_shards(ds, out_dir).to_pandas()
+    assert int(manifest["n_records"].sum()) == 40
+    assert len(os.listdir(out_dir)) == len(manifest)
+    back = load_wet(out_dir).to_pandas().sort_values("url").reset_index(drop=True)
+    want = sorted(r["url"] for r in rows)
+    assert list(back["url"]) == want
+    got_text = dict(zip(back["url"], back["text"]))
+    for r in rows:
+        assert got_text[r["url"]] == r["text"]
