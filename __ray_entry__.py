@@ -74,6 +74,12 @@ _WET_SNAP_DIR = "/tmp/pybel_ray_wetsnap_{}_{}".format(
     os.getuid(), os.getpid(),
 )
 
+#: Parquet snapshot of the hashing-classifier weights the
+#: doc_classifier_scores oracle joins against
+_CLF_SNAP_PATH = "/tmp/pybel_ray_clfsnap_{}_{}.parquet".format(
+    os.getuid(), os.getpid(),
+)
+
 
 def _kg(sf_dir: str):
     """Build (and cache) the compiled KG for the synthetic corpus at this sf."""
@@ -1382,6 +1388,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return inverted_index(_read(sf_dir, "documents"), min_df=5)
 
+    def doc_classifier_scores(sf_dir):
+        # actor-pool model inference: integer-micro weights make every
+        # document score an exact int64 sum the SQL oracle reproduces
+        # from the weights snapshot
+        import numpy as np
+
+        from pybel_ray.ops.classifier import make_hash_weights, score_documents
+
+        w = make_hash_weights(dim=4096, seed=7)
+        if "clf_snapshot" not in _KG_CACHE:
+            import pyarrow.parquet as pq
+
+            t = pa.Table.from_arrays(
+                [pa.array(np.arange(len(w), dtype=np.int64), pa.int64()),
+                 pa.array(w, pa.int64())],
+                names=["slot", "w"],
+            )
+            tmp = _CLF_SNAP_PATH + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, _CLF_SNAP_PATH)
+            _KG_CACHE["clf_snapshot"] = True
+        out = score_documents(_read(sf_dir, "documents"), w)
+        return out.select_columns(["doc_id", "score_e6", "label"])
+
     def doc_entity_pmi(sf_dir):
         from pybel_ray.ops.linking import link_entities, pmi_scores
 
@@ -1848,6 +1878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_hll_registers": corpus_hll_registers,
         "corpus_inverted_index": corpus_inverted_index,
         "doc_wet_roundtrip": doc_wet_roundtrip,
+        "doc_classifier_scores": doc_classifier_scores,
         "doc_entity_pmi": doc_entity_pmi,
         "orders_returned_semi_bloom": orders_returned_semi_bloom,
         "doc_token_percentile_filter": doc_token_percentile_filter,
@@ -3087,6 +3118,26 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
             )
         """,
+        "doc_classifier_scores": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS tok
+                FROM documents
+            ),
+            w AS (SELECT slot, w FROM read_parquet('{clf}')),
+            scored AS (
+                SELECT t.doc_id, sum(w.w) AS score
+                FROM toks t JOIN w
+                  ON w.slot =
+                     ('0x' || substr(md5(t.tok), 1, 8))::BIGINT % 4096
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.score, 0) AS BIGINT) AS score_e6,
+                   COALESCE(s.score, 0) > 0 AS label
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """.format(clf=_CLF_SNAP_PATH),
         "doc_wet_roundtrip": """
             SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
                        AS url,
