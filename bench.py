@@ -119,6 +119,9 @@ def run_queries(sf_dir: str) -> dict:
         "doc_entity_pmi",
         "emb_kmeans_assign",
         "orders_returned_semi_bloom",
+        "corpus_hll_registers",
+        "doc_wet_roundtrip",
+        "doc_classifier_scores",
     ]
     q = entry.queries()
     out = {}
