@@ -666,27 +666,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pybel_ray.ops.kmeans import kmeans_fit
 
         key = ("km_centroids", sf_dir, k, n_iter)
-        if key in _KG_CACHE:
-            return _KG_CACHE[key]
-        c = kmeans_fit(_read(sf_dir, "embeddings"), k=k, n_iter=n_iter)
-        import pyarrow.parquet as pq
+        if key not in _KG_CACHE:
+            _KG_CACHE[key] = kmeans_fit(
+                _read(sf_dir, "embeddings"), k=k, n_iter=n_iter,
+            )
+        c = _KG_CACHE[key]
+        # one shared snapshot file → rewrite whenever it holds a
+        # DIFFERENT fit than the one being returned (same refresh
+        # contract as the kg/wet snapshots), even on a centroid-cache hit
+        if _KG_CACHE.get("km_snapshot_for") != key:
+            import pyarrow.parquet as pq
 
-        dim = c.shape[1]
-        flat = pa.array(c.ravel(), pa.float64())
-        offs = pa.array(
-            np.arange(k + 1, dtype=np.int32) * dim, pa.int32(),
-        )
-        t = pa.Table.from_arrays(
-            [
-                pa.array(np.arange(k, dtype=np.int64), pa.int64()),
-                pa.ListArray.from_arrays(offs, flat),
-            ],
-            names=["centroid_id", "centroid"],
-        )
-        tmp = _KM_SNAP_PATH + ".tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, _KM_SNAP_PATH)
-        _KG_CACHE[key] = c
+            dim = c.shape[1]
+            flat = pa.array(c.ravel(), pa.float64())
+            offs = pa.array(
+                np.arange(k + 1, dtype=np.int32) * dim, pa.int32(),
+            )
+            t = pa.Table.from_arrays(
+                [
+                    pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+                    pa.ListArray.from_arrays(offs, flat),
+                ],
+                names=["centroid_id", "centroid"],
+            )
+            tmp = _KM_SNAP_PATH + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, _KM_SNAP_PATH)
+            _KG_CACHE["km_snapshot_for"] = key
         return c
 
     def emb_kmeans_assign(sf_dir):

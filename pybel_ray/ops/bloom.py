@@ -23,26 +23,17 @@ bits / 4 hashes gives fp < 1% up to ~300k distinct keys — pass
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# hash functions slice disjoint 8-hex-char windows of one md5 — the
+# shared sketch hash family, defined once in ops/sketch.py
+from .sketch import md5_window_slots as _bloom_positions
+
 __all__ = ["build_bloom", "bloom_semi_join", "BLOOM_MAX_HASHES"]
 
-#: hash functions slice disjoint 8-hex-char windows of one md5
 BLOOM_MAX_HASHES = 4
-
-
-def _bloom_positions(values, n_bits: int, n_hashes: int) -> np.ndarray:
-    """(n_hashes, n) bit positions; one md5 per value."""
-    out = np.empty((n_hashes, len(values)), np.int64)
-    for j, v in enumerate(values):
-        h = hashlib.md5(str(v).encode("utf8")).hexdigest()  # noqa: S324
-        for i in range(n_hashes):
-            out[i, j] = int(h[8 * i:8 * i + 8], 16) % n_bits
-    return out
 
 
 def build_bloom(ds, key_col: str, n_bits: int = 1 << 22, n_hashes: int = 4):

@@ -692,9 +692,13 @@ def pmi_scores(links, n_docs: int, id_col: str = "doc_id"):
     counts = distinct_count_per_group(
         links.select_columns([id_col, "curie"]), "curie", id_col,
     )
-    lkp = pa.concat_tables(
-        list(counts.iter_batches(batch_format="pyarrow")),
-    ).combine_chunks()
+    batches = list(counts.iter_batches(batch_format="pyarrow"))
+    if not batches:  # no linked entities at all -> no co-occurrence edges
+        batches = [pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["curie", "n_distinct"],
+        )]
+    lkp = pa.concat_tables(batches).combine_chunks()
     ref = ray.put(lkp)
     n_total = float(n_docs)
 

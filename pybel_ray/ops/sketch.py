@@ -38,6 +38,7 @@ __all__ = [
     "hll_distinct",
     "HLL_P",
     "HLL_M",
+    "md5_window_slots",
 ]
 
 
@@ -103,14 +104,21 @@ def approx_distinct(ds, col: str, k: int = 1024) -> int:
 CMS_MAX_DEPTH = 4
 
 
-def _cms_slots(values, width: int, depth: int) -> np.ndarray:
-    """(depth, n) slot indices; one md5 per value, sliced per row."""
-    out = np.empty((depth, len(values)), np.int64)
+def md5_window_slots(values, modulus: int, n_windows: int) -> np.ndarray:
+    """(n_windows, n) slot indices; one md5 per value, row ``i`` slices
+    hex chars ``[8i, 8i+8)``.  The repo-wide hash-family convention
+    shared by the Count-Min sketch and the Bloom filter
+    (``pybel_ray.ops.bloom``): any change here must keep the DuckDB
+    expression above in lockstep."""
+    out = np.empty((n_windows, len(values)), np.int64)
     for j, v in enumerate(values):
         h = hashlib.md5(str(v).encode("utf8")).hexdigest()  # noqa: S324
-        for i in range(depth):
-            out[i, j] = int(h[8 * i:8 * i + 8], 16) % width
+        for i in range(n_windows):
+            out[i, j] = int(h[8 * i:8 * i + 8], 16) % modulus
     return out
+
+
+_cms_slots = md5_window_slots
 
 
 def cms_from_partials(

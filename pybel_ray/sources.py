@@ -263,10 +263,14 @@ def to_wet_shards(
                 [pa.array([], pa.string()), pa.array([], pa.int64())],
                 names=["shard", "n_records"],
             )
-        first = str(t.column(url_col)[0].as_py())
-        name = hashlib.md5(  # noqa: S324
-            first.encode("utf8"),
-        ).hexdigest()[:16] + suffix
+        # name by the FULL url sequence (same contract as the other shard
+        # writers): two batches that happen to share a first url must not
+        # overwrite each other's file
+        h = hashlib.md5()  # noqa: S324
+        for u in t.column(url_col).to_pylist():
+            h.update(str(u).encode("utf8"))
+            h.update(b"\x00")
+        name = h.hexdigest()[:16] + suffix
         dest = os.path.join(out_dir, name)
         tmp = dest + ".tmp"
         with open(tmp, "wb") as f:

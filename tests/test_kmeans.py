@@ -117,3 +117,35 @@ def test_kmeans_oracle_margin(ray_session):
         sims = np.vstack(mats) @ c.T
         top2 = np.sort(sims, axis=1)[:, -2:]
         assert float(np.min(top2[:, 1] - top2[:, 0])) > 1e-6
+
+
+def test_kmeans_snapshot_refreshes_across_sfs(ray_session):
+    """Alternating sf_dirs must keep the oracle's centroid snapshot in
+    sync with the returned fit (regression: a cache hit used to skip the
+    snapshot rewrite, leaving the other sf's centroids on disk)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    osql = entry.oracle_sql()
+
+    def check(sf):
+        got = qs["emb_kmeans_assign"](sf).to_pandas().sort_values(
+            "vec_id",
+        ).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet('%s')"
+            % (sf + "/embeddings.parquet"),
+        )
+        want = con.sql(osql["emb_kmeans_assign"]).df().sort_values(
+            "vec_id",
+        ).reset_index(drop=True)
+        assert got["centroid"].astype("int64").equals(
+            want["centroid"].astype("int64"),
+        )
+
+    check("/root/testdata/sf0.001")
+    check("/root/testdata/sf0.01")
+    check("/root/testdata/sf0.001")  # the cache-hit leg

@@ -173,3 +173,16 @@ def test_pmi_scores_match_brute(ray_session):
     by_pair = {(r.curie_a, r.curie_b): r.pmi_e6 for r in out.itertuples()}
     assert by_pair[("C:xxxxx", "C:yyyyy")] > 0
     assert by_pair[("C:xxxxx", "C:zzzzz")] < 0
+
+
+def test_pmi_scores_empty_links(ray_session):
+    import ray
+
+    from pybel_ray.ops.linking import pmi_scores
+
+    links = ray.data.from_arrow(pa.Table.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.string())],
+        names=["doc_id", "curie"],
+    ))
+    out = pmi_scores(links, n_docs=10).to_pandas()
+    assert len(out) == 0

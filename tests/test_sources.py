@@ -164,3 +164,27 @@ def test_wet_shards_distributed_sink(ray_session, tmp_path):
     got_text = dict(zip(back["url"], back["text"]))
     for r in rows:
         assert got_text[r["url"]] == r["text"]
+
+
+def test_wet_shards_same_first_url_no_overwrite(ray_session, tmp_path):
+    import os
+
+    import ray
+
+    from pybel_ray.sources import to_wet_shards
+
+    # two blocks that START with the same url: shard names must differ
+    t1 = pa.Table.from_pylist(
+        [{"url": "https://dup.example/0", "warc_ts": "t", "text": "a"},
+         {"url": "https://dup.example/1", "warc_ts": "t", "text": "b"}],
+    )
+    t2 = pa.Table.from_pylist(
+        [{"url": "https://dup.example/0", "warc_ts": "t", "text": "c"},
+         {"url": "https://dup.example/2", "warc_ts": "t", "text": "d"}],
+    )
+    ds = ray.data.from_arrow([t1, t2])
+    out_dir = str(tmp_path / "dup")
+    manifest = to_wet_shards(ds, out_dir).to_pandas()
+    assert int(manifest["n_records"].sum()) == 4
+    assert len(set(manifest["shard"])) == 2
+    assert len(os.listdir(out_dir)) == 2
