@@ -703,6 +703,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["vec_id", "centroid"])
 
+    def emb_gram_matrix(sf_dir):
+        # exact integer Gram matrix (covariance/PCA input): quantized
+        # micros so the SQL self-join reproduces every cell to the digit
+        from pybel_ray.ops.stats import gram_matrix_e12
+
+        return gram_matrix_e12(_read(sf_dir, "embeddings"))
+
     def doc_entity_cooccurrence(sf_dir):
         from pybel_ray.ops.linking import cooccurrence_edges, link_entities
 
@@ -1828,6 +1835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_assign_centroids": emb_assign_centroids,
         "emb_semantic_dedup": emb_semantic_dedup,
         "emb_kmeans_assign": emb_kmeans_assign,
+        "emb_gram_matrix": emb_gram_matrix,
         "doc_entity_cooccurrence": doc_entity_cooccurrence,
         "graph_pagerank": graph_pagerank,
         "graph_components": graph_components,
@@ -2667,6 +2675,21 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1
         """.format(km=_KM_SNAP_PATH),
+        "emb_gram_matrix": """
+            WITH q AS (
+                SELECT vec_id, i.range AS i,
+                       CAST(floor(CAST(embedding[i.range] AS DOUBLE)
+                                  * 1000000 + 0.5) AS BIGINT) AS v
+                FROM embeddings, range(1, 65) i
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM embeddings)
+            SELECT a.i, b.i AS j,
+                   CAST(sum(a.v * b.v) AS BIGINT) AS gram_e12,
+                   n.n_rows
+            FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+            CROSS JOIN n
+            GROUP BY a.i, b.i, n.n_rows
+        """,
         "doc_entity_mentions": _ENTITY_LINKS_SQL,
         "doc_entity_mentions_trie": _ENTITY_LINKS_SQL,
         "doc_entity_cooccurrence": """

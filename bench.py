@@ -122,6 +122,7 @@ def run_queries(sf_dir: str) -> dict:
         "corpus_hll_registers",
         "doc_wet_roundtrip",
         "doc_classifier_scores",
+        "emb_gram_matrix",
     ]
     q = entry.queries()
     out = {}
