@@ -703,6 +703,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["vec_id", "centroid"])
 
+    def graph_triangles(sf_dir):
+        # planted triangle graph over doc ids: chain (i, i+1) plus a
+        # shortcut (i, i+2), so (i, i+1, i+2) closes for i%10 <= 7;
+        # zero-padded ids so the engine's lexicographic canonical order
+        # equals numeric order (same convention as graph_components)
+        from pybel_ray.ops.graph import triangle_counts
+
+        def _edges(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = np.asarray(
+                t.column("doc_id").to_numpy(zero_copy_only=False), np.int64,
+            )
+            chain = ids[ids % 10 != 9]
+            tri = ids[ids % 10 <= 7]
+            a = np.r_[chain, tri]
+            b = np.r_[chain + 1, tri + 2]
+            return pa.Table.from_arrays(
+                [
+                    pa.array([f"{x:08d}" for x in a], pa.string()),
+                    pa.array([f"{x:08d}" for x in b], pa.string()),
+                ],
+                names=["a", "b"],
+            )
+
+        edges = _read(sf_dir, "documents").select_columns(
+            ["doc_id"],
+        ).map_batches(_edges, batch_format="pyarrow")
+        out = triangle_counts(edges, "a", "b")
+
+        def _unpad(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.cast(t.column("node"), pa.int64()),
+                 t.column("n_triangles")],
+                names=["node", "n_triangles"],
+            )
+
+        return out.map_batches(_unpad, batch_format="pyarrow")
+
     def emb_gram_matrix(sf_dir):
         # exact integer Gram matrix (covariance/PCA input): quantized
         # micros so the SQL self-join reproduces every cell to the digit
@@ -1836,6 +1875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_semantic_dedup": emb_semantic_dedup,
         "emb_kmeans_assign": emb_kmeans_assign,
         "emb_gram_matrix": emb_gram_matrix,
+        "graph_triangles": graph_triangles,
         "doc_entity_cooccurrence": doc_entity_cooccurrence,
         "graph_pagerank": graph_pagerank,
         "graph_components": graph_components,
@@ -2675,6 +2715,32 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1
         """.format(km=_KM_SNAP_PATH),
+        "graph_triangles": """
+            WITH ids AS (SELECT doc_id AS i FROM documents),
+            raw AS (
+                SELECT i AS a, i + 1 AS b FROM ids WHERE i % 10 <> 9
+                UNION ALL
+                SELECT i, i + 2 FROM ids WHERE i % 10 <= 7
+            ),
+            e AS (
+                SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                FROM raw WHERE a <> b
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            m AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(count(*) AS BIGINT) AS n_triangles
+            FROM m GROUP BY node
+        """,
         "emb_gram_matrix": """
             WITH q AS (
                 SELECT vec_id, i.range AS i,

@@ -123,6 +123,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_wet_roundtrip",
         "doc_classifier_scores",
         "emb_gram_matrix",
+        "graph_triangles",
     ]
     q = entry.queries()
     out = {}

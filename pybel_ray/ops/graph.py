@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["edge_nodes", "out_degrees", "pagerank"]
+__all__ = ["edge_nodes", "out_degrees", "pagerank", "triangle_counts"]
 
 
 def edge_nodes(edges, src_col: str = "src", dst_col: str = "dst"):
@@ -260,3 +260,167 @@ def _pagerank_distributed(
         ranks = _snapshot(joined.map_batches(_next, batch_format="pyarrow"))
 
     return ranks.select_columns(["node", "rank"])
+
+
+def triangle_counts(
+    edges,
+    a_col: str = "src",
+    b_col: str = "dst",
+    broadcast_budget: int = 2_000_000,
+):
+    """Per-node triangle counts ``(node, n_triangles)`` over an
+    undirected edge Dataset (self-loops dropped, duplicates collapsed).
+
+    Degree-ordered wedge check — the scale-safe formulation: every
+    undirected edge is ORIENTED from its lower-(degree, id) endpoint to
+    the higher, which bounds every out-neighborhood by O(√E) however
+    skewed the raw degrees, so the wedge expansion (the quadratic step)
+    is worker-safe; each triangle is then found exactly once, at its
+    lowest-order vertex.  Exchanges: one dedup over canonical pairs,
+    one ``groupby(node)`` for degrees, one ``groupby(src)`` for wedges,
+    one ``groupby(node)`` for the final counts; the degree table and the
+    oriented-edge key set broadcast under ``broadcast_budget`` and fall
+    back to the bucketed joins in ``struct/degree.py`` beyond it.
+
+    The reference engine has no triangle counting; this supports the
+    clustering-coefficient / community step of the graph-analytics
+    family (with :func:`pagerank` and
+    :func:`pybel_ray.struct.components.connected_components`).
+    """
+    import ray
+
+    from ..stages.dedup import dedup_exact
+    from .relational import groupby_count
+
+    # 1) canonical undirected pairs (lo, hi), deduped
+    def _canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(a_col), pa.string())
+        b = pc.cast(t.column(b_col), pa.string())
+        keep = pc.not_equal(a, b)
+        a, b = pc.filter(a, keep), pc.filter(b, keep)
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        key = pc.binary_join_element_wise(lo, hi, "\x1f")
+        return pa.Table.from_arrays(
+            [
+                lo if isinstance(lo, pa.Array) else lo.combine_chunks(),
+                hi if isinstance(hi, pa.Array) else hi.combine_chunks(),
+                key if isinstance(key, pa.Array) else key.combine_chunks(),
+            ],
+            names=["lo", "hi", "_pair"],
+        )
+
+    pairs = dedup_exact(
+        edges.select_columns([a_col, b_col]).map_batches(
+            _canon, batch_format="pyarrow",
+        ),
+        "_pair",
+    ).drop_columns(["_pair"]).materialize()
+
+    # 2) degrees over both endpoints (per-batch combiner + one groupby)
+    def _endpoints(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([
+            t.column("lo").combine_chunks(), t.column("hi").combine_chunks(),
+        ])
+        return pa.Table.from_arrays([node], names=["node"])
+
+    deg = groupby_count(
+        pairs.map_batches(_endpoints, batch_format="pyarrow"), "node", "deg",
+    ).materialize()
+    if deg.count() > broadcast_budget:
+        raise NotImplementedError(
+            "degree table beyond broadcast budget: wire bucketed_attach "
+            "(struct/degree.py) for the orientation join",
+        )
+    deg_batches = list(deg.iter_batches(batch_format="pyarrow")) or [
+        pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["node", "deg"],
+        ),
+    ]
+    deg_tbl = pa.concat_tables(deg_batches).combine_chunks()
+    deg_ref = ray.put(deg_tbl)
+
+    # 3) orient each edge lower-(deg, id) -> higher-(deg, id)
+    def _orient(t: pa.Table) -> pa.Table:
+        m = ray.get(deg_ref)
+        keys, degs = m.column("node").combine_chunks(), m.column("deg")
+        d_lo = pc.take(degs, pc.index_in(t.column("lo"), value_set=keys))
+        d_hi = pc.take(degs, pc.index_in(t.column("hi"), value_set=keys))
+        dl = d_lo.to_numpy(zero_copy_only=False)
+        dh = d_hi.to_numpy(zero_copy_only=False)
+        # lo < hi lexicographically, so ties on degree keep lo first
+        fwd = dl <= dh
+        lo, hi = t.column("lo").combine_chunks(), t.column("hi").combine_chunks()
+        mask = pa.array(fwd)
+        inv = pa.array(~fwd)
+        u = pa.concat_arrays([lo.filter(mask), hi.filter(inv)])
+        v = pa.concat_arrays([hi.filter(mask), lo.filter(inv)])
+        dv = np.r_[dh[fwd], dl[~fwd]]
+        return pa.Table.from_arrays(
+            [u, v, pa.array(dv, pa.int64())], names=["u", "v", "deg_v"],
+        )
+
+    oriented = pairs.map_batches(_orient, batch_format="pyarrow").materialize()
+
+    # 4) wedges: per source, pairs of out-neighbors in (deg, id) order
+    def _wedges(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string())] * 3,
+                names=["x", "y", "witness"],
+            )
+        g = g.sort_by([("deg_v", "ascending"), ("v", "ascending")])
+        vs = g.column("v").combine_chunks()
+        ia, ib = np.triu_indices(n, 1)
+        return pa.Table.from_arrays(
+            [
+                pc.take(vs, pa.array(ia)),
+                pc.take(vs, pa.array(ib)),
+                pc.take(g.column("u").combine_chunks(),
+                        pa.array(np.zeros(len(ia), np.int64))),
+            ],
+            names=["x", "y", "witness"],
+        )
+
+    wedges = oriented.groupby("u").map_groups(_wedges, batch_format="pyarrow")
+
+    # 5) a wedge (x, y) closes iff the oriented edge x->y exists
+    def _edge_keys(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t.column("u").combine_chunks(), t.column("v").combine_chunks(),
+            "\x1f",
+        )
+        return pa.Table.from_arrays([key], names=["k"])
+
+    keys_ds = oriented.map_batches(_edge_keys, batch_format="pyarrow")
+    n_keys = keys_ds.count()
+    if n_keys > broadcast_budget:
+        raise NotImplementedError(
+            "oriented edge set beyond broadcast budget: use "
+            "bucketed_semi_join (struct/degree.py) for the wedge check",
+        )
+    key_batches = list(keys_ds.iter_batches(batch_format="pyarrow")) or [
+        pa.Table.from_arrays([pa.array([], pa.string())], names=["k"]),
+    ]
+    key_tbl = pa.concat_tables(key_batches).combine_chunks()
+    key_ref = ray.put(key_tbl.column("k").combine_chunks())
+
+    def _close(t: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        key = pc.binary_join_element_wise(
+            t.column("x").combine_chunks(), t.column("y").combine_chunks(),
+            "\x1f",
+        )
+        hit = pc.is_in(key, value_set=ks)
+        tri = t.filter(hit)
+        node = pa.concat_arrays([
+            tri.column("x").combine_chunks(),
+            tri.column("y").combine_chunks(),
+            tri.column("witness").combine_chunks(),
+        ])
+        return pa.Table.from_arrays([node], names=["node"])
+
+    members = wedges.map_batches(_close, batch_format="pyarrow")
+    return groupby_count(members, "node", "n_triangles")

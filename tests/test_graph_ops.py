@@ -162,3 +162,82 @@ def test_json_field_extraction(ray_session):
     strs = {r["id"]: r["name"] for r in
             json_string_field(ds, "props", "name").take_all()}
     assert strs == {0: "web", 1: "x", 2: None, 3: None, 4: None, 5: "y"}
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+
+def _edge_ds(pairs, blocks=3):
+    import ray
+
+    t = pa.Table.from_arrays(
+        [pa.array([str(a) for a, _ in pairs], pa.string()),
+         pa.array([str(b) for _, b in pairs], pa.string())],
+        names=["src", "dst"],
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def _brute_triangles(pairs):
+    from collections import Counter
+    from itertools import combinations
+
+    edges = {frozenset((str(a), str(b))) for a, b in pairs if str(a) != str(b)}
+    nodes = sorted({n for e in edges for n in e})
+    c = Counter()
+    for x, y, z in combinations(nodes, 3):
+        if ({frozenset((x, y)), frozenset((y, z)), frozenset((x, z))}
+                <= edges):
+            c[x] += 1
+            c[y] += 1
+            c[z] += 1
+    return dict(c)
+
+
+def test_triangles_match_brute(ray_session):
+    import numpy as np
+
+    from pybel_ray.ops.graph import triangle_counts
+
+    rs = np.random.RandomState(6)
+    # dense-ish random graph on 30 nodes -> plenty of triangles
+    pairs = [tuple(sorted((int(rs.randint(30)), int(rs.randint(30)))))
+             for _ in range(160)]
+    out = triangle_counts(_edge_ds(pairs)).to_pandas()
+    got = dict(zip(out["node"], out["n_triangles"]))
+    want = _brute_triangles(pairs)
+    assert got == {k: v for k, v in want.items() if v > 0}
+
+
+def test_triangles_dup_selfloop_and_direction_invariant(ray_session):
+    from pybel_ray.ops.graph import triangle_counts
+
+    base = [("a", "b"), ("b", "c"), ("a", "c")]
+    noisy = base + [("b", "a"), ("c", "c"), ("a", "b"), ("c", "b")]
+    out = triangle_counts(_edge_ds(noisy, blocks=4)).to_pandas()
+    got = dict(zip(out["node"], out["n_triangles"]))
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangles_none(ray_session):
+    from pybel_ray.ops.graph import triangle_counts
+
+    out = triangle_counts(_edge_ds([("a", "b"), ("b", "c")])).to_pandas()
+    assert len(out) == 0
+
+
+def test_triangles_hub_skew_safe(ray_session):
+    from pybel_ray.ops.graph import triangle_counts
+
+    # star: hub h connected to 200 leaves, leaves chained pairwise —
+    # orientation must point every edge AT the hub (highest degree), so
+    # the hub's out-neighborhood stays tiny and wedges are leaf-local
+    pairs = [("h", "l%d" % i) for i in range(200)]
+    pairs += [("l%d" % i, "l%d" % (i + 1)) for i in range(199)]
+    out = triangle_counts(_edge_ds(pairs, blocks=6)).to_pandas()
+    got = dict(zip(out["node"], out["n_triangles"]))
+    # triangles: (h, l_i, l_i+1) for every chained pair
+    assert got["h"] == 199
+    assert got["l0"] == 1 and got["l199"] == 1 and got["l5"] == 2
