@@ -742,6 +742,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(_unpad, batch_format="pyarrow")
 
+    def graph_clustering_coeff(sf_dir):
+        # local clustering coefficient over the same planted triangle
+        # graph, integer-micro quantized on both sides
+        from pybel_ray.ops.graph import clustering_coefficients
+
+        def _edges(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = np.asarray(
+                t.column("doc_id").to_numpy(zero_copy_only=False), np.int64,
+            )
+            chain = ids[ids % 10 != 9]
+            tri = ids[ids % 10 <= 7]
+            a = np.r_[chain, tri]
+            b = np.r_[chain + 1, tri + 2]
+            return pa.Table.from_arrays(
+                [
+                    pa.array([f"{x:08d}" for x in a], pa.string()),
+                    pa.array([f"{x:08d}" for x in b], pa.string()),
+                ],
+                names=["a", "b"],
+            )
+
+        edges = _read(sf_dir, "documents").select_columns(
+            ["doc_id"],
+        ).map_batches(_edges, batch_format="pyarrow")
+        out = clustering_coefficients(edges, "a", "b")
+
+        def _unpad(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.cast(t.column("node"), pa.int64()), t.column("deg"),
+                 t.column("n_triangles"), t.column("cc_e6")],
+                names=["node", "deg", "n_triangles", "cc_e6"],
+            )
+
+        return out.map_batches(_unpad, batch_format="pyarrow")
+
     def emb_gram_matrix(sf_dir):
         # exact integer Gram matrix (covariance/PCA input): quantized
         # micros so the SQL self-join reproduces every cell to the digit
@@ -1876,6 +1913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans_assign": emb_kmeans_assign,
         "emb_gram_matrix": emb_gram_matrix,
         "graph_triangles": graph_triangles,
+        "graph_clustering_coeff": graph_clustering_coeff,
         "doc_entity_cooccurrence": doc_entity_cooccurrence,
         "graph_pagerank": graph_pagerank,
         "graph_components": graph_components,
@@ -2740,6 +2778,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS node,
                    CAST(count(*) AS BIGINT) AS n_triangles
             FROM m GROUP BY node
+        """,
+        "graph_clustering_coeff": """
+            WITH ids AS (SELECT doc_id AS i FROM documents),
+            raw AS (
+                SELECT i AS a, i + 1 AS b FROM ids WHERE i % 10 <> 9
+                UNION ALL
+                SELECT i, i + 2 FROM ids WHERE i % 10 <= 7
+            ),
+            e AS (
+                SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                FROM raw WHERE a <> b
+            ),
+            deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+                ) GROUP BY node
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            tc AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                    SELECT x AS node FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri
+                ) GROUP BY node
+            )
+            SELECT CAST(d.node AS BIGINT) AS node, d.deg,
+                   COALESCE(tc.n_triangles, 0) AS n_triangles,
+                   CASE WHEN d.deg > 1 THEN CAST(floor(
+                       (2.0 * COALESCE(tc.n_triangles, 0))
+                       / (d.deg * (d.deg - 1)) * 1000000 + 0.5) AS BIGINT)
+                        ELSE 0 END AS cc_e6
+            FROM deg d LEFT JOIN tc ON tc.node = d.node
         """,
         "emb_gram_matrix": """
             WITH q AS (

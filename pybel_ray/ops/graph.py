@@ -32,7 +32,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["edge_nodes", "out_degrees", "pagerank", "triangle_counts"]
+__all__ = [
+    "edge_nodes",
+    "out_degrees",
+    "pagerank",
+    "triangle_counts",
+    "clustering_coefficients",
+]
 
 
 def edge_nodes(edges, src_col: str = "src", dst_col: str = "dst"):
@@ -267,6 +273,7 @@ def triangle_counts(
     a_col: str = "src",
     b_col: str = "dst",
     broadcast_budget: int = 2_000_000,
+    _with_degrees: bool = False,
 ):
     """Per-node triangle counts ``(node, n_triangles)`` over an
     undirected edge Dataset (self-loops dropped, duplicates collapsed).
@@ -423,4 +430,67 @@ def triangle_counts(
         return pa.Table.from_arrays([node], names=["node"])
 
     members = wedges.map_batches(_close, batch_format="pyarrow")
-    return groupby_count(members, "node", "n_triangles")
+    counts = groupby_count(members, "node", "n_triangles")
+    if not _with_degrees:
+        return counts
+    return counts, deg, deg_tbl
+
+
+def clustering_coefficients(
+    edges,
+    a_col: str = "src",
+    b_col: str = "dst",
+    broadcast_budget: int = 2_000_000,
+):
+    """Local clustering coefficient per node: ``cc = 2·T(v) /
+    (deg(v)·(deg(v)−1))``, quantized to integer micros
+    (``floor(cc·1e6 + 0.5)``) so a SQL oracle compares exactly.
+
+    One row per edge-endpoint node — degree-1 nodes score 0.  Reuses
+    the triangle machinery's degree table (no extra pass): the small
+    triangle-count table attaches onto the degree Dataset via one
+    vectorized broadcast probe.  Returns ``(node, deg, n_triangles,
+    cc_e6)``.
+    """
+    import ray
+
+    counts, deg_ds, _deg_tbl = triangle_counts(
+        edges, a_col, b_col, broadcast_budget, _with_degrees=True,
+    )
+    cnt_batches = list(counts.iter_batches(batch_format="pyarrow")) or [
+        pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["node", "n_triangles"],
+        ),
+    ]
+    cnt_tbl = pa.concat_tables(cnt_batches).combine_chunks()
+    if cnt_tbl.num_rows > broadcast_budget:
+        raise NotImplementedError(
+            "triangle-count table beyond broadcast budget: wire "
+            "bucketed_attach for the cc join",
+        )
+    cnt_ref = ray.put(cnt_tbl)
+
+    def _cc(t: pa.Table) -> pa.Table:
+        m = ray.get(cnt_ref)
+        idx = pc.index_in(
+            t.column("node"), value_set=m.column("node").combine_chunks(),
+        )
+        tri = pc.fill_null(
+            pc.take(m.column("n_triangles").combine_chunks(), idx), 0,
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        denom = deg * (deg - 1)
+        cc = np.zeros(len(deg), np.float64)
+        ok = denom > 0
+        cc[ok] = (2.0 * tri[ok]) / denom[ok]
+        q = np.floor(cc * 1e6 + 0.5).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column("node"), t.column("deg"),
+                pa.array(tri, pa.int64()), pa.array(q, pa.int64()),
+            ],
+            names=["node", "deg", "n_triangles", "cc_e6"],
+        )
+
+    return deg_ds.map_batches(_cc, batch_format="pyarrow")

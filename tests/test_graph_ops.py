@@ -241,3 +241,20 @@ def test_triangles_hub_skew_safe(ray_session):
     # triangles: (h, l_i, l_i+1) for every chained pair
     assert got["h"] == 199
     assert got["l0"] == 1 and got["l199"] == 1 and got["l5"] == 2
+
+
+def test_clustering_coefficients(ray_session):
+    import math
+
+    from pybel_ray.ops.graph import clustering_coefficients
+
+    # triangle a-b-c plus pendant d on a: cc(a)=2*1/(3*2)=1/3,
+    # cc(b)=cc(c)=1, cc(d)=0
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")]
+    out = clustering_coefficients(_edge_ds(pairs, blocks=2)).to_pandas()
+    got = {r.node: (r.deg, r.n_triangles, r.cc_e6) for r in out.itertuples()}
+    third = math.floor((2.0 * 1) / (3 * 2) * 1e6 + 0.5)
+    assert got["a"] == (3, 1, third)
+    assert got["b"] == (2, 1, 1_000_000)
+    assert got["c"] == (2, 1, 1_000_000)
+    assert got["d"] == (1, 0, 0)
