@@ -1107,6 +1107,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["doc_id", "n_contaminated", "contaminated"])
 
+    def doc_dup_ngram_fraction(sf_dir):
+        # cross-document duplicate 8-gram fraction (RefinedWeb/Gopher
+        # duplication hygiene); two aggregate exchanges, no gram group
+        # ever co-located
+        from pybel_ray.ops.decontam import dup_ngram_stats
+
+        return dup_ngram_stats(_read(sf_dir, "documents"), n=8)
+
     # -- sampling / mixing / vocabulary --------------------------------------
 
     def doc_hash_sample(sf_dir):
@@ -1941,6 +1949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_redacted": doc_pii_redacted,
         "doc_line_filter": doc_line_filter,
         "doc_decontaminate": doc_decontaminate,
+        "doc_dup_ngram_fraction": doc_dup_ngram_fraction,
         # sampling / mixing / vocabulary
         "doc_hash_sample": doc_hash_sample,
         "doc_weighted_sample": doc_weighted_sample,
@@ -3216,6 +3225,32 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id >= 20
+        """,
+        # cross-doc duplicate 8-gram fraction; integer-micro quantized so
+        # the division is exact on both sides; docs with < 8 words emit
+        # no grams and therefore no row (both engines)
+        "doc_dup_ngram_fraction": r"""
+            WITH w AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents
+            ),
+            ng AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+                FROM w, LATERAL (
+                    SELECT unnest(generate_series(1, len(ws) - 7)) AS i
+                )
+            ),
+            gc AS (SELECT g, count(*) AS n_docs FROM ng GROUP BY g),
+            per AS (
+                SELECT ng.doc_id, count(*) AS n_grams,
+                       sum(CASE WHEN gc.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+                FROM ng JOIN gc USING (g) GROUP BY ng.doc_id
+            )
+            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(n_dup AS BIGINT) AS n_dup,
+                   CAST((n_dup * 1000000) // n_grams AS BIGINT) AS dup_frac_e6
+            FROM per
         """,
         # deterministic hash-gate sampling: md5 prefix < rate threshold
         # (0.25 -> 0x4000), identical in both engines by construction

@@ -124,6 +124,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_classifier_scores",
         "emb_gram_matrix",
         "graph_triangles",
+        "doc_dup_ngram_fraction",
     ]
     q = entry.queries()
     out = {}

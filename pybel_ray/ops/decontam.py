@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 
 from .lines import _split_words
 
-__all__ = ["benchmark_ngrams", "flag_contamination"]
+__all__ = ["benchmark_ngrams", "flag_contamination", "dup_ngram_stats"]
 
 
 def _ngram_positions(t: pa.Table, text_col: str, n: int):
@@ -119,3 +119,107 @@ def flag_contamination(
         return t.append_column("contaminated", pa.array(counts > 0))
 
     return corpus_ds.map_batches(_f, batch_format="pyarrow")
+
+
+def dup_ngram_stats(ds, n: int = 8, id_col: str = "doc_id", text_col: str = "text"):
+    """Cross-document duplicate n-gram fraction, one row per document.
+
+    The RefinedWeb/Gopher duplication-hygiene signal: for each document,
+    how many of its DISTINCT word ``n``-grams also occur in at least one
+    OTHER document.  Output columns: ``(id_col, n_grams, n_dup,
+    dup_frac_e6)`` where ``dup_frac_e6 = n_dup * 1e6 // n_grams``
+    (integer micros, SQL-exact).  Documents with fewer than ``n`` words
+    emit no row.
+
+    Scale shape — exactly TWO aggregate exchanges, no gram group is ever
+    co-located (hot grams like stop-word runs are safe):
+
+    1. per-batch (docs never span batches): distinct grams per doc via
+       one vectorized ``dictionary_encode`` + ``np.unique``; each batch
+       emits the (gram, doc) pairs AND one (doc, n_grams) partial row.
+    2. ``groupby(gram)`` AGGREGATE (count + min doc) — a combiner-backed
+       aggregate, not ``map_groups``, so a gram shared by millions of
+       docs never lands on one worker.  Grams with count == 1 attribute
+       one *unique* gram to their only document.
+    3. the complement trick: ``n_dup = n_grams - n_unique``, folded by a
+       single ``groupby(doc)`` sum over the union of both partial
+       streams.
+
+    No reference analog (training-data-pipeline family, SURVEY.md §2
+    beyond-reference operators).
+    """
+    from .relational import groupby_agg
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        grams, pos = _ngram_positions(t, text_col, n)
+        if grams is None:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["g", id_col],
+            )
+        doc_idx, valid = pos
+        if not valid.all():
+            grams = grams.filter(pa.array(valid))
+            doc_idx = doc_idx[valid]
+        enc = grams.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        # distinct (doc, gram) per batch; docs are single rows, so this
+        # IS the exact per-document distinct set
+        composite = doc_idx * np.int64(len(enc.dictionary)) + codes
+        _, first = np.unique(composite, return_index=True)
+        ids = np.asarray(
+            t.column(id_col).to_numpy(zero_copy_only=False), np.int64,
+        )[doc_idx[first]]
+        return pa.Table.from_arrays(
+            [grams.take(pa.array(first)), pa.array(ids, pa.int64())],
+            names=["g", id_col],
+        )
+
+    pairs = ds.select_columns([id_col, text_col]).map_batches(
+        _pairs, batch_format="pyarrow",
+    )
+
+    def _totals(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), np.int64)
+        uniq, cnt = np.unique(ids, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(uniq, pa.int64()), pa.array(cnt.astype(np.int64)),
+             pa.array(np.zeros(len(uniq), np.int64))],
+            names=[id_col, "n_grams", "n_unique"],
+        )
+
+    # NOTE: a doc's pairs all come from its one source batch, so the
+    # per-batch count is already the exact per-document total
+    totals = pairs.map_batches(_totals, batch_format="pyarrow")
+
+    per_gram = groupby_agg(
+        pairs, "g", {"n_docs": ("count", "g"), "only_doc": ("min", id_col)},
+    )
+
+    def _singles(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("n_docs"), 1))
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.Table.from_arrays(
+            [pc.cast(t.column("only_doc"), pa.int64()), pa.array(z),
+             pa.array(np.ones(t.num_rows, np.int64))],
+            names=[id_col, "n_grams", "n_unique"],
+        )
+
+    singles = per_gram.map_batches(_singles, batch_format="pyarrow")
+
+    folded = groupby_agg(
+        totals.union(singles), id_col,
+        {"n_grams": ("sum", "n_grams"), "n_unique": ("sum", "n_unique")},
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        tot = np.asarray(t.column("n_grams").to_numpy(zero_copy_only=False), np.int64)
+        unq = np.asarray(t.column("n_unique").to_numpy(zero_copy_only=False), np.int64)
+        dup = tot - unq
+        frac = dup * np.int64(1_000_000) // tot
+        return pa.Table.from_arrays(
+            [t.column(id_col), pa.array(tot), pa.array(dup), pa.array(frac)],
+            names=[id_col, "n_grams", "n_dup", "dup_frac_e6"],
+        )
+
+    return folded.map_batches(_finish, batch_format="pyarrow")
