@@ -546,6 +546,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = add_quality_score(_read(sf_dir, "documents"))
         return ds.select_columns(["doc_id", "n_stopwords", "quality_ok"])
 
+    def doc_gopher_rules(sf_dir):
+        # Gopher-style composite quality filter (integer-exact rule
+        # counters; min_words=20 so the synthetic 10-99-word corpus
+        # discriminates on the word-count rule; bullet/ellipsis/mean-len
+        # fail arms are exercised by a planted pytest fixture)
+        from pybel_ray.ops.text import gopher_rules
+
+        ds = gopher_rules(_read(sf_dir, "documents"), min_words=20)
+        return ds.select_columns([
+            "doc_id", "n_words", "n_word_chars", "n_alpha_words",
+            "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+            "n_stop_present", "gopher_ok",
+        ])
+
     def doc_bpe_token_counts(sf_dir):
         from pybel_ray.ops.text import add_bpe_token_counts
 
@@ -775,6 +789,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 [pc.cast(t.column("node"), pa.int64()), t.column("deg"),
                  t.column("n_triangles"), t.column("cc_e6")],
                 names=["node", "deg", "n_triangles", "cc_e6"],
+            )
+
+        return out.map_batches(_unpad, batch_format="pyarrow")
+
+    def graph_kcore(sf_dir):
+        # 3-core over a planted graph: 10-chains + skip-2 shortcuts
+        # (i%10<=7) + skip-3 shortcuts on EVEN blocks only (i%10<=6) —
+        # odd blocks fully dissolve under k=3 peeling (5 rounds, block-
+        # local so scale-invariant), even blocks keep a dense core.
+        # The peel fixpoint is iteration-order independent, so the SQL
+        # oracle unrolls 6 rounds of the same (degree -> drop <k) CTE.
+        from pybel_ray.ops.graph import kcore
+
+        def _edges(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = np.asarray(
+                t.column("doc_id").to_numpy(zero_copy_only=False), np.int64,
+            )
+            chain = ids[ids % 10 != 9]
+            tri = ids[ids % 10 <= 7]
+            skip3 = ids[(ids % 10 <= 6) & ((ids // 10) % 2 == 0)]
+            a = np.r_[chain, tri, skip3]
+            b = np.r_[chain + 1, tri + 2, skip3 + 3]
+            return pa.Table.from_arrays(
+                [
+                    pa.array([f"{x:08d}" for x in a], pa.string()),
+                    pa.array([f"{x:08d}" for x in b], pa.string()),
+                ],
+                names=["a", "b"],
+            )
+
+        edges = _read(sf_dir, "documents").select_columns(
+            ["doc_id"],
+        ).map_batches(_edges, batch_format="pyarrow")
+        out = kcore(edges, "a", "b", k=3)
+
+        def _unpad(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.cast(t.column("node"), pa.int64()), t.column("deg")],
+                names=["node", "deg"],
             )
 
         return out.map_batches(_unpad, batch_format="pyarrow")
@@ -1200,6 +1255,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return distinct_count_per_group(
             _read(sf_dir, "events"), "user_id", "event_type",
+        )
+
+    def events_hll_users_by_type(sf_dir):
+        # per-group HyperLogLog: approx distinct users per event type.
+        # The register table is integer-exact (one groupby exchange,
+        # <=256 rows per group whatever the skew); the float estimate is
+        # pinned by error-bound pytests.
+        from pybel_ray.ops.sketch import hll_registers_by_group
+
+        return hll_registers_by_group(
+            _read(sf_dir, "events"), "event_type", "user_id",
         )
 
     def events_sessionize(sf_dir):
@@ -1907,6 +1973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": doc_lang_id,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_quality_score": doc_quality_score,
+        "doc_gopher_rules": doc_gopher_rules,
         "doc_bpe_token_counts": doc_bpe_token_counts,
         "doc_fingerprints": doc_fingerprints,
         "doc_fingerprints_md5": doc_fingerprints_md5,
@@ -1922,6 +1989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_gram_matrix": emb_gram_matrix,
         "graph_triangles": graph_triangles,
         "graph_clustering_coeff": graph_clustering_coeff,
+        "graph_kcore": graph_kcore,
         "doc_entity_cooccurrence": doc_entity_cooccurrence,
         "graph_pagerank": graph_pagerank,
         "graph_components": graph_components,
@@ -1966,6 +2034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events_sessionize,
         "events_row_number_per_user": events_row_number_per_user,
         "events_distinct_types_per_user": events_distinct_types_per_user,
+        "events_hll_users_by_type": events_hll_users_by_type,
         "customers_without_orders": customers_without_orders,
         "customers_with_orders": customers_with_orders,
         "events_lag_value": events_lag_value,
@@ -2103,6 +2172,68 @@ def _stop_expr_sql() -> str:
             w=w, n=len(w) + 2,
         )
         for w in STOPWORDS
+    )
+
+
+def _stop_presence_sql() -> str:
+    """Distinct-stopword PRESENCE count over a ``padded`` column — the
+    SQL mirror of ``gopher_rules``'s r_stop counter (0/1 per stopword,
+    summed)."""
+    from pybel_ray.ops.text import STOPWORDS
+
+    return " + ".join(
+        "CASE WHEN position(' {w} ' IN padded) > 0 THEN 1 ELSE 0 END".format(
+            w=w,
+        )
+        for w in STOPWORDS
+    )
+
+
+def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
+    """Unrolled k-core peel (ops/graph.py kcore) over the planted doc-id
+    graph as chained CTEs.  The fixpoint is iteration-order independent
+    and the planted cascade is block-local (≤5 rounds at any scale —
+    pinned by tests), so ``rounds`` unrolled peels ≥ the fixpoint equal
+    the engine exactly."""
+    # MATERIALIZED, or DuckDB inlines each CTE into its ~3 consumers and
+    # the unrolled chain re-expands the base scan exponentially (observed
+    # as "Too many open files" on the documents parquet)
+    ctes = [
+        """__e0 AS MATERIALIZED (
+            SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM (
+                SELECT CAST(doc_id AS BIGINT) AS a,
+                       CAST(doc_id + 1 AS BIGINT) AS b
+                FROM documents WHERE doc_id % 10 != 9
+                UNION ALL
+                SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 2 AS BIGINT)
+                FROM documents WHERE doc_id % 10 <= 7
+                UNION ALL
+                SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 3 AS BIGINT)
+                FROM documents
+                WHERE doc_id % 10 <= 6 AND (doc_id // 10) % 2 = 0
+            ) WHERE a != b
+        )""",
+    ]
+    for i in range(rounds + 1):
+        ctes.append(
+            "__deg{i} AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT)"
+            " AS deg FROM"
+            " (SELECT lo AS n FROM __e{i} UNION ALL SELECT hi FROM __e{i})"
+            " GROUP BY n)".format(i=i),
+        )
+        if i == rounds:
+            break
+        ctes.append(
+            "__good{i} AS MATERIALIZED"
+            " (SELECT n FROM __deg{i} WHERE deg >= {k})".format(i=i, k=k),
+        )
+        ctes.append(
+            "__e{j} AS MATERIALIZED (SELECT lo, hi FROM __e{i}"
+            " WHERE lo IN (SELECT n FROM __good{i})"
+            " AND hi IN (SELECT n FROM __good{i}))".format(i=i, j=i + 1),
+        )
+    return "WITH {} SELECT n AS node, deg FROM __deg{r} WHERE deg >= {k}".format(
+        ", ".join(ctes), r=rounds, k=k,
     )
 
 
@@ -2625,6 +2756,68 @@ def oracle_sql() -> dict[str, str]:
                        AS quality_ok
             FROM s
         """.format(stop_expr=_stop_expr_sql()),
+        # the full Gopher rule set recomputed column-for-column: word/
+        # line splits mirror the engine's regexes, ratio rules compare
+        # as integer products (no float division on either side)
+        "doc_gopher_rules": r"""
+            WITH base AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       ' ' || lower(coalesce(text, '')) || ' ' AS padded
+                FROM documents
+            ), w AS (
+                SELECT doc_id, text, padded,
+                       regexp_split_to_array(trim(text), '\s+') AS words,
+                       string_split(text, chr(10)) AS lines
+                FROM base
+            ), c AS (
+                SELECT doc_id,
+                  CAST(len(words) AS BIGINT) AS n_words,
+                  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+                      AS n_word_chars,
+                  CAST(len(list_filter(words,
+                       x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                      AS n_alpha_words,
+                  CAST(len(lines) AS BIGINT) AS n_lines,
+                  CAST(len(list_filter(lines,
+                       l -> regexp_matches(l, '^\s*[-\*]'))) AS BIGINT)
+                      AS n_bullet_lines,
+                  CAST(len(list_filter(lines,
+                       l -> regexp_matches(l, '\.\.\.\s*$'))) AS BIGINT)
+                      AS n_ellipsis_lines,
+                  CAST({stop_presence} AS BIGINT) AS n_stop_present
+                FROM w
+            )
+            SELECT *,
+                   (n_words BETWEEN 20 AND 100000
+                    AND 3 * n_words <= n_word_chars
+                    AND n_word_chars <= 10 * n_words
+                    AND 5 * n_alpha_words >= 4 * n_words
+                    AND 10 * n_bullet_lines <= n_lines
+                    AND 10 * n_ellipsis_lines <= 3 * n_lines
+                    AND n_stop_present >= 2) AS gopher_ok
+            FROM c
+        """.format(stop_presence=_stop_presence_sql()),
+        "graph_kcore": _kcore_sql(k=3, rounds=6),
+        # per-group HLL registers recomputed cell-for-cell (same md5
+        # bucket/rank windows as corpus_hll_registers, plus the group key)
+        "events_hll_users_by_type": r"""
+            WITH pairs AS (
+                SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            ),
+            h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(v), 1, 2))::BIGINT AS bucket,
+                       ('0x' || substr(md5(v), 3, 13))::BIGINT AS r
+                FROM pairs
+            )
+            SELECT event_type, bucket,
+                   CAST(max(CASE WHEN r = 0 THEN 53
+                                 ELSE 53 - length(bin(r)) END) AS BIGINT)
+                       AS rho
+            FROM h GROUP BY event_type, bucket
+        """,
         "doc_bpe_token_counts": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))

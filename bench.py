@@ -125,6 +125,11 @@ def run_queries(sf_dir: str) -> dict:
         "emb_gram_matrix",
         "graph_triangles",
         "doc_dup_ngram_fraction",
+        # continued-session additions: quality rules, per-group sketch,
+        # k-core peeling
+        "doc_gopher_rules",
+        "events_hll_users_by_type",
+        "graph_kcore",
     ]
     q = entry.queries()
     out = {}

@@ -38,6 +38,7 @@ __all__ = [
     "pagerank",
     "triangle_counts",
     "clustering_coefficients",
+    "kcore",
 ]
 
 
@@ -494,3 +495,115 @@ def clustering_coefficients(
         )
 
     return deg_ds.map_batches(_cc, batch_format="pyarrow")
+
+
+def kcore(
+    edges,
+    a_col: str = "src",
+    b_col: str = "dst",
+    k: int = 2,
+    max_iters: int = 50,
+    broadcast_budget: int = 2_000_000,
+):
+    """k-core subgraph: iteratively peel nodes of undirected degree < k
+    until fixpoint.  Returns ``(node, deg)`` for surviving nodes, where
+    ``deg`` is the node's degree WITHIN the core (distinct neighbors;
+    self-loops dropped, parallel edges collapsed — same conventions as
+    :func:`triangle_counts`).
+
+    Distributed shape: each round is one ``groupby(node)`` degree
+    exchange (per-batch endpoint combiner) + one stateless broadcast
+    anti-filter over the edge Dataset (the REMOVED node set ships via
+    ``ray.put``; it is the small side by construction — peeling removes
+    a shrinking frontier, never the surviving bulk).  The edge Dataset
+    is re-materialized per round so lineage stays one round deep
+    instead of re-executing the whole peel chain.  Rounds are bounded
+    by graph structure (≤ the longest peel cascade), not by data size;
+    ``max_iters`` guards degenerate chains (a path graph peels from the
+    ends inward — O(n) rounds — which at scale wants the
+    O(log n)-round semi-external algorithms; documented, not needed for
+    KG-shaped graphs).
+
+    The fixpoint is iteration-order independent, so a SQL oracle that
+    unrolls ANY sufficient number of peel rounds as chained CTEs
+    compares exactly.  The reference engine has no k-core; this joins
+    pagerank / components / triangles in the graph-analytics family
+    (e.g. dense-subgraph mining over a compiled KG).
+    """
+    import ray
+
+    from ..stages.dedup import dedup_exact
+    from .relational import groupby_count
+
+    def _canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(a_col), pa.string())
+        b = pc.cast(t.column(b_col), pa.string())
+        keep = pc.not_equal(a, b)
+        a, b = pc.filter(a, keep), pc.filter(b, keep)
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        key = pc.binary_join_element_wise(lo, hi, "\x1f")
+        return pa.Table.from_arrays(
+            [
+                lo if isinstance(lo, pa.Array) else lo.combine_chunks(),
+                hi if isinstance(hi, pa.Array) else hi.combine_chunks(),
+                key if isinstance(key, pa.Array) else key.combine_chunks(),
+            ],
+            names=["lo", "hi", "_pair"],
+        )
+
+    pairs = dedup_exact(
+        edges.select_columns([a_col, b_col]).map_batches(
+            _canon, batch_format="pyarrow",
+        ),
+        "_pair",
+    ).drop_columns(["_pair"]).materialize()
+
+    def _endpoints(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([
+            t.column("lo").combine_chunks(), t.column("hi").combine_chunks(),
+        ])
+        return pa.Table.from_arrays([node], names=["node"])
+
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.string()), pa.array([], pa.int64())],
+        names=["node", "deg"],
+    )
+    for _ in range(max_iters):
+        deg = groupby_count(
+            pairs.map_batches(_endpoints, batch_format="pyarrow"),
+            "node", "deg",
+        ).materialize()
+        bad = deg.filter(expr="deg < {}".format(int(k))).materialize()
+        n_bad = bad.count()
+        if n_bad == 0:
+            return deg
+        if deg.count() == n_bad:
+            # every remaining node is below k: empty core
+            import ray.data as rd
+
+            return rd.from_arrow(empty)
+        if n_bad > broadcast_budget:
+            raise NotImplementedError(
+                "peel frontier beyond broadcast budget: wire the bucketed "
+                "anti-join (struct/degree.py) for the removal filter",
+            )
+        bad_nodes = pa.concat_tables(
+            list(bad.select_columns(["node"]).iter_batches(
+                batch_format="pyarrow",
+            )),
+        ).column("node").combine_chunks()
+        bad_ref = ray.put(bad_nodes)
+
+        def _strip(t: pa.Table, _ref=bad_ref) -> pa.Table:
+            rm = ray.get(_ref)
+            keep = pc.and_(
+                pc.invert(pc.is_in(t.column("lo"), value_set=rm)),
+                pc.invert(pc.is_in(t.column("hi"), value_set=rm)),
+            )
+            return t.filter(keep)
+
+        pairs = pairs.map_batches(_strip, batch_format="pyarrow").materialize()
+    raise RuntimeError(
+        "k-core did not converge within max_iters={} rounds".format(max_iters),
+    )

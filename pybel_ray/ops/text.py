@@ -21,6 +21,7 @@ __all__ = [
     "add_fingerprint",
     "add_fingerprint_md5",
     "add_quality_score",
+    "gopher_rules",
     "add_bpe_token_counts",
     "STOPWORDS",
     "BPE_TOKEN_PATTERN",
@@ -173,6 +174,128 @@ def add_quality_score(ds, text_col: str = "text"):
         )
         t = t.append_column("n_stopwords", n_stop)
         return t.append_column("quality_ok", ok)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def _count_matching_per_list(lst: pa.Array, pattern: str) -> np.ndarray:
+    """Per-row count of list elements matching an RE2 pattern.
+
+    Flatten once, match once (vectorized), then a cumsum-gather back to
+    row granularity — no Python loop over rows or elements.
+    """
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = pc.list_flatten(lst)
+    hits = pc.match_substring_regex(flat, pattern)
+    arr = hits.to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+    cum = np.concatenate([[0], np.cumsum(lengths, dtype=np.int64)])
+    csum = np.concatenate([[0], np.cumsum(arr, dtype=np.int64)])
+    return csum[cum[1:]] - csum[cum[:-1]]
+
+
+def gopher_rules(
+    ds,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_stopwords: int = 2,
+):
+    """Gopher-style repetition/quality rule filter (Rae et al. 2021,
+    "Scaling Language Models", public heuristics), integer-exact so a
+    DuckDB oracle reproduces every column bit-for-bit:
+
+    - ``r_words``:      ``min_words <= n_words <= max_words``
+    - ``r_mean_len``:   mean word length in [3, 10] chars — compared as
+      ``3·n_words <= n_word_chars <= 10·n_words`` (no float division)
+    - ``r_alpha``:      ≥80% of words contain an alphabetic char
+      (``5·n_alpha_words >= 4·n_words``)
+    - ``r_bullet``:     ≤10% of lines start with a bullet (``-``/``*``)
+    - ``r_ellipsis``:   ≤30% of lines end with ``...``
+    - ``r_stop``:       ≥``min_stopwords`` distinct :data:`STOPWORDS`
+      present (space-padded substring presence)
+    - ``gopher_ok``:    AND of all six
+
+    Deviations from the paper, documented: the symbol-ratio rule uses
+    the ASCII bullet/ellipsis forms only (no codec issues across
+    engines), and the stopword list is :data:`STOPWORDS` (shared with
+    :func:`add_quality_score`).  One vectorized ``map_batches`` pass —
+    splits, regex matches and presence tests are Arrow kernels; the
+    per-row folds are cumsum gathers.
+    """
+
+    def _f(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        trimmed = pc.utf8_trim_whitespace(text)
+        words = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        n_words = pc.list_value_length(words).cast(pa.int64())
+        n_word_chars = pc.utf8_length(
+            pc.replace_substring_regex(text, r"\s", ""),
+        ).cast(pa.int64())
+        n_alpha = pa.array(
+            _count_matching_per_list(words, r"[A-Za-z]"), pa.int64(),
+        )
+        lines = pc.split_pattern(text, "\n")
+        n_lines = pc.list_value_length(lines).cast(pa.int64())
+        n_bullet = pa.array(
+            _count_matching_per_list(lines, r"^\s*[-*]"), pa.int64(),
+        )
+        n_ellipsis = pa.array(
+            _count_matching_per_list(lines, r"\.\.\.\s*$"), pa.int64(),
+        )
+        padded = pc.binary_join_element_wise(" ", pc.utf8_lower(text), " ", "")
+        n_stop = None
+        for w in STOPWORDS:
+            present = pc.cast(
+                pc.greater(pc.count_substring(padded, " {} ".format(w)), 0),
+                pa.int64(),
+            )
+            n_stop = present if n_stop is None else pc.add(n_stop, present)
+
+        r_words = pc.and_(
+            pc.greater_equal(n_words, min_words),
+            pc.less_equal(n_words, max_words),
+        )
+        r_mean_len = pc.and_(
+            pc.less_equal(pc.multiply(n_words, 3), n_word_chars),
+            pc.less_equal(n_word_chars, pc.multiply(n_words, 10)),
+        )
+        r_alpha = pc.greater_equal(
+            pc.multiply(n_alpha, 5), pc.multiply(n_words, 4),
+        )
+        r_bullet = pc.less_equal(pc.multiply(n_bullet, 10), n_lines)
+        r_ellipsis = pc.less_equal(
+            pc.multiply(n_ellipsis, 10), pc.multiply(n_lines, 3),
+        )
+        r_stop = pc.greater_equal(n_stop, min_stopwords)
+        ok = r_words
+        for r in (r_mean_len, r_alpha, r_bullet, r_ellipsis, r_stop):
+            ok = pc.and_(ok, r)
+        cols = {
+            "n_words": n_words,
+            "n_word_chars": n_word_chars,
+            "n_alpha_words": n_alpha,
+            "n_lines": n_lines,
+            "n_bullet_lines": n_bullet,
+            "n_ellipsis_lines": n_ellipsis,
+            "n_stop_present": n_stop,
+            "r_words": r_words,
+            "r_mean_len": r_mean_len,
+            "r_alpha": r_alpha,
+            "r_bullet": r_bullet,
+            "r_ellipsis": r_ellipsis,
+            "r_stop": r_stop,
+            "gopher_ok": ok,
+        }
+        for name, arr in cols.items():
+            if name in t.column_names:
+                t = t.drop_columns([name])
+            t = t.append_column(name, arr)
+        return t
 
     return ds.map_batches(_f, batch_format="pyarrow")
 

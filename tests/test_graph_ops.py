@@ -258,3 +258,74 @@ def test_clustering_coefficients(ray_session):
     assert got["b"] == (2, 1, 1_000_000)
     assert got["c"] == (2, 1, 1_000_000)
     assert got["d"] == (1, 0, 0)
+
+
+def _brute_kcore(pairs, k):
+    E = set()
+    for a, b in pairs:
+        a, b = str(a), str(b)
+        if a != b:
+            E.add((min(a, b), max(a, b)))
+    iters = 0
+    while True:
+        deg = {}
+        for x, y in E:
+            deg[x] = deg.get(x, 0) + 1
+            deg[y] = deg.get(y, 0) + 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            return deg, iters
+        E = {(x, y) for x, y in E if x not in bad and y not in bad}
+        iters += 1
+        if not E:
+            return {}, iters
+
+
+def test_kcore_matches_brute(ray_session):
+    from pybel_ray.ops.graph import kcore
+
+    # two 10-blocks: chain + skip-2 everywhere, skip-3 only in block 0 —
+    # block 1 dissolves under k=3 (a 5-round cascade), block 0 survives
+    ids = list(range(20))
+    pairs = [(i, i + 1) for i in ids if i % 10 != 9]
+    pairs += [(i, i + 2) for i in ids if i % 10 <= 7]
+    pairs += [(i, i + 3) for i in ids if i % 10 <= 6 and (i // 10) % 2 == 0]
+    spairs = [("%08d" % a, "%08d" % b) for a, b in pairs]
+    for k in (2, 3):
+        exp, _ = _brute_kcore(spairs, k)
+        exp = {n: d for n, d in exp.items() if d >= k}
+        out = kcore(_edge_ds(spairs, blocks=4), k=k).to_pandas()
+        got = dict(zip(out["node"], out["deg"]))
+        assert got == exp, "k=%d" % k
+
+
+def test_kcore_empty_core(ray_session):
+    from pybel_ray.ops.graph import kcore
+
+    # a path peels to nothing under k=2... but a 4-node path takes 2
+    # rounds, and the result must be an EMPTY dataset, not an error
+    out = kcore(_edge_ds([("a", "b"), ("b", "c"), ("c", "d")]), k=2)
+    assert out.count() == 0
+
+
+def test_kcore_dedup_and_self_loops(ray_session):
+    from pybel_ray.ops.graph import kcore
+
+    # parallel edges collapse and self-loops drop BEFORE degrees count:
+    # triangle with a doubled edge and a self-loop is still a 2-core of
+    # degree exactly 2 per node
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("c", "c")]
+    out = kcore(_edge_ds(pairs), k=2).to_pandas()
+    got = dict(zip(out["node"], out["deg"]))
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_planted_cascade_within_oracle_rounds(ray_session):
+    # the graph_kcore DuckDB oracle unrolls 6 peel rounds; the planted
+    # cascade is block-local, so its depth is scale-invariant — pin it
+    ids = list(range(100))
+    pairs = [(i, i + 1) for i in ids if i % 10 != 9]
+    pairs += [(i, i + 2) for i in ids if i % 10 <= 7]
+    pairs += [(i, i + 3) for i in ids if i % 10 <= 6 and (i // 10) % 2 == 0]
+    _, iters = _brute_kcore(pairs, 3)
+    assert iters <= 6

@@ -169,3 +169,82 @@ def test_hll_registers_match_python(ray_session):
         rho = 53 - rank.bit_length() if rank else 53
         ref[b] = max(ref[b], rho)
     assert np.array_equal(regs, ref)
+
+
+def _gds(groups, values, blocks=8):
+    import ray
+
+    t = pa.Table.from_arrays(
+        [pa.array([str(g) for g in groups]), pa.array([str(v) for v in values])],
+        names=["g", "v"],
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def _ref_group_regs(groups, values):
+    import hashlib
+
+    from pybel_ray.ops.sketch import HLL_M
+
+    out = {}
+    for g, v in zip(groups, values):
+        regs = out.setdefault(str(g), np.zeros(HLL_M, np.int64))
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        b, rank = int(h[:2], 16), int(h[2:15], 16)
+        rho = 53 - rank.bit_length() if rank else 53
+        regs[b] = max(regs[b], rho)
+    return out
+
+
+def test_hll_by_group_matches_python(ray_session):
+    from pybel_ray.ops.sketch import hll_registers_by_group
+
+    groups = ["g%d" % (i % 3) for i in range(5000)]
+    vals = ["item%d" % (i % 1100) for i in range(5000)]
+    out = hll_registers_by_group(_gds(groups, vals), "g", "v").to_pandas()
+    ref = _ref_group_regs(groups, vals)
+    for g, sub in out.groupby("g"):
+        got = dict(zip(sub["bucket"], sub["rho"]))
+        exp = {b: r for b, r in enumerate(ref[g]) if r}
+        assert got == exp, g
+
+
+def test_hll_by_group_layout_invariant(ray_session):
+    from pybel_ray.ops.sketch import hll_registers_by_group
+
+    groups = ["t%d" % (i % 5) for i in range(8000)]
+    vals = [i * 7 for i in range(8000)]
+    a = hll_registers_by_group(_gds(groups, vals, blocks=2), "g", "v") \
+        .to_pandas().sort_values(["g", "bucket"]).reset_index(drop=True)
+    b = hll_registers_by_group(_gds(groups, vals, blocks=23), "g", "v") \
+        .to_pandas().sort_values(["g", "bucket"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_hll_by_group_null_rows_skipped(ray_session):
+    import ray
+
+    from pybel_ray.ops.sketch import hll_registers_by_group
+
+    t = pa.Table.from_arrays(
+        [pa.array(["a", "a", None, "b"]), pa.array(["x", None, "y", "z"])],
+        names=["g", "v"],
+    )
+    out = hll_registers_by_group(
+        ray.data.from_arrow(t), "g", "v",
+    ).to_pandas()
+    # only (a,x) and (b,z) contribute: one register row per group
+    assert sorted(out["g"]) == ["a", "b"]
+
+
+def test_hll_group_estimates_small_exact(ray_session):
+    from pybel_ray.ops.sketch import hll_group_estimates
+
+    # well below m=256 the linear-counting correction is near-exact;
+    # 40 distinct per group estimates within ±15%
+    groups = ["g%d" % (i % 4) for i in range(4000)]
+    vals = ["u%d" % ((i // 4) % 40) for i in range(4000)]
+    est = hll_group_estimates(_gds(groups, vals), "g", "v").to_pandas()
+    assert len(est) == 4
+    for v in est["approx_distinct"]:
+        assert abs(int(v) - 40) <= 6

@@ -205,3 +205,76 @@ def test_gram_set_reuse(ray_session):
         for r in flag_contamination(_ds(CORPUS), n=8, gram_set=grams).take_all()
     }
     assert out[0] is True and out[2] is False
+
+
+def test_gopher_rules_planted_fail_arms(ray_session):
+    """Every Gopher rule's FAIL arm fires on a crafted doc (the synthetic
+    corpus is single-line word soup, so bullet/ellipsis/mean-len fails
+    only exist here), and every counter matches a DuckDB recompute."""
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from pybel_ray.ops.text import STOPWORDS, gopher_rules
+
+    docs = pd.DataFrame({
+        "doc_id": range(7),
+        "text": [
+            "the cat and the hat sat on a mat for it now",  # passes all but meanlen?
+            "short",                                  # fails r_words
+            "- b\n- b\n- b\nplain",                  # fails r_bullet (3/4)
+            "more...\nagain...\nyet...\nplain",      # fails r_ellipsis (3/4)
+            "aaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbb ccc",  # fails r_mean_len (>10)
+            "1 2 3 4 5 6 7 8 9 10",                  # fails r_alpha (0 alpha words)
+            None,                                     # null text == empty
+        ],
+    })
+    out = gopher_rules(
+        ray.data.from_pandas(docs).repartition(3), min_words=3,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    assert not out.loc[1, "r_words"]
+    assert not out.loc[2, "r_bullet"] and out.loc[3, "r_bullet"]
+    assert not out.loc[3, "r_ellipsis"] and out.loc[2, "r_ellipsis"]
+    assert not out.loc[4, "r_mean_len"]
+    assert not out.loc[5, "r_alpha"]
+    assert not out.loc[6, "gopher_ok"]
+    assert not out["gopher_ok"].iloc[1:].any()
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    stop_terms = " + ".join(
+        "CASE WHEN position(' {w} ' IN padded) > 0 THEN 1 ELSE 0 END".format(
+            w=w,
+        )
+        for w in STOPWORDS
+    )
+    sql = r"""
+        WITH base AS (
+            SELECT doc_id, coalesce(text,'') AS text,
+                   ' ' || lower(coalesce(text,'')) || ' ' AS padded
+            FROM documents
+        ), w AS (
+            SELECT doc_id, text, padded,
+                   regexp_split_to_array(trim(text), '\s+') AS words,
+                   string_split(text, chr(10)) AS lines
+            FROM base)
+        SELECT doc_id,
+          CAST(len(words) AS BIGINT) AS n_words,
+          CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+              AS n_word_chars,
+          CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha_words,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-\*]')))
+              AS BIGINT) AS n_bullet_lines,
+          CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$')))
+              AS BIGINT) AS n_ellipsis_lines,
+          CAST({stop} AS BIGINT) AS n_stop_present
+        FROM w ORDER BY doc_id
+    """.format(stop=stop_terms)
+    ora = con.execute(sql).df()
+    cols = list(ora.columns)
+    pd.testing.assert_frame_equal(
+        out[cols].astype("int64"), ora.astype("int64"),
+    )
