@@ -1060,6 +1060,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["doc_id"])
 
+    def doc_dedup_keep_best(sf_dir):
+        # curation-rule dedup: same ngram-Jaccard clusters as
+        # doc_dedup_corpus_exact, but each cluster keeps its LONGEST
+        # member (whitespace token count; ties -> lowest doc_id)
+        from pybel_ray.ops.dedup_approx import near_dedup_corpus
+        from pybel_ray.ops.text import add_token_counts
+
+        scored = add_token_counts(_read(sf_dir, "documents"))
+        out = near_dedup_corpus(
+            scored, method="ngram", threshold=0.5,
+            keep="best", score_col="n_tokens",
+        )
+        return out.select_columns(["doc_id"])
+
     def doc_repetition_stats(sf_dir):
         # Gopher-style within-document repetition signals
         from pybel_ray.ops.lines import repetition_stats
@@ -2009,6 +2023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
         "doc_dedup_corpus": doc_dedup_corpus,
         "doc_dedup_corpus_exact": doc_dedup_corpus_exact,
+        "doc_dedup_keep_best": doc_dedup_keep_best,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_duplicated_words": doc_duplicated_words,
         "doc_word_dedup": doc_word_dedup,
@@ -2145,6 +2160,39 @@ _DEDUP_CORPUS_SQL = r"""
     comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
     SELECT doc_id FROM documents
     WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
+""".format(pairs=_NGRAM_PAIRS_SQL)
+
+#: keep='best' variant: per cluster keep the max-token member (ties ->
+#: lowest id) instead of the min id — survivors = docs that are not a
+#: non-rank-1 cluster member
+_DEDUP_KEEP_BEST_SQL = r"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT c.id,
+               row_number() OVER (
+                   PARTITION BY c.rep ORDER BY s.score DESC, c.id
+               ) AS rn
+        FROM comp c JOIN scored s ON s.doc_id = c.id
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)
 """.format(pairs=_NGRAM_PAIRS_SQL)
 
 
@@ -3250,6 +3298,7 @@ def oracle_sql() -> dict[str, str]:
         # minhash-pair dedup == exact-pair dedup here (same reasoning as
         # doc_minhash_near_dups; survivor sets verified equal at both sf)
         "doc_dedup_corpus": _DEDUP_CORPUS_SQL,
+        "doc_dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
         # Gopher-style repetition signals; word split mirrors the engine
         # (regexp_split_to_array(trim(text), '\s+'))
         "doc_repetition_stats": r"""

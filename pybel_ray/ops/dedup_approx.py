@@ -1036,18 +1036,34 @@ def near_dedup_corpus(
     method: str = "minhash",
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep: str = "first",
+    score_col=None,
     **kwargs,
 ):
     """The training-data dedup primitive: return the corpus WITHOUT
-    near-duplicates — one survivor (min id) per duplicate cluster.
+    near-duplicates — one survivor per duplicate cluster.
+
+    ``keep='first'`` keeps the min-id member (the classic deterministic
+    rule); ``keep='best'`` keeps the member with the HIGHEST integer
+    ``score_col`` (ties → lowest id) — the curation rule that keeps the
+    best-quality copy instead of an arbitrary one.
 
     pairs (per ``method``: minhash | ngram | simhash | exact) →
     weakly-connected components over the pair graph (duplicate clusters are
     transitive) → drop every non-representative member with a vectorized
     anti-join.  The victim id set is bounded by the duplicate volume;
     above ``_DRIVER_PAIR_BUDGET`` pair rows the clustering runs as
-    distributed label propagation instead of a driver union-find.
+    distributed label propagation instead of a driver union-find (for
+    ``keep='best'`` the winner argmax then runs as one
+    ``groupby(component).max`` over a fixed-width (score, −id) string
+    encoding — lexicographic max == numeric (score, −id) max — so no
+    cluster is ever co-located beyond its (component, encoded-winner)
+    row).
     """
+    if keep not in ("first", "best"):
+        raise ValueError("keep must be 'first' or 'best': {!r}".format(keep))
+    if keep == "best" and not score_col:
+        raise ValueError("keep='best' requires score_col")
     if method == "minhash":
         pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs)
     elif method == "ngram":
@@ -1055,9 +1071,17 @@ def near_dedup_corpus(
     elif method == "simhash":
         pairs = simhash_near_dup_pairs(ds, text_col, id_col, **kwargs)
     elif method == "exact":
+        if keep == "best":
+            raise ValueError(
+                "keep='best' is not supported for method='exact': exact "
+                "duplicates have identical text, so any text-derived "
+                "score ties and keep='first' already picks the min id",
+            )
         return _exact_dedup_corpus(ds, text_col, id_col)
     else:
         raise ValueError("unknown dedup method: {}".format(method))
+
+    import ray
 
     pairs = pairs.select_columns(["id_a", "id_b"]).materialize()
     n_pairs = pairs.count()
@@ -1071,10 +1095,45 @@ def near_dedup_corpus(
             (r["id_a"], r["id_b"]) for r in pairs.take_all()
         ]
         comp = connected_components_driver(edges)
-        victims = np.fromiter(
-            (node for node, rep in comp.items() if node != rep),
-            dtype=np.int64,
-        )
+        if keep == "best":
+            # scores for cluster MEMBERS only (bounded by dup volume):
+            # one broadcast-filtered pass, winners picked on the driver
+            members = np.sort(np.fromiter(comp, dtype=np.int64))
+            mem_ref = ray.put(members)
+
+            def _mem_scores(t: pa.Table) -> pa.Table:
+                m = pa.array(ray.get(mem_ref), pa.int64())
+                sub = t.filter(pc.is_in(t.column(id_col), value_set=m))
+                return pa.Table.from_arrays(
+                    [
+                        sub.column(id_col).combine_chunks().cast(pa.int64()),
+                        sub.column(score_col).combine_chunks().cast(pa.int64()),
+                    ],
+                    names=["id", "score"],
+                )
+
+            score_map = {}
+            for b in ds.map_batches(
+                _mem_scores, batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow"):
+                score_map.update(zip(
+                    b.column("id").to_pylist(), b.column("score").to_pylist(),
+                ))
+            best = {}
+            for node, rep in comp.items():
+                key = (score_map[node], -node)
+                if rep not in best or key > best[rep][0]:
+                    best[rep] = (key, node)
+            winners = {rep: node for rep, (_, node) in best.items()}
+            victims = np.fromiter(
+                (n for n, rep in comp.items() if n != winners[rep]),
+                dtype=np.int64,
+            )
+        else:
+            victims = np.fromiter(
+                (node for node, rep in comp.items() if node != rep),
+                dtype=np.int64,
+            )
     else:
         from ..struct.components import connected_components
 
@@ -1089,21 +1148,26 @@ def near_dedup_corpus(
             pairs.map_batches(_as_str, batch_format="pyarrow"),
         )
 
-        def _victims(t: pa.Table) -> pa.Table:
-            keep = pc.not_equal(t.column("id"), t.column("component"))
-            return pa.Table.from_arrays(
-                [pc.cast(t.filter(keep).column("id"), pa.int64())],
-                names=["id"],
+        if keep == "best":
+            victims = _distributed_best_victims(
+                ds, comp_ds, id_col, score_col,
             )
+        else:
+            def _victims(t: pa.Table) -> pa.Table:
+                keep_m = pc.not_equal(t.column("id"), t.column("component"))
+                return pa.Table.from_arrays(
+                    [pc.cast(t.filter(keep_m).column("id"), pa.int64())],
+                    names=["id"],
+                )
 
-        rows = []
-        for batch in comp_ds.map_batches(
-            _victims, batch_format="pyarrow",
-        ).iter_batches(batch_format="pyarrow"):
-            rows.append(batch.column("id").to_numpy(zero_copy_only=False))
-        victims = np.concatenate(rows) if rows else np.array([], np.int64)
-
-    import ray
+            rows = []
+            for batch in comp_ds.map_batches(
+                _victims, batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow"):
+                rows.append(batch.column("id").to_numpy(zero_copy_only=False))
+            victims = (
+                np.concatenate(rows) if rows else np.array([], np.int64)
+            )
 
     victims_ref = ray.put(np.sort(victims))
 
@@ -1112,6 +1176,82 @@ def near_dedup_corpus(
         return t.filter(pc.invert(pc.is_in(t.column(id_col), value_set=v)))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def _distributed_best_victims(ds, comp_ds, id_col: str, score_col) -> np.ndarray:
+    """keep='best' winner selection beyond the driver pair budget.
+
+    (id, component) labels join scores via one bucketed attach, the
+    (score, −id) argmax per component runs as ONE ``groupby(component)
+    .max`` over a fixed-width digit encoding (lexicographic max ==
+    numeric max), and losers stream back as the victim id vector —
+    bounded by the duplicate volume, same contract as keep='first'.
+    Requires ``0 <= id < 1e18`` and ``|score| < 1e18`` (asserted).
+    """
+    from ..struct.degree import bucketed_attach
+    from .relational import groupby_agg
+
+    bias = 10 ** 18
+
+    def _scores(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column(id_col), pa.string()).combine_chunks(),
+                t.column(score_col).combine_chunks().cast(pa.int64()),
+            ],
+            names=["id", "score"],
+        )
+
+    scores_ds = ds.map_batches(_scores, batch_format="pyarrow")
+    withscore = bucketed_attach(
+        comp_ds.select_columns(["id", "component"]),
+        "id", scores_ds, "id", ["score"],
+    )
+
+    def _enc(t: pa.Table) -> pa.Table:
+        ids = t.column("id").combine_chunks().cast(pa.int64())
+        scores = t.column("score").combine_chunks()
+        idv = ids.to_numpy(zero_copy_only=False)
+        sv = scores.to_numpy(zero_copy_only=False)
+        if len(idv) and (
+            idv.min() < 0 or idv.max() >= bias
+            or abs(int(sv.min())) >= bias or int(sv.max()) >= bias
+        ):
+            raise ValueError("dedup keep='best' encoding range exceeded")
+        enc = pc.binary_join_element_wise(
+            pc.utf8_lpad(
+                pc.cast(pc.add(scores, bias), pa.string()), 19, padding="0",
+            ),
+            pc.utf8_lpad(
+                pc.cast(pc.subtract(bias, ids), pa.string()), 19, padding="0",
+            ),
+            "",
+        )
+        return pa.Table.from_arrays(
+            [ids, t.column("component").combine_chunks(), enc],
+            names=["id", "component", "enc"],
+        )
+
+    enc_ds = (
+        withscore.map_batches(_enc, batch_format="pyarrow").materialize()
+    )
+    winners = groupby_agg(enc_ds, "component", {"best_enc": ("max", "enc")})
+    tagged = bucketed_attach(
+        enc_ds, "component", winners, "component", ["best_enc"],
+    )
+
+    def _losers(t: pa.Table) -> pa.Table:
+        lose = pc.not_equal(t.column("enc"), t.column("best_enc"))
+        return pa.Table.from_arrays(
+            [t.filter(lose).column("id").combine_chunks()], names=["id"],
+        )
+
+    rows = []
+    for batch in tagged.map_batches(
+        _losers, batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        rows.append(batch.column("id").to_numpy(zero_copy_only=False))
+    return np.concatenate(rows) if rows else np.array([], np.int64)
 
 
 def _exact_dedup_corpus(ds, text_col: str, id_col: str):

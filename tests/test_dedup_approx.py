@@ -213,3 +213,77 @@ def test_verify_pairs_is_distributed(docs):
         ds.take_all()
     finally:
         ray.data.Dataset.take_all = orig
+
+
+def test_near_dedup_keep_best_branches_identical(ray_session):
+    """keep='best' keeps the max-score member (ties -> min id) and the
+    driver union-find and distributed label-prop branches agree."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    import pybel_ray.ops.dedup_approx as da
+
+    rng = np.random.RandomState(0)
+    vocab = ["w%d" % i for i in range(50)]
+    rows = []
+    for c in range(10):
+        base = [vocab[rng.randint(50)] for _ in range(30)]
+        for j in range(3):
+            t = list(base)
+            t[j] = "x%d_%d" % (c, j)
+            rows.append({
+                "doc_id": c * 10 + j,
+                "text": " ".join(t),
+                "score": int((c * 10 + j) % 7),
+            })
+    # ids 100+i and 105+i share a vocab slice -> near-dup PAIRS with a
+    # score tie, so keep='best' falls back to min id (100..104 survive)
+    for i in range(100, 110):
+        rows.append({
+            "doc_id": i,
+            "text": " ".join(vocab[(i % 5)::7]) + " unique%d" % i,
+            "score": 1,
+        })
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    out = da.near_dedup_corpus(
+        ds, method="ngram", threshold=0.5, keep="best", score_col="score",
+    ).to_pandas()
+    # per planted cluster c (ids 10c,10c+1,10c+2): argmax of id%7, min id tie
+    expected = set(range(100, 105))
+    for c in range(10):
+        ids = [c * 10 + j for j in range(3)]
+        best = max(ids, key=lambda i: (i % 7, -i))
+        expected.add(best)
+    assert set(out["doc_id"]) == expected
+
+    orig = da._DRIVER_PAIR_BUDGET
+    try:
+        da._DRIVER_PAIR_BUDGET = 0
+        out_d = da.near_dedup_corpus(
+            ds, method="ngram", threshold=0.5, keep="best",
+            score_col="score",
+        ).to_pandas()
+    finally:
+        da._DRIVER_PAIR_BUDGET = orig
+    assert set(out_d["doc_id"]) == expected
+
+
+def test_near_dedup_keep_best_validation(ray_session):
+    import pandas as pd
+    import pytest
+    import ray
+
+    from pybel_ray.ops.dedup_approx import near_dedup_corpus
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1], "text": ["a b c"], "score": [1]}),
+    )
+    with pytest.raises(ValueError, match="score_col"):
+        near_dedup_corpus(ds, method="ngram", keep="best")
+    with pytest.raises(ValueError, match="exact"):
+        near_dedup_corpus(ds, method="exact", keep="best", score_col="score")
+    with pytest.raises(ValueError, match="keep"):
+        near_dedup_corpus(ds, keep="median")
