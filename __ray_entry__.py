@@ -1527,6 +1527,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         partials = token_count_partials(_read(sf_dir, "documents"))
         return hll_registers_table(partials, "word")
 
+    def events_value_ddsketch(sf_dir):
+        # DDSketch-style log-bucketed quantile sketch: the bucket table
+        # is integer-exact ((sign, bit-length, leading-bits head) of the
+        # micros quantization), so the oracle recomputes every cell via
+        # length(bin(v)) and integer shifts — same recipe as the HLL
+        # register oracle; float quantile readout pinned by pytests
+        from pybel_ray.ops.sketch import ddsketch_buckets
+
+        return ddsketch_buckets(_read(sf_dir, "events"), "value")
+
+    def events_value_quantiles_dd(sf_dir):
+        # integer-exact quantile readout from the DDSketch buckets:
+        # q arrives in basis points, the estimate as sign*(lo+hi) micros
+        # (twice the bucket midpoint) so the whole readout — cumulative
+        # rank inequality included — is integer arithmetic the SQL
+        # oracle reproduces bit-for-bit
+        from pybel_ray.ops.sketch import ddsketch_quantile_table
+
+        return ddsketch_quantile_table(
+            _read(sf_dir, "events"), "value",
+            [0, 2500, 5000, 7500, 9900, 10000],
+        )
+
     def doc_wet_roundtrip(sf_dir):
         # documents → distributed WET shard sink → WET source → rows;
         # the oracle recomputes (url, text) straight from the Parquet, so
@@ -2061,6 +2084,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_distinct_words_kmv": doc_distinct_words_kmv,
         "corpus_cms_heavy_hitters": corpus_cms_heavy_hitters,
         "corpus_hll_registers": corpus_hll_registers,
+        "events_value_ddsketch": events_value_ddsketch,
+        "events_value_quantiles_dd": events_value_quantiles_dd,
         "corpus_inverted_index": corpus_inverted_index,
         "doc_wet_roundtrip": doc_wet_roundtrip,
         "doc_classifier_scores": doc_classifier_scores,
@@ -3557,6 +3582,71 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE 53 - length(bin(v)) END) AS BIGINT)
                        AS rho
             FROM h GROUP BY bucket
+        """,
+        "events_value_ddsketch": r"""
+            WITH q AS (
+                SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qi
+                FROM events WHERE value IS NOT NULL
+            ),
+            c AS (
+                SELECT CASE WHEN qi > 0 THEN 1
+                            WHEN qi < 0 THEN -1 ELSE 0 END AS sign,
+                       abs(qi) AS av
+                FROM q
+            )
+            SELECT sign,
+                   CAST(CASE WHEN av = 0 THEN 0
+                             ELSE length(bin(av)) END AS BIGINT) AS msb,
+                   CAST(CASE WHEN av = 0 THEN 0
+                             ELSE av >> greatest(length(bin(av)) - 4, 0)
+                        END AS BIGINT) AS head,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM c GROUP BY 1, 2, 3
+        """,
+        "events_value_quantiles_dd": r"""
+            WITH q AS (
+                SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qi
+                FROM events WHERE value IS NOT NULL
+            ),
+            c AS (
+                SELECT CASE WHEN qi > 0 THEN 1
+                            WHEN qi < 0 THEN -1 ELSE 0 END AS sign,
+                       abs(qi) AS av
+                FROM q
+            ),
+            b AS (
+                SELECT sign,
+                       CASE WHEN av = 0 THEN 0
+                            ELSE length(bin(av)) END AS msb,
+                       CASE WHEN av = 0 THEN 0
+                            ELSE av >> greatest(length(bin(av)) - 4, 0)
+                       END AS head,
+                       count(*) AS n
+                FROM c GROUP BY 1, 2, 3
+            ),
+            m AS (
+                SELECT CASE WHEN msb = 0 THEN 0
+                            ELSE sign * (
+                                (head << greatest(msb - 1 - 3, 0))
+                                + ((head + 1) << greatest(msb - 1 - 3, 0))
+                            ) END AS v2,
+                       n
+                FROM b
+            ),
+            s AS (
+                SELECT v2, n,
+                       sum(n) OVER (ORDER BY v2) AS cum,
+                       sum(n) OVER () AS total
+                FROM m
+            ),
+            qs AS (
+                SELECT unnest([0, 2500, 5000, 7500, 9900, 10000]) AS q_bp
+            )
+            SELECT CAST(q.q_bp AS BIGINT) AS q_bp,
+                   CAST(min(s.v2) AS BIGINT) AS value_e6x2
+            FROM qs q JOIN s
+              ON s.cum * 10000 >= q.q_bp * (s.total - 1) + 10000
+            GROUP BY q.q_bp
         """,
         "orders_returned_semi_bloom": """
             SELECT o_orderkey, o_totalprice FROM orders o

@@ -130,6 +130,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_gopher_rules",
         "events_hll_users_by_type",
         "graph_kcore",
+        "events_value_ddsketch",
     ]
     q = entry.queries()
     out = {}

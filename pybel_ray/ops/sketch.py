@@ -41,6 +41,9 @@ __all__ = [
     "HLL_P",
     "HLL_M",
     "md5_window_slots",
+    "ddsketch_buckets",
+    "ddsketch_quantiles",
+    "ddsketch_quantile_table",
 ]
 
 
@@ -403,4 +406,177 @@ def hll_group_estimates(ds, group_col: str, col: str) -> pa.Table:
             pa.array([_hll_estimate(per_group[g]) for g in keys], pa.int64()),
         ],
         names=[group_col, "approx_distinct"],
+    )
+
+
+def _dd_msb_head(av: np.ndarray, sub_bits: int) -> tuple:
+    """(msb, head) per positive int64 value: msb = bit length, head =
+    the leading ``1 + sub_bits`` bits (the DDSketch-style log bucket,
+    in exact integer arithmetic — no float log at bucket boundaries).
+    """
+    m = np.floor(np.log2(av.astype(np.float64))).astype(np.int64) + 1
+    # one-step boundary correction makes the float log exact everywhere
+    low = np.left_shift(np.int64(1), np.maximum(m - 1, 0)) > av
+    m[low] -= 1
+    high = np.left_shift(np.int64(1), np.minimum(m, 62)) <= av
+    m[high] += 1
+    shift = np.maximum(m - 1 - sub_bits, 0)
+    head = np.right_shift(av, shift)
+    return m, head
+
+
+def ddsketch_buckets(ds, col: str, sub_bits: int = 3):
+    """Mergeable log-bucketed quantile sketch (DDSketch-flavored, exact
+    integer buckets): values quantize to micros, each lands in the
+    bucket keyed by ``(sign, msb, head)`` where ``msb`` is the bit
+    length of ``|micros|`` and ``head`` its leading ``1 + sub_bits``
+    bits.  Bucket width is ≤ 2^-sub_bits relative, so quantile
+    estimates carry a bounded RELATIVE error at any scale and any
+    distribution — the scale path where an exact distributed quantile
+    (one full sort) is not worth a shuffle.
+
+    Per batch: vectorized bucket codes + one local ``value_counts`` →
+    at most ~``3·64·2^sub_bits`` partial rows per batch; ONE
+    ``groupby([sign, msb, head]).sum`` exchange merges them (counts are
+    exact sums, so the sketch is layout- and shard-invariant by
+    construction).  The bucket table is integer-exact and a DuckDB
+    oracle recomputes it cell-for-cell via ``length(bin(v))`` and
+    integer shifts; the float quantile estimates
+    (:func:`ddsketch_quantiles`) are pinned by error-bound tests.
+    """
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vals = t.column(col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        v = vals.drop_null().to_numpy(zero_copy_only=False)
+        q = np.floor(
+            np.asarray(v, np.float64) * 1e6 + 0.5,
+        ).astype(np.int64)
+        sign = np.sign(q)
+        av = np.abs(q)
+        msb = np.zeros(len(q), np.int64)
+        head = np.zeros(len(q), np.int64)
+        nz = av > 0
+        if nz.any():
+            msb[nz], head[nz] = _dd_msb_head(av[nz], sub_bits)
+        codes = pa.Table.from_arrays(
+            [
+                pa.array(sign, pa.int64()),
+                pa.array(msb, pa.int64()),
+                pa.array(head, pa.int64()),
+            ],
+            names=["sign", "msb", "head"],
+        )
+        local = codes.group_by(["sign", "msb", "head"]).aggregate(
+            [([], "count_all")],
+        )
+        return local.rename_columns(["sign", "msb", "head", "n"])
+
+    partial = ds.select_columns([col]).map_batches(
+        _partial, batch_format="pyarrow",
+    )
+    merged = partial.groupby(["sign", "msb", "head"]).sum("n")
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["sign", "msb", "head", "n"])
+
+    return merged.map_batches(_rename, batch_format="pyarrow")
+
+
+def ddsketch_quantiles(ds, col: str, qs, sub_bits: int = 3) -> pa.Table:
+    """Quantile estimates from the bucket sketch: the bucket table
+    (≤ a few hundred rows) streams to the driver, buckets sort by their
+    numeric lower bound, and each requested quantile reads the midpoint
+    of the bucket its rank falls in.  Max relative error ≈
+    2^-(sub_bits+1) (bucket half-width); pinned by tests.
+    """
+    rows = []
+    for b in ddsketch_buckets(ds, col, sub_bits).iter_batches(
+        batch_format="pyarrow",
+    ):
+        rows.append(b)
+    if not rows:
+        raise ValueError("empty input")
+    t = pa.concat_tables(rows)
+    sign = t.column("sign").to_numpy(zero_copy_only=False)
+    msb = t.column("msb").to_numpy(zero_copy_only=False)
+    head = t.column("head").to_numpy(zero_copy_only=False)
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    shift = np.maximum(msb - 1 - sub_bits, 0)
+    lo = np.left_shift(head, shift).astype(np.float64)
+    hi = np.left_shift(head + 1, shift).astype(np.float64)
+    mid = np.where(msb == 0, 0.0, (lo + hi) / 2.0) / 1e6 * sign
+    # sort buckets by midpoint (negatives ascend toward zero first)
+    order = np.argsort(mid, kind="stable")
+    mid, n = mid[order], n[order]
+    cum = np.cumsum(n)
+    total = cum[-1]
+    out_q, out_v = [], []
+    for q in qs:
+        rank = min(max(q, 0.0), 1.0) * (total - 1)
+        idx = int(np.searchsorted(cum, rank + 1, side="left"))
+        out_q.append(float(q))
+        out_v.append(float(mid[min(idx, len(mid) - 1)]))
+    return pa.Table.from_arrays(
+        [pa.array(out_q, pa.float64()), pa.array(out_v, pa.float64())],
+        names=["q", "value"],
+    )
+
+
+def ddsketch_quantile_table(
+    ds, col: str, q_bps, sub_bits: int = 3,
+) -> pa.Table:
+    """Integer-exact quantile readout from the bucket sketch: quantiles
+    arrive as basis points (``q_bp``, 0..10000) and each estimate is
+    reported as ``value_e6x2 = sign * (bucket_lo + bucket_hi)`` in
+    micros — twice the bucket midpoint, kept integral so a DuckDB
+    oracle reproduces every cell with no float arithmetic anywhere
+    (the rank inequality ``cum*10000 >= q_bp*(total-1) + 10000`` is the
+    integer form of ``searchsorted(cum, q*(total-1) + 1)``).  Bucket
+    v2 codes are distinct by construction ((msb, head) ranges are
+    disjoint), so the cumulative order is well-defined.
+    """
+    parts = []
+    for b in ddsketch_buckets(ds, col, sub_bits).iter_batches(
+        batch_format="pyarrow",
+    ):
+        parts.append(b)
+    if not parts:
+        raise ValueError("empty input")
+    t = pa.concat_tables(parts)
+    rows = []
+    for sign, msb, head, n in zip(
+        t.column("sign").to_pylist(),
+        t.column("msb").to_pylist(),
+        t.column("head").to_pylist(),
+        t.column("n").to_pylist(),
+    ):
+        if msb == 0:
+            v2 = 0
+        else:
+            shift = max(msb - 1 - sub_bits, 0)
+            v2 = sign * ((head << shift) + ((head + 1) << shift))
+        rows.append((v2, n))
+    rows.sort()
+    total = sum(n for _, n in rows)
+    cums = []
+    c = 0
+    for v2, n in rows:
+        c += n
+        cums.append((v2, c))
+    out_q, out_v = [], []
+    for q_bp in q_bps:
+        # integer searchsorted: first bucket whose cum covers the rank
+        target = q_bp * (total - 1) + 10000
+        pick = cums[-1][0]
+        for v2, cum in cums:
+            if cum * 10000 >= target:
+                pick = v2
+                break
+        out_q.append(int(q_bp))
+        out_v.append(int(pick))
+    return pa.Table.from_arrays(
+        [pa.array(out_q, pa.int64()), pa.array(out_v, pa.int64())],
+        names=["q_bp", "value_e6x2"],
     )

@@ -248,3 +248,80 @@ def test_hll_group_estimates_small_exact(ray_session):
     assert len(est) == 4
     for v in est["approx_distinct"]:
         assert abs(int(v) - 40) <= 6
+
+
+def test_dd_msb_head_exact_at_boundaries():
+    from pybel_ray.ops.sketch import _dd_msb_head
+
+    vals = []
+    for k in range(1, 63):
+        for d in (-1, 0, 1):
+            v = (1 << k) + d
+            if 0 < v < (1 << 62):
+                vals.append(v)
+    rng = np.random.default_rng(0)
+    vals += [int(x) for x in rng.integers(1, 1 << 62, size=5000)]
+    av = np.array(vals, dtype=np.int64)
+    msb, head = _dd_msb_head(av, 3)
+    exp_msb = np.array([v.bit_length() for v in vals], dtype=np.int64)
+    assert (msb == exp_msb).all()
+    exp_head = av >> np.maximum(exp_msb - 1 - 3, 0)
+    assert (head == exp_head).all()
+
+
+def test_ddsketch_quantile_error_bound(ray_session):
+    import ray
+
+    from pybel_ray.ops.sketch import ddsketch_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.lognormal(3, 2, 5000),
+        -rng.lognormal(1, 1, 1000),
+        np.zeros(50),
+    ])
+    ds = ray.data.from_arrow(pa.table({"v": vals}))
+    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    out = ddsketch_quantiles(ds, "v", qs)
+    est = dict(zip(out.column("q").to_pylist(), out.column("value").to_pylist()))
+    for q in qs:
+        exact = float(np.quantile(vals, q))
+        # bucket half-width: 2^-(sub_bits+1) relative, plus micros rounding
+        assert abs(est[q] - exact) <= abs(exact) * 2 ** -4 + 1e-6, q
+
+
+def test_ddsketch_layout_invariant(ray_session):
+    import ray
+
+    from pybel_ray.ops.sketch import ddsketch_buckets
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([rng.lognormal(2, 3, 2000), -rng.lognormal(0, 2, 500)])
+    t = pa.table({"v": vals})
+
+    def tbl(blocks):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        return (
+            ddsketch_buckets(ds, "v")
+            .to_pandas()
+            .sort_values(["sign", "msb", "head"])
+            .reset_index(drop=True)
+        )
+
+    assert tbl(1).equals(tbl(13))
+
+
+def test_ddsketch_quantile_table_matches_float(ray_session):
+    import ray
+
+    from pybel_ray.ops.sketch import ddsketch_quantile_table, ddsketch_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(1, 2, 3000)
+    ds = ray.data.from_arrow(pa.table({"v": vals}))
+    qt = ddsketch_quantile_table(ds, "v", [0, 5000, 9900, 10000])
+    fl = ddsketch_quantiles(ds, "v", [0.0, 0.5, 0.99, 1.0])
+    # value_e6x2 is twice the bucket midpoint in micros
+    for iv, fv in zip(qt.column("value_e6x2").to_pylist(),
+                      fl.column("value").to_pylist()):
+        assert abs(iv / 2e6 - fv) < 1e-9
