@@ -1550,6 +1550,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [0, 2500, 5000, 7500, 9900, 10000],
         )
 
+    def _html_pages(sf_dir):
+        # deterministic crawl-page synthesis from the documents table
+        # (same pattern as doc_wet_roundtrip's _pagify): the SQL oracle
+        # rebuilds the identical HTML by string concatenation, so the
+        # extraction operators are checked over byte-identical input
+        import numpy as np
+
+        def _htmlify(t: pa.Table) -> pa.Table:
+            did = t.column("doc_id")
+            if isinstance(did, pa.ChunkedArray):
+                did = did.combine_chunks()
+            text = t.column("text")
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            d = np.asarray(did.to_numpy(zero_copy_only=False), np.int64)
+            s = lambda a: pc.cast(pa.array(a, pa.int64()), pa.string())  # noqa: E731
+            url = pc.binary_join_element_wise(
+                "https://site", s(d % 20), ".example.com/page/", s(d), "",
+            )
+            mail = pa.array(
+                np.where(
+                    d % 3 == 0, '<a href="mailto:a@b.c">m</a>', "",
+                ).tolist(), pa.string(),
+            )
+            html = pc.binary_join_element_wise(
+                "<html><head><title>doc ", s(d),
+                "</title></head><body><p>",
+                pc.fill_null(text, ""),
+                '</p><a href="https://site', s((d * 7 + 1) % 20),
+                ".example.com/page/", s(d * 7 + 1),
+                '">n', s(d), '</a><a href="/local/', s(d % 13),
+                '">l</a>', mail, "</body></html>", "",
+            )
+            return pa.Table.from_arrays(
+                [did, url, html], names=["doc_id", "url", "html"],
+            )
+
+        return _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"],
+        ).map_batches(_htmlify, batch_format="pyarrow")
+
+    def web_links(sf_dir):
+        # HTML anchor extraction over synthesized crawl pages: absolute
+        # hrefs pass, root-relative join the source host, mailto drops;
+        # the oracle re-extracts with DuckDB regexp_extract_all
+        from pybel_ray.ops.html import extract_links
+
+        return extract_links(_html_pages(sf_dir))
+
+    def web_host_graph(sf_dir):
+        # weighted host->host adjacency from the extracted links: the
+        # web-graph construction step PageRank/k-core consume; one
+        # partial-count row per distinct pair per batch, one exchange
+        from pybel_ray.ops.html import extract_links, host_graph
+
+        return host_graph(extract_links(_html_pages(sf_dir)))
+
+    def web_strip_tags(sf_dir):
+        # vectorized tag stripping (RE2 kernels shared with the SQL
+        # two-pass regexp_replace oracle)
+        from pybel_ray.ops.html import strip_tags
+
+        return strip_tags(_html_pages(sf_dir)).select_columns(
+            ["doc_id", "text"],
+        )
+
     def doc_wet_roundtrip(sf_dir):
         # documents → distributed WET shard sink → WET source → rows;
         # the oracle recomputes (url, text) straight from the Parquet, so
@@ -2086,6 +2152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_hll_registers": corpus_hll_registers,
         "events_value_ddsketch": events_value_ddsketch,
         "events_value_quantiles_dd": events_value_quantiles_dd,
+        "web_links": web_links,
+        "web_host_graph": web_host_graph,
+        "web_strip_tags": web_strip_tags,
         "corpus_inverted_index": corpus_inverted_index,
         "doc_wet_roundtrip": doc_wet_roundtrip,
         "doc_classifier_scores": doc_classifier_scores,
@@ -3647,6 +3716,116 @@ def oracle_sql() -> dict[str, str]:
             FROM qs q JOIN s
               ON s.cum * 10000 >= q.q_bp * (s.total - 1) + 10000
             GROUP BY q.q_bp
+        """,
+        "web_links": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       'https://site' || (doc_id % 20)
+                           || '.example.com/page/' || doc_id AS url,
+                       '<html><head><title>doc ' || doc_id
+                           || '</title></head><body><p>'
+                           || COALESCE(text, '')
+                           || '</p><a href="https://site'
+                           || ((doc_id * 7 + 1) % 20)
+                           || '.example.com/page/' || (doc_id * 7 + 1)
+                           || '">n' || doc_id || '</a><a href="/local/'
+                           || (doc_id % 13) || '">l</a>'
+                           || CASE WHEN doc_id % 3 = 0
+                                   THEN '<a href="mailto:a@b.c">m</a>'
+                                   ELSE '' END
+                           || '</body></html>' AS html
+                FROM documents
+            ),
+            l AS (
+                SELECT url,
+                       unnest(regexp_extract_all(
+                           html, '<a href="([^"]*)">([^<]*)</a>', 1
+                       )) AS href,
+                       unnest(regexp_extract_all(
+                           html, '<a href="([^"]*)">([^<]*)</a>', 2
+                       )) AS anchor
+                FROM pages
+            )
+            SELECT url AS src_url,
+                   CASE WHEN href LIKE 'http://%'
+                             OR href LIKE 'https://%' THEN href
+                        ELSE 'https://' || regexp_extract(
+                            url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                        ) || href END AS dst_url,
+                   anchor
+            FROM l
+            WHERE href LIKE 'http://%' OR href LIKE 'https://%'
+               OR href LIKE '/%'
+        """,
+        "web_host_graph": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       'https://site' || (doc_id % 20)
+                           || '.example.com/page/' || doc_id AS url,
+                       '<html><head><title>doc ' || doc_id
+                           || '</title></head><body><p>'
+                           || COALESCE(text, '')
+                           || '</p><a href="https://site'
+                           || ((doc_id * 7 + 1) % 20)
+                           || '.example.com/page/' || (doc_id * 7 + 1)
+                           || '">n' || doc_id || '</a><a href="/local/'
+                           || (doc_id % 13) || '">l</a>'
+                           || CASE WHEN doc_id % 3 = 0
+                                   THEN '<a href="mailto:a@b.c">m</a>'
+                                   ELSE '' END
+                           || '</body></html>' AS html
+                FROM documents
+            ),
+            l AS (
+                SELECT url,
+                       unnest(regexp_extract_all(
+                           html, '<a href="([^"]*)">([^<]*)</a>', 1
+                       )) AS href
+                FROM pages
+            ),
+            links AS (
+                SELECT url AS src_url,
+                       CASE WHEN href LIKE 'http://%'
+                                 OR href LIKE 'https://%' THEN href
+                            ELSE 'https://' || regexp_extract(
+                                url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                            ) || href END AS dst_url
+                FROM l
+                WHERE href LIKE 'http://%' OR href LIKE 'https://%'
+                   OR href LIKE '/%'
+            )
+            SELECT regexp_extract(
+                       src_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                   ) AS src_host,
+                   regexp_extract(
+                       dst_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                   ) AS dst_host,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM links GROUP BY 1, 2
+        """,
+        "web_strip_tags": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       '<html><head><title>doc ' || doc_id
+                           || '</title></head><body><p>'
+                           || COALESCE(text, '')
+                           || '</p><a href="https://site'
+                           || ((doc_id * 7 + 1) % 20)
+                           || '.example.com/page/' || (doc_id * 7 + 1)
+                           || '">n' || doc_id || '</a><a href="/local/'
+                           || (doc_id % 13) || '">l</a>'
+                           || CASE WHEN doc_id % 3 = 0
+                                   THEN '<a href="mailto:a@b.c">m</a>'
+                                   ELSE '' END
+                           || '</body></html>' AS html
+                FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                       '\s+', ' ', 'g'
+                   )) AS text
+            FROM pages
         """,
         "orders_returned_semi_bloom": """
             SELECT o_orderkey, o_totalprice FROM orders o

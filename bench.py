@@ -131,6 +131,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_hll_users_by_type",
         "graph_kcore",
         "events_value_ddsketch",
+        "web_host_graph",
     ]
     q = entry.queries()
     out = {}

@@ -1,0 +1,84 @@
+"""HTML link extraction, tag stripping, host graph."""
+
+import pyarrow as pa
+
+
+def _pages():
+    import ray
+
+    rows = [
+        {
+            "url": "https://a.example.com/p/1",
+            "html": (
+                '<p>hi</p><a href="https://b.example.com/x">abs</a>'
+                '<a href="/rel/2">rel</a>'
+                '<a href="mailto:x@y.z">mail</a>'
+                '<a href="#frag">frag</a>'
+            ),
+        },
+        {
+            "url": "https://b.example.com/p/2",
+            "html": '<a href="https://a.example.com/y">back</a>',
+        },
+        {"url": "https://c.example.com/p/3", "html": None},
+    ]
+    return ray.data.from_items(rows).repartition(2)
+
+
+def test_extract_links_resolution(ray_session):
+    from pybel_ray.ops.html import extract_links
+
+    out = extract_links(_pages()).to_pandas()
+    got = sorted(zip(out.src_url, out.dst_url, out.anchor))
+    assert got == [
+        ("https://a.example.com/p/1", "https://a.example.com/rel/2", "rel"),
+        ("https://a.example.com/p/1", "https://b.example.com/x", "abs"),
+        ("https://b.example.com/p/2", "https://a.example.com/y", "back"),
+    ]
+
+
+def test_host_graph_counts(ray_session):
+    from pybel_ray.ops.html import extract_links, host_graph
+
+    out = host_graph(extract_links(_pages())).to_pandas()
+    got = {(r.src_host, r.dst_host): r.n for r in out.itertuples()}
+    assert got == {
+        ("a.example.com", "a.example.com"): 1,
+        ("a.example.com", "b.example.com"): 1,
+        ("b.example.com", "a.example.com"): 1,
+    }
+
+
+def test_strip_tags(ray_session):
+    import ray
+
+    from pybel_ray.ops.html import strip_tags
+
+    ds = ray.data.from_items(
+        [{"html": "<html><body><p>a  b</p><br/>c</body></html>"}],
+    )
+    out = strip_tags(ds, "html").to_pandas()
+    assert out.text[0] == "a b c"
+
+
+def test_host_graph_layout_invariant(ray_session):
+    import ray
+
+    from pybel_ray.ops.html import host_graph
+
+    rows = [
+        {"src_url": "https://s%d.ex/x" % (i % 3),
+         "dst_url": "https://d%d.ex/y" % (i % 5)}
+        for i in range(200)
+    ]
+
+    def tbl(blocks):
+        ds = ray.data.from_items(rows).repartition(blocks)
+        return (
+            host_graph(ds)
+            .to_pandas()
+            .sort_values(["src_host", "dst_host"])
+            .reset_index(drop=True)
+        )
+
+    assert tbl(1).equals(tbl(7))
