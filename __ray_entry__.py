@@ -1607,6 +1607,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return host_graph(extract_links(_html_pages(sf_dir)))
 
+    def emb_srp_projection(sf_dir):
+        # JL signed random projection: deterministic md5-parity ±1
+        # matrix, int64-micros matmul — every output cell exact integer
+        # arithmetic the per-dim SQL unnest oracle recomputes
+        from pybel_ray.ops.similarity import signed_random_projection
+
+        return signed_random_projection(
+            _read(sf_dir, "embeddings"), k=8,
+        )
+
     def web_strip_tags(sf_dir):
         # vectorized tag stripping (RE2 kernels shared with the SQL
         # two-pass regexp_replace oracle)
@@ -2155,6 +2165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_links": web_links,
         "web_host_graph": web_host_graph,
         "web_strip_tags": web_strip_tags,
+        "emb_srp_projection": emb_srp_projection,
         "corpus_inverted_index": corpus_inverted_index,
         "doc_wet_roundtrip": doc_wet_roundtrip,
         "doc_classifier_scores": doc_classifier_scores,
@@ -3802,6 +3813,28 @@ def oracle_sql() -> dict[str, str]:
                    ) AS dst_host,
                    CAST(count(*) AS BIGINT) AS n
             FROM links GROUP BY 1, 2
+        """,
+        "emb_srp_projection": r"""
+            WITH dims AS (SELECT unnest(range(0, 64)) AS i),
+            ks AS (SELECT unnest(range(0, 8)) AS j),
+            s AS (
+                SELECT i, j,
+                       CASE WHEN ('0x' || substr(md5(i || ':' || j), 1, 1))
+                                 ::BIGINT % 2 = 0
+                            THEN 1 ELSE -1 END AS sgn
+                FROM dims, ks
+            ),
+            x AS (
+                SELECT vec_id, d.i AS i,
+                       CAST(floor(embedding[d.i + 1] * 1e6 + 0.5)
+                            AS BIGINT) AS q
+                FROM embeddings, dims d
+                WHERE embedding IS NOT NULL
+            )
+            SELECT x.vec_id, s.j,
+                   CAST(sum(x.q * s.sgn) AS BIGINT) AS proj_e6
+            FROM x JOIN s ON s.i = x.i
+            GROUP BY 1, 2
         """,
         "web_strip_tags": r"""
             WITH pages AS (

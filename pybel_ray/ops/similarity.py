@@ -19,6 +19,7 @@ __all__ = [
     "LshIndex", "build_lsh_index",
     "IvfIndex", "build_ivf_index", "knn_ivf",
     "max_abs_value", "quantize_embeddings",
+    "signed_random_projection", "srp_sign_matrix",
 ]
 
 
@@ -82,6 +83,80 @@ def _matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     offsets = np.asarray(arr.offsets)
     dim = offsets[1] - offsets[0]
     return flat.reshape(len(arr), int(dim))
+
+
+def srp_sign_matrix(dim: int, k: int) -> np.ndarray:
+    """Deterministic ±1 projection matrix (dim × k): entry (i, j) is +1
+    when the first md5 hex digit of ``"i:j"`` is even — the repo's
+    shared md5-window recipe, so a DuckDB oracle rebuilds the identical
+    matrix.  Built once (driver or actor init); dim×k int64 is tiny."""
+    import hashlib
+
+    s = np.empty((dim, k), np.int64)
+    for i in range(dim):
+        for j in range(k):
+            h = hashlib.md5(  # noqa: S324
+                ("%d:%d" % (i, j)).encode(),
+            ).hexdigest()
+            s[i, j] = 1 if int(h[0], 16) % 2 == 0 else -1
+    return s
+
+
+def signed_random_projection(
+    ds, k: int = 8, vec_col: str = "embedding", id_col: str = "vec_id",
+):
+    """Johnson–Lindenstrauss-style dimensionality reduction with a
+    deterministic ±1 matrix: each vector quantizes to int64 micros and
+    projects by one integer matmul per batch (`Q @ S`), so every output
+    cell is EXACT int64 arithmetic a SQL oracle reproduces term-for-term
+    (no float associativity anywhere).  Emits long rows
+    ``(id, j, proj_e6)`` — the shape the per-dim SQL unnest compares.
+
+    Scale: zero shuffle (one map_batches pass); the sign matrix is
+    closed over once (dim×k ≤ a few KB).  This is the sketch step
+    before LSH/clustering when the raw dim is too wide to shuffle.
+    """
+
+    sign_cache: dict = {}
+
+    def _f(t: pa.Table) -> pa.Table:
+        arr = t.column(vec_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        valid = np.asarray(arr.is_valid().to_numpy(zero_copy_only=False))
+        if not valid.all():
+            keep = pa.array(np.flatnonzero(valid))
+            arr = arr.take(keep)
+            ids = ids.take(keep)
+        if len(arr) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3,
+                names=[id_col, "j", "proj_e6"],
+            )
+        m = _matrix(
+            pa.Table.from_arrays([arr], names=[vec_col]), vec_col,
+        )
+        s = sign_cache.get(m.shape[1])
+        if s is None:
+            s = sign_cache[m.shape[1]] = srp_sign_matrix(m.shape[1], k)
+        q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        proj = q @ s  # int64 matmul: exact
+        n = len(arr)
+        idv = np.repeat(
+            np.asarray(ids.to_numpy(zero_copy_only=False), np.int64), k,
+        )
+        jv = np.tile(np.arange(k, dtype=np.int64), n)
+        return pa.Table.from_arrays(
+            [pa.array(idv), pa.array(jv), pa.array(proj.reshape(-1))],
+            names=[id_col, "j", "proj_e6"],
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _f, batch_format="pyarrow",
+    )
 
 
 def get_vector(ds, vec_id: int, id_col: str = "vec_id", vec_col: str = "embedding"):

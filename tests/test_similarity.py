@@ -131,3 +131,42 @@ def test_quantize_embeddings_roundtrip(ray_session):
         a, b = vecs[i], q[i].astype(np.float64)
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
         assert cos > 0.995
+
+
+def test_srp_projection_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.similarity import (
+        signed_random_projection, srp_sign_matrix,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(40, 16)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in x],
+                              pa.list_(pa.float32())),
+    })
+    out = signed_random_projection(
+        ray.data.from_arrow(t).repartition(5), k=4,
+    ).to_pandas().sort_values(["vec_id", "j"]).reset_index(drop=True)
+    q = np.floor(np.asarray(x, np.float64) * 1e6 + 0.5).astype(np.int64)
+    ref = q @ srp_sign_matrix(16, 4)
+    assert (out.proj_e6.to_numpy().reshape(40, 4) == ref).all()
+
+
+def test_srp_projection_skips_null_vectors(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.similarity import signed_random_projection
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 2.0], None], pa.list_(pa.float32())),
+    })
+    out = signed_random_projection(ray.data.from_arrow(t), k=3).to_pandas()
+    assert sorted(out.vec_id.unique()) == [0]
+    assert len(out) == 3
