@@ -1607,6 +1607,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return host_graph(extract_links(_html_pages(sf_dir)))
 
+    def web_anchor_topk(sf_dir):
+        # top-3 anchor texts per target host (anchor-text search
+        # corpus aggregation): partial pair counts → one exchange →
+        # local-combiner top-k; oracle is a row_number() window
+        from pybel_ray.ops.html import anchor_stats, extract_links
+        from pybel_ray.ops.relational import topk_per_group
+
+        counts = anchor_stats(extract_links(_html_pages(sf_dir)))
+        return topk_per_group(
+            counts, "dst_host", "n", 3, tie_keys=["anchor"],
+        )
+
     def emb_srp_projection(sf_dir):
         # JL signed random projection: deterministic md5-parity ±1
         # matrix, int64-micros matmul — every output cell exact integer
@@ -2165,6 +2177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_links": web_links,
         "web_host_graph": web_host_graph,
         "web_strip_tags": web_strip_tags,
+        "web_anchor_topk": web_anchor_topk,
         "emb_srp_projection": emb_srp_projection,
         "corpus_inverted_index": corpus_inverted_index,
         "doc_wet_roundtrip": doc_wet_roundtrip,
@@ -3813,6 +3826,63 @@ def oracle_sql() -> dict[str, str]:
                    ) AS dst_host,
                    CAST(count(*) AS BIGINT) AS n
             FROM links GROUP BY 1, 2
+        """,
+        "web_anchor_topk": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       'https://site' || (doc_id % 20)
+                           || '.example.com/page/' || doc_id AS url,
+                       '<html><head><title>doc ' || doc_id
+                           || '</title></head><body><p>'
+                           || COALESCE(text, '')
+                           || '</p><a href="https://site'
+                           || ((doc_id * 7 + 1) % 20)
+                           || '.example.com/page/' || (doc_id * 7 + 1)
+                           || '">n' || doc_id || '</a><a href="/local/'
+                           || (doc_id % 13) || '">l</a>'
+                           || CASE WHEN doc_id % 3 = 0
+                                   THEN '<a href="mailto:a@b.c">m</a>'
+                                   ELSE '' END
+                           || '</body></html>' AS html
+                FROM documents
+            ),
+            l AS (
+                SELECT url,
+                       unnest(regexp_extract_all(
+                           html, '<a href="([^"]*)">([^<]*)</a>', 1
+                       )) AS href,
+                       unnest(regexp_extract_all(
+                           html, '<a href="([^"]*)">([^<]*)</a>', 2
+                       )) AS anchor
+                FROM pages
+            ),
+            links AS (
+                SELECT CASE WHEN href LIKE 'http://%'
+                                 OR href LIKE 'https://%' THEN href
+                            ELSE 'https://' || regexp_extract(
+                                url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                            ) || href END AS dst_url,
+                       anchor
+                FROM l
+                WHERE href LIKE 'http://%' OR href LIKE 'https://%'
+                   OR href LIKE '/%'
+            ),
+            counts AS (
+                SELECT regexp_extract(
+                           dst_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                       ) AS dst_host,
+                       anchor, CAST(count(*) AS BIGINT) AS n
+                FROM links GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT dst_host, anchor, n,
+                       row_number() OVER (
+                           PARTITION BY dst_host
+                           ORDER BY n DESC, anchor
+                       ) AS rn
+                FROM counts
+            )
+            SELECT dst_host, anchor, n FROM ranked WHERE rn <= 3
         """,
         "emb_srp_projection": r"""
             WITH dims AS (SELECT unnest(range(0, 64)) AS i),

@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 from pybel_ray.ops.urls import URL_PATTERN
 
-__all__ = ["extract_links", "strip_tags", "host_graph"]
+__all__ = ["extract_links", "strip_tags", "host_graph", "anchor_stats"]
 
 #: shared verbatim with the SQL oracle (RE2-compatible, no backrefs)
 LINK_PATTERN = r'<a href="([^"]*)">([^<]*)</a>'
@@ -147,5 +147,52 @@ def host_graph(
 
     def _rename(t: pa.Table) -> pa.Table:
         return t.rename_columns(["src_host", "dst_host", "n"])
+
+    return merged.map_batches(_rename, batch_format="pyarrow")
+
+
+def anchor_stats(
+    links, dst_col: str = "dst_url", anchor_col: str = "anchor",
+):
+    """Anchor-text frequency per target host ``(dst_host, anchor, n)``
+    — the aggregation behind anchor-text search corpora.  Same
+    partial-count shape as :func:`host_graph`: one row per distinct
+    (host, anchor) per batch, ONE groupby exchange."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        u = t.column(dst_col)
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        host = pc.fill_null(
+            pc.struct_field(pc.extract_regex(u, URL_PATTERN), "host"), "",
+        )
+        anchor = t.column(anchor_col)
+        if isinstance(anchor, pa.ChunkedArray):
+            anchor = anchor.combine_chunks()
+        anchor = pc.fill_null(anchor, "")
+        pair = pc.binary_join_element_wise(host, anchor, "\x00")
+        enc = pair.dictionary_encode()
+        codes = np.asarray(
+            enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64,
+        )
+        order = np.argsort(codes, kind="stable")
+        c = codes[order]
+        starts = np.r_[True, c[1:] != c[:-1]] if len(c) else np.array([], bool)
+        start_idx = np.flatnonzero(starts)
+        cnt = np.diff(np.r_[start_idx, len(c)])
+        take = pa.array(order[start_idx])
+        return pa.Table.from_arrays(
+            [pc.take(host, take), pc.take(anchor, take),
+             pa.array(cnt, pa.int64())],
+            names=["dst_host", "anchor", "n"],
+        )
+
+    partial = links.select_columns([dst_col, anchor_col]).map_batches(
+        _partial, batch_format="pyarrow",
+    )
+    merged = partial.groupby(["dst_host", "anchor"]).sum("n")
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["dst_host", "anchor", "n"])
 
     return merged.map_batches(_rename, batch_format="pyarrow")

@@ -82,3 +82,15 @@ def test_host_graph_layout_invariant(ray_session):
         )
 
     assert tbl(1).equals(tbl(7))
+
+
+def test_anchor_stats_counts(ray_session):
+    from pybel_ray.ops.html import anchor_stats, extract_links
+
+    out = anchor_stats(extract_links(_pages())).to_pandas()
+    got = {(r.dst_host, r.anchor): r.n for r in out.itertuples()}
+    assert got == {
+        ("a.example.com", "rel"): 1,
+        ("b.example.com", "abs"): 1,
+        ("a.example.com", "back"): 1,
+    }
