@@ -1619,6 +1619,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             counts, "dst_host", "n", 3, tie_keys=["anchor"],
         )
 
+    def web_host_pagerank(sf_dir):
+        # exact-integer PageRank over the host link graph (one edge per
+        # extracted link, parallel edges kept — same semantics both
+        # sides); oracle is the unrolled _pagerank_sql recurrence over
+        # the identically rebuilt edge list
+        from pybel_ray.ops.graph import pagerank
+        from pybel_ray.ops.html import extract_links
+        from pybel_ray.ops.urls import URL_PATTERN
+
+        links = extract_links(_html_pages(sf_dir))
+
+        def _hosts(t: pa.Table) -> pa.Table:
+            cols = []
+            for c in ("src_url", "dst_url"):
+                u = t.column(c)
+                if isinstance(u, pa.ChunkedArray):
+                    u = u.combine_chunks()
+                cols.append(pc.fill_null(pc.struct_field(
+                    pc.extract_regex(u, URL_PATTERN), "host",
+                ), ""))
+            return pa.Table.from_arrays(cols, names=["src", "dst"])
+
+        edges = links.map_batches(_hosts, batch_format="pyarrow")
+        return pagerank(edges, iters=3)
+
     def emb_srp_projection(sf_dir):
         # JL signed random projection: deterministic md5-parity ±1
         # matrix, int64-micros matmul — every output cell exact integer
@@ -2178,6 +2203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_graph": web_host_graph,
         "web_strip_tags": web_strip_tags,
         "web_anchor_topk": web_anchor_topk,
+        "web_host_pagerank": web_host_pagerank,
         "emb_srp_projection": emb_srp_projection,
         "corpus_inverted_index": corpus_inverted_index,
         "doc_wet_roundtrip": doc_wet_roundtrip,
@@ -2745,6 +2771,48 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(
             "SELECT CAST(2 * l_orderkey AS BIGINT) AS src,"
             " CAST(2 * l_suppkey + 1 AS BIGINT) AS dst FROM lineitem",
+        ),
+        # PageRank over the host link graph: DuckDB rebuilds the pages,
+        # re-extracts the links and unrolls the same integer recurrence
+        "web_host_pagerank": _pagerank_sql(
+            """SELECT regexp_extract(
+                   src_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS src,
+               regexp_extract(
+                   dst_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS dst
+            FROM (
+                SELECT url AS src_url,
+                       CASE WHEN href LIKE 'http://%'
+                                 OR href LIKE 'https://%' THEN href
+                            ELSE 'https://' || regexp_extract(
+                                url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                            ) || href END AS dst_url
+                FROM (
+                    SELECT url, unnest(regexp_extract_all(
+                        html, '<a href="([^"]*)">([^<]*)</a>', 1
+                    )) AS href
+                    FROM (
+                        SELECT 'https://site' || (doc_id % 20)
+                                   || '.example.com/page/' || doc_id AS url,
+                               '<html><head><title>doc ' || doc_id
+                                   || '</title></head><body><p>'
+                                   || COALESCE(text, '')
+                                   || '</p><a href="https://site'
+                                   || ((doc_id * 7 + 1) % 20)
+                                   || '.example.com/page/'
+                                   || (doc_id * 7 + 1)
+                                   || '">n' || doc_id
+                                   || '</a><a href="/local/'
+                                   || (doc_id % 13) || '">l</a>'
+                                   || CASE WHEN doc_id % 3 = 0
+                                           THEN '<a href="mailto:a@b.c">m</a>'
+                                           ELSE '' END
+                                   || '</body></html>' AS html
+                        FROM documents
+                    )
+                )
+                WHERE href LIKE 'http://%' OR href LIKE 'https://%'
+                   OR href LIKE '/%'
+            )""",
         ),
         # full SimHash recomputed in SQL (shared md5 gram hash); the
         # engine's banded pair algorithm is provably complete for
