@@ -1619,6 +1619,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             counts, "dst_host", "n", 3, tie_keys=["anchor"],
         )
 
+    def doc_bottomk_sample(sf_dir):
+        # exact-size deterministic uniform sample: bottom-64 docs by
+        # md5(doc_id); per-batch local bottom-k → tiny global
+        # sort+limit; the ORDER BY md5 LIMIT oracle is row-exact
+        from pybel_ray.ops.sampling import bottomk_sample
+
+        return bottomk_sample(
+            _read(sf_dir, "documents").select_columns(
+                ["doc_id", "source", "n_chars"],
+            ), k=64,
+        )
+
+    def web_frontier(sf_dir):
+        # crawl-frontier discovery: distinct link targets not yet in
+        # the page set — per-batch local unique, bucketed anti-join
+        # (urls never collect on the driver), one distinct exchange
+        from pybel_ray.ops.html import extract_links
+        from pybel_ray.struct.degree import bucketed_semi_join
+
+        pages = _html_pages(sf_dir)
+        links = extract_links(pages)
+
+        def _local_unique(t: pa.Table) -> pa.Table:
+            u = t.column("dst_url")
+            if isinstance(u, pa.ChunkedArray):
+                u = u.combine_chunks()
+            return pa.Table.from_arrays(
+                [pc.unique(pc.drop_null(u))], names=["dst_url"],
+            )
+
+        targets = links.select_columns(["dst_url"]).map_batches(
+            _local_unique, batch_format="pyarrow",
+        )
+        new = bucketed_semi_join(
+            targets, "dst_url", pages.select_columns(["url"]),
+            keys_key="url", anti=True,
+        )
+
+        def _one(g: pa.Table) -> pa.Table:
+            return g.slice(0, 1)
+
+        return new.groupby("dst_url").map_groups(
+            _one, batch_format="pyarrow",
+        ).map_batches(
+            lambda t: t.rename_columns(["url"]), batch_format="pyarrow",
+        )
+
     def web_host_pagerank(sf_dir):
         # exact-integer PageRank over the host link graph (one edge per
         # extracted link, parallel edges kept — same semantics both
@@ -2204,6 +2251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_strip_tags": web_strip_tags,
         "web_anchor_topk": web_anchor_topk,
         "web_host_pagerank": web_host_pagerank,
+        "web_frontier": web_frontier,
+        "doc_bottomk_sample": doc_bottomk_sample,
         "emb_srp_projection": emb_srp_projection,
         "corpus_inverted_index": corpus_inverted_index,
         "doc_wet_roundtrip": doc_wet_roundtrip,
@@ -3894,6 +3943,51 @@ def oracle_sql() -> dict[str, str]:
                    ) AS dst_host,
                    CAST(count(*) AS BIGINT) AS n
             FROM links GROUP BY 1, 2
+        """,
+        "doc_bottomk_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 64
+        """,
+        "web_frontier": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       'https://site' || (doc_id % 20)
+                           || '.example.com/page/' || doc_id AS url,
+                       '<html><head><title>doc ' || doc_id
+                           || '</title></head><body><p>'
+                           || COALESCE(text, '')
+                           || '</p><a href="https://site'
+                           || ((doc_id * 7 + 1) % 20)
+                           || '.example.com/page/' || (doc_id * 7 + 1)
+                           || '">n' || doc_id || '</a><a href="/local/'
+                           || (doc_id % 13) || '">l</a>'
+                           || CASE WHEN doc_id % 3 = 0
+                                   THEN '<a href="mailto:a@b.c">m</a>'
+                                   ELSE '' END
+                           || '</body></html>' AS html
+                FROM documents
+            ),
+            l AS (
+                SELECT url,
+                       unnest(regexp_extract_all(
+                           html, '<a href="([^"]*)">([^<]*)</a>', 1
+                       )) AS href
+                FROM pages
+            ),
+            links AS (
+                SELECT CASE WHEN href LIKE 'http://%'
+                                 OR href LIKE 'https://%' THEN href
+                            ELSE 'https://' || regexp_extract(
+                                url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                            ) || href END AS dst_url
+                FROM l
+                WHERE href LIKE 'http://%' OR href LIKE 'https://%'
+                   OR href LIKE '/%'
+            )
+            SELECT DISTINCT dst_url AS url FROM links
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pages p WHERE p.url = links.dst_url
+            )
         """,
         "web_anchor_topk": r"""
             WITH pages AS (

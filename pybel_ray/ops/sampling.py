@@ -27,7 +27,10 @@ import hashlib
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["hash_sample", "weighted_sample", "rate_to_threshold"]
+__all__ = [
+    "hash_sample", "weighted_sample", "rate_to_threshold",
+    "bottomk_sample",
+]
 
 
 def rate_to_threshold(rate: float) -> str:
@@ -93,3 +96,39 @@ def weighted_sample(
         return t.filter(pc.less(prefixes, row_thresh))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def bottomk_sample(ds, k: int, key_col: str = "doc_id"):
+    """EXACT-size uniform sample: the ``k`` rows with the smallest
+    ``md5(str(key))`` — the bottom-k-by-hash trick (a fixed-size
+    variant of the hash gate: deterministic in the row keys, invariant
+    to layout/resume/cluster size, and a SQL ``ORDER BY md5(...)
+    LIMIT k`` oracle reproduces it row-for-row when keys are unique).
+
+    Scale: each batch keeps only its local bottom-k (full 32-hex
+    digests, so ties are impossible for distinct keys), so at most
+    ``k × blocks`` tiny rows reach the final ``sort().limit(k)``.
+    The sampled payload rides along; text columns move only for the
+    winning rows of each batch.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def _local(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column(key_col), pa.string())
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        digests = pa.array(
+            [
+                hashlib.md5(v.encode("utf8")).hexdigest()  # noqa: S324
+                for v in keys.to_pylist()
+            ],
+            pa.string(),
+        )
+        t = t.append_column("_h", digests)
+        if t.num_rows > k:
+            t = t.sort_by("_h").slice(0, k)
+        return t
+
+    out = ds.map_batches(_local, batch_format="pyarrow")
+    return out.sort("_h").limit(k).drop_columns(["_h"])

@@ -109,3 +109,36 @@ def test_inverted_index_df_gates(ray_session):
     a = out.sort_values("word").reset_index(drop=True)
     b = out2.sort_values("word").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_bottomk_sample_exact_and_layout_invariant(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.sampling import bottomk_sample
+
+    t = pa.table({
+        "doc_id": pa.array(range(500), pa.int64()),
+        "v": pa.array([i * 2 for i in range(500)], pa.int64()),
+    })
+    exp = sorted(range(500), key=lambda i: hashlib.md5(
+        str(i).encode()).hexdigest())[:10]
+
+    for blocks in (1, 9):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = bottomk_sample(ds, 10).to_pandas()
+        assert sorted(out.doc_id) == sorted(exp)
+        assert list(out.columns) == ["doc_id", "v"]
+
+
+def test_bottomk_sample_k_larger_than_input(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.sampling import bottomk_sample
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())})
+    out = bottomk_sample(ray.data.from_arrow(t), 10).to_pandas()
+    assert sorted(out.doc_id) == [1, 2, 3]
