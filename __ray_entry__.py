@@ -1619,6 +1619,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             counts, "dst_host", "n", 3, tie_keys=["anchor"],
         )
 
+    def doc_type_token_ratio(sf_dir):
+        # lexical diversity per doc: integer-micros ratio of distinct
+        # to total tokens — exact int64 both sides
+        from pybel_ray.ops.text import type_token_ratio
+
+        return type_token_ratio(_read(sf_dir, "documents"))
+
+    def doc_normalized_text(sf_dir):
+        # unicode NFC + lowercase + whitespace-collapse hygiene pass
+        # (vectorized Arrow kernels == nfc_normalize/lower/regexp SQL)
+        from pybel_ray.ops.text import normalize_text
+
+        return normalize_text(
+            _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        ).select_columns(["doc_id", "norm_text"])
+
     def doc_bottomk_sample(sf_dir):
         # exact-size deterministic uniform sample: bottom-64 docs by
         # md5(doc_id); per-batch local bottom-k → tiny global
@@ -2253,6 +2269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_pagerank": web_host_pagerank,
         "web_frontier": web_frontier,
         "doc_bottomk_sample": doc_bottomk_sample,
+        "doc_type_token_ratio": doc_type_token_ratio,
+        "doc_normalized_text": doc_normalized_text,
         "emb_srp_projection": emb_srp_projection,
         "corpus_inverted_index": corpus_inverted_index,
         "doc_wet_roundtrip": doc_wet_roundtrip,
@@ -3947,6 +3965,27 @@ def oracle_sql() -> dict[str, str]:
         "doc_bottomk_sample": """
             SELECT doc_id, source, n_chars FROM documents
             ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 64
+        """,
+        "doc_type_token_ratio": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS w
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT w) AS BIGINT) AS n_distinct,
+                   CAST(count(DISTINCT w) * 1000000 // count(*)
+                        AS BIGINT) AS ttr_e6
+            FROM toks GROUP BY doc_id
+        """,
+        "doc_normalized_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       nfc_normalize(lower(text)), '\s+', ' ', 'g'
+                   )) AS norm_text
+            FROM documents
         """,
         "web_frontier": r"""
             WITH pages AS (

@@ -32,6 +32,8 @@ __all__ = [
     "term_frequencies",
     "tfidf_topk",
     "inverted_index",
+    "type_token_ratio",
+    "normalize_text",
     "LANG_MARKERS",
 ]
 
@@ -438,6 +440,95 @@ def term_frequencies(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.select_columns([id_col, text_col]).map_batches(
         _tf, batch_format="pyarrow",
     )
+
+
+def type_token_ratio(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Lexical-diversity quality feature: per document, token count,
+    distinct-token count, and their ratio in integer micros
+    (``n_distinct * 1e6 // n_tokens`` — exact int64, so the SQL
+    ``count(DISTINCT)`` oracle matches bit-for-bit).
+
+    Fully vectorized (the :func:`term_frequencies` lexsort-run-length
+    kernel, reduced per doc), zero shuffle — one output row per input
+    row."""
+
+    def _ttr(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column(text_col))
+        parts = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        offs = np.asarray(parts.offsets)
+        lens = np.diff(offs)
+        enc = parts.values.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        if codes.size:
+            order = np.lexsort((codes, doc_idx))
+            dc, cc = doc_idx[order], codes[order]
+            runs = np.r_[True, (dc[1:] != dc[:-1]) | (cc[1:] != cc[:-1])]
+            distinct = np.bincount(
+                dc[runs], minlength=t.num_rows,
+            ).astype(np.int64)
+        else:
+            distinct = np.zeros(t.num_rows, np.int64)
+        n_tokens = lens.astype(np.int64)
+        ttr = np.where(
+            n_tokens > 0, distinct * 1_000_000 // np.maximum(n_tokens, 1), 0,
+        )
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.Table.from_arrays(
+            [ids, pa.array(n_tokens), pa.array(distinct), pa.array(ttr)],
+            names=[id_col, "n_tokens", "n_distinct", "ttr_e6"],
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _ttr, batch_format="pyarrow",
+    )
+
+
+def normalize_text(
+    ds, text_col: str = "text", out_col: str = "norm_text",
+    lowercase: bool = True, form: str = "NFC",
+):
+    """Unicode text normalization (the hygiene pass before hashing /
+    dedup so visually identical strings collide): optional lowercase,
+    then NFC (or NFKC/NFD/NFKD) normalize, collapse whitespace runs,
+    trim.  Lowercase runs FIRST (case mapping can change composition).
+
+    Normalization detail: this pyarrow's ``utf8_normalize`` does not
+    actually compose NFC (combining marks survive), so ASCII rows —
+    already normalized by construction — take the vectorized path and
+    only non-ASCII rows fall back to per-row ``unicodedata.normalize``
+    (webtext corpora are overwhelmingly ASCII, so the Python step
+    touches a thin tail).  DuckDB's ``nfc_normalize(lower(..))`` +
+    ``regexp_replace(.., 'g')`` reproduce the whole pass exactly."""
+    import unicodedata
+
+    def _f(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        if lowercase:
+            txt = pc.utf8_lower(txt)
+        non_ascii = pc.fill_null(pc.invert(pc.string_is_ascii(txt)), False)
+        if pc.any(non_ascii).as_py():
+            idx = np.flatnonzero(
+                non_ascii.to_numpy(zero_copy_only=False),
+            )
+            vals = txt.to_pylist()
+            for i in idx:
+                if vals[i] is not None:
+                    vals[i] = unicodedata.normalize(form, vals[i])
+            txt = pa.array(vals, pa.string())
+        txt = pc.replace_substring_regex(txt, r"\s+", " ")
+        txt = pc.utf8_trim_whitespace(txt)
+        if out_col in t.column_names:
+            t = t.drop_columns([out_col])
+        return t.append_column(out_col, txt)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
 
 
 def tfidf_topk(ds, k=5, text_col: str = "text", id_col: str = "doc_id"):

@@ -278,3 +278,38 @@ def test_gopher_rules_planted_fail_arms(ray_session):
     pd.testing.assert_frame_equal(
         out[cols].astype("int64"), ora.astype("int64"),
     )
+
+
+def test_type_token_ratio_hand_checked(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.text import type_token_ratio
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["a b a b c", "x x x x"],
+    })
+    out = type_token_ratio(ray.data.from_arrow(t)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert list(out.n_tokens) == [5, 4]
+    assert list(out.n_distinct) == [3, 1]
+    assert list(out.ttr_e6) == [3 * 1_000_000 // 5, 1_000_000 // 4]
+
+
+def test_normalize_text_unicode_agrees_with_duckdb(ray_session):
+    import duckdb
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.text import normalize_text
+
+    # decomposed e + combining acute, uppercase, tabs/newlines
+    raw = "Café  \t MiXeD\nCASE Éclair"
+    t = pa.table({"doc_id": pa.array([0], pa.int64()), "text": [raw]})
+    out = normalize_text(ray.data.from_arrow(t)).to_pandas()
+    sql = duckdb.sql(
+        "SELECT trim(regexp_replace(nfc_normalize(lower(?)),"
+        " '\\s+', ' ', 'g')) AS n", params=[raw],
+    ).fetchone()[0]
+    assert out.norm_text[0] == sql == "café mixed case éclair"
