@@ -1619,6 +1619,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             counts, "dst_host", "n", 3, tie_keys=["anchor"],
         )
 
+    def doc_source_overlap(sf_dir):
+        # cross-source lexical-overlap matrix (unit='word': the
+        # synthetic corpus has no cross-source full-text dups, so the
+        # text-md5 contamination mode is pinned by a planted pytest)
+        from pybel_ray.ops.text import source_overlap
+
+        return source_overlap(_read(sf_dir, "documents"), unit="word")
+
     def doc_type_token_ratio(sf_dir):
         # lexical diversity per doc: integer-micros ratio of distinct
         # to total tokens — exact int64 both sides
@@ -2271,6 +2279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bottomk_sample": doc_bottomk_sample,
         "doc_type_token_ratio": doc_type_token_ratio,
         "doc_normalized_text": doc_normalized_text,
+        "doc_source_overlap": doc_source_overlap,
         "emb_srp_projection": emb_srp_projection,
         "corpus_inverted_index": corpus_inverted_index,
         "doc_wet_roundtrip": doc_wet_roundtrip,
@@ -3965,6 +3974,20 @@ def oracle_sql() -> dict[str, str]:
         "doc_bottomk_sample": """
             SELECT doc_id, source, n_chars FROM documents
             ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 64
+        """,
+        "doc_source_overlap": r"""
+            WITH h AS (
+                SELECT DISTINCT
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS h,
+                       source
+                FROM documents
+                WHERE text IS NOT NULL AND source IS NOT NULL
+            )
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "doc_type_token_ratio": r"""
             WITH toks AS (

@@ -34,6 +34,7 @@ __all__ = [
     "inverted_index",
     "type_token_ratio",
     "normalize_text",
+    "source_overlap",
     "LANG_MARKERS",
 ]
 
@@ -529,6 +530,140 @@ def normalize_text(
         return t.append_column(out_col, txt)
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def source_overlap(
+    ds, text_col: str = "text", strata_col: str = "source",
+    unit: str = "text",
+):
+    """Cross-source contamination matrix: for every source pair
+    ``(src_a, src_b)`` with ``src_a < src_b``, how many distinct units
+    appear in both — ``unit='text'`` counts shared full-document md5s
+    (the duplicate-content audit run before mixing corpora),
+    ``unit='word'`` counts shared vocabulary (lexical overlap).
+
+    Shape: texts reduce to md5s in the first pass (text never
+    shuffles); one groupby makes (hash, source) distinct; the
+    distributed self :func:`~pybel_ray.ops.relational.equi_join` on
+    the hash co-locates equal digests (bucket exchange, never the
+    driver), and a partial-count pass per source pair feeds the final
+    tiny groupby.  Per-hash group size is bounded by the number of
+    sources."""
+    import hashlib
+
+    from pybel_ray.ops.relational import equi_join
+
+    if unit not in ("text", "word"):
+        raise ValueError(unit)
+
+    def _hash_pairs(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        src = t.column(strata_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        seen = set()
+        hs, ss = [], []
+        for v, s in zip(txt.to_pylist(), src.to_pylist()):
+            if v is None or s is None:
+                continue
+            h = hashlib.md5(v.encode("utf8")).hexdigest()  # noqa: S324
+            if (h, s) not in seen:
+                seen.add((h, s))
+                hs.append(h)
+                ss.append(s)
+        return pa.Table.from_arrays(
+            [pa.array(hs, pa.string()), pa.array(ss, pa.string())],
+            names=["h", strata_col],
+        )
+
+    def _word_pairs(t: pa.Table) -> pa.Table:
+        # vectorized (word, source) local distinct: run lengths over
+        # the lexsorted (source_idx, word_code) stream
+        keep = pc.and_(
+            pc.is_valid(t.column(text_col)),
+            pc.is_valid(t.column(strata_col)),
+        )
+        t = t.filter(keep)
+        trimmed = pc.utf8_trim_whitespace(t.column(text_col))
+        parts = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        lens = np.diff(np.asarray(parts.offsets))
+        enc = parts.values.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        src = t.column(strata_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        senc = src.dictionary_encode()
+        scodes = np.repeat(
+            np.asarray(senc.indices.to_numpy(zero_copy_only=False), np.int64),
+            lens,
+        )
+        if not codes.size:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string())],
+                names=["h", strata_col],
+            )
+        order = np.lexsort((codes, scodes))
+        sc, cc = scodes[order], codes[order]
+        starts = np.flatnonzero(
+            np.r_[True, (sc[1:] != sc[:-1]) | (cc[1:] != cc[:-1])],
+        )
+        return pa.Table.from_arrays(
+            [
+                enc.dictionary.take(pa.array(cc[starts], pa.int64())),
+                senc.dictionary.take(pa.array(sc[starts], pa.int64())),
+            ],
+            names=["h", strata_col],
+        )
+
+    local = ds.select_columns([text_col, strata_col]).map_batches(
+        _hash_pairs if unit == "text" else _word_pairs,
+        batch_format="pyarrow",
+    )
+
+    def _first(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    distinct = local.groupby(["h", strata_col]).map_groups(
+        _first, batch_format="pyarrow",
+    )
+    joined = equi_join(distinct, distinct, on="h")
+    right_col = strata_col + "_r"
+
+    def _pair_partial(t: pa.Table) -> pa.Table:
+        a = t.column(strata_col)
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        b = t.column(right_col)
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        keep = pc.less(a, b)
+        a, b = a.filter(keep), b.filter(keep)
+        pair = pc.binary_join_element_wise(a, b, "\x00")
+        enc = pair.dictionary_encode()
+        codes = np.asarray(
+            enc.indices.to_numpy(zero_copy_only=False), np.int64,
+        )
+        order = np.argsort(codes, kind="stable")
+        c = codes[order]
+        starts = np.r_[True, c[1:] != c[:-1]] if len(c) else np.array([], bool)
+        start_idx = np.flatnonzero(starts)
+        cnt = np.diff(np.r_[start_idx, len(c)])
+        take = pa.array(order[start_idx])
+        return pa.Table.from_arrays(
+            [pc.take(a, take), pc.take(b, take), pa.array(cnt, pa.int64())],
+            names=["src_a", "src_b", "n_shared"],
+        )
+
+    partial = joined.map_batches(_pair_partial, batch_format="pyarrow")
+    merged = partial.groupby(["src_a", "src_b"]).sum("n_shared")
+    return merged.map_batches(
+        lambda t: t.rename_columns(["src_a", "src_b", "n_shared"]),
+        batch_format="pyarrow",
+    )
 
 
 def tfidf_topk(ds, k=5, text_col: str = "text", id_col: str = "doc_id"):

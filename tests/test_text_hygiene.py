@@ -313,3 +313,27 @@ def test_normalize_text_unicode_agrees_with_duckdb(ray_session):
         " '\\s+', ' ', 'g')) AS n", params=[raw],
     ).fetchone()[0]
     assert out.norm_text[0] == sql == "café mixed case éclair"
+
+
+def test_source_overlap_text_mode_planted(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.text import source_overlap
+
+    # doc "dup one" appears in A and B; "dup two" in A, B and C;
+    # within-source duplicates count once (distinct md5 per source)
+    rows = [
+        ("dup one", "A"), ("dup one", "B"), ("dup one", "A"),
+        ("dup two", "A"), ("dup two", "B"), ("dup two", "C"),
+        ("only a", "A"), ("only c", "C"),
+    ]
+    t = pa.table({
+        "text": [r[0] for r in rows],
+        "source": [r[1] for r in rows],
+    })
+    out = source_overlap(
+        ray.data.from_arrow(t).repartition(3),
+    ).to_pandas()
+    got = {(r.src_a, r.src_b): r.n_shared for r in out.itertuples()}
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
