@@ -1539,10 +1539,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def events_value_quantiles_dd(sf_dir):
         # integer-exact quantile readout from the DDSketch buckets:
-        # q arrives in basis points, the estimate as sign*(lo+hi) micros
-        # (twice the bucket midpoint) so the whole readout — cumulative
-        # rank inequality included — is integer arithmetic the SQL
-        # oracle reproduces bit-for-bit
+        # q arrives in basis points, the estimate as the floor bucket
+        # midpoint in micros, so the whole readout — cumulative rank
+        # inequality included — is integer arithmetic the SQL oracle
+        # reproduces bit-for-bit
         from pybel_ray.ops.sketch import ddsketch_quantile_table
 
         return ddsketch_quantile_table(
@@ -2887,7 +2887,7 @@ def oracle_sql() -> dict[str, str]:
                     )
                 )
                 WHERE href LIKE 'http://%' OR href LIKE 'https://%'
-                   OR href LIKE '/%'
+                   OR (href LIKE '/%' AND href NOT LIKE '//%')
             )""",
         ),
         # full SimHash recomputed in SQL (shared md5 gram hash); the
@@ -3865,7 +3865,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CASE WHEN msb = 0 THEN 0
                             ELSE sign * (
                                 (head << greatest(msb - 1 - 3, 0))
-                                + ((head + 1) << greatest(msb - 1 - 3, 0))
+                                + CASE WHEN msb - 1 - 3 > 0
+                                       THEN 1 << (msb - 1 - 3 - 1)
+                                       ELSE 0 END
                             ) END AS v2,
                        n
                 FROM b
@@ -3880,7 +3882,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest([0, 2500, 5000, 7500, 9900, 10000]) AS q_bp
             )
             SELECT CAST(q.q_bp AS BIGINT) AS q_bp,
-                   CAST(min(s.v2) AS BIGINT) AS value_e6x2
+                   CAST(min(s.v2) AS BIGINT) AS value_e6
             FROM qs q JOIN s
               ON s.cum * 10000 >= q.q_bp * (s.total - 1) + 10000
             GROUP BY q.q_bp
@@ -3923,7 +3925,7 @@ def oracle_sql() -> dict[str, str]:
                    anchor
             FROM l
             WHERE href LIKE 'http://%' OR href LIKE 'https://%'
-               OR href LIKE '/%'
+               OR (href LIKE '/%' AND href NOT LIKE '//%')
         """,
         "web_host_graph": r"""
             WITH pages AS (
@@ -3960,7 +3962,7 @@ def oracle_sql() -> dict[str, str]:
                             ) || href END AS dst_url
                 FROM l
                 WHERE href LIKE 'http://%' OR href LIKE 'https://%'
-                   OR href LIKE '/%'
+                   OR (href LIKE '/%' AND href NOT LIKE '//%')
             )
             SELECT regexp_extract(
                        src_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
@@ -4044,7 +4046,7 @@ def oracle_sql() -> dict[str, str]:
                             ) || href END AS dst_url
                 FROM l
                 WHERE href LIKE 'http://%' OR href LIKE 'https://%'
-                   OR href LIKE '/%'
+                   OR (href LIKE '/%' AND href NOT LIKE '//%')
             )
             SELECT DISTINCT dst_url AS url FROM links
             WHERE NOT EXISTS (
@@ -4089,7 +4091,7 @@ def oracle_sql() -> dict[str, str]:
                        anchor
                 FROM l
                 WHERE href LIKE 'http://%' OR href LIKE 'https://%'
-                   OR href LIKE '/%'
+                   OR (href LIKE '/%' AND href NOT LIKE '//%')
             ),
             counts AS (
                 SELECT regexp_extract(

@@ -29,6 +29,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from pybel_ray.ops._kernels import runlength_distinct_counts
 from pybel_ray.ops.urls import URL_PATTERN
 
 __all__ = ["extract_links", "strip_tags", "host_graph", "anchor_stats"]
@@ -69,6 +70,9 @@ def extract_links(ds, html_col: str = "html", url_col: str = "url"):
                 href = m.group(1)
                 if href.startswith("http://") or href.startswith("https://"):
                     resolved = href
+                elif href.startswith("//"):
+                    # protocol-relative: dropped (documented contract)
+                    continue
                 elif href.startswith("/"):
                     resolved = "https://" + h + href
                 else:
@@ -123,17 +127,7 @@ def host_graph(
                 pc.struct_field(pc.extract_regex(u, URL_PATTERN), "host"),
                 "",
             ))
-        pair = pc.binary_join_element_wise(cols[0], cols[1], "\x00")
-        enc = pair.dictionary_encode()
-        codes = np.asarray(
-            enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64,
-        )
-        order = np.argsort(codes, kind="stable")
-        c = codes[order]
-        starts = np.r_[True, c[1:] != c[:-1]] if len(c) else np.array([], bool)
-        start_idx = np.flatnonzero(starts)
-        cnt = np.diff(np.r_[start_idx, len(c)])
-        take = pa.array(order[start_idx])
+        take, cnt = runlength_distinct_counts(cols)
         return pa.Table.from_arrays(
             [pc.take(cols[0], take), pc.take(cols[1], take),
              pa.array(cnt, pa.int64())],
@@ -170,17 +164,7 @@ def anchor_stats(
         if isinstance(anchor, pa.ChunkedArray):
             anchor = anchor.combine_chunks()
         anchor = pc.fill_null(anchor, "")
-        pair = pc.binary_join_element_wise(host, anchor, "\x00")
-        enc = pair.dictionary_encode()
-        codes = np.asarray(
-            enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64,
-        )
-        order = np.argsort(codes, kind="stable")
-        c = codes[order]
-        starts = np.r_[True, c[1:] != c[:-1]] if len(c) else np.array([], bool)
-        start_idx = np.flatnonzero(starts)
-        cnt = np.diff(np.r_[start_idx, len(c)])
-        take = pa.array(order[start_idx])
+        take, cnt = runlength_distinct_counts([host, anchor])
         return pa.Table.from_arrays(
             [pc.take(host, take), pc.take(anchor, take),
              pa.array(cnt, pa.int64())],

@@ -110,6 +110,10 @@ def bottomk_sample(ds, k: int, key_col: str = "doc_id"):
     ``k × blocks`` tiny rows reach the final ``sort().limit(k)``.
     The sampled payload rides along; text columns move only for the
     winning rows of each batch.
+
+    Null keys are excluded from the sample (SQL's ``md5(NULL)`` is NULL
+    and sorts last, so the two sides agree whenever ``k`` does not
+    exceed the non-null row count).
     """
     if k <= 0:
         raise ValueError("k must be positive")
@@ -118,6 +122,9 @@ def bottomk_sample(ds, k: int, key_col: str = "doc_id"):
         keys = pc.cast(t.column(key_col), pa.string())
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
+        valid = pc.is_valid(keys)
+        t = t.filter(valid)
+        keys = keys.filter(valid)
         digests = pa.array(
             [
                 hashlib.md5(v.encode("utf8")).hexdigest()  # noqa: S324

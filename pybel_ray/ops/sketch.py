@@ -415,10 +415,13 @@ def _dd_msb_head(av: np.ndarray, sub_bits: int) -> tuple:
     in exact integer arithmetic — no float log at bucket boundaries).
     """
     m = np.floor(np.log2(av.astype(np.float64))).astype(np.int64) + 1
-    # one-step boundary correction makes the float log exact everywhere
-    low = np.left_shift(np.int64(1), np.maximum(m - 1, 0)) > av
+    # one-step boundary correction makes the float log exact everywhere;
+    # RIGHT shifts so the tests are overflow-safe for bit length 63
+    # (av >> (m-1) == 0  ⇔  bit_length < m;  av >> m > 0  ⇔  > m)
+    m = np.clip(m, 1, 63)
+    low = np.right_shift(av, np.maximum(m - 1, 0)) == 0
     m[low] -= 1
-    high = np.left_shift(np.int64(1), np.minimum(m, 62)) <= av
+    high = np.right_shift(av, np.minimum(m, 63)) > 0
     m[high] += 1
     shift = np.maximum(m - 1 - sub_bits, 0)
     head = np.right_shift(av, shift)
@@ -504,8 +507,10 @@ def ddsketch_quantiles(ds, col: str, qs, sub_bits: int = 3) -> pa.Table:
     head = t.column("head").to_numpy(zero_copy_only=False)
     n = t.column("n").to_numpy(zero_copy_only=False)
     shift = np.maximum(msb - 1 - sub_bits, 0)
-    lo = np.left_shift(head, shift).astype(np.float64)
-    hi = np.left_shift(head + 1, shift).astype(np.float64)
+    # float multiply, not int left-shift: (head+1) << shift overflows
+    # int64 for bit-length-63 buckets
+    lo = head.astype(np.float64) * np.exp2(shift.astype(np.float64))
+    hi = (head + 1).astype(np.float64) * np.exp2(shift.astype(np.float64))
     mid = np.where(msb == 0, 0.0, (lo + hi) / 2.0) / 1e6 * sign
     # sort buckets by midpoint (negatives ascend toward zero first)
     order = np.argsort(mid, kind="stable")
@@ -529,13 +534,15 @@ def ddsketch_quantile_table(
 ) -> pa.Table:
     """Integer-exact quantile readout from the bucket sketch: quantiles
     arrive as basis points (``q_bp``, 0..10000) and each estimate is
-    reported as ``value_e6x2 = sign * (bucket_lo + bucket_hi)`` in
-    micros — twice the bucket midpoint, kept integral so a DuckDB
-    oracle reproduces every cell with no float arithmetic anywhere
-    (the rank inequality ``cum*10000 >= q_bp*(total-1) + 10000`` is the
-    integer form of ``searchsorted(cum, q*(total-1) + 1)``).  Bucket
-    v2 codes are distinct by construction ((msb, head) ranges are
-    disjoint), so the cumulative order is well-defined.
+    reported as ``value_e6 = sign * floor((bucket_lo + bucket_hi)/2)``
+    in micros — the floor midpoint, computed as
+    ``(head << shift) + (1 << (shift-1))`` so every term stays below
+    2^63 even for bit-length-63 buckets, and a DuckDB oracle reproduces
+    every cell with no float arithmetic anywhere (the rank inequality
+    ``cum*10000 >= q_bp*(total-1) + 10000`` is the integer form of
+    ``searchsorted(cum, q*(total-1) + 1)``).  Bucket midpoints are
+    distinct by construction ((msb, head) ranges are disjoint), so the
+    cumulative order is well-defined.
     """
     parts = []
     for b in ddsketch_buckets(ds, col, sub_bits).iter_batches(
@@ -556,7 +563,8 @@ def ddsketch_quantile_table(
             v2 = 0
         else:
             shift = max(msb - 1 - sub_bits, 0)
-            v2 = sign * ((head << shift) + ((head + 1) << shift))
+            half = (1 << (shift - 1)) if shift > 0 else 0
+            v2 = sign * ((head << shift) + half)
         rows.append((v2, n))
     rows.sort()
     total = sum(n for _, n in rows)
@@ -578,5 +586,5 @@ def ddsketch_quantile_table(
         out_v.append(int(pick))
     return pa.Table.from_arrays(
         [pa.array(out_q, pa.int64()), pa.array(out_v, pa.int64())],
-        names=["q_bp", "value_e6x2"],
+        names=["q_bp", "value_e6"],
     )

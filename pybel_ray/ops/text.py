@@ -454,6 +454,9 @@ def type_token_ratio(ds, text_col: str = "text", id_col: str = "doc_id"):
     row."""
 
     def _ttr(t: pa.Table) -> pa.Table:
+        # null-text docs are dropped (the SQL unnest oracle emits no
+        # row for them; the engine must agree)
+        t = t.filter(pc.is_valid(t.column(text_col)))
         trimmed = pc.utf8_trim_whitespace(t.column(text_col))
         parts = pc.split_pattern_regex(trimmed, pattern=r"\s+")
         if isinstance(parts, pa.ChunkedArray):
@@ -515,14 +518,18 @@ def normalize_text(
             txt = pc.utf8_lower(txt)
         non_ascii = pc.fill_null(pc.invert(pc.string_is_ascii(txt)), False)
         if pc.any(non_ascii).as_py():
-            idx = np.flatnonzero(
-                non_ascii.to_numpy(zero_copy_only=False),
+            # normalize ONLY the non-ASCII rows and scatter them back;
+            # the (typically dominant) ASCII rows stay zero-copy
+            idx = np.flatnonzero(non_ascii.to_numpy(zero_copy_only=False))
+            tail = txt.take(pa.array(idx)).to_pylist()
+            fixed = pa.array(
+                [
+                    unicodedata.normalize(form, v) if v is not None else None
+                    for v in tail
+                ],
+                pa.string(),
             )
-            vals = txt.to_pylist()
-            for i in idx:
-                if vals[i] is not None:
-                    vals[i] = unicodedata.normalize(form, vals[i])
-            txt = pa.array(vals, pa.string())
+            txt = pc.replace_with_mask(txt, non_ascii, fixed)
         txt = pc.replace_substring_regex(txt, r"\s+", " ")
         txt = pc.utf8_trim_whitespace(txt)
         if out_col in t.column_names:
@@ -642,17 +649,9 @@ def source_overlap(
             b = b.combine_chunks()
         keep = pc.less(a, b)
         a, b = a.filter(keep), b.filter(keep)
-        pair = pc.binary_join_element_wise(a, b, "\x00")
-        enc = pair.dictionary_encode()
-        codes = np.asarray(
-            enc.indices.to_numpy(zero_copy_only=False), np.int64,
-        )
-        order = np.argsort(codes, kind="stable")
-        c = codes[order]
-        starts = np.r_[True, c[1:] != c[:-1]] if len(c) else np.array([], bool)
-        start_idx = np.flatnonzero(starts)
-        cnt = np.diff(np.r_[start_idx, len(c)])
-        take = pa.array(order[start_idx])
+        from pybel_ray.ops._kernels import runlength_distinct_counts
+
+        take, cnt = runlength_distinct_counts([a, b])
         return pa.Table.from_arrays(
             [pc.take(a, take), pc.take(b, take), pa.array(cnt, pa.int64())],
             names=["src_a", "src_b", "n_shared"],

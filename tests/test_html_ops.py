@@ -14,6 +14,7 @@ def _pages():
                 '<a href="/rel/2">rel</a>'
                 '<a href="mailto:x@y.z">mail</a>'
                 '<a href="#frag">frag</a>'
+                '<a href="//cdn.example.com/p">proto-rel</a>'
             ),
         },
         {

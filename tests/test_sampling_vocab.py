@@ -142,3 +142,14 @@ def test_bottomk_sample_k_larger_than_input(ray_session):
     t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())})
     out = bottomk_sample(ray.data.from_arrow(t), 10).to_pandas()
     assert sorted(out.doc_id) == [1, 2, 3]
+
+
+def test_bottomk_sample_skips_null_keys(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.sampling import bottomk_sample
+
+    t = pa.table({"doc_id": pa.array([1, None, 3], pa.int64())})
+    out = bottomk_sample(ray.data.from_arrow(t), 2).to_pandas()
+    assert sorted(out.doc_id) == [1, 3]

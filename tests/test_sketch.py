@@ -254,13 +254,17 @@ def test_dd_msb_head_exact_at_boundaries():
     from pybel_ray.ops.sketch import _dd_msb_head
 
     vals = []
-    for k in range(1, 63):
+    for k in range(1, 64):
         for d in (-1, 0, 1):
             v = (1 << k) + d
-            if 0 < v < (1 << 62):
+            if 0 < v < (1 << 63):
                 vals.append(v)
+    vals += [(1 << 63) - 1, (1 << 62)]
     rng = np.random.default_rng(0)
-    vals += [int(x) for x in rng.integers(1, 1 << 62, size=5000)]
+    vals += [
+        int(x)
+        for x in rng.integers(1, (1 << 63) - 1, size=5000, dtype=np.int64)
+    ]
     av = np.array(vals, dtype=np.int64)
     msb, head = _dd_msb_head(av, 3)
     exp_msb = np.array([v.bit_length() for v in vals], dtype=np.int64)
@@ -321,7 +325,24 @@ def test_ddsketch_quantile_table_matches_float(ray_session):
     ds = ray.data.from_arrow(pa.table({"v": vals}))
     qt = ddsketch_quantile_table(ds, "v", [0, 5000, 9900, 10000])
     fl = ddsketch_quantiles(ds, "v", [0.0, 0.5, 0.99, 1.0])
-    # value_e6x2 is twice the bucket midpoint in micros
-    for iv, fv in zip(qt.column("value_e6x2").to_pylist(),
+    # value_e6 is the floor bucket midpoint in micros (within half a
+    # micro of the float midpoint readout)
+    for iv, fv in zip(qt.column("value_e6").to_pylist(),
                       fl.column("value").to_pylist()):
-        assert abs(iv / 2e6 - fv) < 1e-9
+        assert abs(iv / 1e6 - fv) <= 1e-6
+
+
+def test_ddsketch_large_magnitude_buckets(ray_session):
+    import ray
+
+    from pybel_ray.ops.sketch import ddsketch_quantile_table
+
+    # raw values whose micros reach bit length 62-63: the former
+    # left-shift readout overflowed int64 here
+    vals = [4.6e12, 9.2e12, -4.6e12, 1.0]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.float64())}))
+    out = ddsketch_quantile_table(ds, "v", [0, 10000])
+    got = dict(zip(out.column("q_bp").to_pylist(),
+                   out.column("value_e6").to_pylist()))
+    assert got[0] < 0 and got[0] / 1e6 > -4.9e12
+    assert abs(got[10000] / 1e6 - 9.2e12) <= 9.2e12 * 2 ** -4

@@ -337,3 +337,17 @@ def test_source_overlap_text_mode_planted(ray_session):
     ).to_pandas()
     got = {(r.src_a, r.src_b): r.n_shared for r in out.itertuples()}
     assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
+def test_type_token_ratio_drops_null_text(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.text import type_token_ratio
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["a b", None],
+    })
+    out = type_token_ratio(ray.data.from_arrow(t)).to_pandas()
+    assert list(out.doc_id) == [0]
