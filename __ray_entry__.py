@@ -1715,6 +1715,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = links.map_batches(_hosts, batch_format="pyarrow")
         return pagerank(edges, iters=3)
 
+    def web_host_components(sf_dir):
+        # weakly connected components of the host link graph
+        # (pointer-doubling label propagation; component = lexicographic
+        # min host); oracle is recursive-CTE min-label reachability
+        # over the identically rebuilt edges
+        from pybel_ray.ops.html import extract_links
+        from pybel_ray.struct.components import connected_components
+
+        links = extract_links(_html_pages(sf_dir))
+
+        def _hosts(t: pa.Table) -> pa.Table:
+            from pybel_ray.ops.urls import URL_PATTERN
+
+            cols = []
+            for c in ("src_url", "dst_url"):
+                u = t.column(c)
+                if isinstance(u, pa.ChunkedArray):
+                    u = u.combine_chunks()
+                cols.append(pc.fill_null(pc.struct_field(
+                    pc.extract_regex(u, URL_PATTERN), "host",
+                ), ""))
+            return pa.Table.from_arrays(cols, names=["src", "dst"])
+
+        edges = links.map_batches(_hosts, batch_format="pyarrow")
+        return connected_components(edges, a_col="src", b_col="dst")
+
     def emb_srp_projection(sf_dir):
         # JL signed random projection: deterministic md5-parity ±1
         # matrix, int64-micros matmul — every output cell exact integer
@@ -2275,6 +2301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_strip_tags": web_strip_tags,
         "web_anchor_topk": web_anchor_topk,
         "web_host_pagerank": web_host_pagerank,
+        "web_host_components": web_host_components,
         "web_frontier": web_frontier,
         "doc_bottomk_sample": doc_bottomk_sample,
         "doc_type_token_ratio": doc_type_token_ratio,
@@ -3976,6 +4003,62 @@ def oracle_sql() -> dict[str, str]:
         "doc_bottomk_sample": """
             SELECT doc_id, source, n_chars FROM documents
             ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 64
+        """,
+        "web_host_components": r"""
+            WITH RECURSIVE pages AS (
+                SELECT doc_id,
+                       'https://site' || (doc_id % 20)
+                           || '.example.com/page/' || doc_id AS url,
+                       '<html><head><title>doc ' || doc_id
+                           || '</title></head><body><p>'
+                           || COALESCE(text, '')
+                           || '</p><a href="https://site'
+                           || ((doc_id * 7 + 1) % 20)
+                           || '.example.com/page/' || (doc_id * 7 + 1)
+                           || '">n' || doc_id || '</a><a href="/local/'
+                           || (doc_id % 13) || '">l</a>'
+                           || CASE WHEN doc_id % 3 = 0
+                                   THEN '<a href="mailto:a@b.c">m</a>'
+                                   ELSE '' END
+                           || '</body></html>' AS html
+                FROM documents
+            ),
+            l AS (
+                SELECT url,
+                       unnest(regexp_extract_all(
+                           html, '<a href="([^"]*)">([^<]*)</a>', 1
+                       )) AS href
+                FROM pages
+            ),
+            lk AS (
+                SELECT url AS src_url,
+                       CASE WHEN href LIKE 'http://%'
+                                 OR href LIKE 'https://%' THEN href
+                            ELSE 'https://' || regexp_extract(
+                                url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                            ) || href END AS dst_url
+                FROM l
+                WHERE href LIKE 'http://%' OR href LIKE 'https://%'
+                   OR (href LIKE '/%' AND href NOT LIKE '//%')
+            ),
+            he AS (
+                SELECT regexp_extract(
+                           src_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                       ) AS a,
+                       regexp_extract(
+                           dst_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                       ) AS b
+                FROM lk
+            ),
+            edges AS (SELECT a, b FROM he UNION SELECT b, a FROM he),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, lab) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+            )
+            SELECT node AS id, min(lab) AS component
+            FROM reach GROUP BY node
         """,
         "doc_source_overlap": r"""
             WITH h AS (
