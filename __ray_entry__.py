@@ -1690,6 +1690,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.rename_columns(["url"]), batch_format="pyarrow",
         )
 
+    def web_crawl_pipeline(sf_dir):
+        """End-to-end crawl-ingest cleanup, every stage a streaming Ray
+        Data transform: HTML tag stripping -> token-count quality gate
+        -> exact dedup (min-doc_id survivor per text cluster).  One
+        exact stage-by-stage SQL oracle (the web analog of
+        doc_pretrain_pipeline)."""
+        from pybel_ray.ops.dedup_approx import near_dedup_corpus
+        from pybel_ray.ops.html import strip_tags
+        from pybel_ray.ops.text import add_token_counts
+
+        ds = strip_tags(_html_pages(sf_dir)).select_columns(
+            ["doc_id", "url", "text"],
+        )
+        ds = add_token_counts(ds)
+
+        def _gate(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t.column("n_tokens"), 10))
+
+        ds = ds.map_batches(_gate, batch_format="pyarrow")
+        ds = near_dedup_corpus(ds, method="exact")
+        return ds.select_columns(["doc_id", "url", "n_tokens"])
+
     def web_host_pagerank(sf_dir):
         # exact-integer PageRank over the host link graph (one edge per
         # extracted link, parallel edges kept — same semantics both
@@ -2303,6 +2325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_pagerank": web_host_pagerank,
         "web_host_components": web_host_components,
         "web_frontier": web_frontier,
+        "web_crawl_pipeline": web_crawl_pipeline,
         "doc_bottomk_sample": doc_bottomk_sample,
         "doc_type_token_ratio": doc_type_token_ratio,
         "doc_normalized_text": doc_normalized_text,
@@ -4003,6 +4026,46 @@ def oracle_sql() -> dict[str, str]:
         "doc_bottomk_sample": """
             SELECT doc_id, source, n_chars FROM documents
             ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 64
+        """,
+        "web_crawl_pipeline": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       'https://site' || (doc_id % 20)
+                           || '.example.com/page/' || doc_id AS url,
+                       '<html><head><title>doc ' || doc_id
+                           || '</title></head><body><p>'
+                           || COALESCE(text, '')
+                           || '</p><a href="https://site'
+                           || ((doc_id * 7 + 1) % 20)
+                           || '.example.com/page/' || (doc_id * 7 + 1)
+                           || '">n' || doc_id || '</a><a href="/local/'
+                           || (doc_id % 13) || '">l</a>'
+                           || CASE WHEN doc_id % 3 = 0
+                                   THEN '<a href="mailto:a@b.c">m</a>'
+                                   ELSE '' END
+                           || '</body></html>' AS html
+                FROM documents
+            ),
+            stripped AS (
+                SELECT doc_id, url,
+                       trim(regexp_replace(
+                           regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                           '\s+', ' ', 'g'
+                       )) AS text
+                FROM pages
+            ),
+            scored AS (
+                SELECT doc_id, url, text,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                            AS BIGINT) AS n_tokens
+                FROM stripped
+            ),
+            kept AS (
+                SELECT doc_id, url, n_tokens,
+                       min(doc_id) OVER (PARTITION BY text) AS keeper
+                FROM scored WHERE n_tokens >= 10
+            )
+            SELECT doc_id, url, n_tokens FROM kept WHERE doc_id = keeper
         """,
         "web_host_components": r"""
             WITH RECURSIVE pages AS (

@@ -132,6 +132,7 @@ def run_queries(sf_dir: str) -> dict:
         "graph_kcore",
         "events_value_ddsketch",
         "web_host_graph",
+        "web_crawl_pipeline",
     ]
     q = entry.queries()
     out = {}
