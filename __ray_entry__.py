@@ -1690,6 +1690,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.rename_columns(["url"]), batch_format="pyarrow",
         )
 
+    def web_domain_rollup(sf_dir):
+        # link targets rolled up to (registered domain, TLD) — crawl
+        # analytics over the host hierarchy
+        from pybel_ray.ops.html import extract_links
+        from pybel_ray.ops.urls import domain_rollup
+
+        return domain_rollup(
+            extract_links(_html_pages(sf_dir)), url_col="dst_url",
+        )
+
+    def revenue_by_nation(sf_dir):
+        # TPC-H-Q5-style star rollup: big-big bucketed equi_join
+        # (orders x customer) -> broadcast dimension join (nation) ->
+        # integer-cents partial sums; exactness via the cents
+        # quantization both sides share
+        from pybel_ray.ops.relational import (
+            broadcast_join, equi_join, groupby_agg,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_totalprice"],
+        )
+        cust = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_nationkey"],
+        )
+        j = equi_join(orders, cust, on="o_custkey", right_on="c_custkey")
+        nation = _read_arrow(sf_dir, "nation").select(
+            ["n_nationkey", "n_name"],
+        )
+        j = broadcast_join(j, nation, "c_nationkey", "n_nationkey")
+
+        def _cents(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            p = np.asarray(
+                t.column("o_totalprice").to_numpy(zero_copy_only=False),
+                np.float64,
+            )
+            cents = np.floor(p * 100 + 0.5).astype(np.int64)
+            return pa.Table.from_arrays(
+                [t.column("n_name"), pa.array(cents)],
+                names=["n_name", "cents"],
+            )
+
+        scored = j.map_batches(_cents, batch_format="pyarrow")
+        return groupby_agg(
+            scored, "n_name",
+            {"revenue_cents": ("sum", "cents"), "n_orders": ("count", "cents")},
+        )
+
     def web_crawl_pipeline(sf_dir):
         """End-to-end crawl-ingest cleanup, every stage a streaming Ray
         Data transform: HTML tag stripping -> token-count quality gate
@@ -2326,6 +2376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_components": web_host_components,
         "web_frontier": web_frontier,
         "web_crawl_pipeline": web_crawl_pipeline,
+        "web_domain_rollup": web_domain_rollup,
+        "revenue_by_nation": revenue_by_nation,
         "doc_bottomk_sample": doc_bottomk_sample,
         "doc_type_token_ratio": doc_type_token_ratio,
         "doc_normalized_text": doc_normalized_text,
@@ -4026,6 +4078,64 @@ def oracle_sql() -> dict[str, str]:
         "doc_bottomk_sample": """
             SELECT doc_id, source, n_chars FROM documents
             ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 64
+        """,
+        "web_domain_rollup": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       'https://site' || (doc_id % 20)
+                           || '.example.com/page/' || doc_id AS url,
+                       '<html><head><title>doc ' || doc_id
+                           || '</title></head><body><p>'
+                           || COALESCE(text, '')
+                           || '</p><a href="https://site'
+                           || ((doc_id * 7 + 1) % 20)
+                           || '.example.com/page/' || (doc_id * 7 + 1)
+                           || '">n' || doc_id || '</a><a href="/local/'
+                           || (doc_id % 13) || '">l</a>'
+                           || CASE WHEN doc_id % 3 = 0
+                                   THEN '<a href="mailto:a@b.c">m</a>'
+                                   ELSE '' END
+                           || '</body></html>' AS html
+                FROM documents
+            ),
+            l AS (
+                SELECT url,
+                       unnest(regexp_extract_all(
+                           html, '<a href="([^"]*)">([^<]*)</a>', 1
+                       )) AS href
+                FROM pages
+            ),
+            links AS (
+                SELECT CASE WHEN href LIKE 'http://%'
+                                 OR href LIKE 'https://%' THEN href
+                            ELSE 'https://' || regexp_extract(
+                                url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                            ) || href END AS dst_url
+                FROM l
+                WHERE href LIKE 'http://%' OR href LIKE 'https://%'
+                   OR (href LIKE '/%' AND href NOT LIKE '//%')
+            ),
+            hosts AS (
+                SELECT regexp_extract(
+                           dst_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                       ) AS host
+                FROM links
+            )
+            SELECT regexp_extract(host, '([^.]+\.([^.]+))$', 1)
+                       AS reg_domain,
+                   regexp_extract(host, '([^.]+\.([^.]+))$', 2) AS tld,
+                   CAST(count(*) AS BIGINT) AS n_urls
+            FROM hosts GROUP BY 1, 2
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            GROUP BY n_name
         """,
         "web_crawl_pipeline": r"""
             WITH pages AS (

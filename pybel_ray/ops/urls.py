@@ -15,10 +15,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["add_url_parts", "domain_stats"]
+__all__ = ["add_url_parts", "domain_stats", "domain_rollup"]
 
 #: RE2, shared verbatim with the SQL oracle (both engines compile RE2)
 URL_PATTERN = r"^(?P<scheme>[a-z][a-z0-9+.-]*)://(?P<host>[^/?#]*)(?P<path>[^?#]*)"
+
+#: last two host labels = naive registered domain + TLD (a public-suffix
+#: list would refine this; the naive split is what the SQL oracle shares)
+REGDOM_PATTERN = r"(?P<regdom>[^.]+\.(?P<tld>[^.]+))$"
 
 
 def add_url_parts(ds, url_col: str = "url"):
@@ -90,3 +94,38 @@ def domain_stats(ds, url_col: str = "url", weight_col: str | None = None):
         return pa.Table.from_arrays(arrays, names=names)
 
     return partial.groupby("host").map_groups(_final, batch_format="pyarrow")
+
+
+def domain_rollup(ds, url_col: str = "url"):
+    """URL counts rolled up to (registered domain, TLD) — the
+    host-hierarchy aggregation of crawl analytics (naive last-two-label
+    registered domain; swap :data:`REGDOM_PATTERN` for a public-suffix
+    automaton when precision matters).  Vectorized RE2 parse +
+    run-length partials, ONE groupby exchange."""
+    from pybel_ray.ops._kernels import runlength_distinct_counts
+
+    def _partial(t: pa.Table) -> pa.Table:
+        u = t.column(url_col)
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        host = pc.fill_null(
+            pc.struct_field(pc.extract_regex(u, URL_PATTERN), "host"), "",
+        )
+        st = pc.extract_regex(host, REGDOM_PATTERN)
+        regdom = pc.fill_null(pc.struct_field(st, "regdom"), "")
+        tld = pc.fill_null(pc.struct_field(st, "tld"), "")
+        take, cnt = runlength_distinct_counts([regdom, tld])
+        return pa.Table.from_arrays(
+            [pc.take(regdom, take), pc.take(tld, take),
+             pa.array(cnt, pa.int64())],
+            names=["reg_domain", "tld", "n_urls"],
+        )
+
+    partial = ds.select_columns([url_col]).map_batches(
+        _partial, batch_format="pyarrow",
+    )
+    merged = partial.groupby(["reg_domain", "tld"]).sum("n_urls")
+    return merged.map_batches(
+        lambda t: t.rename_columns(["reg_domain", "tld", "n_urls"]),
+        batch_format="pyarrow",
+    )

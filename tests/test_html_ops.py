@@ -95,3 +95,24 @@ def test_anchor_stats_counts(ray_session):
         ("b.example.com", "abs"): 1,
         ("a.example.com", "back"): 1,
     }
+
+
+def test_domain_rollup_varied_hosts(ray_session):
+    import ray
+
+    from pybel_ray.ops.urls import domain_rollup
+
+    rows = [
+        {"url": "https://a.news.co/x"},
+        {"url": "https://b.news.co/y"},
+        {"url": "https://cdn.img.io/z"},
+        {"url": "http://img.io/w"},
+        {"url": "not a url"},
+    ]
+    out = domain_rollup(ray.data.from_items(rows)).to_pandas()
+    got = {(r.reg_domain, r.tld): r.n_urls for r in out.itertuples()}
+    assert got == {
+        ("news.co", "co"): 2,
+        ("img.io", "io"): 2,
+        ("", ""): 1,
+    }
