@@ -1690,6 +1690,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.rename_columns(["url"]), batch_format="pyarrow",
         )
 
+    def emb_pca_project(sf_dir):
+        # PCA scores from the EXACT distributed Gram + sum passes
+        # (driver eigh, deterministic sign); rows-only — eigh is not
+        # SQL — pinned by the numpy-reference pytest
+        from pybel_ray.ops.stats import pca_project
+
+        return pca_project(_read(sf_dir, "embeddings"), k=4)
+
     def web_domain_rollup(sf_dir):
         # link targets rolled up to (registered domain, TLD) — crawl
         # analytics over the host hierarchy
@@ -2378,6 +2386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_crawl_pipeline": web_crawl_pipeline,
         "web_domain_rollup": web_domain_rollup,
         "revenue_by_nation": revenue_by_nation,
+        "emb_pca_project": emb_pca_project,
         "doc_bottomk_sample": doc_bottomk_sample,
         "doc_type_token_ratio": doc_type_token_ratio,
         "doc_normalized_text": doc_normalized_text,

@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from .similarity import _matrix
 
-__all__ = ["gram_matrix_e12", "quantize_micros"]
+__all__ = ["gram_matrix_e12", "quantize_micros", "pca_project"]
 
 _INT64_MAX = (1 << 63) - 1
 
@@ -105,4 +105,87 @@ def gram_matrix_e12(ds, vec_col: str = "embedding"):
             pa.array([n_rows] * len(vals), pa.int64()),
         ],
         names=["i", "j", "gram_e12", "n_rows"],
+    )
+
+
+def pca_project(
+    ds, k: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
+):
+    """Distributed PCA projection: exact integer second moments
+    (:func:`gram_matrix_e12` plus an exact column-sum pass) build the
+    covariance on the driver, ``np.linalg.eigh`` takes the top-``k``
+    components (sign fixed: largest-|loading| coordinate positive, so
+    the basis is deterministic), and one broadcast ``map_batches``
+    matmul emits the scores — the dimensionality-reduction step before
+    clustering/visualization.
+
+    Scale: two streaming passes over the vectors (dim×dim partials and
+    a dim-length sum per batch; nothing shuffles), a dim×dim driver
+    eigendecomposition, then a zero-shuffle projection pass.  No SQL
+    oracle (eigendecomposition is not SQL); pinned by a numpy-reference
+    pytest.  Returns long rows ``(id, component, score)``.
+    """
+    gram = gram_matrix_e12(ds, vec_col)
+    n = int(gram.column("n_rows")[0].as_py()) if gram.num_rows else 0
+    if n == 0:
+        raise ValueError("empty input")
+    ii = np.asarray(gram.column("i").to_numpy(zero_copy_only=False)) - 1
+    jj = np.asarray(gram.column("j").to_numpy(zero_copy_only=False)) - 1
+    vv = np.asarray(
+        gram.column("gram_e12").to_numpy(zero_copy_only=False), np.float64,
+    )
+    dim = int(jj.max()) + 1
+    g = np.zeros((dim, dim), np.float64)
+    g[ii, jj] = vv
+    g[jj, ii] = vv
+
+    # exact int64 column sums of the quantized vectors (micros)
+    def _sums(t: pa.Table) -> pa.Table:
+        m = _matrix(t, vec_col)
+        q = quantize_micros(m) if len(m) else np.zeros((0, dim), np.int64)
+        return pa.Table.from_arrays(
+            [pa.array([q.sum(axis=0).tobytes()], pa.binary())],
+            names=["s"],
+        )
+
+    sums = np.zeros(dim, dtype=object)
+    for b in ds.select_columns([vec_col]).map_batches(
+        _sums, batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        for raw in b.column("s").to_pylist():
+            sums = sums + np.frombuffer(raw, np.int64).astype(object)
+    mean = sums.astype(np.float64) / n
+
+    cov = g / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :k]  # descending eigenvalue order
+    # deterministic sign: the largest-|loading| coordinate is positive
+    for c in range(comps.shape[1]):
+        a = int(np.abs(comps[:, c]).argmax())
+        if comps[a, c] < 0:
+            comps[:, c] = -comps[:, c]
+    comps_f = np.ascontiguousarray(comps)
+
+    def _project(t: pa.Table) -> pa.Table:
+        m = _matrix(t, vec_col)
+        q = quantize_micros(m).astype(np.float64)
+        centered = q - mean.astype(np.float64)
+        scores = centered @ comps_f  # n × k float64
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        nrow = len(m)
+        idv = np.repeat(
+            np.asarray(ids.to_numpy(zero_copy_only=False), np.int64),
+            comps_f.shape[1],
+        )
+        jv = np.tile(np.arange(comps_f.shape[1], dtype=np.int64), nrow)
+        return pa.Table.from_arrays(
+            [pa.array(idv), pa.array(jv),
+             pa.array(scores.reshape(-1), pa.float64())],
+            names=[id_col, "component", "score"],
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _project, batch_format="pyarrow",
     )

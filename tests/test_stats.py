@@ -55,3 +55,41 @@ def test_gram_empty(ray_session):
 
     out = gram_matrix_e12(_emb_ds(np.zeros((0, 4), np.float32), blocks=1))
     assert out.num_rows == 0
+
+
+def test_pca_project_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.stats import pca_project, quantize_micros
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(200, 3)) @ rng.normal(size=(3, 8))
+    x = (base + 0.01 * rng.normal(size=(200, 8))).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in x],
+                              pa.list_(pa.float32())),
+    })
+    out = pca_project(
+        ray.data.from_arrow(t).repartition(7), k=3,
+    ).to_pandas().sort_values(["vec_id", "component"]).reset_index(drop=True)
+
+    # numpy reference with the same quantization + sign convention
+    q = quantize_micros(np.asarray(x, np.float64)).astype(np.float64)
+    mean = q.mean(axis=0)
+    cov = (q.T @ q) / len(q) - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :3]
+    for c in range(3):
+        a = int(np.abs(comps[:, c]).argmax())
+        if comps[a, c] < 0:
+            comps[:, c] = -comps[:, c]
+    ref = (q - mean) @ comps
+    got = out.score.to_numpy().reshape(200, 3)
+    assert np.allclose(got, ref, rtol=1e-9, atol=1e-6)
+
+    # the 3 components explain nearly everything of this rank-3 data
+    total_var = np.trace(cov)
+    assert w[::-1][:3].sum() / total_var > 0.999
