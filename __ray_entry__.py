@@ -1550,6 +1550,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [0, 2500, 5000, 7500, 9900, 10000],
         )
 
+    def events_value_ddsketch_by_type(sf_dir):
+        # per-group DDSketch: one pass yields a mergeable quantile
+        # sketch per event_type; the bucket table stays integer-exact so
+        # the same length(bin())/shift oracle verifies it cell-for-cell
+        # with the group column added to the GROUP BY
+        from pybel_ray.ops.sketch import ddsketch_buckets_by_group
+
+        return ddsketch_buckets_by_group(
+            _read(sf_dir, "events"), "event_type", "value",
+        )
+
+    def events_upsert_latest(sf_dir):
+        # keep-latest MERGE/upsert: compact a correction log (clicks
+        # re-emitted with value + 1000) into the base event snapshot —
+        # one surviving row per user, delta outranking base at equal ts;
+        # local keep-best combiner bounds hot keys to one row per block
+        from pybel_ray.ops.relational import merge_upsert
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "ts", "user_id", "event_type", "value"],
+        )
+
+        def _corrections(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), "click"))
+            return t.set_column(
+                t.schema.get_field_index("value"), "value",
+                pc.add(t.column("value"), 1000.0),
+            )
+
+        delta = ev.map_batches(_corrections, batch_format="pyarrow")
+        return merge_upsert(
+            ev, delta, "user_id", "ts", tie_cols=("event_id",),
+        )
+
     def _html_pages(sf_dir):
         # deterministic crawl-page synthesis from the documents table
         # (same pattern as doc_wet_roundtrip's _pagify): the SQL oracle
@@ -2376,6 +2410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_hll_registers": corpus_hll_registers,
         "events_value_ddsketch": events_value_ddsketch,
         "events_value_quantiles_dd": events_value_quantiles_dd,
+        "events_value_ddsketch_by_type": events_value_ddsketch_by_type,
+        "events_upsert_latest": events_upsert_latest,
         "web_links": web_links,
         "web_host_graph": web_host_graph,
         "web_strip_tags": web_strip_tags,
@@ -3950,6 +3986,48 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS head,
                    CAST(count(*) AS BIGINT) AS n
             FROM c GROUP BY 1, 2, 3
+        """,
+        "events_value_ddsketch_by_type": r"""
+            WITH q AS (
+                SELECT event_type,
+                       CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qi
+                FROM events WHERE value IS NOT NULL
+            ),
+            c AS (
+                SELECT event_type,
+                       CASE WHEN qi > 0 THEN 1
+                            WHEN qi < 0 THEN -1 ELSE 0 END AS sign,
+                       abs(qi) AS av
+                FROM q
+            )
+            SELECT event_type, sign,
+                   CAST(CASE WHEN av = 0 THEN 0
+                             ELSE length(bin(av)) END AS BIGINT) AS msb,
+                   CAST(CASE WHEN av = 0 THEN 0
+                             ELSE av >> greatest(length(bin(av)) - 4, 0)
+                        END AS BIGINT) AS head,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM c GROUP BY 1, 2, 3, 4
+        """,
+        "events_upsert_latest": """
+            WITH u AS (
+                SELECT event_id, ts, user_id, event_type, value,
+                       CAST(0 AS BIGINT) AS from_delta
+                FROM events
+                UNION ALL
+                SELECT event_id, ts, user_id, event_type, value + 1000.0,
+                       CAST(1 AS BIGINT)
+                FROM events WHERE event_type = 'click'
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC, from_delta DESC, event_id DESC
+                ) AS rn
+                FROM u
+            )
+            SELECT event_id, ts, user_id, event_type, value, from_delta
+            FROM r WHERE rn = 1
         """,
         "events_value_quantiles_dd": r"""
             WITH q AS (

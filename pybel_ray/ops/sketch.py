@@ -42,6 +42,7 @@ __all__ = [
     "HLL_M",
     "md5_window_slots",
     "ddsketch_buckets",
+    "ddsketch_buckets_by_group",
     "ddsketch_quantiles",
     "ddsketch_quantile_table",
 ]
@@ -588,3 +589,69 @@ def ddsketch_quantile_table(
         [pa.array(out_q, pa.int64()), pa.array(out_v, pa.int64())],
         names=["q_bp", "value_e6"],
     )
+
+
+def ddsketch_buckets_by_group(ds, group_col: str, col: str, sub_bits: int = 3):
+    """Per-group DDSketch bucket tables: :func:`ddsketch_buckets` with
+    the group column prepended to the bucket key, so one pass yields a
+    mergeable quantile sketch for EVERY group (the per-segment latency
+    / per-source length-distribution use case) without a per-group sort.
+
+    Same scale shape as the global sketch — each batch emits at most
+    ``groups_in_batch × ~3·64·2^sub_bits`` partial rows and ONE
+    ``groupby([group, sign, msb, head]).sum`` exchange merges them; a
+    hot group never co-locates its raw rows, only its bucket counts.
+    The bucket table stays integer-exact, so the same
+    ``length(bin(v))``-shift DuckDB oracle verifies it cell-for-cell
+    with the group column added to the GROUP BY.
+    """
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vals = t.column(col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        grp = t.column(group_col)
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        # null group keys are dropped (same convention as
+        # hll_registers_by_group: Ray's groupby exchange cannot sort a
+        # null key; per-group sketches are for labeled rows)
+        keep = pc.and_(pc.is_valid(vals), pc.is_valid(grp))
+        vals = vals.filter(keep)
+        grp = grp.filter(keep)
+        v = vals.to_numpy(zero_copy_only=False)
+        q = np.floor(
+            np.asarray(v, np.float64) * 1e6 + 0.5,
+        ).astype(np.int64)
+        sign = np.sign(q)
+        av = np.abs(q)
+        msb = np.zeros(len(q), np.int64)
+        head = np.zeros(len(q), np.int64)
+        nz = av > 0
+        if nz.any():
+            msb[nz], head[nz] = _dd_msb_head(av[nz], sub_bits)
+        codes = pa.Table.from_arrays(
+            [
+                grp,
+                pa.array(sign, pa.int64()),
+                pa.array(msb, pa.int64()),
+                pa.array(head, pa.int64()),
+            ],
+            names=[group_col, "sign", "msb", "head"],
+        )
+        local = codes.group_by(
+            [group_col, "sign", "msb", "head"],
+        ).aggregate([([], "count_all")])
+        return local.rename_columns(
+            [group_col, "sign", "msb", "head", "n"],
+        )
+
+    partial = ds.select_columns([group_col, col]).map_batches(
+        _partial, batch_format="pyarrow",
+    )
+    merged = partial.groupby([group_col, "sign", "msb", "head"]).sum("n")
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([group_col, "sign", "msb", "head", "n"])
+
+    return merged.map_batches(_rename, batch_format="pyarrow")

@@ -185,3 +185,96 @@ def test_groupby_quantiles_sorted_path_repeated_values(ray_session):
     ).take_all()
     assert {r["g"] for r in out_int} == {7, 8}
     assert all(isinstance(r["g"], int) for r in out_int)
+
+
+def test_merge_upsert_matches_window_sql(ray_session):
+    import numpy as np
+    import ray.data
+
+    from pybel_ray.ops.relational import merge_upsert
+
+    rng = np.random.default_rng(5)
+    n = 400
+    base = pa.table({
+        "k": rng.integers(0, 25, n).astype("int64"),
+        "ts": rng.integers(0, 50, n).astype("int64"),
+        "rid": np.arange(n, dtype="int64"),
+        "val": rng.normal(size=n),
+    })
+    m = 150
+    delta = pa.table({
+        "k": rng.integers(0, 25, m).astype("int64"),
+        # overlap the base ts range so side priority decides real ties
+        "ts": rng.integers(25, 60, m).astype("int64"),
+        "rid": np.arange(n, n + m, dtype="int64"),
+        "val": rng.normal(size=m),
+    })
+    out = merge_upsert(
+        ray.data.from_arrow(base).repartition(6),
+        ray.data.from_arrow(delta).repartition(3),
+        "k", "ts", tie_cols=("rid",),
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("b", base.to_pandas())
+    con.register("d", delta.to_pandas())
+    ref = con.execute("""
+        WITH u AS (
+            SELECT *, 0 AS from_delta FROM b
+            UNION ALL SELECT *, 1 FROM d
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY k ORDER BY ts DESC, from_delta DESC, rid DESC
+            ) AS rn FROM u
+        )
+        SELECT k, ts, rid, val, CAST(from_delta AS BIGINT) AS from_delta
+        FROM r WHERE rn = 1 ORDER BY k
+    """).fetchdf()
+    assert out[["k", "ts", "rid", "val", "from_delta"]].reset_index(drop=True).equals(
+        ref.reset_index(drop=True),
+    )
+
+
+def test_merge_upsert_delta_wins_exact_tie(ray_session):
+    import ray.data
+
+    from pybel_ray.ops.relational import merge_upsert
+
+    base = pa.table({"k": [1], "ts": [10], "rid": [0], "val": [1.0]})
+    delta = pa.table({"k": [1], "ts": [10], "rid": [0], "val": [2.0]})
+    out = merge_upsert(
+        ray.data.from_arrow(base), ray.data.from_arrow(delta),
+        "k", "ts", tie_cols=("rid",),
+    ).to_pandas()
+    assert len(out) == 1
+    assert out["val"][0] == 2.0
+    assert out["from_delta"][0] == 1
+
+
+def test_merge_upsert_hot_key_bounded(ray_session):
+    import numpy as np
+    import ray.data
+
+    from pybel_ray.ops.relational import merge_upsert
+
+    # a single degenerate key with a long history: the local combiner
+    # must reduce each block to one row before the exchange
+    n = 5000
+    base = pa.table({
+        "k": np.zeros(n, dtype="int64"),
+        "ts": np.arange(n, dtype="int64"),
+        "rid": np.arange(n, dtype="int64"),
+    })
+    delta = pa.table({
+        "k": pa.array([0], pa.int64()),
+        "ts": pa.array([n - 1], pa.int64()),
+        "rid": pa.array([n], pa.int64()),
+    })
+    out = merge_upsert(
+        ray.data.from_arrow(base).repartition(16),
+        ray.data.from_arrow(delta),
+        "k", "ts", tie_cols=("rid",),
+    ).to_pandas()
+    assert len(out) == 1
+    # equal max ts: the delta row outranks the base row
+    assert out["rid"][0] == n and out["from_delta"][0] == 1

@@ -346,3 +346,56 @@ def test_ddsketch_large_magnitude_buckets(ray_session):
                    out.column("value_e6").to_pylist()))
     assert got[0] < 0 and got[0] / 1e6 > -4.9e12
     assert abs(got[10000] / 1e6 - 9.2e12) <= 9.2e12 * 2 ** -4
+
+
+def test_ddsketch_by_group_matches_global_per_group(ray_session):
+    import ray
+
+    from pybel_ray.ops.sketch import ddsketch_buckets, ddsketch_buckets_by_group
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.lognormal(1, 2, 800), -rng.lognormal(0, 1, 200)])
+    grp = rng.integers(0, 3, len(vals))
+    t = pa.table({"g": grp.astype("int64"), "v": vals})
+    ds = ray.data.from_arrow(t).repartition(7)
+    by = (
+        ddsketch_buckets_by_group(ds, "g", "v")
+        .to_pandas()
+        .sort_values(["g", "sign", "msb", "head"])
+        .reset_index(drop=True)
+    )
+    for g in range(3):
+        sub = pa.table({"v": vals[grp == g]})
+        ref = (
+            ddsketch_buckets(ray.data.from_arrow(sub).repartition(3), "v")
+            .to_pandas()
+            .sort_values(["sign", "msb", "head"])
+            .reset_index(drop=True)
+        )
+        got = (
+            by[by["g"] == g]
+            .drop(columns=["g"])
+            .sort_values(["sign", "msb", "head"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(ref), g
+
+
+def test_ddsketch_by_group_null_values_and_groups(ray_session):
+    import ray
+
+    from pybel_ray.ops.sketch import ddsketch_buckets_by_group
+
+    t = pa.table({
+        "g": pa.array(["a", "a", None, "b", "b"]),
+        "v": pa.array([1.0, None, 2.0, 2.0, 2.0]),
+    })
+    out = ddsketch_buckets_by_group(
+        ray.data.from_arrow(t).repartition(2), "g", "v",
+    ).to_pandas()
+    # null values AND null group keys are dropped (the
+    # hll_registers_by_group convention — Ray's groupby exchange
+    # cannot sort a null key)
+    assert int(out["n"].sum()) == 3
+    assert not out["g"].isna().any()
+    assert out[out["g"] == "b"]["n"].sum() == 2
