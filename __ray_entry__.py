@@ -1584,6 +1584,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, delta, "user_id", "ts", tie_cols=("event_id",),
         )
 
+    def supplier_name_fuzzy_join(sf_dir):
+        # record-linkage primitive: all supplier-name pairs within
+        # Levenshtein distance 1 via deletion-neighborhood (FastSS)
+        # blocking — complete candidates, exact banded-DP verify; the
+        # DuckDB oracle is the brute-force levenshtein self-join
+        from pybel_ray.ops.stringjoin import edit_distance_join
+
+        return edit_distance_join(
+            _read(sf_dir, "supplier"), "s_suppkey", "s_name", max_dist=1,
+        )
+
     def _html_pages(sf_dir):
         # deterministic crawl-page synthesis from the documents table
         # (same pattern as doc_wet_roundtrip's _pagify): the SQL oracle
@@ -2412,6 +2423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_dd": events_value_quantiles_dd,
         "events_value_ddsketch_by_type": events_value_ddsketch_by_type,
         "events_upsert_latest": events_upsert_latest,
+        "supplier_name_fuzzy_join": supplier_name_fuzzy_join,
         "web_links": web_links,
         "web_host_graph": web_host_graph,
         "web_strip_tags": web_strip_tags,
@@ -4028,6 +4040,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, ts, user_id, event_type, value, from_delta
             FROM r WHERE rn = 1
+        """,
+        # brute-force reference for the deletion-neighborhood join —
+        # DuckDB levenshtein is byte-oriented, which the engine matches
+        "supplier_name_fuzzy_join": """
+            SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+                   CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+            FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+            WHERE levenshtein(a.s_name, b.s_name) <= 1
         """,
         "events_value_quantiles_dd": r"""
             WITH q AS (
