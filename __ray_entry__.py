@@ -1584,6 +1584,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, delta, "user_id", "ts", tie_cols=("event_id",),
         )
 
+    def doc_substring_dedup(sf_dir):
+        # ExactSubstr-style duplicated-span removal (Lee et al. 2022):
+        # every word 8-gram occurring >=2 times in the corpus marks its
+        # covered tokens for removal; overlapping windows merge into
+        # maximal spans; survivors re-join with single spaces
+        from pybel_ray.ops.decontam import substring_dedup
+
+        return substring_dedup(_read(sf_dir, "documents"), n=8)
+
     def supplier_name_fuzzy_join(sf_dir):
         # record-linkage primitive: all supplier-name pairs within
         # Levenshtein distance 1 via deletion-neighborhood (FastSS)
@@ -2424,6 +2433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ddsketch_by_type": events_value_ddsketch_by_type,
         "events_upsert_latest": events_upsert_latest,
         "supplier_name_fuzzy_join": supplier_name_fuzzy_join,
+        "doc_substring_dedup": doc_substring_dedup,
         "web_links": web_links,
         "web_host_graph": web_host_graph,
         "web_strip_tags": web_strip_tags,
@@ -4048,6 +4058,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
             FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
             WHERE levenshtein(a.s_name, b.s_name) <= 1
+        """,
+        # duplicated-window span removal: windows via list_slice, span
+        # cover via the token-in-window range join, survivors re-joined
+        # in token order (string_agg skips the removed/NULL tokens)
+        "doc_substring_dedup": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ),
+            tok AS (
+                SELECT doc_id, i, ws[i] AS tok
+                FROM w, LATERAL (
+                    SELECT unnest(generate_series(1, len(ws))) AS i
+                )
+            ),
+            ng AS (
+                SELECT doc_id, i,
+                       array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+                FROM w, LATERAL (
+                    SELECT unnest(generate_series(1, len(ws) - 7)) AS i
+                )
+            ),
+            gc AS (SELECT g FROM ng GROUP BY g HAVING count(*) >= 2),
+            hit AS (SELECT doc_id, i FROM ng JOIN gc USING (g)),
+            rm AS (
+                SELECT DISTINCT tk.doc_id, tk.i
+                FROM tok tk JOIN hit h
+                ON tk.doc_id = h.doc_id AND tk.i BETWEEN h.i AND h.i + 7
+            ),
+            agg AS (
+                SELECT tk.doc_id, count(*) AS n_tokens,
+                       count(r.i) AS n_removed,
+                       string_agg(
+                           CASE WHEN r.i IS NULL THEN tk.tok END,
+                           ' ' ORDER BY tk.i
+                       ) AS clean_text
+                FROM tok tk LEFT JOIN rm r
+                ON r.doc_id = tk.doc_id AND r.i = tk.i
+                GROUP BY tk.doc_id
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_removed AS BIGINT) AS n_removed, clean_text
+            FROM agg
         """,
         "events_value_quantiles_dd": r"""
             WITH q AS (

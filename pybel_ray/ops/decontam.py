@@ -26,7 +26,10 @@ import pyarrow.compute as pc
 
 from .lines import _split_words
 
-__all__ = ["benchmark_ngrams", "flag_contamination", "dup_ngram_stats"]
+__all__ = [
+    "benchmark_ngrams", "flag_contamination", "dup_ngram_stats",
+    "substring_dedup",
+]
 
 
 def _ngram_positions(t: pa.Table, text_col: str, n: int):
@@ -223,3 +226,243 @@ def dup_ngram_stats(ds, n: int = 8, id_col: str = "doc_id", text_col: str = "tex
         )
 
     return folded.map_batches(_finish, batch_format="pyarrow")
+
+
+def _window_token_stats(
+    t: pa.Table, text_col: str, id_col: str, n: int,
+):
+    """Per-batch tokenization shared by :func:`substring_dedup`: flat
+    token values, per-doc lengths, flat window grams with their
+    within-document validity and flat start positions."""
+    parts = _split_words(t, text_col)
+    offs = np.asarray(parts.offsets)
+    vals = parts.values
+    lens = np.diff(offs)
+    doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+    m = len(vals) - n + 1
+    if m <= 0:
+        return vals, lens, doc_idx, None, None
+    grams = pc.binary_join_element_wise(
+        *[vals.slice(k, m) for k in range(n)], " ",
+    )
+    valid = doc_idx[:m] == doc_idx[n - 1:]
+    return vals, lens, doc_idx, grams, valid
+
+
+def substring_dedup(
+    ds,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    broadcast_budget: int = 2_000_000,
+):
+    """ExactSubstr-style duplicated-span REMOVAL (the rewrite step of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", word-window variant): every word ``n``-gram occurring at
+    least ``min_count`` times in the corpus (counting repeats within a
+    document) marks its ``n`` covered tokens for removal; overlapping
+    duplicated windows merge into maximal spans automatically.  Output
+    one row per non-null-text document: ``(id_col, n_tokens, n_removed,
+    clean_text)`` — surviving tokens re-joined with single spaces,
+    NULL when nothing survives (SQL ``string_agg`` semantics).
+
+    Scale shape: the duplicated-gram table comes from per-batch partial
+    counts + ONE ``groupby(gram).sum`` (a hot gram never co-locates its
+    raw occurrences).  Then a budget hybrid, same contract as
+    :func:`~pybel_ray.ops.lines.remove_duplicated_segments`:
+
+    * at or below ``broadcast_budget`` duplicated grams: ``ray.put``
+      once, one vectorized ``pc.is_in`` + difference-array span cover
+      per batch — document text never shuffles;
+    * beyond it: exploded (gram, id, start) occurrence rows, a bucketed
+      semi-join against the gram table, per-doc start packing, and a
+      bucketed re-attach to the documents by id — no driver
+      materialization anywhere on that path.
+    """
+    from ..struct.degree import bucketed_attach, bucketed_semi_join
+
+    def _gram_partials(t: pa.Table) -> pa.Table:
+        _, _, _, grams, valid = _window_token_stats(t, text_col, id_col, n)
+        if grams is None:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["g", "c"],
+            )
+        if not valid.all():
+            grams = grams.filter(pa.array(valid))
+        gt = pa.Table.from_arrays([grams], names=["g"])
+        local = gt.group_by(["g"]).aggregate([([], "count_all")])
+        return local.rename_columns(["g", "c"])
+
+    counts = ds.select_columns([id_col, text_col]).map_batches(
+        _gram_partials, batch_format="pyarrow",
+    ).groupby("g").sum("c")
+
+    def _dups(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["g", "c"])
+        return t.filter(
+            pc.greater_equal(t.column("c"), min_count),
+        ).select(["g"])
+
+    dup_grams = counts.map_batches(_dups, batch_format="pyarrow")
+    dup_grams = dup_grams.materialize()
+    n_dup = dup_grams.count()
+
+    def _covered_mask(vals_len, starts):
+        """Token cover from duplicated window starts via a difference
+        array — O(tokens), overlap-merging by construction."""
+        diff = np.zeros(vals_len + n, np.int64)
+        np.add.at(diff, starts, 1)
+        np.add.at(diff, starts + n, -1)
+        return np.cumsum(diff[:vals_len]) > 0
+
+    def _emit(t: pa.Table, covered, vals, lens, doc_idx) -> pa.Table:
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        keep = ~covered
+        kept_per_doc = (
+            np.bincount(doc_idx[keep], minlength=t.num_rows)
+            if len(doc_idx)
+            else np.zeros(t.num_rows, np.int64)
+        )
+        new_offs = np.r_[0, np.cumsum(kept_per_doc)]
+        la = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), vals.filter(pa.array(keep)),
+        )
+        joined = pc.binary_join(la, " ")
+        clean = pc.if_else(
+            pa.array(kept_per_doc > 0), joined,
+            pa.scalar(None, pa.string()),
+        )
+        # null-text docs tokenize to zero tokens and are dropped
+        # (matching the SQL, whose token CTE loses them)
+        has = lens > 0
+        out = pa.Table.from_arrays(
+            [
+                ids,
+                pa.array(lens, pa.int64()),
+                pa.array(lens - kept_per_doc, pa.int64()),
+                clean,
+            ],
+            names=[id_col, "n_tokens", "n_removed", "clean_text"],
+        )
+        return out.filter(pa.array(has)) if not has.all() else out
+
+    if n_dup == 0:
+        def _clean_only(t: pa.Table) -> pa.Table:
+            vals, lens, doc_idx, _, _ = _window_token_stats(
+                t, text_col, id_col, n,
+            )
+            covered = np.zeros(len(vals), bool)
+            return _emit(t, covered, vals, lens, doc_idx)
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            _clean_only, batch_format="pyarrow",
+        )
+
+    if n_dup <= broadcast_budget:
+        import ray
+
+        chunks = [
+            b.column("g").combine_chunks()
+            for b in dup_grams.iter_batches(batch_format="pyarrow")
+        ]
+        dup_ref = ray.put(pa.concat_arrays(chunks))
+
+        def _strip(t: pa.Table) -> pa.Table:
+            vset = ray.get(dup_ref)
+            vals, lens, doc_idx, grams, valid = _window_token_stats(
+                t, text_col, id_col, n,
+            )
+            if grams is None:
+                covered = np.zeros(len(vals), bool)
+            else:
+                hit = pc.is_in(grams, value_set=vset).to_numpy(
+                    zero_copy_only=False,
+                ) & valid
+                covered = _covered_mask(len(vals), np.flatnonzero(hit))
+            return _emit(t, covered, vals, lens, doc_idx)
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            _strip, batch_format="pyarrow",
+        )
+
+    # scale path: exploded occurrences -> bucketed semi-join -> per-doc
+    # start packing -> bucketed re-attach by id -> local span cover
+    def _occurrences(t: pa.Table) -> pa.Table:
+        vals, lens, doc_idx, grams, valid = _window_token_stats(
+            t, text_col, id_col, n,
+        )
+        if grams is None:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string()),
+                 pa.array([], pa.int64())],
+                names=["g", "_id", "start"],
+            )
+        offs0 = np.r_[0, np.cumsum(lens)][:-1]
+        m = len(grams)
+        starts = np.arange(m, dtype=np.int64) - offs0[doc_idx[:m]]
+        ids = pc.cast(t.column(id_col), pa.string())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        va = pa.array(valid)
+        return pa.Table.from_arrays(
+            [
+                grams.filter(va),
+                ids.take(pa.array(doc_idx[:m][valid])),
+                pa.array(starts[valid], pa.int64()),
+            ],
+            names=["g", "_id", "start"],
+        )
+
+    occ = ds.select_columns([id_col, text_col]).map_batches(
+        _occurrences, batch_format="pyarrow",
+    )
+    hits = bucketed_semi_join(occ, "g", dup_grams, "g")
+
+    def _pack(g: pa.Table) -> pa.Table:
+        starts = np.unique(
+            np.asarray(
+                g.column("start").to_numpy(zero_copy_only=False), np.int64,
+            ),
+        )
+        return pa.Table.from_arrays(
+            [
+                g.column("_id").slice(0, 1),
+                pa.array([",".join(map(str, starts))], pa.string()),
+            ],
+            names=["_id", "_starts"],
+        )
+
+    packed = hits.groupby("_id").map_groups(_pack, batch_format="pyarrow")
+
+    def _with_key(t: pa.Table) -> pa.Table:
+        k = pc.cast(t.column(id_col), pa.string())
+        return t.append_column("_id", k)
+
+    keyed = ds.select_columns([id_col, text_col]).map_batches(
+        _with_key, batch_format="pyarrow",
+    )
+    attached = bucketed_attach(
+        keyed, "_id", packed, "_id", ["_starts"], how="left",
+    )
+
+    def _strip_attached(t: pa.Table) -> pa.Table:
+        vals, lens, doc_idx, _, _ = _window_token_stats(
+            t, text_col, id_col, n,
+        )
+        offs0 = np.r_[0, np.cumsum(lens)][:-1]
+        starts_col = t.column("_starts").to_pylist()
+        flat = []
+        for row, packed_starts in enumerate(starts_col):
+            if not packed_starts:
+                continue
+            base = offs0[row]
+            flat.extend(base + int(s) for s in packed_starts.split(","))
+        starts = np.asarray(flat, np.int64) if flat else np.zeros(0, np.int64)
+        covered = _covered_mask(len(vals), starts)
+        return _emit(t, covered, vals, lens, doc_idx)
+
+    return attached.map_batches(_strip_attached, batch_format="pyarrow")

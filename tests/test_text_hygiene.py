@@ -1,5 +1,8 @@
 """PII redaction, C4-style line filtering, benchmark decontamination."""
 
+import duckdb
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -351,3 +354,120 @@ def test_type_token_ratio_drops_null_text(ray_session):
     })
     out = type_token_ratio(ray.data.from_arrow(t)).to_pandas()
     assert list(out.doc_id) == [0]
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup (ExactSubstr-style span removal)
+# ---------------------------------------------------------------------------
+
+_SPAN_SQL = r"""
+WITH w AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+    FROM t WHERE text IS NOT NULL
+),
+tok AS (
+    SELECT doc_id, i, ws[i] AS tok
+    FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+),
+ng AS (
+    SELECT doc_id, i, array_to_string(list_slice(ws, i, i + {nm1}), ' ') AS g
+    FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - {nm1})) AS i)
+),
+gc AS (SELECT g FROM ng GROUP BY g HAVING count(*) >= 2),
+hit AS (SELECT doc_id, i FROM ng JOIN gc USING (g)),
+rm AS (
+    SELECT DISTINCT tk.doc_id, tk.i
+    FROM tok tk JOIN hit h
+    ON tk.doc_id = h.doc_id AND tk.i BETWEEN h.i AND h.i + {nm1}
+),
+agg AS (
+    SELECT tk.doc_id, count(*) AS n_tokens, count(r.i) AS n_removed,
+           string_agg(CASE WHEN r.i IS NULL THEN tk.tok END,
+                      ' ' ORDER BY tk.i) AS clean_text
+    FROM tok tk LEFT JOIN rm r ON r.doc_id = tk.doc_id AND r.i = tk.i
+    GROUP BY tk.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_removed AS BIGINT) AS n_removed, clean_text
+FROM agg ORDER BY doc_id
+"""
+
+
+def _span_corpus():
+    rng = np.random.default_rng(17)
+    vocab = list("abcdefghij")
+    rows = []
+    for i in range(80):
+        rows.append((i, " ".join(rng.choice(vocab, size=rng.integers(1, 30)))))
+    # planted exact 8-gram overlaps and degenerate repeats
+    rows += [
+        (100, "p q r s t u v w END one"),
+        (101, "start p q r s t u v w tail"),
+        (102, "z " * 20),
+        (103, None),
+        (104, ""),
+    ]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+        "text": pa.array([s.strip() if isinstance(s, str) else s
+                          for _, s in rows], pa.string()),
+    })
+
+
+def _span_ref(t, n):
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    return con.execute(_SPAN_SQL.format(nm1=n - 1)).fetchdf()
+
+
+@pytest.mark.parametrize("budget", [2_000_000, 0])
+def test_substring_dedup_matches_sql_both_paths(ray_session, budget):
+    import ray.data
+
+    from pybel_ray.ops.decontam import substring_dedup
+
+    t = _span_corpus()
+    out = substring_dedup(
+        ray.data.from_arrow(t).repartition(5), n=8,
+        broadcast_budget=budget,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ref = _span_ref(t, 8)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_substring_dedup_overlapping_spans_merge(ray_session):
+    import ray.data
+
+    from pybel_ray.ops.decontam import substring_dedup
+
+    # two overlapping duplicated 4-gram windows cover a 5-token span
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "a b c d e keepme",
+            "x a b c d y",      # dup window (a b c d)
+            "z b c d e w",      # dup window (b c d e)
+        ]),
+    })
+    out = substring_dedup(
+        ray.data.from_arrow(t), n=4,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc 0: both windows duplicated -> tokens a..e removed, keepme stays
+    assert out.loc[0, "clean_text"] == "keepme"
+    assert out.loc[0, "n_removed"] == 5
+    ref = _span_ref(t, 4)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_substring_dedup_no_dups_passthrough(ray_session):
+    import ray.data
+
+    from pybel_ray.ops.decontam import substring_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["w1 w2 w3", "w4 w5 w6"]),
+    })
+    out = substring_dedup(ray.data.from_arrow(t), n=2).to_pandas()
+    assert (out["n_removed"] == 0).all()
+    assert sorted(out["clean_text"]) == ["w1 w2 w3", "w4 w5 w6"]
