@@ -1584,6 +1584,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, delta, "user_id", "ts", tie_cols=("event_id",),
         )
 
+    def web_host_distances(sf_dir):
+        # seeded multi-source BFS over the crawl's host link graph
+        # (crawl-depth analysis): frontier expansion with one bucketed
+        # semi-join + anti-join per round; oracle is a bounded
+        # recursive-CTE min-distance over the identically rebuilt edges
+        from pybel_ray.ops.graph import bfs_distances
+        from pybel_ray.ops.html import extract_links
+
+        links = extract_links(_html_pages(sf_dir))
+
+        def _hosts(t: pa.Table) -> pa.Table:
+            from pybel_ray.ops.urls import URL_PATTERN
+
+            cols = []
+            for c in ("src_url", "dst_url"):
+                u = t.column(c)
+                if isinstance(u, pa.ChunkedArray):
+                    u = u.combine_chunks()
+                cols.append(pc.fill_null(pc.struct_field(
+                    pc.extract_regex(u, URL_PATTERN), "host",
+                ), ""))
+            return pa.Table.from_arrays(cols, names=["src", "dst"])
+
+        edges = links.map_batches(_hosts, batch_format="pyarrow")
+        return bfs_distances(
+            edges, ["site0.example.com", "site5.example.com"],
+            max_rounds=40,
+        )
+
     def doc_substring_dedup(sf_dir):
         # ExactSubstr-style duplicated-span removal (Lee et al. 2022):
         # every word 8-gram occurring >=2 times in the corpus marks its
@@ -2434,6 +2463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_upsert_latest": events_upsert_latest,
         "supplier_name_fuzzy_join": supplier_name_fuzzy_join,
         "doc_substring_dedup": doc_substring_dedup,
+        "web_host_distances": web_host_distances,
         "web_links": web_links,
         "web_host_graph": web_host_graph,
         "web_strip_tags": web_strip_tags,
@@ -4337,6 +4367,67 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored WHERE n_tokens >= 10
             )
             SELECT doc_id, url, n_tokens FROM kept WHERE doc_id = keeper
+        """,
+        # seeded multi-source BFS distances over the rebuilt host edges:
+        # bounded recursive CTE; UNION dedups (node, d) pairs so cycles
+        # terminate, min(d) is the BFS distance
+        "web_host_distances": r"""
+            WITH RECURSIVE pages AS (
+                SELECT doc_id,
+                       'https://site' || (doc_id % 20)
+                           || '.example.com/page/' || doc_id AS url,
+                       '<html><head><title>doc ' || doc_id
+                           || '</title></head><body><p>'
+                           || COALESCE(text, '')
+                           || '</p><a href="https://site'
+                           || ((doc_id * 7 + 1) % 20)
+                           || '.example.com/page/' || (doc_id * 7 + 1)
+                           || '">n' || doc_id || '</a><a href="/local/'
+                           || (doc_id % 13) || '">l</a>'
+                           || CASE WHEN doc_id % 3 = 0
+                                   THEN '<a href="mailto:a@b.c">m</a>'
+                                   ELSE '' END
+                           || '</body></html>' AS html
+                FROM documents
+            ),
+            l AS (
+                SELECT url,
+                       unnest(regexp_extract_all(
+                           html, '<a href="([^"]*)">([^<]*)</a>', 1
+                       )) AS href
+                FROM pages
+            ),
+            lk AS (
+                SELECT url AS src_url,
+                       CASE WHEN href LIKE 'http://%'
+                                 OR href LIKE 'https://%' THEN href
+                            ELSE 'https://' || regexp_extract(
+                                url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                            ) || href END AS dst_url
+                FROM l
+                WHERE href LIKE 'http://%' OR href LIKE 'https://%'
+                   OR (href LIKE '/%' AND href NOT LIKE '//%')
+            ),
+            he AS (
+                SELECT DISTINCT regexp_extract(
+                           src_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                       ) AS src,
+                       regexp_extract(
+                           dst_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                       ) AS dst
+                FROM lk
+            ),
+            reach(node, d) AS (
+                SELECT seed, 0 FROM (VALUES
+                    ('site0.example.com'), ('site5.example.com')
+                ) s(seed)
+                UNION
+                SELECT e.dst, r.d + 1
+                FROM reach r JOIN he e ON e.src = r.node
+                WHERE r.d < 40
+            )
+            SELECT node, CAST(min(d) AS BIGINT) AS dist
+            FROM reach GROUP BY node
         """,
         "web_host_components": r"""
             WITH RECURSIVE pages AS (

@@ -39,6 +39,7 @@ __all__ = [
     "triangle_counts",
     "clustering_coefficients",
     "kcore",
+    "bfs_distances",
 ]
 
 
@@ -607,3 +608,82 @@ def kcore(
     raise RuntimeError(
         "k-core did not converge within max_iters={} rounds".format(max_iters),
     )
+
+
+def bfs_distances(
+    edges,
+    seeds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 64,
+):
+    """Multi-source BFS distances over a directed edge table: one row
+    ``(node, dist)`` per node reachable from any seed within
+    ``max_rounds`` hops, ``dist`` = fewest hops from the nearest seed.
+    Unreachable nodes emit no row.
+
+    Scale shape — frontier expansion, never whole-graph state on the
+    driver: each round runs ONE :func:`bucketed_semi_join` exchange
+    (edge rows whose source is in the frontier), a pre-aggregated
+    ``distinct`` of the hit destinations, and a bucketed anti-join
+    against the visited set; newly reached nodes become the next
+    frontier.  BFS settles distances on first touch, so no relaxation
+    pass is needed and the loop stops as soon as a frontier comes back
+    empty (``rounds ≤ eccentricity``).  The visited/frontier tables
+    hold one short row per REACHED node and are re-materialized per
+    round (the per-round count is the only driver-side value).
+
+    For all-pairs reachability labels use
+    :func:`pybel_ray.struct.components.connected_components` instead —
+    this operator is the seeded variant (crawl-depth analysis,
+    link-distance features).
+    """
+    import ray.data
+
+    from ..struct.degree import bucketed_semi_join
+    from .relational import distinct_values
+
+    seed_list = sorted(set(seeds))
+    if not seed_list:
+        raise ValueError("bfs_distances: empty seed set")
+    seed_arr = pa.array(seed_list)
+    visited = ray.data.from_arrow(
+        pa.Table.from_arrays(
+            [seed_arr, pa.array(np.zeros(len(seed_arr), np.int64))],
+            names=["node", "dist"],
+        ),
+    ).materialize()
+    frontier = visited.select_columns(["node"])
+    pruned = edges.select_columns([src_col, dst_col])
+    for r in range(1, max_rounds + 1):
+        hit = bucketed_semi_join(pruned, src_col, frontier, "node")
+
+        def _as_node(t: pa.Table) -> pa.Table:
+            c = t.column(dst_col)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            return pa.Table.from_arrays([c.drop_null()], names=["node"])
+
+        cand = distinct_values(
+            hit.map_batches(_as_node, batch_format="pyarrow"), "node",
+        ).materialize()
+        # a dead-ended frontier yields zero candidates (and an empty
+        # dataset loses its schema, which the bucketed join needs)
+        if cand.count() == 0:
+            break
+        new_nodes = bucketed_semi_join(
+            cand, "node", visited.select_columns(["node"]), "node",
+            anti=True,
+        ).materialize()
+        if new_nodes.count() == 0:
+            break
+
+        def _with_dist(t: pa.Table, _r=r) -> pa.Table:
+            return t.append_column(
+                "dist", pa.array(np.full(t.num_rows, _r, np.int64)),
+            )
+
+        reached = new_nodes.map_batches(_with_dist, batch_format="pyarrow")
+        visited = visited.union(reached).materialize()
+        frontier = new_nodes
+    return visited

@@ -329,3 +329,56 @@ def test_kcore_planted_cascade_within_oracle_rounds(ray_session):
     pairs += [(i, i + 3) for i in ids if i % 10 <= 6 and (i // 10) % 2 == 0]
     _, iters = _brute_kcore(pairs, 3)
     assert iters <= 6
+
+
+def test_bfs_distances_matches_python_bfs(ray_session):
+    from collections import deque
+
+    import ray.data
+
+    from pybel_ray.ops.graph import bfs_distances
+
+    rng = np.random.default_rng(9)
+    e = rng.integers(0, 120, size=(500, 2))
+    t = pa.table({
+        "src": [f"n{a}" for a in e[:, 0]],
+        "dst": [f"n{b}" for b in e[:, 1]],
+    })
+    seeds = ["n0", "n7"]
+    out = bfs_distances(
+        ray.data.from_arrow(t).repartition(6), seeds,
+    ).to_pandas()
+    got = dict(zip(out["node"], out["dist"]))
+
+    adj = {}
+    for a, b in e:
+        adj.setdefault(f"n{a}", set()).add(f"n{b}")
+    ref, q = {s: 0 for s in seeds}, deque(seeds)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in ref:
+                ref[v] = ref[u] + 1
+                q.append(v)
+    assert got == ref
+
+
+def test_bfs_distances_unreachable_and_bound(ray_session):
+    import ray.data
+
+    from pybel_ray.ops.graph import bfs_distances
+
+    # a directed chain plus a disconnected island
+    t = pa.table({
+        "src": ["a", "b", "c", "x"],
+        "dst": ["b", "c", "d", "y"],
+    })
+    ds = ray.data.from_arrow(t)
+    out = bfs_distances(ds, ["a"]).to_pandas()
+    got = dict(zip(out["node"], out["dist"]))
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # max_rounds truncates the frontier expansion
+    capped = bfs_distances(ds, ["a"], max_rounds=2).to_pandas()
+    assert dict(zip(capped["node"], capped["dist"])) == {
+        "a": 0, "b": 1, "c": 2,
+    }
