@@ -1584,6 +1584,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, delta, "user_id", "ts", tie_cols=("event_id",),
         )
 
+    def events_rollup(sf_dir):
+        # GROUP BY ROLLUP over (event_type, day): ONE exchange (the
+        # finest groupby) + re-aggregation of the tiny aggregate table
+        # per level; counts/integer-micro sums re-aggregate exactly,
+        # grouping_id matches SQL GROUPING_ID bit-for-bit
+        from pybel_ray.ops.relational import groupby_rollup
+
+        ds = _read(sf_dir, "events")
+
+        def _prep(t: pa.Table) -> pa.Table:
+            t = t.append_column(
+                "day", pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+            )
+            import numpy as np
+
+            v = t.column("value")
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            fv = v.to_numpy(zero_copy_only=False)
+            e6 = np.floor(fv * 1e6 + 0.5)
+            mask = np.isnan(e6)
+            arr = pa.array(
+                np.where(mask, 0, e6).astype("int64"), pa.int64(),
+                mask=mask,
+            )
+            return t.append_column("value_e6", arr)
+
+        return groupby_rollup(
+            ds.map_batches(_prep, batch_format="pyarrow"),
+            ["event_type", "day"],
+            {"n": ("count", None), "value_e6": ("sum", "value_e6")},
+        )
+
     def web_host_distances(sf_dir):
         # seeded multi-source BFS over the crawl's host link graph
         # (crawl-depth analysis): frontier expansion with one bucketed
@@ -2464,6 +2497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_name_fuzzy_join": supplier_name_fuzzy_join,
         "doc_substring_dedup": doc_substring_dedup,
         "web_host_distances": web_host_distances,
+        "events_rollup": events_rollup,
         "web_links": web_links,
         "web_host_graph": web_host_graph,
         "web_strip_tags": web_strip_tags,
@@ -4367,6 +4401,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored WHERE n_tokens >= 10
             )
             SELECT doc_id, url, n_tokens FROM kept WHERE doc_id = keeper
+        """,
+        "events_rollup": """
+            WITH e AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+                FROM events
+            )
+            SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v6) AS BIGINT) AS value_e6,
+                   CAST(GROUPING_ID(event_type, day) AS BIGINT)
+                       AS grouping_id
+            FROM e GROUP BY ROLLUP (event_type, day)
         """,
         # seeded multi-source BFS distances over the rebuilt host edges:
         # bounded recursive CTE; UNION dedups (node, d) pairs so cycles

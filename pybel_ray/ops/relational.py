@@ -31,6 +31,7 @@ __all__ = [
     "histogram",
     "impute_by_group_median",
     "merge_upsert",
+    "groupby_rollup",
 ]
 
 
@@ -787,3 +788,83 @@ def merge_upsert(base, delta, keys, order_col: str,
         return g.sort_by(order).slice(0, 1)
 
     return u.groupby(keys).map_groups(_best, batch_format="pyarrow")
+
+
+def groupby_rollup(ds, keys, aggs: Mapping[str, tuple]):
+    """SQL ``GROUP BY ROLLUP (keys...)``: one aggregate row per group at
+    every prefix level of ``keys`` plus the grand total, with rolled-up
+    key columns NULL and a ``grouping_id`` bitmask column matching
+    DuckDB ``GROUPING_ID(keys...)`` (first key = most significant bit;
+    finest level 0, grand total ``2^len(keys)-1``).
+
+    ``aggs`` uses the :func:`groupby_agg` shape restricted to
+    RE-AGGREGATABLE kinds — ``count``/``sum``/``min``/``max`` (count
+    re-aggregates as a sum; a mean is not decomposable — derive it from
+    sum+count downstream).
+
+    Scale shape: exactly ONE exchange over the raw data (the finest
+    ``groupby``); every coarser level re-aggregates the finest AGGREGATE
+    table, whose row count is the number of distinct finest groups —
+    small by construction — so a rollup costs one shuffle regardless of
+    how many levels it emits.
+    """
+    import numpy as np
+
+    if isinstance(keys, str):
+        keys = [keys]
+    keys = list(keys)
+    for name, (kind, _col) in aggs.items():
+        if kind not in ("count", "sum", "min", "max"):
+            raise ValueError(
+                "groupby_rollup: agg %r kind %r is not re-aggregatable"
+                % (name, kind),
+            )
+    agg_names = list(aggs)
+    out_names = keys + agg_names + ["grouping_id"]
+
+    fine = groupby_agg(ds, keys, aggs).materialize()
+    fine_schema = fine.schema()
+    base = getattr(fine_schema, "base_schema", None) or fine_schema
+    key_types = {f.name: f.type for f in base if f.name in keys}
+    re_aggs = {
+        name: ("sum" if kind in ("count", "sum") else kind, name)
+        for name, (kind, _col) in aggs.items()
+    }
+
+    def _finish(kept, gid):
+        def _f(t: pa.Table) -> pa.Table:
+            cols = {c: t.column(c) for c in t.column_names}
+            arrays = []
+            for k in keys:
+                arrays.append(
+                    cols[k] if k in kept
+                    else pa.nulls(t.num_rows, key_types[k]),
+                )
+            arrays += [cols[a] for a in agg_names]
+            arrays.append(pa.array(np.full(t.num_rows, gid, np.int64)))
+            return pa.Table.from_arrays(arrays, names=out_names)
+        return _f
+
+    levels = [fine.map_batches(_finish(keys, 0), batch_format="pyarrow")]
+    m = len(keys)
+    for i in range(m - 1, -1, -1):
+        gid = (1 << (m - i)) - 1
+        kept = keys[:i]
+        if kept:
+            lvl = groupby_agg(fine, kept, re_aggs)
+        else:
+            def _tag(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "_all", pa.array(np.zeros(t.num_rows, np.int64)),
+                )
+            lvl = groupby_agg(
+                fine.map_batches(_tag, batch_format="pyarrow"),
+                ["_all"], re_aggs,
+            ).drop_columns(["_all"])
+        levels.append(
+            lvl.map_batches(_finish(kept, gid), batch_format="pyarrow"),
+        )
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

@@ -278,3 +278,53 @@ def test_merge_upsert_hot_key_bounded(ray_session):
     assert len(out) == 1
     # equal max ts: the delta row outranks the base row
     assert out["rid"][0] == n and out["from_delta"][0] == 1
+
+
+def test_groupby_rollup_matches_sql(ray_session):
+    import numpy as np
+    import ray.data
+
+    from pybel_ray.ops.relational import groupby_rollup
+
+    rng = np.random.default_rng(13)
+    n = 600
+    t = pa.table({
+        "a": rng.choice(["p", "q", "r"], n),
+        "b": rng.choice(["x", "y"], n),
+        "c": rng.choice(["u", "v", "w", "z"], n),
+        "v": rng.integers(-50, 50, n).astype("int64"),
+    })
+    out = groupby_rollup(
+        ray.data.from_arrow(t).repartition(7), ["a", "b", "c"],
+        {"n": ("count", None), "s": ("sum", "v"),
+         "lo": ("min", "v"), "hi": ("max", "v")},
+    ).to_pandas()
+    out = out.sort_values(
+        ["grouping_id", "a", "b", "c"], na_position="last",
+    ).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    ref = con.execute("""
+        SELECT a, b, c, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi,
+               CAST(GROUPING_ID(a, b, c) AS BIGINT) AS grouping_id
+        FROM t GROUP BY ROLLUP (a, b, c)
+        ORDER BY grouping_id, a NULLS LAST, b NULLS LAST, c NULLS LAST
+    """).fetchdf()
+    assert out[["a", "b", "c", "n", "s", "lo", "hi", "grouping_id"]].equals(
+        ref,
+    )
+
+
+def test_groupby_rollup_rejects_mean(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from pybel_ray.ops.relational import groupby_rollup
+
+    t = pa.table({"a": ["x"], "v": [1.0]})
+    with _pytest.raises(ValueError):
+        groupby_rollup(
+            ray.data.from_arrow(t), ["a"], {"m": ("mean", "v")},
+        )
