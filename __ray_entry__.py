@@ -1584,6 +1584,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, delta, "user_id", "ts", tie_cols=("event_id",),
         )
 
+    def events_clustered_range(sf_dir):
+        # storage-layout predicate pruning: range-clustered Parquet
+        # copy (one sort exchange, zone-map manifest) + a read that
+        # opens ONLY overlapping shards — the oracle is the plain
+        # BETWEEN filter, the pruning itself is pinned by pytests
+        import getpass
+        import os
+        import tempfile
+
+        from pybel_ray.sources import read_clustered, write_clustered
+
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "pybel_ray_cluster_{}_{}".format(
+                getpass.getuser(), os.getpid(),
+            ),
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+        write_clustered(
+            _read(sf_dir, "events").select_columns(["event_id", "value"]),
+            out, "value",
+        )
+        return read_clustered(out, 10.0, 20.0)
+
     def events_rollup(sf_dir):
         # GROUP BY ROLLUP over (event_type, day): ONE exchange (the
         # finest groupby) + re-aggregation of the tiny aggregate table
@@ -2498,6 +2522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_substring_dedup": doc_substring_dedup,
         "web_host_distances": web_host_distances,
         "events_rollup": events_rollup,
+        "events_clustered_range": events_clustered_range,
         "web_links": web_links,
         "web_host_graph": web_host_graph,
         "web_strip_tags": web_strip_tags,
@@ -4401,6 +4426,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored WHERE n_tokens >= 10
             )
             SELECT doc_id, url, n_tokens FROM kept WHERE doc_id = keeper
+        """,
+        "events_clustered_range": """
+            SELECT event_id, value FROM events
+            WHERE value BETWEEN 10.0 AND 20.0
         """,
         "events_rollup": """
             WITH e AS (

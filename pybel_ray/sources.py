@@ -16,10 +16,13 @@ surface (``SURVEY.md §2.1``).
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 import pyarrow as pa
 import pyarrow.compute as pc
+
+logger = logging.getLogger(__name__)
 
 __all__ = [
     "load_table",
@@ -289,3 +292,134 @@ def to_wet_shards(
         )
 
     return ds.map_batches(_write, batch_format="pyarrow")
+
+
+def write_clustered(
+    ds,
+    out_dir: str,
+    cluster_col: str,
+):
+    """Range-clustered Parquet sink with a zone-map manifest — the
+    storage-layout half of predicate pruning: globally sort by
+    ``cluster_col`` (ONE exchange), write one Parquet shard per sorted
+    block (deterministic md5-of-key-bytes names + atomic rename →
+    idempotent retries, same contract as the WET/event shard writers),
+    and record ``manifest.json`` with per-shard ``(file, vmin, vmax,
+    n)``.  :func:`read_clustered` then opens ONLY the shards whose key
+    range overlaps the predicate — at 100 TB this is the difference
+    between touching every file and touching ``O(selectivity)`` files.
+
+    Rows with a NULL cluster key are excluded from the clustered copy
+    (documented: a range predicate can never match them; keep them in
+    the source table).  Returns the manifest as a list of dicts.
+    """
+    import hashlib
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(cluster_col)))
+
+    dn = ds.map_batches(_drop_null, batch_format="pyarrow")
+    sorted_ds = dn.sort(cluster_col)
+
+    def _write(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()),
+             pa.array([], pa.float64()), pa.array([], pa.float64()),
+             pa.array([], pa.int64())],
+            names=["file", "vmin", "vmax", "n"],
+        )
+        if t.num_rows == 0:
+            return empty
+        col = t.column(cluster_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = hashlib.md5()  # noqa: S324
+        h.update(str(col.to_pylist()).encode("utf8"))
+        name = h.hexdigest()[:16] + ".parquet"
+        dest = os.path.join(out_dir, name)
+        tmp = dest + ".tmp." + str(os.getpid())
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, tmp)
+        os.replace(tmp, dest)
+        mm = pc.min_max(col)
+        return pa.Table.from_arrays(
+            [pa.array([name], pa.string()),
+             pa.array([float(mm["min"].as_py())], pa.float64()),
+             pa.array([float(mm["max"].as_py())], pa.float64()),
+             pa.array([t.num_rows], pa.int64())],
+            names=["file", "vmin", "vmax", "n"],
+        )
+
+    manifest = []
+    for b in sorted_ds.map_batches(
+        _write, batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            manifest.append(row)
+    manifest.sort(key=lambda r: (r["vmin"], r["file"]))
+    mpath = os.path.join(out_dir, "manifest.json")
+    tmp = mpath + ".tmp." + str(os.getpid())
+    with open(tmp, "w") as f:
+        json.dump({"cluster_col": cluster_col, "shards": manifest}, f)
+    os.replace(tmp, mpath)
+    return manifest
+
+
+def pruned_shards(out_dir: str, lo: float, hi: float) -> tuple:
+    """Zone-map pruning: (overlapping shard paths, total shard count)."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        m = json.load(f)
+    shards = m["shards"]
+    keep = [
+        os.path.join(out_dir, s["file"])
+        for s in shards
+        if not (s["vmax"] < lo or s["vmin"] > hi)
+    ]
+    return keep, len(shards)
+
+
+def read_clustered(out_dir: str, lo: float, hi: float):
+    """Range read over a :func:`write_clustered` directory: opens ONLY
+    the shards whose zone-map range overlaps ``[lo, hi]`` (inclusive,
+    SQL ``BETWEEN``), then applies the exact residual filter."""
+    import json
+    import os
+
+    import ray.data
+
+    files, total = pruned_shards(out_dir, lo, hi)
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        col = json.load(f)["cluster_col"]
+    logger.info(
+        "read_clustered: %d of %d shards overlap [%s, %s]",
+        len(files), total, lo, hi,
+    )
+    if not files:
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(out_dir, "manifest.json")) as f:
+            shards = json.load(f)["shards"]
+        if not shards:
+            raise ValueError("read_clustered: empty clustered directory")
+        schema = pq.read_schema(
+            os.path.join(out_dir, shards[0]["file"]),
+        )
+        return ray.data.from_arrow(schema.empty_table())
+
+    def _residual(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        return t.filter(
+            pc.and_(pc.greater_equal(c, lo), pc.less_equal(c, hi)),
+        )
+
+    return ray.data.read_parquet(files).map_batches(
+        _residual, batch_format="pyarrow",
+    )

@@ -188,3 +188,80 @@ def test_wet_shards_same_first_url_no_overwrite(ray_session, tmp_path):
     assert int(manifest["n_records"].sum()) == 4
     assert len(set(manifest["shard"])) == 2
     assert len(os.listdir(out_dir)) == 2
+
+
+def test_write_clustered_prunes_and_reads_exact(ray_session, tmp_path):
+    import numpy as np
+    import ray.data
+
+    from pybel_ray.sources import pruned_shards, read_clustered, write_clustered
+
+    rng = np.random.default_rng(7)
+    vals = rng.uniform(0, 100, 5000)
+    vals[::97] = np.nan  # nulls are excluded from the clustered copy
+    t = pa.table({
+        "id": np.arange(5000, dtype="int64"),
+        "v": pa.array([None if np.isnan(x) else float(x) for x in vals],
+                      pa.float64()),
+    })
+    out = str(tmp_path / "clustered")
+    manifest = write_clustered(
+        ray.data.from_arrow(t).repartition(16), out, "v",
+    )
+    assert len(manifest) > 1  # multiple shards -> pruning is meaningful
+    files, total = pruned_shards(out, 10.0, 20.0)
+    assert total == len(manifest)
+    assert 0 < len(files) < total  # the zone map actually pruned I/O
+
+    got = read_clustered(out, 10.0, 20.0).to_pandas()
+    got = got.sort_values("id").reset_index(drop=True)
+    df = t.to_pandas()
+    ref = df[(df["v"] >= 10.0) & (df["v"] <= 20.0)].sort_values(
+        "id",
+    ).reset_index(drop=True)
+    assert got["id"].tolist() == ref["id"].tolist()
+    assert np.allclose(got["v"], ref["v"])
+
+
+def test_read_clustered_empty_range_keeps_schema(ray_session, tmp_path):
+    import numpy as np
+    import ray.data
+
+    from pybel_ray.sources import read_clustered, write_clustered
+
+    t = pa.table({
+        "id": np.arange(10, dtype="int64"),
+        "v": np.linspace(0, 9, 10),
+    })
+    out = str(tmp_path / "clustered")
+    write_clustered(ray.data.from_arrow(t), out, "v")
+    ds = read_clustered(out, 1000.0, 2000.0)
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {"id", "v"}
+
+
+def test_write_clustered_rewrite_stays_consistent(ray_session, tmp_path):
+    # sort block boundaries are not deterministic across runs, so shard
+    # NAMES may differ between rewrites; the contract is that the
+    # atomically-swapped manifest always describes a complete,
+    # non-overlapping current set (stale shards are simply unlisted)
+    import json
+
+    import numpy as np
+    import ray.data
+
+    from pybel_ray.sources import read_clustered, write_clustered
+
+    t = pa.table({
+        "id": np.arange(100, dtype="int64"),
+        "v": np.linspace(0, 99, 100),
+    })
+    out = str(tmp_path / "clustered")
+    write_clustered(ray.data.from_arrow(t).repartition(4), out, "v")
+    m2 = write_clustered(ray.data.from_arrow(t).repartition(4), out, "v")
+    with open(out + "/manifest.json") as f:
+        listed = {s["file"] for s in json.load(f)["shards"]}
+    assert listed == {s["file"] for s in m2}
+    assert sum(s["n"] for s in m2) == 100
+    got = read_clustered(out, 0.0, 99.0).to_pandas()
+    assert sorted(got["id"].tolist()) == list(range(100))
