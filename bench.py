@@ -133,6 +133,14 @@ def run_queries(sf_dir: str) -> dict:
         "events_value_ddsketch",
         "web_host_graph",
         "web_crawl_pipeline",
+        # session-5 additions: span removal, fuzzy join, rollup, upsert,
+        # zone-map pruned range read, seeded BFS
+        "doc_substring_dedup",
+        "supplier_name_fuzzy_join",
+        "events_rollup",
+        "events_upsert_latest",
+        "events_clustered_range",
+        "web_host_distances",
     ]
     q = entry.queries()
     out = {}
