@@ -1584,6 +1584,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, delta, "user_id", "ts", tie_cols=("event_id",),
         )
 
+    def doc_train_val_test_split(sf_dir):
+        # deterministic corpus split: md5-gate family, so documents
+        # keep their split across reruns/layouts and the SQL CASE over
+        # substr(md5(..),1,4) reproduces every label
+        from pybel_ray.ops.sampling import hash_split
+
+        return hash_split(
+            _read(sf_dir, "documents").select_columns(
+                ["doc_id", "source"],
+            ),
+            [("train", "cccc"), ("val", "e666"), ("test", "ffff")],
+        )
+
+    def emb_negative_samples(sf_dir):
+        # contrastive-training negative sampling: 4 deterministic
+        # uniform negatives per anchor via the repo-wide md5 window
+        # slots, +1 shift guarantees neg != anchor; zero shuffle
+        from pybel_ray.ops.sampling import negative_samples
+
+        emb = _read(sf_dir, "embeddings")
+        n = emb.count()
+        return negative_samples(emb, n_ids=n, k=4)
+
     def events_clustered_range(sf_dir):
         # storage-layout predicate pruning: range-clustered Parquet
         # copy (one sort exchange, zone-map manifest) + a read that
@@ -2523,6 +2546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_distances": web_host_distances,
         "events_rollup": events_rollup,
         "events_clustered_range": events_clustered_range,
+        "doc_train_val_test_split": doc_train_val_test_split,
+        "emb_negative_samples": emb_negative_samples,
         "web_links": web_links,
         "web_host_graph": web_host_graph,
         "web_strip_tags": web_strip_tags,
@@ -4430,6 +4455,25 @@ def oracle_sql() -> dict[str, str]:
         "events_clustered_range": """
             SELECT event_id, value FROM events
             WHERE value BETWEEN 10.0 AND 20.0
+        """,
+        "doc_train_val_test_split": """
+            SELECT doc_id, source,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                             <= 'cccc' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                             <= 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "emb_negative_samples": """
+            WITH n AS (SELECT count(*) AS c FROM embeddings)
+            SELECT vec_id, CAST(i AS BIGINT) AS neg_rank,
+                   CAST((vec_id + 1 +
+                        (('0x' || substr(
+                             md5(CAST(vec_id AS VARCHAR)), 1 + 8*i, 8
+                         ))::BIGINT % (c - 1))) % c AS BIGINT) AS neg_id
+            FROM embeddings, n,
+                 (SELECT unnest([0, 1, 2, 3]) AS i) d
         """,
         "events_rollup": """
             WITH e AS (

@@ -24,12 +24,13 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = [
     "hash_sample", "weighted_sample", "rate_to_threshold",
-    "bottomk_sample",
+    "bottomk_sample", "hash_split", "negative_samples",
 ]
 
 
@@ -139,3 +140,82 @@ def bottomk_sample(ds, k: int, key_col: str = "doc_id"):
 
     out = ds.map_batches(_local, batch_format="pyarrow")
     return out.sort("_h").limit(k).drop_columns(["_h"])
+
+
+def hash_split(ds, bounds, key_col: str = "doc_id", out_col: str = "split"):
+    """Deterministic train/val/test assignment: every row gets a split
+    label from the position of ``md5(str(key))[:4]`` among the hex
+    ``bounds`` — ``[("train", "cccc"), ("val", "e666"), ("test",
+    "ffff")]`` labels a row *train* when its prefix sorts at or below
+    ``'cccc'``, *val* at or below ``'e666'``, else *test* (inclusive
+    upper bounds; the SQL mirror is a ``CASE WHEN h <= ...`` chain).  Same gate family
+    as :func:`hash_sample`, so the assignment is layout-, resume- and
+    cluster-size-invariant, documents keep their split across reruns,
+    and a SQL CASE over ``substr(md5(...), 1, 4)`` reproduces it
+    exactly.  The final bound must be ``'ffff'`` so every non-null key
+    is labeled; null keys get a null label.
+    """
+    bounds = list(bounds)
+    if not bounds or bounds[-1][1].lower() != "ffff":
+        raise ValueError("hash_split: final bound must be 'ffff'")
+
+    def _f(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column(key_col), pa.string())
+        prefixes = _md5_prefixes(keys)
+        label = pa.nulls(t.num_rows, pa.string())
+        assigned = pc.is_null(keys)
+        for name, hi in bounds:
+            take = pc.and_(
+                pc.invert(assigned),
+                pc.less_equal(prefixes, hi.lower()),
+            )
+            label = pc.if_else(take, name, label)
+            assigned = pc.or_(assigned, take)
+        return t.append_column(out_col, label)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def negative_samples(ds, n_ids: int, k: int = 4, id_col: str = "vec_id"):
+    """Deterministic uniform negative sampling for contrastive
+    training: for each anchor row emit ``k`` pseudo-random OTHER ids,
+    ``neg_id = (id + 1 + slot_j) % n_ids`` where ``slot_j`` is the
+    ``j``-th md5 hex window of ``str(id)`` mod ``n_ids - 1`` (the
+    repo-wide :func:`~pybel_ray.ops.sketch.md5_window_slots` hash
+    family, so a DuckDB oracle reproduces every sample).  The ``+1``
+    shift guarantees ``neg_id != id`` without rejection sampling.
+    Pure per-batch map — zero shuffle, layout/cluster-size invariant.
+
+    Requires ids dense in ``[0, n_ids)`` (the embedding-table layout);
+    ``k ≤ 4`` (md5 yields four 8-hex windows).  Output ``(id_col,
+    neg_rank, neg_id)``.
+    """
+    from .sketch import md5_window_slots
+
+    if not 1 <= k <= 4:
+        raise ValueError("negative_samples: k must be in 1..4")
+    if n_ids < 2:
+        raise ValueError("negative_samples: need at least 2 ids")
+
+    def _f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids = ids.drop_null()
+        idv = np.asarray(ids.to_numpy(zero_copy_only=False), np.int64)
+        slots = md5_window_slots(idv, n_ids - 1, k)
+        anchors = np.tile(idv, k)
+        ranks = np.repeat(np.arange(k, dtype=np.int64), len(idv))
+        negs = (anchors + 1 + slots.reshape(-1)) % n_ids
+        return pa.Table.from_arrays(
+            [
+                pa.array(anchors, pa.int64()),
+                pa.array(ranks, pa.int64()),
+                pa.array(negs, pa.int64()),
+            ],
+            names=[id_col, "neg_rank", "neg_id"],
+        )
+
+    return ds.select_columns([id_col]).map_batches(
+        _f, batch_format="pyarrow",
+    )

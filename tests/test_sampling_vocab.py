@@ -3,6 +3,7 @@
 from collections import Counter
 
 import pyarrow as pa
+import pytest
 
 
 def _ds(rows, blocks=1):
@@ -153,3 +154,80 @@ def test_bottomk_sample_skips_null_keys(ray_session):
     t = pa.table({"doc_id": pa.array([1, None, 3], pa.int64())})
     out = bottomk_sample(ray.data.from_arrow(t), 2).to_pandas()
     assert sorted(out.doc_id) == [1, 3]
+
+
+def test_hash_split_labels_everything_and_is_stable(ray_session):
+    import numpy as np
+    import ray.data
+
+    from pybel_ray.ops.sampling import hash_split
+
+    t = pa.table({"doc_id": np.arange(400, dtype="int64")})
+    bounds = [("train", "cccc"), ("val", "e666"), ("test", "ffff")]
+    out = hash_split(
+        ray.data.from_arrow(t).repartition(5), bounds,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert set(out["split"]) == {"train", "val", "test"}
+    assert out["split"].notna().all()
+    # ~80/10/10 by construction of the hex bounds
+    frac = (out["split"] == "train").mean()
+    assert 0.7 < frac < 0.9
+    again = hash_split(
+        ray.data.from_arrow(t).repartition(13), bounds,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.equals(again)
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    ref = con.execute("""
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                         <= 'cccc' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                         <= 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM t ORDER BY doc_id
+    """).fetchdf()
+    assert out["split"].tolist() == ref["split"].tolist()
+
+
+def test_hash_split_requires_exhaustive_bounds(ray_session):
+    import ray.data
+
+    from pybel_ray.ops.sampling import hash_split
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError):
+        hash_split(ray.data.from_arrow(t), [("train", "cccc")])
+
+
+def test_negative_samples_deterministic_nonself(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from pybel_ray.ops.sampling import negative_samples
+
+    n = 97
+    t = pa.table({"vec_id": np.arange(n, dtype="int64")})
+    out = negative_samples(
+        ray.data.from_arrow(t).repartition(4), n_ids=n, k=3,
+    ).to_pandas().sort_values(["vec_id", "neg_rank"]).reset_index(drop=True)
+    assert len(out) == n * 3
+    assert (out["neg_id"] != out["vec_id"]).all()
+    assert out["neg_id"].between(0, n - 1).all()
+
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    ref = con.execute("""
+        SELECT vec_id, CAST(i AS BIGINT) AS neg_rank,
+               CAST((vec_id + 1 +
+                    (('0x' || substr(
+                         md5(CAST(vec_id AS VARCHAR)), 1 + 8*i, 8
+                     ))::BIGINT % (97 - 1))) % 97 AS BIGINT) AS neg_id
+        FROM t, (SELECT unnest([0, 1, 2]) AS i) d
+        ORDER BY vec_id, neg_rank
+    """).fetchdf()
+    assert out.equals(ref[["vec_id", "neg_rank", "neg_id"]])
