@@ -80,6 +80,12 @@ _CLF_SNAP_PATH = "/tmp/pybel_ray_clfsnap_{}_{}.parquet".format(
     os.getuid(), os.getpid(),
 )
 
+#: doc_dsir_scores oracle joins against (rewritten on sf alternation;
+#: _KG_CACHE["dsir_snapshot_for"] tracks which sf_dir it holds)
+_DSIR_SNAP_PATH = "/tmp/pybel_ray_dsirsnap_{}_{}.parquet".format(
+    os.getuid(), os.getpid(),
+)
+
 
 def _kg(sf_dir: str):
     """Build (and cache) the compiled KG for the synthetic corpus at this sf."""
@@ -1584,6 +1590,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, delta, "user_id", "ts", tie_cols=("event_id",),
         )
 
+    def doc_dsir_scores(sf_dir):
+        # DSIR importance weights: hashed unigram+bigram count vectors
+        # for the target slice (source='src0') and the raw corpus, one
+        # quantized log-ratio snapshot, then an exact int64 per-doc sum
+        # the oracle reproduces cell-for-cell from the snapshot
+        import numpy as np
+
+        from pybel_ray.ops.dsir import (
+            dsir_log_ratios,
+            dsir_scores,
+            hashed_feature_counts,
+        )
+
+        docs = _read(sf_dir, "documents")
+        if _KG_CACHE.get("dsir_snapshot_for") != sf_dir:
+            import pyarrow.parquet as pq
+
+            target = docs.map_batches(
+                lambda t: t.filter(pc.equal(t.column("source"), "src0")),
+                batch_format="pyarrow",
+            )
+            lam = dsir_log_ratios(
+                hashed_feature_counts(target, buckets=4096),
+                hashed_feature_counts(docs, buckets=4096),
+            )
+            snap = pa.Table.from_arrays(
+                [pa.array(np.arange(len(lam), dtype=np.int64)),
+                 pa.array(lam, pa.int64())],
+                names=["slot", "lam_e6"],
+            )
+            tmp = _DSIR_SNAP_PATH + ".tmp"
+            pq.write_table(snap, tmp)
+            os.replace(tmp, _DSIR_SNAP_PATH)
+            _KG_CACHE["dsir_snapshot_for"] = sf_dir
+            _KG_CACHE["dsir_lam"] = lam
+        return dsir_scores(docs, _KG_CACHE["dsir_lam"])
+
     def doc_train_val_test_split(sf_dir):
         # deterministic corpus split: md5-gate family, so documents
         # keep their split across reruns/layouts and the SQL CASE over
@@ -2547,6 +2590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": events_rollup,
         "events_clustered_range": events_clustered_range,
         "doc_train_val_test_split": doc_train_val_test_split,
+        "doc_dsir_scores": doc_dsir_scores,
         "emb_negative_samples": emb_negative_samples,
         "web_links": web_links,
         "web_host_graph": web_host_graph,
@@ -4456,6 +4500,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value FROM events
             WHERE value BETWEEN 10.0 AND 20.0
         """,
+        # DSIR weights: every document weight is an exact int64 sum of
+        # quantized log-ratio snapshot cells over its unigram+bigram
+        # occurrences (same md5 slot recipe as the classifier)
+        "doc_dsir_scores": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ),
+            uni AS (SELECT doc_id, unnest(ws) AS f FROM w),
+            bi AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(ws, i, i + 1), ' ') AS f
+                FROM w, LATERAL (
+                    SELECT unnest(generate_series(1, len(ws) - 1)) AS i
+                )
+            ),
+            feats AS (
+                SELECT * FROM uni UNION ALL SELECT * FROM bi
+            ),
+            r AS (SELECT slot, lam_e6 FROM read_parquet('{dsir}')),
+            s AS (
+                SELECT f.doc_id, sum(r.lam_e6) AS wgt
+                FROM feats f JOIN r
+                  ON r.slot =
+                     ('0x' || substr(md5(f.f), 1, 8))::BIGINT % 4096
+                GROUP BY f.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.wgt, 0) AS BIGINT) AS weight_e6
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """.format(dsir=_DSIR_SNAP_PATH),
         "doc_train_val_test_split": """
             SELECT doc_id, source,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
