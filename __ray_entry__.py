@@ -4171,7 +4171,8 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (
                 SELECT event_type,
                        CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qi
-                FROM events WHERE value IS NOT NULL
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
             ),
             c AS (
                 SELECT event_type,

@@ -230,17 +230,20 @@ def dup_ngram_stats(ds, n: int = 8, id_col: str = "doc_id", text_col: str = "tex
 
 def _window_token_stats(
     t: pa.Table, text_col: str, id_col: str, n: int,
+    with_grams: bool = True,
 ):
     """Per-batch tokenization shared by :func:`substring_dedup`: flat
     token values, per-doc lengths, flat window grams with their
-    within-document validity and flat start positions."""
+    within-document validity and flat start positions.  The gram
+    construction is the expensive kernel (n shifted slices joined), so
+    passes that only need the token layout set ``with_grams=False``."""
     parts = _split_words(t, text_col)
     offs = np.asarray(parts.offsets)
     vals = parts.values
     lens = np.diff(offs)
     doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
     m = len(vals) - n + 1
-    if m <= 0:
+    if not with_grams or m <= 0:
         return vals, lens, doc_idx, None, None
     grams = pc.binary_join_element_wise(
         *[vals.slice(k, m) for k in range(n)], " ",
@@ -353,7 +356,7 @@ def substring_dedup(
     if n_dup == 0:
         def _clean_only(t: pa.Table) -> pa.Table:
             vals, lens, doc_idx, _, _ = _window_token_stats(
-                t, text_col, id_col, n,
+                t, text_col, id_col, n, with_grams=False,
             )
             covered = np.zeros(len(vals), bool)
             return _emit(t, covered, vals, lens, doc_idx)
@@ -451,7 +454,7 @@ def substring_dedup(
 
     def _strip_attached(t: pa.Table) -> pa.Table:
         vals, lens, doc_idx, _, _ = _window_token_stats(
-            t, text_col, id_col, n,
+            t, text_col, id_col, n, with_grams=False,
         )
         offs0 = np.r_[0, np.cumsum(lens)][:-1]
         starts_col = t.column("_starts").to_pylist()

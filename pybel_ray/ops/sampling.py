@@ -47,9 +47,12 @@ def rate_to_threshold(rate: float) -> str:
 def _md5_prefixes(keys: pa.ChunkedArray | pa.Array) -> pa.Array:
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
+    # None -> None: SQL md5(NULL) IS NULL, so null keys fall out of
+    # every gate comparison instead of crashing
     return pa.array(
         [
-            hashlib.md5(v.encode("utf8")).hexdigest()[:4]  # noqa: S324
+            None if v is None
+            else hashlib.md5(v.encode("utf8")).hexdigest()[:4]  # noqa: S324
             for v in keys.to_pylist()
         ],
         pa.string(),
@@ -163,11 +166,11 @@ def hash_split(ds, bounds, key_col: str = "doc_id", out_col: str = "split"):
         keys = pc.cast(t.column(key_col), pa.string())
         prefixes = _md5_prefixes(keys)
         label = pa.nulls(t.num_rows, pa.string())
-        assigned = pc.is_null(keys)
+        assigned = pc.is_null(keys)  # null keys keep a null label
         for name, hi in bounds:
             take = pc.and_(
                 pc.invert(assigned),
-                pc.less_equal(prefixes, hi.lower()),
+                pc.fill_null(pc.less_equal(prefixes, hi.lower()), False),
             )
             label = pc.if_else(take, name, label)
             assigned = pc.or_(assigned, take)

@@ -145,11 +145,13 @@ def edit_distance_join(
             ss = ss.filter(keep)
         bb = pc.cast(ss, pa.binary())
         idv = np.asarray(ids.to_numpy(zero_copy_only=False), np.int64)
+        rows_idx = np.arange(len(idv), dtype=np.int64)
         lens = np.asarray(
             pc.binary_length(bb).to_numpy(zero_copy_only=False), np.int64,
         )
         out_v: list = []
-        out_i: list = []
+        out_r: list = []  # SOURCE ROW index per variant (not the id:
+        # duplicate id values may carry different strings)
         vec = (
             lens <= max_vec_len
             if max_dist == 1
@@ -157,25 +159,25 @@ def edit_distance_join(
         )
         if vec.any():
             sub = bb.filter(pa.array(vec)) if not vec.all() else bb
-            sub_ids = idv[vec]
+            sub_rows = rows_idx[vec]
             sub_lens = lens[vec]
             out_v.append(sub)
-            out_i.append(sub_ids)
+            out_r.append(sub_rows)
             for j in range(int(sub_lens.max()) if len(sub_lens) else 0):
                 m = sub_lens > j
                 rows = sub.filter(pa.array(m)) if not m.all() else sub
                 pre = pc.binary_slice(rows, 0, j)
                 suf = pc.binary_slice(rows, j + 1, _BIG_STOP)
                 out_v.append(pc.binary_join_element_wise(pre, suf, b""))
-                out_i.append(sub_ids[m] if not m.all() else sub_ids)
+                out_r.append(sub_rows[m] if not m.all() else sub_rows)
         rest = ~vec
         if rest.any():
-            for i, s in zip(
-                idv[rest], bb.filter(pa.array(rest)).to_pylist(),
+            for ri, s in zip(
+                rows_idx[rest], bb.filter(pa.array(rest)).to_pylist(),
             ):
                 vs = _deletion_variants_py(s, max_dist)
                 out_v.append(pa.array(list(vs), pa.binary()))
-                out_i.append(np.full(len(vs), i, np.int64))
+                out_r.append(np.full(len(vs), ri, np.int64))
         if not out_v:
             return pa.Table.from_arrays(
                 [pa.array([], pa.binary()), pa.array([], pa.int64()),
@@ -188,27 +190,24 @@ def edit_distance_join(
                 for a in out_v
             ],
         )
-        vid = np.concatenate(out_i)
-        # (variant, id) dedup within the batch (repeated bytes produce
-        # the same variant from adjacent deletion positions)
+        vrow = np.concatenate(out_r)
+        # (variant, source row) dedup within the batch (repeated bytes
+        # produce the same variant from adjacent deletion positions)
         enc = var.dictionary_encode()
         codes = np.asarray(
             enc.indices.to_numpy(zero_copy_only=False), np.int64,
         )
-        order = np.lexsort((codes, vid))
+        order = np.lexsort((codes, vrow))
         dup = np.zeros(len(order), bool)
-        dup[1:] = (np.diff(vid[order]) == 0) & (np.diff(codes[order]) == 0)
+        dup[1:] = (np.diff(vrow[order]) == 0) & (np.diff(codes[order]) == 0)
         first = order[~dup]
-        # re-attach the source string to each surviving variant row
-        str_lookup = {int(i): s for i, s in zip(idv, bb.to_pylist())}
-        kept_ids = vid[first]
+        kept_rows = vrow[first]
+        take = pa.array(kept_rows)
         return pa.Table.from_arrays(
             [
                 var.take(pa.array(first)),
-                pa.array(kept_ids, pa.int64()),
-                pa.array(
-                    [str_lookup[int(i)] for i in kept_ids], pa.binary(),
-                ),
+                pa.array(idv[kept_rows], pa.int64()),
+                bb.take(take),
             ],
             names=["v", "id", "s"],
         )

@@ -311,12 +311,33 @@ def write_clustered(
 
     Rows with a NULL cluster key are excluded from the clustered copy
     (documented: a range predicate can never match them; keep them in
-    the source table).  Returns the manifest as a list of dicts.
+    the source table).  Cluster keys must be integer, float or string
+    (JSON-exact zone maps; ints stay exact — no float round-trip).
+    Shards are named by a digest of the FULL block content (Arrow IPC
+    bytes), so distinct blocks never collide and byte-identical blocks
+    collide harmlessly: the manifest lists the shared file once per
+    block and ``read_parquet`` reads duplicated paths once each, which
+    reproduces the data exactly.  Returns the manifest as a list of
+    dicts.
     """
     import hashlib
     import json
     import os
 
+    ctype = None
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", None) or schema
+    for f in base:
+        if f.name == cluster_col:
+            ctype = f.type
+    if ctype is None or not (
+        pa.types.is_integer(ctype) or pa.types.is_floating(ctype)
+        or pa.types.is_string(ctype) or pa.types.is_large_string(ctype)
+    ):
+        raise ValueError(
+            "write_clustered: cluster column must be int/float/string, "
+            "got %r" % ctype,
+        )
     os.makedirs(out_dir, exist_ok=True)
 
     def _drop_null(t: pa.Table) -> pa.Table:
@@ -328,7 +349,7 @@ def write_clustered(
     def _write(t: pa.Table) -> pa.Table:
         empty = pa.Table.from_arrays(
             [pa.array([], pa.string()),
-             pa.array([], pa.float64()), pa.array([], pa.float64()),
+             pa.array([], ctype), pa.array([], ctype),
              pa.array([], pa.int64())],
             names=["file", "vmin", "vmax", "n"],
         )
@@ -337,8 +358,17 @@ def write_clustered(
         col = t.column(cluster_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        h = hashlib.md5()  # noqa: S324
-        h.update(str(col.to_pylist()).encode("utf8"))
+        # digest of the FULL block content: distinct blocks never share
+        # a name; identical blocks share one byte-identical file that
+        # the manifest lists once per block (see docstring)
+        import io
+
+        import pyarrow.ipc as ipc
+
+        sink = io.BytesIO()
+        with ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        h = hashlib.md5(sink.getvalue())  # noqa: S324
         name = h.hexdigest()[:16] + ".parquet"
         dest = os.path.join(out_dir, name)
         tmp = dest + ".tmp." + str(os.getpid())
@@ -349,8 +379,8 @@ def write_clustered(
         mm = pc.min_max(col)
         return pa.Table.from_arrays(
             [pa.array([name], pa.string()),
-             pa.array([float(mm["min"].as_py())], pa.float64()),
-             pa.array([float(mm["max"].as_py())], pa.float64()),
+             pa.array([mm["min"].as_py()], ctype),
+             pa.array([mm["max"].as_py()], ctype),
              pa.array([t.num_rows], pa.int64())],
             names=["file", "vmin", "vmax", "n"],
         )
@@ -370,43 +400,51 @@ def write_clustered(
     return manifest
 
 
-def pruned_shards(out_dir: str, lo: float, hi: float) -> tuple:
-    """Zone-map pruning: (overlapping shard paths, total shard count)."""
+def _load_manifest(out_dir: str) -> dict:
     import json
     import os
 
     with open(os.path.join(out_dir, "manifest.json")) as f:
-        m = json.load(f)
-    shards = m["shards"]
-    keep = [
+        return json.load(f)
+
+
+def _prune(out_dir: str, manifest: dict, lo, hi) -> list:
+    import os
+
+    return [
         os.path.join(out_dir, s["file"])
-        for s in shards
+        for s in manifest["shards"]
         if not (s["vmax"] < lo or s["vmin"] > hi)
     ]
-    return keep, len(shards)
 
 
-def read_clustered(out_dir: str, lo: float, hi: float):
+def pruned_shards(out_dir: str, lo, hi) -> tuple:
+    """Zone-map pruning: (overlapping shard paths, total shard count)."""
+    m = _load_manifest(out_dir)
+    return _prune(out_dir, m, lo, hi), len(m["shards"])
+
+
+def read_clustered(out_dir: str, lo, hi):
     """Range read over a :func:`write_clustered` directory: opens ONLY
     the shards whose zone-map range overlaps ``[lo, hi]`` (inclusive,
-    SQL ``BETWEEN``), then applies the exact residual filter."""
-    import json
+    SQL ``BETWEEN``), then applies the exact residual filter.  The
+    manifest is loaded ONCE, so a concurrent rewrite cannot pair one
+    manifest's shard list with another's cluster column."""
     import os
 
     import ray.data
 
-    files, total = pruned_shards(out_dir, lo, hi)
-    with open(os.path.join(out_dir, "manifest.json")) as f:
-        col = json.load(f)["cluster_col"]
+    m = _load_manifest(out_dir)
+    files = _prune(out_dir, m, lo, hi)
+    col = m["cluster_col"]
     logger.info(
         "read_clustered: %d of %d shards overlap [%s, %s]",
-        len(files), total, lo, hi,
+        len(files), len(m["shards"]), lo, hi,
     )
     if not files:
         import pyarrow.parquet as pq
 
-        with open(os.path.join(out_dir, "manifest.json")) as f:
-            shards = json.load(f)["shards"]
+        shards = m["shards"]
         if not shards:
             raise ValueError("read_clustered: empty clustered directory")
         schema = pq.read_schema(

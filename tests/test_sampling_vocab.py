@@ -231,3 +231,20 @@ def test_negative_samples_deterministic_nonself(ray_session):
         ORDER BY vec_id, neg_rank
     """).fetchdf()
     assert out.equals(ref[["vec_id", "neg_rank", "neg_id"]])
+
+
+def test_hash_split_and_sample_null_keys(ray_session):
+    import ray.data
+
+    from pybel_ray.ops.sampling import hash_sample, hash_split
+
+    t = pa.table({"doc_id": pa.array(["a", None, "b"], pa.string())})
+    out = hash_split(
+        ray.data.from_arrow(t),
+        [("train", "cccc"), ("test", "ffff")],
+    ).to_pandas()
+    assert out["split"].isna().sum() == 1
+    assert out[out["doc_id"].notna()]["split"].notna().all()
+    # hash_sample: md5(NULL) IS NULL -> null keys are never kept
+    kept = hash_sample(ray.data.from_arrow(t), 1.0).to_pandas()
+    assert kept["doc_id"].notna().all()

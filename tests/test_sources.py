@@ -265,3 +265,52 @@ def test_write_clustered_rewrite_stays_consistent(ray_session, tmp_path):
     assert sum(s["n"] for s in m2) == 100
     got = read_clustered(out, 0.0, 99.0).to_pandas()
     assert sorted(got["id"].tolist()) == list(range(100))
+
+
+def test_write_clustered_identical_blocks_no_data_loss(ray_session, tmp_path):
+    # byte-identical blocks share one file listed once per block; a
+    # duplicated path is read once per listing, so no rows are lost
+    import ray.data
+
+    from pybel_ray.sources import read_clustered, write_clustered
+
+    t = pa.table({"v": pa.array([5.0] * 8, pa.float64())})
+    out = str(tmp_path / "clustered")
+    manifest = write_clustered(
+        ray.data.from_arrow(t).repartition(2), out, "v",
+    )
+    assert sum(s["n"] for s in manifest) == 8
+    got = read_clustered(out, 5.0, 5.0)
+    assert got.count() == 8
+
+
+def test_write_clustered_string_keys_exact(ray_session, tmp_path):
+    import ray.data
+
+    from pybel_ray.sources import pruned_shards, read_clustered, write_clustered
+
+    days = ["2026-08-%02d" % (d + 1) for d in range(28)] * 20
+    t = pa.table({
+        "id": pa.array(range(len(days)), pa.int64()),
+        "day": pa.array(days, pa.string()),
+    })
+    out = str(tmp_path / "clustered")
+    write_clustered(ray.data.from_arrow(t).repartition(8), out, "day")
+    files, total = pruned_shards(out, "2026-08-05", "2026-08-07")
+    assert 0 < len(files) < total
+    got = read_clustered(out, "2026-08-05", "2026-08-07").to_pandas()
+    ref = t.to_pandas()
+    ref = ref[(ref["day"] >= "2026-08-05") & (ref["day"] <= "2026-08-07")]
+    assert sorted(got["id"]) == sorted(ref["id"])
+
+
+def test_write_clustered_rejects_unsupported_key_type(ray_session, tmp_path):
+    import ray.data
+
+    from pybel_ray.sources import write_clustered
+
+    t = pa.table({"ts": pa.array([1, 2], pa.timestamp("us"))})
+    with pytest.raises(ValueError):
+        write_clustered(
+            ray.data.from_arrow(t), str(tmp_path / "c"), "ts",
+        )

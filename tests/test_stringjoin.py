@@ -115,3 +115,20 @@ def test_join_layout_invariant(ray_session):
     strs = ["".join(rng.choice(list("ab"), size=4)) for _ in range(60)]
     t = pa.table({"id": np.arange(60, dtype="int64"), "s": strs})
     assert _run(t, 1, blocks=1).equals(_run(t, 1, blocks=13))
+
+
+def test_join_duplicate_ids_with_different_strings(ray_session):
+    # a non-unique id column must not cross-wire strings: variant rows
+    # re-attach by SOURCE ROW, so (7,'abc')/(9,'abc') still pairs at
+    # dist 0 even though another id=7 row carries 'xyz'
+    import ray.data
+
+    t = pa.table({
+        "id": pa.array([7, 7, 9], pa.int64()),
+        "s": pa.array(["abc", "xyz", "abc"]),
+    })
+    out = (
+        edit_distance_join(ray.data.from_arrow(t), "id", "s", max_dist=1)
+        .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+    )
+    assert [7, 9, 0] in out.values.tolist()
