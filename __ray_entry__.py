@@ -1270,6 +1270,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["user_id", "event_id", "rn"])
 
+    def events_user_sequences(sf_dir):
+        # per-user ordered event-type sequence (the click-log ->
+        # sequence-model training-row builder): ONE groupby(user)
+        # exchange, vectorized in-group sort + binary_join; the
+        # string_agg(... ORDER BY) oracle compares byte-for-byte
+        from pybel_ray.ops.relational import collect_sorted
+
+        return collect_sorted(
+            _read(sf_dir, "events").select_columns(
+                ["user_id", "event_type", "ts", "event_id"],
+            ),
+            "user_id", "event_type", ["ts", "event_id"],
+        )
+
     def events_distinct_types_per_user(sf_dir):
         from pybel_ray.ops.relational import distinct_count_per_group
 
@@ -1839,6 +1853,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pybel_ray.ops.text import type_token_ratio
 
         return type_token_ratio(_read(sf_dir, "documents"))
+
+    def doc_readability(sf_dir):
+        # Flesch reading-ease quality gate in exact integer
+        # milli-points: three RE2 count passes (words / sentence
+        # terminators / vowel groups) + two integer floor divisions,
+        # all shared bit-for-bit with the DuckDB oracle; zero shuffle
+        from pybel_ray.ops.text import add_readability
+
+        return add_readability(
+            _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        ).select_columns(
+            ["doc_id", "words", "sentences", "syllables", "flesch_e3"],
+        )
 
     def doc_normalized_text(sf_dir):
         # unicode NFC + lowercase + whitespace-collapse hygiene pass
@@ -2567,6 +2594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_max_value": events_rolling_max_value,
         "events_sessionize": events_sessionize,
         "events_row_number_per_user": events_row_number_per_user,
+        "events_user_sequences": events_user_sequences,
         "events_distinct_types_per_user": events_distinct_types_per_user,
         "events_hll_users_by_type": events_hll_users_by_type,
         "customers_without_orders": customers_without_orders,
@@ -2605,6 +2633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca_project": emb_pca_project,
         "doc_bottomk_sample": doc_bottomk_sample,
         "doc_type_token_ratio": doc_type_token_ratio,
+        "doc_readability": doc_readability,
         "doc_normalized_text": doc_normalized_text,
         "doc_source_overlap": doc_source_overlap,
         "emb_srp_projection": emb_srp_projection,
@@ -3302,6 +3331,13 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_types_per_user": """
             SELECT user_id,
                    CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
+            FROM events GROUP BY user_id
+        """,
+        "events_user_sequences": """
+            SELECT user_id,
+                   coalesce(string_agg(event_type, ','
+                                       ORDER BY ts, event_id), '') AS seq,
+                   CAST(count(event_type) AS BIGINT) AS n_items
             FROM events GROUP BY user_id
         """,
         "orders_count_by_status":
@@ -4708,6 +4744,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT w) * 1000000 // count(*)
                         AS BIGINT) AS ttr_e6
             FROM toks GROUP BY doc_id
+        """,
+        "doc_readability": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       length(regexp_extract_all(text, '\S+')) AS words,
+                       greatest(length(regexp_extract_all(
+                           text, '[.!?]+')), 1) AS sentences,
+                       length(regexp_extract_all(
+                           lower(text), '[aeiouy]+')) AS syllables
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(words AS BIGINT) AS words,
+                   CAST(sentences AS BIGINT) AS sentences,
+                   CAST(syllables AS BIGINT) AS syllables,
+                   CAST(CASE WHEN words = 0 THEN NULL
+                        ELSE 206835 - (1015 * words) // sentences
+                             - (84600 * syllables) // words
+                   END AS BIGINT) AS flesch_e3
+            FROM c
         """,
         "doc_normalized_text": r"""
             SELECT doc_id,

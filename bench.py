@@ -141,6 +141,9 @@ def run_queries(sf_dir: str) -> dict:
         "events_upsert_latest",
         "events_clustered_range",
         "web_host_distances",
+        # session-6 additions: sequence collection, readability gate
+        "events_user_sequences",
+        "doc_readability",
     ]
     q = entry.queries()
     out = {}

@@ -32,6 +32,7 @@ __all__ = [
     "impute_by_group_median",
     "merge_upsert",
     "groupby_rollup",
+    "collect_sorted",
 ]
 
 
@@ -868,3 +869,47 @@ def groupby_rollup(ds, keys, aggs: Mapping[str, tuple]):
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def collect_sorted(ds, keys, value_col: str, order_cols,
+                   out_col: str = "seq", sep: str = ",",
+                   count_col: str = "n_items"):
+    """``string_agg(value, sep ORDER BY order_cols) GROUP BY keys`` —
+    the per-entity ordered event sequence builder (the step that turns
+    a click/event log into sequence-model training rows).
+
+    One ``groupby(keys)`` exchange; inside each group a vectorized sort
+    + ``binary_join``.  Null values are skipped (SQL ``string_agg``
+    semantics); a group whose values are all null emits an empty string
+    with ``count_col = 0`` — DuckDB's ``coalesce(string_agg(..), '')``.
+    Deterministic iff ``order_cols`` end in a unique tiebreak column.
+    Group payloads must fit a worker (the output row IS the group), so
+    like :func:`row_number_per_group` this is inherently key-bounded;
+    gate degenerate keys upstream with :func:`max_group_rows`.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    keys = list(keys)
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    order = [(c, "ascending") for c in order_cols]
+
+    def _collect(g: pa.Table) -> pa.Table:
+        g = g.sort_by(order)
+        vals = g.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vals = pc.cast(vals, pa.string())
+        vals = vals.filter(pc.is_valid(vals))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array([0, len(vals)], pa.int32()), vals,
+            ),
+            pa.scalar(sep),
+        )
+        arrays = [g.column(k).slice(0, 1) for k in keys]
+        arrays.append(joined)
+        arrays.append(pa.array([len(vals)], pa.int64()))
+        return pa.Table.from_arrays(arrays, names=keys + [out_col, count_col])
+
+    return ds.groupby(keys).map_groups(_collect, batch_format="pyarrow")

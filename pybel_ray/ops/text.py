@@ -796,3 +796,46 @@ def inverted_index(
         )
 
     return tf.groupby("word").map_groups(_postings, batch_format="pyarrow")
+
+
+def add_readability(ds, text_col: str = "text"):
+    """Flesch reading-ease score per document in exact integer
+    milli-points, from three SQL-reproducible RE2 counts:
+
+    * ``words``      — non-overlapping ``\\S+`` matches,
+    * ``sentences``  — ``max(1, count of [.!?]+ runs)``,
+    * ``syllables``  — vowel-group runs ``[aeiouy]+`` in the lowercased
+      text (the standard cheap syllable heuristic).
+
+    ``flesch_e3 = 206835 - (1015*words)//sentences
+    - (84600*syllables)//words`` — integer floor divisions over positive
+    counts, so DuckDB ``//`` reproduces every value bit-for-bit (the
+    float formula times 1000, each ratio floored once).  ``words == 0``
+    (or null text) yields a null score.  Zero shuffle; three vectorized
+    ``count_substring_regex`` passes per batch.
+    """
+
+    def _f(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        words = pc.count_substring_regex(txt, r"\S+")
+        sents = pc.count_substring_regex(txt, r"[.!?]+")
+        syll = pc.count_substring_regex(pc.utf8_lower(txt), r"[aeiouy]+")
+        w = words.to_numpy(zero_copy_only=False).astype(np.float64)
+        s = sents.to_numpy(zero_copy_only=False).astype(np.float64)
+        y = syll.to_numpy(zero_copy_only=False).astype(np.float64)
+        null = ~np.isfinite(w) | (w == 0)
+        wi = np.where(null, 1, w).astype(np.int64)
+        si = np.maximum(np.where(np.isfinite(s), s, 0), 1).astype(np.int64)
+        yi = np.where(np.isfinite(y), y, 0).astype(np.int64)
+        score = 206835 - (1015 * wi) // si - (84600 * yi) // wi
+        out = t.append_column("words", pc.cast(words, pa.int64()))
+        out = out.append_column(
+            "sentences", pa.array(si, pa.int64(),
+                                  mask=~np.isfinite(w)),
+        )
+        out = out.append_column("syllables", pc.cast(syll, pa.int64()))
+        return out.append_column(
+            "flesch_e3", pa.array(score, pa.int64(), mask=null),
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
