@@ -1270,6 +1270,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["user_id", "event_id", "rn"])
 
+    def events_profile(sf_dir):
+        # first-contact dataset profiling: per-column count/nulls/
+        # min/max in ONE pass — each batch emits one partial row per
+        # column, the exchange moves O(columns x blocks) rows
+        from pybel_ray.ops.profile import profile_table
+
+        prof = profile_table(
+            _read(sf_dir, "events").select_columns(
+                ["event_id", "ts", "user_id", "event_type", "value"],
+            ),
+        )
+
+        # render the nullable numeric cells as strings so the driver's
+        # hash compare sees the same representation both sides (a
+        # BIGINT-with-NULL column reads back as float from DuckDB)
+        def _render(t: pa.Table) -> pa.Table:
+            for c in ("min_num", "max_num"):
+                t = t.set_column(
+                    t.schema.get_field_index(c), c,
+                    pc.cast(t.column(c), pa.string()),
+                )
+            return t
+
+        return prof.map_batches(_render, batch_format="pyarrow")
+
+    def events_key_skew(sf_dir):
+        # pre-shuffle skew probe: the 20 heaviest user_ids with exact
+        # counts + ppm share of the corpus — the table you read before
+        # choosing a groupby key at 100 TB (salting signal >1%)
+        from pybel_ray.ops.profile import key_profile
+
+        return key_profile(_read(sf_dir, "events"), "user_id", k=20)
+
     def events_user_sequences(sf_dir):
         # per-user ordered event-type sequence (the click-log ->
         # sequence-model training-row builder): ONE groupby(user)
@@ -2595,6 +2628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events_sessionize,
         "events_row_number_per_user": events_row_number_per_user,
         "events_user_sequences": events_user_sequences,
+        "events_profile": events_profile,
+        "events_key_skew": events_key_skew,
         "events_distinct_types_per_user": events_distinct_types_per_user,
         "events_hll_users_by_type": events_hll_users_by_type,
         "customers_without_orders": customers_without_orders,
@@ -3339,6 +3374,47 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY ts, event_id), '') AS seq,
                    CAST(count(event_type) AS BIGINT) AS n_items
             FROM events GROUP BY user_id
+        """,
+        "events_profile": """
+            SELECT 'event_id' AS col, count(*) AS n,
+                   count(*) - count(event_id) AS n_null,
+                   CAST(CAST(min(event_id) AS BIGINT) AS VARCHAR) AS min_num,
+                   CAST(CAST(max(event_id) AS BIGINT) AS VARCHAR) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str
+            FROM events
+            UNION ALL
+            SELECT 'ts', count(*), count(*) - count(ts),
+                   CAST(epoch_us(min(ts)) AS VARCHAR),
+                   CAST(epoch_us(max(ts)) AS VARCHAR), NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   CAST(CAST(min(user_id) AS BIGINT) AS VARCHAR),
+                   CAST(CAST(max(user_id) AS BIGINT) AS VARCHAR), NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*), count(*) - count(event_type),
+                   NULL, NULL, min(event_type), max(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', count(*), count(*) - count(value),
+                   CAST(CAST(floor(min(value)*1e6 + 0.5) AS BIGINT) AS VARCHAR),
+                   CAST(CAST(floor(max(value)*1e6 + 0.5) AS BIGINT) AS VARCHAR),
+                   NULL, NULL
+            FROM events
+        """,
+        "events_key_skew": """
+            WITH c AS (
+                SELECT user_id, count(*) AS n FROM events
+                WHERE user_id IS NOT NULL GROUP BY user_id
+            ),
+            tot AS (SELECT sum(n) AS total, count(*) AS dk FROM c)
+            SELECT c.user_id, CAST(c.n AS BIGINT) AS n,
+                   CAST(c.n * 1000000 // tot.total AS BIGINT) AS share_ppm,
+                   CAST(tot.total AS BIGINT) AS total_rows,
+                   CAST(tot.dk AS BIGINT) AS distinct_keys
+            FROM c, tot ORDER BY n DESC, user_id LIMIT 20
         """,
         "orders_count_by_status":
             "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",

@@ -128,3 +128,81 @@ def test_readability_zero_words_null(ray_session):
 
     out = add_readability(_ds([{"doc_id": 0, "text": ""}])).take_all()
     assert out[0]["flesch_e3"] is None and out[0]["words"] == 0
+
+
+# ---------------------------------------------------------------------------
+# profile_table / key_profile
+# ---------------------------------------------------------------------------
+
+def test_profile_table_matches_sql(ray_session):
+    import datetime
+
+    from pybel_ray.ops.profile import profile_table
+
+    rows = [
+        {"i": (7 * j) % 23 if j % 5 else None,
+         "f": (j * 0.37 - 5.0) if j % 7 else None,
+         "s": "s%02d" % (j % 13) if j % 3 else None,
+         "ts": datetime.datetime(2024, 1, 1) + datetime.timedelta(
+             minutes=j * 11)}
+        for j in range(200)
+    ]
+    out = {r["col"]: r for r in profile_table(_ds(rows, blocks=6)).take_all()}
+    t = pa.Table.from_pylist(rows)
+    expect = duckdb.sql(
+        """
+        SELECT 'i' col, count(*) n, count(*)-count(i) n_null,
+               CAST(min(i) AS BIGINT) min_num, CAST(max(i) AS BIGINT) max_num,
+               NULL min_str, NULL max_str FROM t
+        UNION ALL
+        SELECT 'f', count(*), count(*)-count(f),
+               CAST(floor(min(f)*1e6+0.5) AS BIGINT),
+               CAST(floor(max(f)*1e6+0.5) AS BIGINT), NULL, NULL FROM t
+        UNION ALL
+        SELECT 's', count(*), count(*)-count(s), NULL, NULL,
+               min(s), max(s) FROM t
+        UNION ALL
+        SELECT 'ts', count(*), count(*)-count(ts),
+               epoch_us(min(ts)), epoch_us(max(ts)), NULL, NULL FROM t
+        """,
+    ).fetchall()
+    for col, n, n_null, mn, mx, smn, smx in expect:
+        r = out[col]
+        assert (r["n"], r["n_null"], r["min_num"], r["max_num"],
+                r["min_str"], r["max_str"]) == (n, n_null, mn, mx, smn, smx), col
+
+
+def test_profile_table_layout_invariant(ray_session):
+    from pybel_ray.ops.profile import profile_table
+
+    rows = [{"a": j % 9, "b": "x%d" % (j % 4)} for j in range(100)]
+    a = sorted(map(tuple, (
+        (r["col"], r["n"], r["min_num"], r["max_str"])
+        for r in profile_table(_ds(rows)).take_all())))
+    b = sorted(map(tuple, (
+        (r["col"], r["n"], r["min_num"], r["max_str"])
+        for r in profile_table(_ds(rows, blocks=11)).take_all())))
+    assert a == b
+
+
+def test_key_profile_matches_sql(ray_session):
+    from pybel_ray.ops.profile import key_profile
+
+    rows = [{"k": int(j ** 1.5) % 17, "pad": j} for j in range(500)]
+    rows += [{"k": None, "pad": -1}] * 5
+    out = key_profile(_ds(rows, blocks=7), "k", k=6).take_all()
+    t = pa.Table.from_pylist(rows)
+    expect = duckdb.sql(
+        """
+        WITH c AS (SELECT k, count(*) n FROM t WHERE k IS NOT NULL GROUP BY k),
+             tot AS (SELECT sum(n) total, count(*) dk FROM c)
+        SELECT c.k, CAST(c.n AS BIGINT) n,
+               CAST(c.n * 1000000 // tot.total AS BIGINT) share_ppm,
+               CAST(tot.total AS BIGINT) total_rows,
+               CAST(tot.dk AS BIGINT) distinct_keys
+        FROM c, tot ORDER BY n DESC, k LIMIT 6
+        """,
+    ).fetchall()
+    got = [(r["k"], r["n"], r["share_ppm"], r["total_rows"],
+            r["distinct_keys"]) for r in out]
+    assert got == [tuple(r) for r in expect]
