@@ -86,6 +86,11 @@ _DSIR_SNAP_PATH = "/tmp/pybel_ray_dsirsnap_{}_{}.parquet".format(
     os.getuid(), os.getpid(),
 )
 
+#: per-dimension mean/std snapshot the emb_standardized oracle joins
+_STD_SNAP_PATH = "/tmp/pybel_ray_stdsnap_{}_{}.parquet".format(
+    os.getuid(), os.getpid(),
+)
+
 
 def _kg(sf_dir: str):
     """Build (and cache) the compiled KG for the synthetic corpus at this sf."""
@@ -2097,6 +2102,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "embeddings"), k=8,
         )
 
+    def emb_standardized(sf_dir):
+        # z-score feature standardization: exact integer moments in one
+        # streaming pass -> (mean_e6, std_e6) snapshot quantized ONCE ->
+        # pure-int64 scoring (truncating div == DuckDB //); the oracle
+        # joins the snapshot per dim and reproduces every cell
+        import pyarrow.parquet as pq
+
+        from pybel_ray.ops.stats import standardize_apply, standardize_stats
+
+        emb = _read(sf_dir, "embeddings")
+        if _KG_CACHE.get("std_snapshot_for") != sf_dir:
+            stats = standardize_stats(emb)
+            tmp = _STD_SNAP_PATH + ".tmp"
+            pq.write_table(stats, tmp)
+            os.replace(tmp, _STD_SNAP_PATH)
+            _KG_CACHE["std_snapshot_for"] = sf_dir
+            _KG_CACHE["std_stats"] = stats
+        return standardize_apply(emb, _KG_CACHE["std_stats"])
+
     def web_strip_tags(sf_dir):
         # vectorized tag stripping (RE2 kernels shared with the SQL
         # two-pass regexp_replace oracle)
@@ -2672,6 +2696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalized_text": doc_normalized_text,
         "doc_source_overlap": doc_source_overlap,
         "emb_srp_projection": emb_srp_projection,
+        "emb_standardized": emb_standardized,
         "corpus_inverted_index": corpus_inverted_index,
         "doc_wet_roundtrip": doc_wet_roundtrip,
         "doc_classifier_scores": doc_classifier_scores,
@@ -4968,6 +4993,23 @@ def oracle_sql() -> dict[str, str]:
             FROM x JOIN s ON s.i = x.i
             GROUP BY 1, 2
         """,
+        "emb_standardized": r"""
+            WITH dims AS (SELECT unnest(range(0, 64)) AS i),
+            s AS (SELECT dim0, mean_e6, std_e6
+                  FROM read_parquet('{std_snap}')),
+            x AS (
+                SELECT vec_id, d.i AS dim0,
+                       CAST(floor(embedding[d.i + 1] * 1e6 + 0.5)
+                            AS BIGINT) AS q
+                FROM embeddings, dims d
+                WHERE embedding IS NOT NULL
+            )
+            SELECT x.vec_id, x.dim0,
+                   CASE WHEN s.std_e6 = 0 THEN NULL
+                        ELSE ((x.q - s.mean_e6) * 1000000) // s.std_e6
+                   END AS z_e6
+            FROM x JOIN s ON s.dim0 = x.dim0
+        """.format(std_snap=_STD_SNAP_PATH),
         "web_strip_tags": r"""
             WITH pages AS (
                 SELECT doc_id,

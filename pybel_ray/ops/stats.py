@@ -26,7 +26,10 @@ import pyarrow as pa
 
 from .similarity import _matrix
 
-__all__ = ["gram_matrix_e12", "quantize_micros", "pca_project"]
+__all__ = [
+    "gram_matrix_e12", "quantize_micros", "pca_project",
+    "standardize_stats", "standardize_apply",
+]
 
 _INT64_MAX = (1 << 63) - 1
 
@@ -188,4 +191,110 @@ def pca_project(
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         _project, batch_format="pyarrow",
+    )
+
+
+def standardize_stats(ds, vec_col: str = "embedding") -> pa.Table:
+    """Per-dimension mean/std of an embedding column, quantized ONCE to
+    int64 micros: ``(dim0, mean_e6, std_e6)`` with 0-based ``dim0``.
+
+    Exact integer first/second moments in ONE streaming pass (per batch:
+    a dim-length int64 sum + sum-of-squares; the driver folds in
+    arbitrary-precision Python ints), then ``var = (n·Σx² − (Σx)²)/n²``
+    as an exact rational and one float sqrt per dimension quantized to
+    micros.  The quantized table is the snapshot contract: scoring with
+    it is pure int64 arithmetic any engine reproduces bit-for-bit.
+    """
+
+    def _moments(t: pa.Table) -> pa.Table:
+        m = _matrix(t, vec_col)
+        if not len(m):
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.binary()),
+                 pa.array([], pa.binary())],
+                names=["n", "s", "ss"],
+            )
+        q = quantize_micros(m)
+        if np.abs(q).max(initial=0) >= (1 << 31) or len(q) > 2_000_000:
+            raise ValueError(
+                "per-batch int64 bound exceeded: re-scale quantization "
+                "or lower batch_size",
+            )
+        return pa.Table.from_arrays(
+            [pa.array([len(q)], pa.int64()),
+             pa.array([q.sum(axis=0).tobytes()], pa.binary()),
+             pa.array([(q.astype(np.int64) ** 2).sum(axis=0).tobytes()],
+                      pa.binary())],
+            names=["n", "s", "ss"],
+        )
+
+    n = 0
+    s = ss = None
+    for b in ds.select_columns([vec_col]).map_batches(
+        _moments, batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        for k in range(b.num_rows):
+            n += int(b.column("n")[k].as_py())
+            sv = np.frombuffer(b.column("s")[k].as_py(), np.int64)
+            ssv = np.frombuffer(b.column("ss")[k].as_py(), np.int64)
+            s = sv.astype(object) if s is None else s + sv.astype(object)
+            ss = ssv.astype(object) if ss is None else ss + ssv.astype(object)
+    if not n:
+        raise ValueError("empty input")
+    dim = len(s)
+    mean_e6 = np.array(
+        [(int(v) * 2 + n) // (2 * n) if v >= 0
+         else -((-int(v) * 2 + n) // (2 * n)) for v in s],
+        np.int64,
+    )  # round-half-away on the exact rational Σx/n
+    std_e6 = np.empty(dim, np.int64)
+    for d in range(dim):
+        var_num = n * int(ss[d]) - int(s[d]) ** 2  # exact, in e12·n²
+        std = (var_num / (n * n)) ** 0.5
+        std_e6[d] = int(np.floor(std + 0.5))
+    return pa.Table.from_arrays(
+        [pa.array(np.arange(dim, dtype=np.int64)),
+         pa.array(mean_e6), pa.array(std_e6)],
+        names=["dim0", "mean_e6", "std_e6"],
+    )
+
+
+def standardize_apply(ds, stats: pa.Table, vec_col: str = "embedding",
+                      id_col: str = "vec_id"):
+    """Z-score standardization against a :func:`standardize_stats`
+    snapshot: long rows ``(id, dim0, z_e6)`` with
+    ``z_e6 = ((x_e6 − mean_e6) · 1e6) // std_e6`` — int64 arithmetic
+    with TRUNCATING division (DuckDB ``//`` semantics, so the snapshot
+    oracle reproduces every cell); ``std_e6 = 0`` yields null.
+
+    Zero shuffle: the tiny stats table ships in the closure, each batch
+    is one vectorized subtract/divide.
+    """
+    mean = stats.column("mean_e6").to_numpy(zero_copy_only=False)
+    std = stats.column("std_e6").to_numpy(zero_copy_only=False)
+
+    def _apply(t: pa.Table) -> pa.Table:
+        m = _matrix(t, vec_col)
+        q = quantize_micros(m)
+        numer = (q - mean[None, :]) * 1_000_000
+        denom = np.where(std == 0, 1, std)[None, :]
+        z = np.sign(numer) * (np.abs(numer) // denom)
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        nrow, dim = q.shape
+        idv = np.repeat(
+            np.asarray(ids.to_numpy(zero_copy_only=False), np.int64), dim,
+        )
+        dv = np.tile(np.arange(dim, dtype=np.int64), nrow)
+        zmask = np.broadcast_to(std == 0, z.shape).reshape(-1)
+        return pa.Table.from_arrays(
+            [pa.array(idv), pa.array(dv),
+             pa.array(z.reshape(-1).astype(np.int64), pa.int64(),
+                      mask=zmask)],
+            names=[id_col, "dim0", "z_e6"],
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _apply, batch_format="pyarrow",
     )

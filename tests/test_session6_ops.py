@@ -206,3 +206,55 @@ def test_key_profile_matches_sql(ray_session):
     got = [(r["k"], r["n"], r["share_ppm"], r["total_rows"],
             r["distinct_keys"]) for r in out]
     assert got == [tuple(r) for r in expect]
+
+
+# ---------------------------------------------------------------------------
+# standardize (z-score)
+# ---------------------------------------------------------------------------
+
+def test_standardize_matches_numpy_and_sql_semantics(ray_session):
+    from pybel_ray.ops.stats import standardize_apply, standardize_stats
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(120, 5).astype(np.float32)
+    vecs[:, 3] = 2.5  # constant dim -> std 0 -> null z
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(120)]
+    stats = standardize_stats(_ds(rows, blocks=5))
+    out = standardize_apply(_ds(rows, blocks=5), stats).take_all()
+
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    n = len(q)
+    s = q.sum(axis=0).astype(object)
+    ss = (q.astype(object) ** 2).sum(axis=0)
+    mean_e6 = stats.column("mean_e6").to_numpy()
+    std_e6 = stats.column("std_e6").to_numpy()
+    for d in range(5):
+        var = (n * int(ss[d]) - int(s[d]) ** 2) / (n * n)
+        assert std_e6[d] == int(np.floor(var ** 0.5 + 0.5))
+    assert std_e6[3] == 0
+
+    got = {(r["vec_id"], r["dim0"]): r["z_e6"] for r in out}
+    for i in range(0, 120, 17):
+        for d in range(5):
+            if d == 3:
+                assert got[(i, d)] is None
+            else:
+                numer = (int(q[i, d]) - int(mean_e6[d])) * 1_000_000
+                expect = int(np.sign(numer)) * (abs(numer) // int(std_e6[d]))
+                assert got[(i, d)] == expect, (i, d)
+
+
+def test_standardize_layout_invariant(ray_session):
+    from pybel_ray.ops.stats import standardize_apply, standardize_stats
+
+    rng = np.random.RandomState(3)
+    rows = [{"vec_id": i, "embedding": rng.randn(4).astype(np.float32).tolist()}
+            for i in range(90)]
+    sa = standardize_stats(_ds(rows))
+    sb = standardize_stats(_ds(rows, blocks=9))
+    assert sa.equals(sb)
+    a = sorted((r["vec_id"], r["dim0"], r["z_e6"])
+               for r in standardize_apply(_ds(rows), sa).take_all())
+    b = sorted((r["vec_id"], r["dim0"], r["z_e6"])
+               for r in standardize_apply(_ds(rows, blocks=7), sb).take_all())
+    assert a == b
