@@ -1219,6 +1219,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return vocab_topk(_read(sf_dir, "documents"), k=50)
 
+    def corpus_trigram_topk(sf_dir):
+        # phrase mining / boilerplate discovery: top word trigrams over
+        # the shared \s+ tokenization — adjacent-token joins per batch
+        # (grams never cross a doc boundary), run-length partials, ONE
+        # groupby(gram) exchange; the oracle rebuilds grams via
+        # positional unnest self-joins
+        from pybel_ray.ops.text import ngram_topk
+
+        return ngram_topk(_read(sf_dir, "documents"), n=3, k=50)
+
     def events_value_quantiles(sf_dir):
         # exact per-group quantiles (median, p90, p99) via one groupby
         # exchange + vectorized in-group order statistics
@@ -2640,6 +2650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_sample": doc_hash_sample,
         "doc_weighted_sample": doc_weighted_sample,
         "corpus_vocab_topk": corpus_vocab_topk,
+        "corpus_trigram_topk": corpus_trigram_topk,
         "events_value_quantiles": events_value_quantiles,
         "events_top3_by_type": events_top3_by_type,
         "events_user_running_value": events_user_running_value,
@@ -4240,6 +4251,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             GROUP BY word ORDER BY n DESC, word LIMIT 50
+        """,
+        "corpus_trigram_topk": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS arr
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, unnest(arr) AS w,
+                       unnest(range(1, len(arr) + 1)) AS i
+                FROM toks
+            ),
+            tri AS (
+                SELECT a.w || ' ' || b.w || ' ' || c.w AS gram
+                FROM pos a
+                JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+            )
+            SELECT gram, CAST(count(*) AS BIGINT) AS n
+            FROM tri GROUP BY gram ORDER BY n DESC, gram LIMIT 50
         """,
         "corpus_cms_heavy_hitters": r"""
             WITH words AS (

@@ -35,6 +35,8 @@ __all__ = [
     "type_token_ratio",
     "normalize_text",
     "source_overlap",
+    "add_readability",
+    "ngram_topk",
     "LANG_MARKERS",
 ]
 
@@ -839,3 +841,57 @@ def add_readability(ds, text_col: str = "text"):
         )
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def ngram_topk(ds, n: int = 3, k: int = 50, text_col: str = "text"):
+    """Top-``k`` most frequent word ``n``-grams corpus-wide (ties broken
+    by gram) — the phrase-mining / boilerplate-discovery counterpart of
+    :func:`vocab_topk`, over the SAME ``\\s+``-on-trimmed tokenization.
+
+    Per batch: one vectorized split, adjacent-token joins shifted
+    ``n-1`` ways (grams never cross a document boundary), then
+    run-length partial counts — so the ``groupby(gram)`` exchange moves
+    one row per distinct gram per batch, and only ``k`` rows leave the
+    final sort.  Equivalent SQL: positional self-joins over
+    ``unnest(arr)`` + ``unnest(range(...))``.
+    """
+    from ._kernels import runlength_distinct_counts
+    from .relational import groupby_agg, topk
+
+    def _partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column(text_col))
+        parts = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        toks = parts.values
+        offsets = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        total = len(toks)
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["gram", "n"],
+        )
+        if total < n:
+            return empty
+        # doc index per token position; a gram starting at p is valid
+        # iff position p+n-1 belongs to the same document
+        lengths = np.diff(offsets)
+        docidx = np.repeat(np.arange(len(lengths)), lengths)
+        valid = docidx[: total - n + 1] == docidx[n - 1:]
+        if not valid.any():
+            return empty
+        shifts = [toks.slice(j, total - n + 1) for j in range(n)]
+        grams = shifts[0]
+        for s in shifts[1:]:
+            grams = pc.binary_join_element_wise(grams, s, " ")
+        grams = grams.filter(pa.array(valid))
+        take, counts = runlength_distinct_counts([grams])
+        return pa.Table.from_arrays(
+            [pc.take(grams, take), pa.array(counts, pa.int64())],
+            names=["gram", "n"],
+        )
+
+    partials = ds.select_columns([text_col]).map_batches(
+        _partial, batch_format="pyarrow",
+    )
+    freqs = groupby_agg(partials, "gram", {"n": ("sum", "n")})
+    return topk(freqs, "n", k, tie_keys=["gram"])

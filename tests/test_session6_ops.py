@@ -258,3 +258,54 @@ def test_standardize_layout_invariant(ray_session):
     b = sorted((r["vec_id"], r["dim0"], r["z_e6"])
                for r in standardize_apply(_ds(rows, blocks=7), sb).take_all())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# ngram_topk
+# ---------------------------------------------------------------------------
+
+def test_ngram_topk_matches_sql(ray_session):
+    from pybel_ray.ops.text import ngram_topk
+
+    rows = [{"doc_id": i,
+             "text": " ".join("w%d" % ((i * 7 + j * 3) % 11)
+                              for j in range((i % 6) + 1))}
+            for i in range(80)]
+    rows.append({"doc_id": 80, "text": None})
+    rows.append({"doc_id": 81, "text": "   "})
+    out = ngram_topk(_ds(rows, blocks=9), n=3, k=15).take_all()
+    t = pa.Table.from_pylist(rows)
+    expect = duckdb.sql(
+        r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+            FROM t
+        ),
+        pos AS (
+            SELECT doc_id, unnest(arr) AS w,
+                   unnest(range(1, len(arr) + 1)) AS i
+            FROM toks
+        ),
+        tri AS (
+            SELECT a.w || ' ' || b.w || ' ' || c.w AS gram
+            FROM pos a
+            JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        )
+        SELECT gram, CAST(count(*) AS BIGINT) n
+        FROM tri GROUP BY gram ORDER BY n DESC, gram LIMIT 15
+        """,
+    ).fetchall()
+    assert [(r["gram"], r["n"]) for r in out] == [tuple(r) for r in expect]
+
+
+def test_ngram_topk_layout_invariant(ray_session):
+    from pybel_ray.ops.text import ngram_topk
+
+    rows = [{"text": "p q r s t u v w" if i % 2 else "p q r"}
+            for i in range(40)]
+    a = [(r["gram"], r["n"])
+         for r in ngram_topk(_ds(rows), n=2, k=10).take_all()]
+    b = [(r["gram"], r["n"])
+         for r in ngram_topk(_ds(rows, blocks=13), n=2, k=10).take_all()]
+    assert a == b
