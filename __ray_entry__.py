@@ -2076,6 +2076,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = links.map_batches(_hosts, batch_format="pyarrow")
         return pagerank(edges, iters=3)
 
+    def web_host_reciprocity(sf_dir):
+        # mutual-linking signal on the crawl's host graph: distinct
+        # non-loop host edges deduped (bucketed), ONE bucketed
+        # semi-join of forward vs reversed key; only two counters
+        # reach the driver
+        from pybel_ray.ops.graph import edge_reciprocity
+        from pybel_ray.ops.html import extract_links, host_graph
+
+        hosts = host_graph(extract_links(_html_pages(sf_dir)))
+        return edge_reciprocity(hosts, "src_host", "dst_host")
+
     def web_host_components(sf_dir):
         # weakly connected components of the host link graph
         # (pointer-doubling label propagation; component = lexicographic
@@ -2696,6 +2707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_anchor_topk": web_anchor_topk,
         "web_host_pagerank": web_host_pagerank,
         "web_host_components": web_host_components,
+        "web_host_reciprocity": web_host_reciprocity,
         "web_frontier": web_frontier,
         "web_crawl_pipeline": web_crawl_pipeline,
         "web_domain_rollup": web_domain_rollup,
@@ -4792,6 +4804,67 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(min(d) AS BIGINT) AS dist
             FROM reach GROUP BY node
+        """,
+        "web_host_reciprocity": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       'https://site' || (doc_id % 20)
+                           || '.example.com/page/' || doc_id AS url,
+                       '<html><head><title>doc ' || doc_id
+                           || '</title></head><body><p>'
+                           || COALESCE(text, '')
+                           || '</p><a href="https://site'
+                           || ((doc_id * 7 + 1) % 20)
+                           || '.example.com/page/' || (doc_id * 7 + 1)
+                           || '">n' || doc_id || '</a><a href="/local/'
+                           || (doc_id % 13) || '">l</a>'
+                           || CASE WHEN doc_id % 3 = 0
+                                   THEN '<a href="mailto:a@b.c">m</a>'
+                                   ELSE '' END
+                           || '</body></html>' AS html
+                FROM documents
+            ),
+            l AS (
+                SELECT url,
+                       unnest(regexp_extract_all(
+                           html, '<a href="([^"]*)">([^<]*)</a>', 1
+                       )) AS href
+                FROM pages
+            ),
+            lk AS (
+                SELECT url AS src_url,
+                       CASE WHEN href LIKE 'http://%'
+                                 OR href LIKE 'https://%' THEN href
+                            ELSE 'https://' || regexp_extract(
+                                url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                            ) || href END AS dst_url
+                FROM l
+                WHERE href LIKE 'http://%' OR href LIKE 'https://%'
+                   OR (href LIKE '/%' AND href NOT LIKE '//%')
+            ),
+            e AS (
+                SELECT DISTINCT
+                       regexp_extract(
+                           src_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                       ) AS s,
+                       regexp_extract(
+                           dst_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                       ) AS d
+                FROM lk
+            ),
+            ne AS (SELECT s, d FROM e WHERE s <> d)
+            SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(count(*) FILTER (WHERE EXISTS (
+                       SELECT 1 FROM ne r
+                       WHERE r.s = ne.d AND r.d = ne.s
+                   )) AS BIGINT) AS n_recip,
+                   CAST(CASE WHEN count(*) = 0 THEN 0
+                        ELSE count(*) FILTER (WHERE EXISTS (
+                            SELECT 1 FROM ne r
+                            WHERE r.s = ne.d AND r.d = ne.s
+                        )) * 1000000 // count(*) END AS BIGINT)
+                       AS recip_ppm
+            FROM ne
         """,
         "web_host_components": r"""
             WITH RECURSIVE pages AS (

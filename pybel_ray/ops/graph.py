@@ -40,6 +40,7 @@ __all__ = [
     "clustering_coefficients",
     "kcore",
     "bfs_distances",
+    "edge_reciprocity",
 ]
 
 
@@ -687,3 +688,57 @@ def bfs_distances(
         visited = visited.union(reached).materialize()
         frontier = new_nodes
     return visited
+
+
+def edge_reciprocity(
+    edges, src_col: str = "src", dst_col: str = "dst",
+) -> pa.Table:
+    """Directed-graph reciprocity: of the distinct non-loop edges
+    ``(a, b)``, how many have the reverse edge ``(b, a)``?  Returns one
+    row ``(n_edges, n_recip, recip_ppm)`` with
+    ``recip_ppm = n_recip * 1_000_000 // n_edges`` (0 when empty) —
+    the link-farm / mutual-citation signal on a web host graph.
+
+    Scale shape: dedup to distinct pairs (per-batch local unique +
+    the bucketed exact dedup), then ONE bucketed semi-join of the
+    forward key against the reversed key — edges never collect on the
+    driver; only the two counters do.
+    """
+    from ..stages.dedup import dedup_exact
+    from ..struct.degree import bucketed_semi_join
+
+    sep = "\x1f"
+
+    def _keys(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column(src_col), pa.string())
+        d = pc.cast(t.column(dst_col), pa.string())
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(s), pc.is_valid(d)),
+            pc.invert(pc.equal(s, d)),
+        )
+        t = pa.Table.from_arrays([s, d], names=["_s", "_d"]).filter(keep)
+        t = t.append_column(
+            "_fwd", pc.binary_join_element_wise(
+                t.column("_s"), t.column("_d"), sep,
+            ),
+        )
+        return t.append_column(
+            "_rev", pc.binary_join_element_wise(
+                t.column("_d"), t.column("_s"), sep,
+            ),
+        )
+
+    keyed = edges.select_columns([src_col, dst_col]).map_batches(
+        _keys, batch_format="pyarrow",
+    )
+    distinct = dedup_exact(keyed, "_fwd").materialize()
+    n_edges = distinct.count()
+    n_recip = bucketed_semi_join(
+        distinct, "_fwd", distinct, "_rev",
+    ).count() if n_edges else 0
+    ppm = n_recip * 1_000_000 // n_edges if n_edges else 0
+    return pa.Table.from_arrays(
+        [pa.array([n_edges], pa.int64()), pa.array([n_recip], pa.int64()),
+         pa.array([ppm], pa.int64())],
+        names=["n_edges", "n_recip", "recip_ppm"],
+    )
