@@ -2076,6 +2076,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = links.map_batches(_hosts, batch_format="pyarrow")
         return pagerank(edges, iters=3)
 
+    def web_host_hits(sf_dir):
+        # HITS hubs/authorities over the host link graph (parallel
+        # edges kept, max-normalized exact-int64 half-steps); oracle is
+        # the unrolled _hits_sql recurrence over the identically
+        # rebuilt edge list
+        from pybel_ray.ops.graph import hits
+        from pybel_ray.ops.html import extract_links
+        from pybel_ray.ops.urls import URL_PATTERN
+
+        links = extract_links(_html_pages(sf_dir))
+
+        def _hosts(t: pa.Table) -> pa.Table:
+            cols = []
+            for c in ("src_url", "dst_url"):
+                u = t.column(c)
+                if isinstance(u, pa.ChunkedArray):
+                    u = u.combine_chunks()
+                cols.append(pc.fill_null(pc.struct_field(
+                    pc.extract_regex(u, URL_PATTERN), "host",
+                ), ""))
+            return pa.Table.from_arrays(cols, names=["src", "dst"])
+
+        edges = links.map_batches(_hosts, batch_format="pyarrow")
+        return hits(edges, iters=3)
+
     def web_host_reciprocity(sf_dir):
         # mutual-linking signal on the crawl's host graph: distinct
         # non-loop host edges deduped (bucketed), ONE bucketed
@@ -2706,6 +2731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_strip_tags": web_strip_tags,
         "web_anchor_topk": web_anchor_topk,
         "web_host_pagerank": web_host_pagerank,
+        "web_host_hits": web_host_hits,
         "web_host_components": web_host_components,
         "web_host_reciprocity": web_host_reciprocity,
         "web_frontier": web_frontier,
@@ -3085,6 +3111,50 @@ def oracle_sql() -> dict[str, str]:
             ", ".join(ctes), iters,
         )
 
+    def _hits_sql(edges_sql: str, iters: int = 3) -> str:
+        """Unrolled exact-int64 HITS (ops/graph.py hits recurrence:
+        hub0 = 1e6; raw_a(v) = sum of hub over in-edges, auth =
+        raw_a // max(1, max(raw_a) // 1e6); symmetric hub step) — the
+        max normalizer keeps every step exact integer arithmetic."""
+        ctes = [
+            "__edges AS ({})".format(edges_sql),
+            "__nodes AS (SELECT src AS node FROM __edges"
+            " UNION SELECT dst FROM __edges)",
+            "__h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub"
+            " FROM __nodes)",
+        ]
+        for i in range(iters):
+            ctes.append(
+                "__ra{i} AS (SELECT n.node, CAST(coalesce(s.s, 0) AS BIGINT)"
+                " AS raw FROM __nodes n LEFT JOIN (SELECT e.dst AS node,"
+                " sum(h.hub) AS s FROM __edges e JOIN __h{i} h"
+                " ON e.src = h.node GROUP BY e.dst) s ON n.node = s.node)"
+                .format(i=i),
+            )
+            ctes.append(
+                "__a{j} AS (SELECT node, raw // greatest(1,"
+                " (SELECT max(raw) FROM __ra{i}) // 1000000) AS auth"
+                " FROM __ra{i})".format(j=i + 1, i=i),
+            )
+            ctes.append(
+                "__rh{i} AS (SELECT n.node, CAST(coalesce(s.s, 0) AS BIGINT)"
+                " AS raw FROM __nodes n LEFT JOIN (SELECT e.src AS node,"
+                " sum(a.auth) AS s FROM __edges e JOIN __a{j} a"
+                " ON e.dst = a.node GROUP BY e.src) s ON n.node = s.node)"
+                .format(i=i, j=i + 1),
+            )
+            ctes.append(
+                "__h{j} AS (SELECT node, raw // greatest(1,"
+                " (SELECT max(raw) FROM __rh{i}) // 1000000) AS hub"
+                " FROM __rh{i})".format(j=i + 1, i=i),
+            )
+        return (
+            "WITH {} SELECT h.node, h.hub, a.auth FROM __h{k} h"
+            " JOIN __a{k} a ON h.node = a.node".format(
+                ", ".join(ctes), k=iters,
+            )
+        )
+
     # -- kg_* snapshot oracles ------------------------------------------------
     # Each kg_* query callable writes the compiled nodes/edges/errors tables
     # to _KG_SNAP_PATH before computing its result (driver and pytest both
@@ -3278,19 +3348,10 @@ def oracle_sql() -> dict[str, str]:
         ),
     }
 
-    return {
-        **kg_oracles,
-        # integer PageRank over the lineitem-derived bipartite graph —
-        # fully independent (no snapshot): DuckDB rebuilds the edges and
-        # unrolls the same exact-integer recurrence
-        "graph_pagerank": _pagerank_sql(
-            "SELECT CAST(2 * l_orderkey AS BIGINT) AS src,"
-            " CAST(2 * l_suppkey + 1 AS BIGINT) AS dst FROM lineitem",
-        ),
-        # PageRank over the host link graph: DuckDB rebuilds the pages,
-        # re-extracts the links and unrolls the same integer recurrence
-        "web_host_pagerank": _pagerank_sql(
-            """SELECT regexp_extract(
+    # the host link graph rebuilt entirely in SQL: synthesize the pages,
+    # re-extract the anchors, resolve root-relative hrefs and project to
+    # hosts — shared by every web-graph oracle
+    _web_host_edges = """SELECT regexp_extract(
                    src_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS src,
                regexp_extract(
                    dst_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS dst
@@ -3327,8 +3388,24 @@ def oracle_sql() -> dict[str, str]:
                 )
                 WHERE href LIKE 'http://%' OR href LIKE 'https://%'
                    OR (href LIKE '/%' AND href NOT LIKE '//%')
-            )""",
+            )"""
+
+    return {
+        **kg_oracles,
+        # integer PageRank over the lineitem-derived bipartite graph —
+        # fully independent (no snapshot): DuckDB rebuilds the edges and
+        # unrolls the same exact-integer recurrence
+        "graph_pagerank": _pagerank_sql(
+            "SELECT CAST(2 * l_orderkey AS BIGINT) AS src,"
+            " CAST(2 * l_suppkey + 1 AS BIGINT) AS dst FROM lineitem",
         ),
+        # PageRank over the host link graph: DuckDB rebuilds the pages,
+        # re-extracts the links and unrolls the same integer recurrence
+        "web_host_pagerank": _pagerank_sql(_web_host_edges),
+        # HITS hubs/authorities over the same rebuilt host edges: the
+        # unrolled max-normalized exact-int64 recurrence (see
+        # ops/graph.py hits)
+        "web_host_hits": _hits_sql(_web_host_edges),
         # full SimHash recomputed in SQL (shared md5 gram hash); the
         # engine's banded pair algorithm is provably complete for
         # max_hamming < bands, so the brute SQL pair scan is its oracle

@@ -41,6 +41,7 @@ __all__ = [
     "kcore",
     "bfs_distances",
     "edge_reciprocity",
+    "hits",
 ]
 
 
@@ -741,4 +742,204 @@ def edge_reciprocity(
         [pa.array([n_edges], pa.int64()), pa.array([n_recip], pa.int64()),
          pa.array([ppm], pa.int64())],
         names=["n_edges", "n_recip", "recip_ppm"],
+    )
+
+
+def hits(
+    edges,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    scale: int = 1_000_000,
+    node_budget: int = 2_000_000,
+    force_distributed: bool = False,
+    num_buckets: int = 64,
+):
+    """HITS hubs/authorities in **exact integer arithmetic** —
+    ``(node, hub, auth)`` after ``iters`` iterations.
+
+    Recurrence (the DuckDB oracle unrolls it term-for-term):
+
+    * ``hub0 = scale`` for every node;
+    * ``raw_a(v) = sum over edges (u, v) of hub(u)`` (parallel edges
+      each contribute; no in-edges → 0);
+    * ``auth(v) = raw_a(v) // max(1, max_raw_a // scale)``;
+    * ``raw_h(u) = sum over edges (u, v) of auth(v)``;
+    * ``hub(u) = raw_h(u) // max(1, max_raw_h // scale)``.
+
+    Normalizing by the (exact, single-scalar) **max** instead of the L2
+    norm keeps every step int64: scores stay ~``scale`` so the partial
+    sums overflow only past ~9e12 weighted in-degree.  Results are
+    independent of partitioning and batch layout.
+
+    Scale shape mirrors :func:`pagerank`'s budget hybrid: under
+    ``node_budget`` the two score vectors live on the driver (O(nodes)
+    driver memory) and each half-iteration is ONE stateless pass over
+    the edges (per-batch ``pc.index_in`` + ``bincount`` partials);
+    above it scores stay a Dataset and each half-iteration is a
+    bucketed lookup join + one ``groupby`` exchange + a bucketed left
+    join back onto the node table (only the max scalar reaches the
+    driver).  Both branches produce identical integers (tested).
+
+    The reference engine has no HITS; this is the link-analysis
+    companion to :func:`pagerank` for crawl-graph hub scoring.
+    """
+    import ray
+
+    edges = _snapshot(edges.select_columns([src_col, dst_col]))
+    n_nodes = None
+    if not force_distributed:
+        n_nodes = edge_nodes(edges, src_col, dst_col).count()
+    if force_distributed or n_nodes > node_budget:
+        return _hits_distributed(
+            edges, src_col, dst_col, iters, scale, num_buckets,
+        )
+
+    node_set: set = set()
+    for b in edge_nodes(edges, src_col, dst_col).iter_batches(
+        batch_format="pyarrow",
+    ):
+        node_set.update(b.column("node").to_pylist())
+    nodes = sorted(node_set)
+    nodes_arr = pa.array(nodes)
+    nodes_ref = ray.put(nodes_arr)
+
+    def _propagate(score: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+        """One edge pass: raw(to) = sum of score(from) over edges."""
+        score_ref = ray.put(score)
+
+        def _partial(t: pa.Table, _n=nodes_ref, _s=score_ref) -> pa.Table:
+            nds = ray.get(_n)
+            sc = ray.get(_s)
+            f = t.column(from_col).combine_chunks()
+            to = t.column(to_col).combine_chunks()
+            fi = pc.index_in(f, value_set=nds).to_numpy(zero_copy_only=False)
+            ti = pc.index_in(to, value_set=nds).to_numpy(zero_copy_only=False)
+            sums = np.bincount(
+                ti.astype(np.int64),
+                weights=sc[fi.astype(np.int64)].astype(np.float64),
+                minlength=len(nds),
+            ).astype(np.int64)
+            nz = np.flatnonzero(sums)
+            return pa.Table.from_arrays(
+                [pa.array(nz, pa.int64()), pa.array(sums[nz], pa.int64())],
+                names=["idx", "s"],
+            )
+
+        raw = np.zeros(len(nodes), dtype=np.int64)
+        for b in edges.map_batches(
+            _partial, batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow"):
+            idx = b.column("idx").to_numpy(zero_copy_only=False)
+            s = b.column("s").to_numpy(zero_copy_only=False)
+            np.add.at(raw, idx, s)
+        return raw
+
+    hub = np.full(len(nodes), scale, dtype=np.int64)
+    auth = np.zeros(len(nodes), dtype=np.int64)
+    for _ in range(iters):
+        raw_a = _propagate(hub, src_col, dst_col)
+        auth = raw_a // max(1, int(raw_a.max(initial=0)) // scale)
+        raw_h = _propagate(auth, dst_col, src_col)
+        hub = raw_h // max(1, int(raw_h.max(initial=0)) // scale)
+
+    return ray.data.from_arrow(pa.Table.from_arrays(
+        [nodes_arr, pa.array(hub, pa.int64()), pa.array(auth, pa.int64())],
+        names=["node", "hub", "auth"],
+    ))
+
+
+def _hits_distributed(edges, src_col, dst_col, iters, scale, num_buckets):
+    """Scores stay a Dataset; per half-iteration: bucketed from-side
+    lookup join → per-batch partial sums keyed on the to-side →
+    ``groupby`` → bucketed left join onto the node table; the max
+    normalizer is the only scalar fetched."""
+    from ..struct.degree import bucketed_attach
+
+    nodes = _snapshot(edge_nodes(edges, src_col, dst_col))
+
+    def _const(name, val):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [t.column("node"),
+                 pa.array(np.full(t.num_rows, val, np.int64), pa.int64())],
+                names=["node", name],
+            )
+        return _f
+
+    def _propagate(scores, score_col, from_col, to_col, out_col):
+        tagged = bucketed_attach(
+            edges, from_col, scores, "node", [score_col],
+            num_buckets=num_buckets, how="inner",
+        )
+
+        def _partial(t: pa.Table) -> pa.Table:
+            to = t.column(to_col).combine_chunks()
+            enc = to.dictionary_encode()
+            codes = np.asarray(
+                enc.indices.to_numpy(zero_copy_only=False), np.int64,
+            )
+            c = t.column(score_col).to_numpy(zero_copy_only=False)
+            sums = np.bincount(
+                codes, weights=c.astype(np.float64),
+                minlength=len(enc.dictionary),
+            ).astype(np.int64)
+            return pa.Table.from_arrays(
+                [enc.dictionary, pa.array(sums, pa.int64())],
+                names=["node", "s"],
+            )
+
+        def _sum(g: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [
+                    g.column("node").slice(0, 1),
+                    pa.array([int(pc.sum(g.column("s")).as_py())], pa.int64()),
+                ],
+                names=["node", "s"],
+            )
+
+        raw = _snapshot(
+            bucketed_attach(
+                nodes, "node",
+                tagged.map_batches(_partial, batch_format="pyarrow")
+                    .groupby("node").map_groups(_sum, batch_format="pyarrow"),
+                "node", ["s"], num_buckets=num_buckets, how="left",
+            ).map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t.column("node"), pc.fill_null(t.column("s"), 0)],
+                    names=["node", "s"],
+                ),
+                batch_format="pyarrow",
+            ),
+        )
+        mx = raw.max("s") or 0
+        q = max(1, int(mx) // scale)
+
+        def _norm(t: pa.Table) -> pa.Table:
+            s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.Table.from_arrays(
+                [t.column("node"), pa.array(s // q, pa.int64())],
+                names=["node", out_col],
+            )
+
+        return _snapshot(raw.map_batches(_norm, batch_format="pyarrow"))
+
+    hub = _snapshot(
+        nodes.map_batches(_const("hub", scale), batch_format="pyarrow"),
+    )
+    auth = None
+    for _ in range(iters):
+        auth = _propagate(hub, "hub", src_col, dst_col, "auth")
+        hub = _propagate(auth, "auth", dst_col, src_col, "hub")
+
+    return bucketed_attach(
+        hub, "node", auth, "node", ["auth"], num_buckets=num_buckets,
+        how="left",
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("node"), t.column("hub"),
+             pc.fill_null(t.column("auth"), 0)],
+            names=["node", "hub", "auth"],
+        ),
+        batch_format="pyarrow",
     )

@@ -382,3 +382,52 @@ def test_bfs_distances_unreachable_and_bound(ray_session):
     assert dict(zip(capped["node"], capped["dist"])) == {
         "a": 0, "b": 1, "c": 2,
     }
+
+
+def _hits_reference(edge_list, iters=3, scale=10**6):
+    nodes = sorted({x for e in edge_list for x in e})
+    h = {n: scale for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(iters):
+        ra = {n: 0 for n in nodes}
+        for u, v in edge_list:
+            ra[v] += h[u]
+        q = max(1, max(ra.values()) // scale)
+        a = {n: ra[n] // q for n in nodes}
+        rh = {n: 0 for n in nodes}
+        for u, v in edge_list:
+            rh[u] += a[v]
+        q = max(1, max(rh.values()) // scale)
+        h = {n: rh[n] // q for n in nodes}
+    return sorted((n, h[n], a[n]) for n in nodes)
+
+
+def test_hits_matches_reference_and_branches_agree(ray_session):
+    import ray.data
+
+    from pybel_ray.ops.graph import hits
+
+    # parallel edge, sink-only node (d has no in-edges, e no out-edges)
+    edge_list = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("a", "b"), ("c", "e"),
+    ]
+    ds = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edge_list],
+    )
+    want = _hits_reference(edge_list)
+    got = sorted(
+        (r["node"], r["hub"], r["auth"]) for r in hits(ds).take_all()
+    )
+    assert got == want
+    dist = sorted(
+        (r["node"], r["hub"], r["auth"])
+        for r in hits(ds, force_distributed=True, num_buckets=4).take_all()
+    )
+    assert dist == want
+    # layout invariance: same integers regardless of block boundaries
+    relaid = sorted(
+        (r["node"], r["hub"], r["auth"])
+        for r in hits(ds.repartition(5)).take_all()
+    )
+    assert relaid == want
