@@ -2101,6 +2101,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = links.map_batches(_hosts, batch_format="pyarrow")
         return hits(edges, iters=3)
 
+    def web_cocitation(sf_dir):
+        # related-hosts primitive: host pairs sharing out-link targets
+        # with the exact Jaccard of their distinct out-link sets in
+        # integer micros; distinct-edge dedup -> per-target pair
+        # generation (mega-hub capped) -> one pair-count exchange ->
+        # two bucketed degree joins.  Oracle: DuckDB self-join over the
+        # identically rebuilt host edges.
+        from pybel_ray.ops.graph import colink_similarity
+        from pybel_ray.ops.html import extract_links
+        from pybel_ray.ops.urls import URL_PATTERN
+
+        links = extract_links(_html_pages(sf_dir))
+
+        def _hosts(t: pa.Table) -> pa.Table:
+            cols = []
+            for c in ("src_url", "dst_url"):
+                u = t.column(c)
+                if isinstance(u, pa.ChunkedArray):
+                    u = u.combine_chunks()
+                cols.append(pc.fill_null(pc.struct_field(
+                    pc.extract_regex(u, URL_PATTERN), "host",
+                ), ""))
+            return pa.Table.from_arrays(cols, names=["src", "dst"])
+
+        edges = links.map_batches(_hosts, batch_format="pyarrow")
+        return colink_similarity(edges, min_shared=1)
+
     def web_host_reciprocity(sf_dir):
         # mutual-linking signal on the crawl's host graph: distinct
         # non-loop host edges deduped (bucketed), ONE bucketed
@@ -2732,6 +2759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_anchor_topk": web_anchor_topk,
         "web_host_pagerank": web_host_pagerank,
         "web_host_hits": web_host_hits,
+        "web_cocitation": web_cocitation,
         "web_host_components": web_host_components,
         "web_host_reciprocity": web_host_reciprocity,
         "web_frontier": web_frontier,
@@ -3406,6 +3434,25 @@ def oracle_sql() -> dict[str, str]:
         # unrolled max-normalized exact-int64 recurrence (see
         # ops/graph.py hits)
         "web_host_hits": _hits_sql(_web_host_edges),
+        # co-citation similarity: distinct-edge self-join + exact
+        # integer-micros Jaccard of distinct out-link sets
+        "web_cocitation": """
+            WITH d AS (SELECT DISTINCT src, dst FROM ({edges})),
+            deg AS (SELECT src, count(*) AS n FROM d GROUP BY src),
+            p AS (
+                SELECT a.src AS src_a, b.src AS src_b,
+                       CAST(count(*) AS BIGINT) AS shared
+                FROM d a JOIN d b ON a.dst = b.dst AND a.src < b.src
+                GROUP BY 1, 2 HAVING count(*) >= 1
+            )
+            SELECT p.src_a, p.src_b, p.shared,
+                   CAST(da.n AS BIGINT) AS deg_a,
+                   CAST(db.n AS BIGINT) AS deg_b,
+                   CAST(p.shared * 1000000 // (da.n + db.n - p.shared)
+                        AS BIGINT) AS jaccard_micros
+            FROM p JOIN deg da ON p.src_a = da.src
+                   JOIN deg db ON p.src_b = db.src
+        """.format(edges=_web_host_edges),
         # full SimHash recomputed in SQL (shared md5 gram hash); the
         # engine's banded pair algorithm is provably complete for
         # max_hamming < bands, so the brute SQL pair scan is its oracle

@@ -42,6 +42,7 @@ __all__ = [
     "bfs_distances",
     "edge_reciprocity",
     "hits",
+    "colink_similarity",
 ]
 
 
@@ -943,3 +944,151 @@ def _hits_distributed(edges, src_col, dst_col, iters, scale, num_buckets):
         ),
         batch_format="pyarrow",
     )
+
+
+def colink_similarity(
+    edges,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_shared: int = 2,
+    max_group: int = 100_000,
+    num_buckets: int = 64,
+):
+    """Co-citation similarity: source pairs ``(a < b)`` that link to at
+    least ``min_shared`` common distinct targets, with the exact Jaccard
+    of their distinct out-link sets in integer micros —
+    ``(src_a, src_b, shared, deg_a, deg_b, jaccard_micros)``.
+
+    This is the "related hosts / related pages" primitive of web-graph
+    analysis (SimRank's first iteration): two hosts are similar when
+    their out-link sets overlap.
+
+    Scale shape: distinct ``(src, dst)`` edges first (ONE bucketed
+    dedup — pair generation is per distinct target, so parallel edges
+    never inflate it); candidate pairs are generated per ``dst`` group
+    (payload = the target's in-degree; groups above ``max_group``
+    sources are dropped WITH A LOGGED COUNT — the standard mega-hub cap,
+    same policy as the LSH band buckets); per-batch partial pair counts
+    → ONE ``groupby`` exchange; out-degrees attach via two bucketed
+    lookup joins.  Texts/urls beyond the key columns never move.
+
+    Exact (= the DuckDB self-join oracle) whenever no target exceeds
+    ``max_group``.
+    """
+    import logging
+
+    from ..stages.dedup import dedup_exact
+    from ..struct.degree import bucketed_attach
+    from ._kernels import runlength_distinct_counts
+
+    sep = "\x1f"
+
+    def _key(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column(src_col), pa.string())
+        d = pc.cast(t.column(dst_col), pa.string())
+        keep = pc.and_kleene(pc.is_valid(s), pc.is_valid(d))
+        t = pa.Table.from_arrays([s, d], names=["_s", "_d"]).filter(keep)
+        return t.append_column(
+            "_k", pc.binary_join_element_wise(
+                t.column("_s"), t.column("_d"), sep,
+            ),
+        )
+
+    distinct = dedup_exact(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            _key, batch_format="pyarrow",
+        ),
+        "_k", num_buckets=num_buckets,
+    ).select_columns(["_s", "_d"]).materialize()
+
+    deg = distinct.groupby("_s").count().map_batches(
+        lambda t: t.rename_columns(["node", "outdeg"]),
+        batch_format="pyarrow",
+    )
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        srcs = np.sort(
+            g.column("_s").to_numpy(zero_copy_only=False).astype(object),
+        )
+        n = len(srcs)
+        if n > max_group:
+            logging.getLogger(__name__).warning(
+                "colink_similarity: dropping target %r with %d sources"
+                " (max_group=%d)", g.column("_d")[0].as_py(), n, max_group,
+            )
+            n = 0
+        if n < 2:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string())],
+                names=["src_a", "src_b"],
+            )
+        ia, ib = np.triu_indices(n, k=1)
+        return pa.Table.from_arrays(
+            [pa.array(srcs[ia], pa.string()), pa.array(srcs[ib], pa.string())],
+            names=["src_a", "src_b"],
+        )
+
+    pairs = distinct.groupby("_d").map_groups(_pairs, batch_format="pyarrow")
+
+    # per-batch run-length partials, then the one (src_a, src_b) exchange
+    def _partial(t: pa.Table) -> pa.Table:
+        a = t.column("src_a").combine_chunks()
+        b = t.column("src_b").combine_chunks()
+        take, counts = runlength_distinct_counts([a, b])
+        return pa.Table.from_arrays(
+            [pc.take(a, take), pc.take(b, take),
+             pa.array(counts, pa.int64())],
+            names=["src_a", "src_b", "n"],
+        )
+
+    partial = pairs.map_batches(_partial, batch_format="pyarrow")
+
+    def _sum(g: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                g.column("src_a").slice(0, 1),
+                g.column("src_b").slice(0, 1),
+                pa.array([int(pc.sum(g.column("n")).as_py())], pa.int64()),
+            ],
+            names=["src_a", "src_b", "shared"],
+        )
+
+    def _pairkey(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_pk", pc.binary_join_element_wise(
+                t.column("src_a"), t.column("src_b"), sep,
+            ),
+        )
+
+    shared = partial.map_batches(_pairkey, batch_format="pyarrow") \
+        .groupby("_pk").map_groups(_sum, batch_format="pyarrow") \
+        .filter(lambda r: r["shared"] >= min_shared)
+
+    out = bucketed_attach(
+        bucketed_attach(
+            shared, "src_a", deg, "node", ["outdeg"],
+            num_buckets=num_buckets, how="inner",
+        ).map_batches(
+            lambda t: t.rename_columns(
+                ["src_a", "src_b", "shared", "deg_a"],
+            ),
+            batch_format="pyarrow",
+        ),
+        "src_b", deg, "node", ["outdeg"],
+        num_buckets=num_buckets, how="inner",
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["src_a", "src_b", "shared", "deg_a", "deg_b"],
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _jaccard(t: pa.Table) -> pa.Table:
+        s = t.column("shared").to_numpy(zero_copy_only=False).astype(np.int64)
+        da = t.column("deg_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t.column("deg_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        union = da + db - s
+        jm = (s * 1_000_000) // np.where(union == 0, 1, union)
+        return t.append_column("jaccard_micros", pa.array(jm, pa.int64()))
+
+    return out.map_batches(_jaccard, batch_format="pyarrow")

@@ -431,3 +431,45 @@ def test_hits_matches_reference_and_branches_agree(ray_session):
         for r in hits(ds.repartition(5)).take_all()
     )
     assert relaid == want
+
+
+def test_colink_similarity_exact_and_cap(ray_session):
+    import ray.data
+
+    from pybel_ray.ops.graph import colink_similarity
+
+    edge_list = [
+        ("a", "x"), ("a", "y"), ("a", "z"),
+        ("b", "x"), ("b", "y"), ("b", "z"),
+        ("c", "x"), ("a", "x"),  # parallel edge must not inflate
+    ]
+    ds = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edge_list],
+    )
+    out = colink_similarity(ds, min_shared=1).to_pandas()
+    got = {
+        (r.src_a, r.src_b): (r.shared, r.deg_a, r.deg_b, r.jaccard_micros)
+        for r in out.itertuples()
+    }
+    assert got == {
+        ("a", "b"): (3, 3, 3, 1_000_000),
+        ("a", "c"): (1, 3, 1, 333_333),
+        ("b", "c"): (1, 3, 1, 333_333),
+    }
+    # min_shared gates pairs
+    strict = colink_similarity(ds, min_shared=2).to_pandas()
+    assert set(zip(strict["src_a"], strict["src_b"])) == {("a", "b")}
+    # mega-hub cap: target x (3 sources) dropped entirely -> only the
+    # y/z co-links survive
+    capped = colink_similarity(ds, min_shared=1, max_group=2).to_pandas()
+    got_capped = {
+        (r.src_a, r.src_b): r.shared for r in capped.itertuples()
+    }
+    assert got_capped == {("a", "b"): 2}
+    # null endpoints are dropped, not crashed on
+    withnull = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edge_list]
+        + [{"src": None, "dst": "x"}, {"src": "a", "dst": None}],
+    )
+    out2 = colink_similarity(withnull, min_shared=1).to_pandas()
+    assert len(out2) == 3
