@@ -1769,6 +1769,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"n": ("count", None), "value_e6": ("sum", "value_e6")},
         )
 
+    def events_funnel(sf_dir):
+        # ordered funnel view -> click -> purchase: per step one
+        # vectorized groupby(user).min(ts) + one bucketed join of the
+        # previous reach table (strict-inequality cascade); no per-user
+        # group ever materializes.  Oracle: the cascaded min/HAVING SQL.
+        from pybel_ray.ops.funnel import funnel_counts
+
+        return funnel_counts(
+            _read(sf_dir, "events").select_columns(
+                ["user_id", "ts", "event_type"],
+            ),
+            ["view", "click", "purchase"],
+        )
+
+    def events_retention(sf_dir):
+        # cohort retention: users bucketed by first-event day, counted
+        # once per distinct (cohort_day, day_offset) active day — one
+        # groupby(user) min, one bucketed join back, one distinct
+        # exchange, one count aggregate
+        from pybel_ray.ops.funnel import retention_counts
+
+        return retention_counts(
+            _read(sf_dir, "events").select_columns(["user_id", "ts"]),
+        )
+
     def web_host_distances(sf_dir):
         # seeded multi-source BFS over the crawl's host link graph
         # (crawl-depth analysis): frontier expansion with one bucketed
@@ -2724,6 +2749,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_impute_value": events_impute_value,
         "events_rolling_max_value": events_rolling_max_value,
         "events_sessionize": events_sessionize,
+        "events_funnel": events_funnel,
+        "events_retention": events_retention,
         "events_row_number_per_user": events_row_number_per_user,
         "events_user_sequences": events_user_sequences,
         "events_profile": events_profile,
@@ -4867,6 +4894,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING_ID(event_type, day) AS BIGINT)
                        AS grouping_id
             FROM e GROUP BY ROLLUP (event_type, day)
+        """,
+        # ordered funnel: the cascaded strict-after min(ts) recurrence
+        # the engine runs as k bucketed joins, written directly in SQL
+        "events_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type,
+                   CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
+            UNION ALL
+            SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+            UNION ALL
+            SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        # cohort retention: first-event day vs active day offsets
+        "events_retention": """
+            WITH f AS (
+                SELECT user_id, date_trunc('day', min(ts)) AS c
+                FROM events GROUP BY user_id
+            )
+            SELECT CAST(f.c AS TIMESTAMP) AS cohort_day,
+                   CAST(date_diff('day', f.c,
+                                  date_trunc('day', e.ts)) AS BIGINT)
+                       AS day_offset,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+            FROM events e JOIN f ON e.user_id = f.user_id
+            GROUP BY 1, 2
         """,
         # seeded multi-source BFS distances over the rebuilt host edges:
         # bounded recursive CTE; UNION dedups (node, d) pairs so cycles
