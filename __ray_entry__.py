@@ -1769,6 +1769,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"n": ("count", None), "value_e6": ("sum", "value_e6")},
         )
 
+    def doc_length_ntile(sf_dir):
+        # global decile bucketing by document length (curriculum /
+        # stratification primitive): exact SQL NTILE semantics over a
+        # composed unique order key; one distributed sort, one row per
+        # block to the driver
+        from pybel_ray.ops.window import ntile
+
+        ds = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "n_chars"],
+        )
+
+        def _ord(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_ord", pc.add(
+                    pc.multiply(
+                        pc.cast(t.column("n_chars"), pa.int64()),
+                        pa.scalar(4294967296, pa.int64()),
+                    ),
+                    pc.cast(t.column("doc_id"), pa.int64()),
+                ),
+            )
+
+        return ntile(
+            ds.map_batches(_ord, batch_format="pyarrow"), 10, "_ord",
+        ).select_columns(["doc_id", "n_chars", "tile"])
+
+    def part_skyline(sf_dir):
+        # Pareto frontier over (price min, size max): local skyline per
+        # block (lossless pruning) -> one final pass over survivors;
+        # oracle is the NOT EXISTS dominance SQL
+        from pybel_ray.ops.relational import skyline
+
+        return skyline(
+            _read(sf_dir, "part").select_columns(
+                ["p_partkey", "p_size", "p_retailprice"],
+            ),
+            [("p_retailprice", "min"), ("p_size", "max")],
+        )
+
     def events_funnel(sf_dir):
         # ordered funnel view -> click -> purchase: per step one
         # vectorized groupby(user).min(ts) + one bucketed join of the
@@ -2751,6 +2790,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events_sessionize,
         "events_funnel": events_funnel,
         "events_retention": events_retention,
+        "doc_length_ntile": doc_length_ntile,
+        "part_skyline": part_skyline,
         "events_row_number_per_user": events_row_number_per_user,
         "events_user_sequences": events_user_sequences,
         "events_profile": events_profile,
@@ -4918,6 +4959,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
             UNION ALL
             SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        # exact NTILE decile over the composed unique order key the
+        # engine sorts by
+        "doc_length_ntile": """
+            SELECT doc_id, n_chars,
+                   CAST(NTILE(10) OVER (
+                       ORDER BY n_chars * 4294967296 + doc_id
+                   ) AS BIGINT) AS tile
+            FROM documents
+        """,
+        # Pareto frontier: NOT EXISTS dominance (ties survive together)
+        "part_skyline": """
+            SELECT p_partkey, p_size, p_retailprice FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size > p.p_size)
+            )
         """,
         # cohort retention: first-event day vs active day offsets
         "events_retention": """

@@ -913,3 +913,68 @@ def collect_sorted(ds, keys, value_col: str, order_cols,
         return pa.Table.from_arrays(arrays, names=keys + [out_col, count_col])
 
     return ds.groupby(keys).map_groups(_collect, batch_format="pyarrow")
+
+
+def skyline(ds, dims):
+    """Pareto frontier (SQL ``NOT EXISTS`` dominance): rows not
+    dominated by any other row.  ``dims`` is ``[(col, 'min'|'max'),
+    ...]``; ``q`` dominates ``p`` when ``q`` is at-least-as-good on
+    every dim and strictly better on one.  Duplicate points never
+    dominate each other, so ties survive together — exactly the SQL
+    semantics.  Null dims are dropped (SQL comparisons with NULL are
+    never true, so null rows can neither dominate nor be dominated
+    deterministically; documented contract: rows with a null dim are
+    excluded).
+
+    Scale shape: a LOCAL skyline per block first (any globally
+    undominated row is locally undominated, so local pruning is
+    lossless), then ONE final pass over the concatenated survivors
+    (``repartition(1)``).  Skyline sizes are tiny in practice —
+    O(d·log^(d-1) n) expected for independent dims — so the final
+    single-block pass sees only survivors, never the input.  Per block:
+    lexicographic sort (later rows never dominate earlier ones), one
+    pass appending to the running frontier with a vectorized dominance
+    check per row (O(rows × frontier)).
+    """
+    dims = list(dims)
+    cols = [c for c, _ in dims]
+    for _c, d in dims:
+        if d not in ("min", "max"):
+            raise ValueError("skyline: direction must be 'min' or 'max'")
+
+    def _normalized(t: pa.Table) -> np.ndarray:
+        mat = np.empty((t.num_rows, len(dims)), np.float64)
+        for j, (c, d) in enumerate(dims):
+            v = t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            mat[:, j] = -v if d == "max" else v
+        return mat
+
+    def _local(t: pa.Table) -> pa.Table:
+        valid = np.ones(t.num_rows, bool)
+        for c in cols:
+            valid &= pc.is_valid(
+                t.column(c).combine_chunks(),
+            ).to_numpy(zero_copy_only=False)
+        t = t.take(pa.array(np.flatnonzero(valid)))
+        if t.num_rows == 0:
+            return t
+        m = _normalized(t)
+        order = np.lexsort(m.T[::-1])  # ascending lexicographic on dims
+        sm = m[order]
+        keep: list[int] = []
+        front = np.empty((0, len(dims)), np.float64)
+        for i in range(len(sm)):
+            p = sm[i]
+            if len(front):
+                better_eq = (front <= p).all(axis=1)
+                strict = (front < p).any(axis=1)
+                if (better_eq & strict).any():
+                    continue
+            keep.append(i)
+            front = np.vstack([front, p])
+        return t.take(pa.array(order[np.array(keep, np.int64)]))
+
+    local = ds.map_batches(_local, batch_format="pyarrow", batch_size=None)
+    return local.repartition(1).map_batches(
+        _local, batch_format="pyarrow", batch_size=None,
+    )

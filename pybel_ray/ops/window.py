@@ -949,3 +949,38 @@ def pack_by_budget(
         )
 
     return _scan(ds, order_col, _int_column(value_col), [out_col], emit)
+
+
+def ntile(ds, n: int, order_col: str, out_col: str = "tile"):
+    """``NTILE(n) OVER (ORDER BY order_col)`` with exact SQL semantics:
+    with ``N = count(ds)`` and ``q, r = divmod(N, n)``, the first ``r``
+    tiles hold ``q + 1`` rows and the rest ``q`` (tiles differ by at
+    most one row, earlier tiles larger).
+
+    ``order_col`` must be UNIQUE (compose a tiebreak into it — the same
+    expression the SQL mirror orders by); the two-pass block-prefix
+    row numbering identifies blocks by their first order value, the
+    same contract as :func:`global_row_number`.  One distributed sort;
+    one row per block reaches the driver.
+    """
+    if n < 1:
+        raise ValueError("ntile: n must be >= 1")
+    total = ds.count()
+    q, r = divmod(total, n)
+    cut = r * (q + 1)  # ranks <= cut fall in the first r (larger) tiles
+
+    numbered = global_row_number(ds, order_col, "_rn")
+
+    def _tile(t: pa.Table) -> pa.Table:
+        rn = t.column("_rn").to_numpy(zero_copy_only=False)
+        if q == 0:
+            # fewer rows than tiles: tile == rank
+            tile = rn
+        else:
+            small = r + (rn - 1 - cut) // q + 1
+            tile = np.where(rn <= cut, (rn - 1) // (q + 1) + 1, small)
+        return t.drop_columns(["_rn"]).append_column(
+            out_col, pa.array(tile.astype(np.int64), pa.int64()),
+        )
+
+    return numbered.map_batches(_tile, batch_format="pyarrow")

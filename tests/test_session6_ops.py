@@ -5,6 +5,7 @@ profile, host reciprocity."""
 import duckdb
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _ds(rows, blocks=1):
@@ -309,3 +310,67 @@ def test_ngram_topk_layout_invariant(ray_session):
     b = [(r["gram"], r["n"])
          for r in ngram_topk(_ds(rows, blocks=13), n=2, k=10).take_all()]
     assert a == b
+
+
+def test_ntile_exact_sql_semantics(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pybel_ray.ops.window import ntile
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "id": np.arange(103), "v": rng.randint(0, 50, 103),
+    })
+    ds = ray.data.from_pandas(df).map_batches(
+        lambda t: t.append_column(
+            "_ord", pc.add(pc.multiply(t.column("v"), 1000),
+                           t.column("id")),
+        ),
+        batch_format="pyarrow",
+    ).repartition(5)
+    for n in (1, 7, 103, 200):
+        out = ntile(ds, n, "_ord").to_pandas().set_index("id")["tile"]
+        want = duckdb.sql(
+            "SELECT id, CAST(NTILE({}) OVER (ORDER BY v*1000+id) AS BIGINT)"
+            " AS t FROM df".format(n),
+        ).df().set_index("id")["t"]
+        assert (out.sort_index() == want.sort_index()).all(), n
+
+
+def test_skyline_matches_not_exists(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pybel_ray.ops.relational import skyline
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "k": np.arange(300),
+        "x": rng.randint(0, 15, 300).astype(float),
+        "y": rng.randint(0, 15, 300).astype(float),
+    })
+    # plant an exact duplicate of an extreme point: ties must co-survive
+    df.loc[298, ["x", "y"]] = [0.0, 14.0]
+    df.loc[299, ["x", "y"]] = [0.0, 14.0]
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = skyline(ds, [("x", "min"), ("y", "max")]).to_pandas()
+    want = duckdb.sql("""
+        SELECT k FROM df p WHERE NOT EXISTS (
+            SELECT 1 FROM df q
+            WHERE q.x <= p.x AND q.y >= p.y
+              AND (q.x < p.x OR q.y > p.y))
+    """).df()
+    assert sorted(got["k"]) == sorted(want["k"])
+    assert {298, 299} <= set(got["k"])
+    # null dims are excluded by contract
+    df2 = df.copy()
+    df2.loc[0, "x"] = None
+    got2 = skyline(
+        ray.data.from_pandas(df2), [("x", "min"), ("y", "max")],
+    ).to_pandas()
+    assert 0 not in set(got2["k"])
