@@ -1769,6 +1769,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"n": ("count", None), "value_e6": ("sum", "value_e6")},
         )
 
+    def events_cube(sf_dir):
+        # GROUP BY CUBE over (event_type, day): all 4 grouping sets
+        # from ONE raw-data exchange (coarser sets re-aggregate the
+        # finest aggregate table); grouping_id matches GROUPING_ID
+        from pybel_ray.ops.relational import groupby_cube
+
+        ds = _read(sf_dir, "events")
+
+        def _prep(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "day", pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+            )
+
+        return groupby_cube(
+            ds.map_batches(_prep, batch_format="pyarrow"),
+            ["event_type", "day"],
+            {"n": ("count", None)},
+        )
+
     def doc_length_ntile(sf_dir):
         # global decile bucketing by document length (curriculum /
         # stratification primitive): exact SQL NTILE semantics over a
@@ -2792,6 +2811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": events_retention,
         "doc_length_ntile": doc_length_ntile,
         "part_skyline": part_skyline,
+        "events_cube": events_cube,
         "events_row_number_per_user": events_row_number_per_user,
         "events_user_sequences": events_user_sequences,
         "events_profile": events_profile,
@@ -4959,6 +4979,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
             UNION ALL
             SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        # CUBE over (event_type, day) — all four grouping sets
+        "events_cube": """
+            WITH e AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day
+                FROM events
+            )
+            SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+                   CAST(GROUPING_ID(event_type, day) AS BIGINT)
+                       AS grouping_id
+            FROM e GROUP BY CUBE (event_type, day)
         """,
         # exact NTILE decile over the composed unique order key the
         # engine sorts by

@@ -820,6 +820,47 @@ def groupby_rollup(ds, keys, aggs: Mapping[str, tuple]):
                 "groupby_rollup: agg %r kind %r is not re-aggregatable"
                 % (name, kind),
             )
+    m = len(keys)
+    sets_ = [(keys, 0)] + [
+        (keys[:i], (1 << (m - i)) - 1) for i in range(m - 1, -1, -1)
+    ]
+    return _grouping_sets(ds, keys, aggs, sets_)
+
+
+def groupby_cube(ds, keys, aggs: Mapping[str, tuple]):
+    """SQL ``GROUP BY CUBE (keys...)``: one aggregate row per group for
+    EVERY subset of ``keys`` (2^k levels), rolled-up key columns NULL,
+    ``grouping_id`` matching DuckDB ``GROUPING_ID(keys...)`` (first key
+    = most significant bit).
+
+    Same restrictions and scale shape as :func:`groupby_rollup`: only
+    re-aggregatable kinds (``count``/``sum``/``min``/``max``) and
+    exactly ONE exchange over the raw data — every coarser subset
+    re-aggregates the finest aggregate table.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    keys = list(keys)
+    for name, (kind, _col) in aggs.items():
+        if kind not in ("count", "sum", "min", "max"):
+            raise ValueError(
+                "groupby_cube: agg %r kind %r is not re-aggregatable"
+                % (name, kind),
+            )
+    m = len(keys)
+    sets_ = []
+    for gid in range(1 << m):
+        # bit (m-1-j) set in GROUPING_ID means key j is rolled up
+        kept = [keys[j] for j in range(m) if not gid & (1 << (m - 1 - j))]
+        sets_.append((kept, gid))
+    sets_.sort(key=lambda s: s[1])
+    return _grouping_sets(ds, keys, aggs, sets_)
+
+
+def _grouping_sets(ds, keys, aggs, sets_):
+    """Shared rollup/cube core: ONE finest exchange, then each grouping
+    set re-aggregates the finest aggregate table (see groupby_rollup's
+    docstring for the scale argument)."""
     agg_names = list(aggs)
     out_names = keys + agg_names + ["grouping_id"]
 
@@ -846,12 +887,11 @@ def groupby_rollup(ds, keys, aggs: Mapping[str, tuple]):
             return pa.Table.from_arrays(arrays, names=out_names)
         return _f
 
-    levels = [fine.map_batches(_finish(keys, 0), batch_format="pyarrow")]
-    m = len(keys)
-    for i in range(m - 1, -1, -1):
-        gid = (1 << (m - i)) - 1
-        kept = keys[:i]
-        if kept:
+    levels = []
+    for kept, gid in sets_:
+        if set(kept) == set(keys):
+            lvl = fine
+        elif kept:
             lvl = groupby_agg(fine, kept, re_aggs)
         else:
             def _tag(t: pa.Table) -> pa.Table:

@@ -374,3 +374,38 @@ def test_skyline_matches_not_exists(ray_session):
         ray.data.from_pandas(df2), [("x", "min"), ("y", "max")],
     ).to_pandas()
     assert 0 not in set(got2["k"])
+
+
+def test_cube_three_keys_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from pybel_ray.ops.relational import groupby_cube
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "y", "y", "y", "z"],
+        "b": ["p", "q", "p", "p", "q", "q"],
+        "c": ["1", "1", "2", "1", "2", "2"],
+        "v": [10, 20, 30, 40, 50, 60],
+    })
+    out = groupby_cube(
+        ray.data.from_pandas(df).repartition(3),
+        ["a", "b", "c"],
+        {"n": ("count", None), "sv": ("sum", "v"),
+         "mn": ("min", "v"), "mx": ("max", "v")},
+    ).to_pandas()
+    want = duckdb.sql("""
+        SELECT a, b, c, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS sv,
+               CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx,
+               CAST(GROUPING_ID(a, b, c) AS BIGINT) AS grouping_id
+        FROM df GROUP BY CUBE (a, b, c)
+    """).df()
+    key = ["grouping_id", "a", "b", "c"]
+    got = out.sort_values(key, na_position="first").reset_index(drop=True)
+    exp = want.sort_values(key, na_position="first").reset_index(drop=True)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[exp.columns], exp, check_dtype=False,
+    )
