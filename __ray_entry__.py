@@ -1769,6 +1769,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"n": ("count", None), "value_e6": ("sum", "value_e6")},
         )
 
+    def tpch_q3_shipping_priority(sf_dir):
+        # TPC-H Q3 composition: segment-filtered customer ⋈ date-
+        # filtered orders (bucketed big-big equi_join) ⋈ lineitem,
+        # per-line revenue quantized to micros BEFORE the sum (exact
+        # int64 both sides), top-10 by (revenue desc, orderkey)
+        from pybel_ray.ops.relational import equi_join, groupby_agg, topk
+
+        import datetime as _dt
+
+        cutoff = pa.scalar(_dt.datetime(1998, 1, 1), pa.timestamp("us"))
+        cust = _read(sf_dir, "customer").filter(
+            expr="c_mktsegment == 'BUILDING'",
+        ).select_columns(["c_custkey"])
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        ).map_batches(
+            lambda t: t.filter(pc.less(t.column("o_orderdate"), cutoff)),
+            batch_format="pyarrow",
+        )
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ).map_batches(
+            lambda t: t.filter(pc.greater(t.column("l_shipdate"), cutoff)),
+            batch_format="pyarrow",
+        )
+
+        j = equi_join(orders, cust, on="o_custkey", right_on="c_custkey")
+        j = equi_join(
+            li, j.select_columns(
+                ["o_orderkey", "o_orderdate", "o_orderpriority"],
+            ),
+            on="l_orderkey", right_on="o_orderkey",
+        )
+
+        def _rev(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            d = t.column("l_discount").to_numpy(zero_copy_only=False)
+            e6 = np.floor(p * (1.0 - d) * 1e6 + 0.5).astype(np.int64)
+            return pa.Table.from_arrays(
+                [t.column("l_orderkey"), t.column("o_orderdate"),
+                 t.column("o_orderpriority"), pa.array(e6, pa.int64())],
+                names=["l_orderkey", "o_orderdate", "o_orderpriority",
+                       "rev_e6"],
+            )
+
+        agg = groupby_agg(
+            j.map_batches(_rev, batch_format="pyarrow"),
+            ["l_orderkey", "o_orderdate", "o_orderpriority"],
+            {"revenue_e6": ("sum", "rev_e6")},
+        )
+        return topk(
+            agg, "revenue_e6", 10, descending=True,
+            tie_keys=["l_orderkey"],
+        )
+
+    def events_rolling_avg(sf_dir):
+        # per-user rolling mean of the last 5 event values (ROWS
+        # BETWEEN 4 PRECEDING AND CURRENT ROW) in exact integer micros;
+        # one groupby exchange, vectorized sliding windows per group
+        from pybel_ray.ops.window import rolling_mean_by
+
+        out = rolling_mean_by(
+            _read(sf_dir, "events").select_columns(
+                ["event_id", "user_id", "ts", "value"],
+            ),
+            "user_id", ["ts", "event_id"], "value", preceding=4,
+        )
+        return out.select_columns(["event_id", "user_id", "rolling_e6"])
+
     def events_cube(sf_dir):
         # GROUP BY CUBE over (event_type, day): all 4 grouping sets
         # from ONE raw-data exchange (coarser sets re-aggregate the
@@ -2812,6 +2883,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_ntile": doc_length_ntile,
         "part_skyline": part_skyline,
         "events_cube": events_cube,
+        "events_rolling_avg": events_rolling_avg,
+        "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
         "events_row_number_per_user": events_row_number_per_user,
         "events_user_sequences": events_user_sequences,
         "events_profile": events_profile,
@@ -4979,6 +5052,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
             UNION ALL
             SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        # TPC-H Q3: per-line revenue quantized to micros before the sum
+        # (exact int64 both sides); top-10 by (revenue desc, orderkey)
+        "tpch_q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(CAST(floor(
+                       l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5
+                   ) AS BIGINT)) AS BIGINT) AS revenue_e6
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_e6 DESC, l_orderkey LIMIT 10
+        """,
+        # per-user rolling mean over the trailing 5-row window in
+        # integer micros (sums are non-negative here so floor == //)
+        "events_rolling_avg": """
+            SELECT event_id, user_id,
+                   CASE WHEN count(value) OVER w = 0 THEN NULL
+                        ELSE CAST(
+                            sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                                OVER w
+                            // count(value) OVER w AS BIGINT) END
+                       AS rolling_e6
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         # CUBE over (event_type, day) — all four grouping sets
         "events_cube": """

@@ -984,3 +984,46 @@ def ntile(ds, n: int, order_col: str, out_col: str = "tile"):
         )
 
     return numbered.map_batches(_tile, batch_format="pyarrow")
+
+
+def rolling_mean_by(
+    ds,
+    partition_col: str,
+    order_cols,
+    value_col: str,
+    preceding: int,
+    out_col: str = "rolling_e6",
+):
+    """Integer-exact rolling mean — ``sum(v_e6) OVER w // count(v) OVER
+    w`` with ``w = (PARTITION BY p ORDER BY o ROWS BETWEEN k PRECEDING
+    AND CURRENT ROW)``; values quantize to micros (``floor(v*1e6+0.5)``)
+    so both sides share exact int64 arithmetic (floor division — equal
+    to SQL ``//`` whenever window sums are non-negative, documented).
+    Window-null values are excluded from both sum and count (SQL
+    semantics); an all-null window yields NULL.
+
+    One groupby exchange; per-group payload = the key's rows (same
+    co-location contract as :func:`rolling_extremum` — salt upstream
+    for degenerate single-key skew).
+    """
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def _roll(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(c, "ascending") for c in order_cols])
+        v = g.column(value_col).combine_chunks()
+        valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        fv = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        e6 = np.floor(np.where(valid, fv, 0.0) * 1e6 + 0.5).astype(np.int64)
+        ones = valid.astype(np.int64)
+        pad_v = np.r_[np.zeros(preceding, np.int64), e6]
+        pad_c = np.r_[np.zeros(preceding, np.int64), ones]
+        wv = np.lib.stride_tricks.sliding_window_view(pad_v, preceding + 1)
+        wc = np.lib.stride_tricks.sliding_window_view(pad_c, preceding + 1)
+        sums = wv.sum(axis=1)
+        counts = wc.sum(axis=1)
+        out = np.where(counts > 0, sums // np.where(counts == 0, 1, counts), 0)
+        return g.append_column(
+            out_col, pa.array(out, pa.int64(), mask=counts == 0),
+        )
+
+    return ds.groupby(partition_col).map_groups(_roll, batch_format="pyarrow")

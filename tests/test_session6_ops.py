@@ -409,3 +409,27 @@ def test_cube_three_keys_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got[exp.columns], exp, check_dtype=False,
     )
+
+
+def test_rolling_mean_null_and_window_semantics(ray_session):
+    import ray.data
+
+    from pybel_ray.ops.window import rolling_mean_by
+
+    rows = [
+        # key a: values 1, None, 3 with window 1-preceding
+        {"k": "a", "o": 1, "v": 1.0},
+        {"k": "a", "o": 2, "v": None},
+        {"k": "a", "o": 3, "v": 3.0},
+        {"k": "a", "o": 4, "v": None},
+        # key b: single null -> all-null window yields NULL
+        {"k": "b", "o": 1, "v": None},
+    ]
+    out = rolling_mean_by(
+        ray.data.from_items(rows).repartition(3),
+        "k", ["o"], "v", preceding=1,
+    ).to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    got = [None if v != v else int(v) for v in out["rolling_e6"]]
+    # a@1: mean(1)=1e6; a@2: window (1, null) -> 1e6; a@3: (null, 3) ->
+    # 3e6; a@4: (3, null) -> 3e6; b@1: NULL
+    assert got == [1_000_000, 1_000_000, 3_000_000, 3_000_000, None]
