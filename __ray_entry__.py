@@ -1769,6 +1769,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"n": ("count", None), "value_e6": ("sum", "value_e6")},
         )
 
+    def doc_table_digest(sf_dir):
+        # order/partitioning-invariant corpus digest: per-row md5 of
+        # the canonical rendering, exact 60-bit hash sums folded on the
+        # driver (one row per block) — the replication/checkpoint
+        # validation primitive
+        from pybel_ray.ops.integrity import table_digest
+
+        return table_digest(
+            _read(sf_dir, "documents"),
+            cols=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+
+    def orders_version_diff(sf_dir):
+        # keyed diff of two table versions (the incremental-pipeline
+        # what-changed step): delta = orders minus every 7th key, with
+        # every 5th status mutated, plus one synthetic addition; only
+        # (key, hash) rows shuffle
+        from pybel_ray.ops.integrity import table_diff
+
+        base = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderstatus"],
+        )
+
+        def _mutate(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").combine_chunks()
+            kn = k.to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(kn % 7 != 0))
+            k2 = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            st = t.column("o_orderstatus").combine_chunks()
+            mutated = pc.if_else(
+                pa.array(k2 % 5 == 0),
+                pc.binary_join_element_wise(st, "X", ""),
+                st,
+            )
+            return pa.Table.from_arrays(
+                [t.column("o_orderkey"), mutated],
+                names=["o_orderkey", "o_orderstatus"],
+            )
+
+        import ray.data
+
+        delta = base.map_batches(_mutate, batch_format="pyarrow").union(
+            ray.data.from_arrow(pa.Table.from_arrays(
+                [pa.array([-1], pa.int64()), pa.array(["NEW"], pa.string())],
+                names=["o_orderkey", "o_orderstatus"],
+            )),
+        )
+        return table_diff(
+            base, delta, "o_orderkey", ["o_orderstatus"],
+        )
+
+    def events_transition_matrix(sf_dir):
+        # per-user Markov transition counts over event types: lag_by
+        # (skew-guarded per-key shift) -> vectorized pair partials ->
+        # one groupby; the sequence-model / behavior-analytics step.
+        # Oracle: LAG window + GROUP BY.
+        from pybel_ray.ops._kernels import runlength_distinct_counts
+        from pybel_ray.ops.window import lag_by
+
+        ds = _read(sf_dir, "events").select_columns(
+            ["user_id", "ts", "event_id", "event_type"],
+        )
+        lagged = lag_by(
+            ds, "user_id", ["ts", "event_id"], "event_type",
+            out_col="prev_type", max_rows_per_group=500_000,
+        )
+
+        def _pairs(t: pa.Table) -> pa.Table:
+            keep = pc.is_valid(t.column("prev_type").combine_chunks())
+            t = t.filter(keep)
+            a = t.column("prev_type").combine_chunks()
+            b = t.column("event_type").combine_chunks()
+            take, counts = runlength_distinct_counts([a, b])
+            return pa.Table.from_arrays(
+                [pc.take(a, take), pc.take(b, take),
+                 pa.array(counts, pa.int64())],
+                names=["prev_type", "event_type", "n"],
+            )
+
+        partial = lagged.map_batches(_pairs, batch_format="pyarrow")
+        out = partial.groupby(["prev_type", "event_type"]).sum("n")
+        return out.map_batches(
+            lambda t: t.rename_columns(
+                ["n" if c == "sum(n)" else c for c in t.column_names],
+            ),
+            batch_format="pyarrow",
+        )
+
     def tpch_q3_shipping_priority(sf_dir):
         # TPC-H Q3 composition: segment-filtered customer ⋈ date-
         # filtered orders (bucketed big-big equi_join) ⋈ lineitem,
@@ -2885,6 +2973,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": events_cube,
         "events_rolling_avg": events_rolling_avg,
         "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+        "events_transition_matrix": events_transition_matrix,
+        "doc_table_digest": doc_table_digest,
+        "orders_version_diff": orders_version_diff,
         "events_row_number_per_user": events_row_number_per_user,
         "events_user_sequences": events_user_sequences,
         "events_profile": events_profile,
@@ -5052,6 +5143,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
             UNION ALL
             SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        # order-invariant digest: exact sum of each row's 60-bit md5
+        # prefix over the canonical (sorted-column) rendering
+        "doc_table_digest": """
+            WITH r AS (
+                SELECT COALESCE(CAST(doc_id AS VARCHAR), chr(0)||'N')
+                       || chr(31) ||
+                       COALESCE(lang, chr(0)||'N') || chr(31) ||
+                       COALESCE(CAST(n_chars AS VARCHAR), chr(0)||'N')
+                       || chr(31) ||
+                       COALESCE(source, chr(0)||'N') || chr(31) ||
+                       COALESCE(text, chr(0)||'N') AS s
+                FROM documents
+            ), h AS (SELECT md5(s) AS h FROM r)
+            SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(sum(
+                       CAST(strpos('0123456789abcdef',
+                                   substr(h.h, t.i, 1)) - 1 AS HUGEINT)
+                       * CAST(power(16, 15 - t.i) AS HUGEINT)
+                   ), 0) AS VARCHAR) AS digest
+            FROM h, generate_series(1, 15) t(i)
+        """,
+        # keyed version diff: FULL JOIN + IS DISTINCT FROM
+        "orders_version_diff": """
+            WITH b AS (
+                SELECT o_orderkey AS k, o_orderstatus AS v FROM orders
+            ), d AS (
+                SELECT o_orderkey AS k,
+                       CASE WHEN o_orderkey % 5 = 0 THEN o_orderstatus || 'X'
+                            ELSE o_orderstatus END AS v
+                FROM orders WHERE o_orderkey % 7 != 0
+                UNION ALL SELECT -1, 'NEW'
+            )
+            SELECT COALESCE(b.k, d.k) AS o_orderkey,
+                   CASE WHEN b.k IS NULL THEN 'added'
+                        WHEN d.k IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM b FULL JOIN d ON b.k = d.k
+            WHERE b.k IS NULL OR d.k IS NULL OR b.v IS DISTINCT FROM d.v
+        """,
+        # per-user event-type transition counts (LAG + GROUP BY)
+        "events_transition_matrix": """
+            WITH l AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM l WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
         """,
         # TPC-H Q3: per-line revenue quantized to micros before the sum
         # (exact int64 both sides); top-10 by (revenue desc, orderkey)

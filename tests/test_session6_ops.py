@@ -433,3 +433,41 @@ def test_rolling_mean_null_and_window_semantics(ray_session):
     # a@1: mean(1)=1e6; a@2: window (1, null) -> 1e6; a@3: (null, 3) ->
     # 3e6; a@4: (3, null) -> 3e6; b@1: NULL
     assert got == [1_000_000, 1_000_000, 3_000_000, 3_000_000, None]
+
+
+def test_table_digest_layout_invariant_and_typed(ray_session):
+    import pytest
+    import ray.data
+
+    from pybel_ray.ops.integrity import table_digest
+
+    rows = [{"k": i, "v": "val%d" % (i % 4), "b": i % 2 == 0}
+            for i in range(50)]
+    ds1 = ray.data.from_items(rows).repartition(1)
+    ds7 = ray.data.from_items(list(reversed(rows))).repartition(7)
+    d1 = table_digest(ds1)
+    d7 = table_digest(ds7)
+    assert d1.equals(d7)
+    assert d1.column("n_rows")[0].as_py() == 50
+    # floats are rejected by contract
+    fds = ray.data.from_items([{"k": 1, "x": 1.5}])
+    with pytest.raises(Exception):
+        table_digest(fds)
+
+
+def test_table_diff_statuses(ray_session):
+    import ray.data
+
+    from pybel_ray.ops.integrity import table_diff
+
+    base = ray.data.from_items(
+        [{"k": i, "v": "a%d" % i} for i in range(10)],
+    ).repartition(3)
+    delta = ray.data.from_items(
+        [{"k": i, "v": ("MUT" if i == 4 else "a%d" % i)}
+         for i in range(10) if i != 7]
+        + [{"k": 99, "v": "new"}],
+    ).repartition(2)
+    out = table_diff(base, delta, "k", ["v"]).to_pandas()
+    got = dict(zip(out["k"], out["status"]))
+    assert got == {4: "changed", 7: "removed", 99: "added"}
