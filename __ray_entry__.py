@@ -1769,6 +1769,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"n": ("count", None), "value_e6": ("sum", "value_e6")},
         )
 
+    def web_url_params(sf_dir):
+        # query-string explosion over synthesized param-ful urls (the
+        # tracking-param / canonicalization audit): vectorized
+        # ListArray flatten, one pass, no shuffle
+        from pybel_ray.ops.urls import url_params
+
+        def _urls(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            s = lambda a: pa.array(a.astype("U"), pa.string())  # noqa: E731
+            base = pc.binary_join_element_wise(
+                "https://site", s(d % 20), ".example.com/page/", s(d), "",
+            )
+            qs = pc.binary_join_element_wise(
+                "?id=", s(d), "&ref=site", s(d % 5), "&flag", "",
+            )
+            url = pc.if_else(
+                pa.array(d % 2 == 0),
+                pc.binary_join_element_wise(base, qs, ""), base,
+            )
+            return pa.Table.from_arrays(
+                [t.column("doc_id"), url], names=["doc_id", "url"],
+            )
+
+        pages = _read(sf_dir, "documents").select_columns(
+            ["doc_id"],
+        ).map_batches(_urls, batch_format="pyarrow")
+        return url_params(pages, id_col="doc_id").select_columns(
+            ["doc_id", "param", "value"],
+        )
+
+    def web_robots_filter(sf_dir):
+        # robots-style longest-prefix URL policy over the crawl pages
+        # (broadcast rule table, one vectorized starts_with pass per
+        # rule); oracle picks the longest LIKE-matching rule per url
+        from pybel_ray.ops.urls import prefix_filter
+
+        rules = [
+            ("https://site1", False),
+            ("https://site13", True),
+            ("https://site0.example.com/page/", False),
+        ]
+        return prefix_filter(
+            _html_pages(sf_dir).select_columns(["doc_id", "url"]), rules,
+        )
+
     def doc_table_digest(sf_dir):
         # order/partitioning-invariant corpus digest: per-row md5 of
         # the canonical rendering, exact 60-bit hash sums folded on the
@@ -2976,6 +3023,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_matrix": events_transition_matrix,
         "doc_table_digest": doc_table_digest,
         "orders_version_diff": orders_version_diff,
+        "web_url_params": web_url_params,
+        "web_robots_filter": web_robots_filter,
         "events_row_number_per_user": events_row_number_per_user,
         "events_user_sequences": events_user_sequences,
         "events_profile": events_profile,
@@ -5143,6 +5192,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
             UNION ALL
             SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        # query-string explosion: same piece/split semantics as
+        # ops/urls.py url_params (value = text after the FIRST '=')
+        "web_url_params": """
+            WITH u AS (
+                SELECT doc_id,
+                       'https://site' || (doc_id % 20)
+                           || '.example.com/page/' || doc_id
+                           || CASE WHEN doc_id % 2 = 0
+                              THEN '?id=' || doc_id || '&ref=site'
+                                   || (doc_id % 5) || '&flag'
+                              ELSE '' END AS url
+                FROM documents
+            ), p AS (
+                SELECT doc_id, unnest(string_split(
+                    regexp_extract(url, '\\?([^#]*)', 1), '&'
+                )) AS piece
+                FROM u
+            )
+            SELECT doc_id,
+                   CASE WHEN strpos(piece, '=') = 0 THEN piece
+                        ELSE substr(piece, 1, strpos(piece, '=') - 1) END
+                       AS param,
+                   CASE WHEN strpos(piece, '=') = 0 THEN ''
+                        ELSE substr(piece, strpos(piece, '=') + 1) END
+                       AS value
+            FROM p WHERE piece <> ''
+        """,
+        # longest-prefix robots policy (LIKE prefix, length-desc pick)
+        "web_robots_filter": """
+            WITH u AS (
+                SELECT doc_id,
+                       'https://site' || (doc_id % 20)
+                           || '.example.com/page/' || doc_id AS url
+                FROM documents
+            ), rules(prefix, allow) AS (
+                VALUES ('https://site1', FALSE),
+                       ('https://site13', TRUE),
+                       ('https://site0.example.com/page/', FALSE)
+            )
+            SELECT doc_id, url,
+                   COALESCE((
+                       SELECT r.allow FROM rules r
+                       WHERE u.url LIKE r.prefix || '%'
+                       ORDER BY length(r.prefix) DESC LIMIT 1
+                   ), TRUE) AS allowed
+            FROM u
         """,
         # order-invariant digest: exact sum of each row's 60-bit md5
         # prefix over the canonical (sorted-column) rendering

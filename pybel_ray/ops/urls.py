@@ -15,7 +15,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["add_url_parts", "domain_stats", "domain_rollup"]
+__all__ = ["add_url_parts", "domain_stats", "domain_rollup", "url_params", "prefix_filter"]
 
 #: RE2, shared verbatim with the SQL oracle (both engines compile RE2)
 URL_PATTERN = r"^(?P<scheme>[a-z][a-z0-9+.-]*)://(?P<host>[^/?#]*)(?P<path>[^?#]*)"
@@ -129,3 +129,89 @@ def domain_rollup(ds, url_col: str = "url"):
         lambda t: t.rename_columns(["reg_domain", "tld", "n_urls"]),
         batch_format="pyarrow",
     )
+
+
+def url_params(ds, url_col: str = "url", id_col: str | None = None):
+    """Explode each url's query string into ``(id?, url, param, value)``
+    rows: pieces split on ``&`` (empty pieces dropped), ``param`` =
+    text before the FIRST ``=``, ``value`` = text after it (``''``
+    when there is no ``=``).  Vectorized ListArray flatten — one pass,
+    no shuffle; DuckDB ``unnest(string_split(regexp_extract(...)))``
+    reproduces it exactly.
+    """
+    keep_cols = ([id_col] if id_col else []) + [url_col]
+
+    def _f(t: pa.Table) -> pa.Table:
+        url = t.column(url_col)
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        url = pc.cast(url, pa.string())  # null-typed blocks -> string nulls
+        q = pc.fill_null(pc.struct_field(
+            pc.extract_regex(url, r"\?(?P<q>[^#]*)"), "q",
+        ), "")
+        pieces = pc.split_pattern(q, "&")
+        if isinstance(pieces, pa.ChunkedArray):
+            pieces = pieces.combine_chunks()
+        flat = pieces.flatten()
+        # parent index of every piece
+        offsets = pieces.offsets.to_numpy(zero_copy_only=False)
+        parents = np.repeat(
+            np.arange(len(pieces), dtype=np.int64), np.diff(offsets),
+        )
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parents = parents[nonempty]
+        kv = pc.split_pattern(flat, "=", max_splits=1)
+        if isinstance(kv, pa.ChunkedArray):
+            kv = kv.combine_chunks()
+        kvf = kv.flatten()
+        koff = kv.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(koff)
+        key = kvf.take(pa.array(koff[:-1]))
+        # second token exists only where the piece contained '='
+        vidx = np.where(lens >= 2, koff[:-1] + 1, 0)
+        val = pc.if_else(
+            pa.array(lens >= 2),
+            kvf.take(pa.array(vidx)) if len(kvf) else pa.array([], pa.string()),
+            "",
+        )
+        take = pa.array(parents)
+        arrays = [t.column(c).take(take) for c in keep_cols]
+        return pa.Table.from_arrays(
+            arrays + [key, val], names=keep_cols + ["param", "value"],
+        )
+
+    return ds.select_columns(keep_cols).map_batches(
+        _f, batch_format="pyarrow",
+    )
+
+
+def prefix_filter(ds, rules, url_col: str = "url",
+                  out_col: str = "allowed", default: bool = True):
+    """Robots-style longest-prefix URL policy: ``rules`` is
+    ``[(prefix, allow: bool), ...]`` (prefixes distinct); each url gets
+    the verdict of the LONGEST matching prefix, or ``default`` when
+    none matches.  The rule table broadcasts in the closure (tiny by
+    contract); evaluation is one vectorized ``starts_with`` pass per
+    rule in descending-length order — rows decided by a longer prefix
+    are never revisited.
+    """
+    ordered = sorted(rules, key=lambda r: len(r[0]), reverse=True)
+
+    def _f(t: pa.Table) -> pa.Table:
+        url = t.column(url_col)
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        url = pc.cast(url, pa.string())
+        n = len(url)
+        verdict = np.full(n, default, bool)
+        decided = np.zeros(n, bool)
+        for prefix, allow in ordered:
+            m = pc.starts_with(pc.fill_null(url, ""), prefix) \
+                .to_numpy(zero_copy_only=False)
+            pick = m & ~decided
+            verdict[pick] = allow
+            decided |= m
+        return t.append_column(out_col, pa.array(verdict))
+
+    return ds.map_batches(_f, batch_format="pyarrow")

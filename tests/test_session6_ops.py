@@ -471,3 +471,28 @@ def test_table_diff_statuses(ray_session):
     out = table_diff(base, delta, "k", ["v"]).to_pandas()
     got = dict(zip(out["k"], out["status"]))
     assert got == {4: "changed", 7: "removed", 99: "added"}
+
+
+def test_url_params_and_prefix_filter(ray_session):
+    import ray.data
+
+    from pybel_ray.ops.urls import prefix_filter, url_params
+
+    rows = [
+        {"id": 1, "url": "https://a.com/p?x=1&y=2&z"},
+        {"id": 2, "url": "https://a.com/p"},
+        {"id": 3, "url": "https://a.com/p?k=v=w&&m=#frag?notq=1"},
+        {"id": 4, "url": None},
+    ]
+    ds = ray.data.from_items(rows)
+    out = url_params(ds, id_col="id").to_pandas()
+    got = list(zip(out["id"], out["param"], out["value"]))
+    assert sorted(got) == [
+        (1, "x", "1"), (1, "y", "2"), (1, "z", ""),
+        (3, "k", "v=w"), (3, "m", ""),
+    ]
+    rules = [("https://a", False), ("https://a.com/p?x", True)]
+    f = prefix_filter(ds, rules).to_pandas()
+    assert dict(zip(f["id"], f["allowed"])) == {
+        1: True, 2: False, 3: False, 4: True,
+    }
