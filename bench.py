@@ -144,6 +144,16 @@ def run_queries(sf_dir: str) -> dict:
         # session-6 additions: sequence collection, readability gate
         "events_user_sequences",
         "doc_readability",
+        # session-7 additions: link analysis, funnel/retention, window
+        # bucketing, multi-join pipeline, integrity digest
+        "web_host_hits",
+        "web_cocitation",
+        "events_funnel",
+        "events_retention",
+        "doc_length_ntile",
+        "tpch_q3_shipping_priority",
+        "doc_table_digest",
+        "events_transition_matrix",
     ]
     q = entry.queries()
     out = {}
