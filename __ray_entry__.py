@@ -2390,6 +2390,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = links.map_batches(_hosts, batch_format="pyarrow")
         return hits(edges, iters=3)
 
+    def web_host_pagerank_weighted(sf_dir):
+        # weighted PageRank over the aggregated host graph (edge weight
+        # = link multiplicity): contrib = rank*w // W(src), exact int64;
+        # oracle unrolls the identical per-edge floor-division
+        # recurrence over the rebuilt, re-aggregated edges
+        from pybel_ray.ops.graph import pagerank_weighted
+        from pybel_ray.ops.html import extract_links, host_graph
+
+        hosts = host_graph(extract_links(_html_pages(sf_dir)))
+        return pagerank_weighted(
+            hosts, "src_host", "dst_host", "n", iters=3,
+        )
+
     def web_cocitation(sf_dir):
         # related-hosts primitive: host pairs sharing out-link targets
         # with the exact Jaccard of their distinct out-link sets in
@@ -3059,6 +3072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_strip_tags": web_strip_tags,
         "web_anchor_topk": web_anchor_topk,
         "web_host_pagerank": web_host_pagerank,
+        "web_host_pagerank_weighted": web_host_pagerank_weighted,
         "web_host_hits": web_host_hits,
         "web_cocitation": web_cocitation,
         "web_host_components": web_host_components,
@@ -3440,6 +3454,39 @@ def oracle_sql() -> dict[str, str]:
             ", ".join(ctes), iters,
         )
 
+    def _pagerank_weighted_sql(edges_sql: str, iters: int = 3) -> str:
+        """Unrolled weighted PageRank (ops/graph.py pagerank_weighted:
+        contrib per edge = rank * w // W(src); next = 150000 +
+        85*sum(incoming)//100) — ``edges_sql`` must yield (src, dst, w)
+        with positive integer weights, so // truncation == floor."""
+        ctes = [
+            "__edges AS ({})".format(edges_sql),
+            "__nodes AS (SELECT src AS node FROM __edges"
+            " UNION SELECT dst FROM __edges)",
+            "__deg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wdeg"
+            " FROM __edges GROUP BY src)",
+            '__r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS "rank"'
+            " FROM __nodes)",
+        ]
+        for i in range(iters):
+            ctes.append(
+                "__s{i} AS (SELECT e.dst AS node,"
+                ' sum(r."rank" * e.w // CASE WHEN coalesce(d.wdeg, 0) <= 0'
+                " THEN 1 ELSE d.wdeg END) AS incoming"
+                " FROM __edges e JOIN __r{i} r ON e.src = r.node"
+                " LEFT JOIN __deg d ON e.src = d.node"
+                " GROUP BY e.dst)".format(i=i),
+            )
+            ctes.append(
+                "__r{j} AS (SELECT n.node, CAST(150000 + "
+                "(85 * coalesce(s.incoming, 0)) // 100 AS BIGINT) AS "
+                '"rank" FROM __nodes n LEFT JOIN __s{i} s'
+                " ON n.node = s.node)".format(j=i + 1, i=i),
+            )
+        return "WITH {} SELECT node, \"rank\" FROM __r{}".format(
+            ", ".join(ctes), iters,
+        )
+
     def _hits_sql(edges_sql: str, iters: int = 3) -> str:
         """Unrolled exact-int64 HITS (ops/graph.py hits recurrence:
         hub0 = 1e6; raw_a(v) = sum of hub over in-edges, auth =
@@ -3735,6 +3782,11 @@ def oracle_sql() -> dict[str, str]:
         # unrolled max-normalized exact-int64 recurrence (see
         # ops/graph.py hits)
         "web_host_hits": _hits_sql(_web_host_edges),
+        # weighted PageRank over the aggregated (pair-count) host graph
+        "web_host_pagerank_weighted": _pagerank_weighted_sql(
+            "SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM ({})"
+            " GROUP BY src, dst".format(_web_host_edges),
+        ),
         # co-citation similarity: distinct-edge self-join + exact
         # integer-micros Jaccard of distinct out-link sets
         "web_cocitation": """

@@ -43,6 +43,7 @@ __all__ = [
     "edge_reciprocity",
     "hits",
     "colink_similarity",
+    "pagerank_weighted",
 ]
 
 
@@ -1092,3 +1093,209 @@ def colink_similarity(
         return t.append_column("jaccard_micros", pa.array(jm, pa.int64()))
 
     return out.map_batches(_jaccard, batch_format="pyarrow")
+
+
+def pagerank_weighted(
+    edges,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    iters: int = 3,
+    scale: int = 1_000_000,
+    node_budget: int = 2_000_000,
+    force_distributed: bool = False,
+    num_buckets: int = 64,
+):
+    """Weighted PageRank in exact integer arithmetic: each out-edge
+    carries ``rank(u) * w(e) // W(u)`` where ``W(u)`` is u's total
+    out-weight (weights must be positive int64);
+    ``next = (15*scale)//100 + (85*sum(incoming))//100`` as in
+    :func:`pagerank`.  Every step is int64 (overflow needs
+    ``total_mass × max_weight`` past ~9e18 — document per corpus);
+    results are layout-invariant and the DuckDB oracle unrolls the
+    identical per-edge floor-division recurrence.
+
+    Same budget hybrid as :func:`pagerank`: driver rank vector under
+    ``node_budget`` (one stateless edge pass per iteration), bucketed
+    join + one groupby exchange per iteration above it.
+    """
+    import ray
+
+    teleport = (15 * scale) // 100
+    edges = _snapshot(edges.select_columns([src_col, dst_col, weight_col]))
+    n_nodes = None
+    if not force_distributed:
+        n_nodes = edge_nodes(edges, src_col, dst_col).count()
+    if force_distributed or n_nodes > node_budget:
+        return _pagerank_weighted_distributed(
+            edges, src_col, dst_col, weight_col, iters, scale, teleport,
+            num_buckets,
+        )
+
+    # ---- broadcast branch ----------------------------------------------
+    def _wdeg(t: pa.Table) -> pa.Table:
+        src = t.column(src_col).combine_chunks()
+        enc = src.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.bincount(codes, weights=w.astype(np.float64),
+                           minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [enc.dictionary, pa.array(sums, pa.int64())],
+            names=["node", "wdeg"],
+        )
+
+    wdeg_map: dict = {}
+    for b in edges.map_batches(_wdeg, batch_format="pyarrow") \
+            .groupby("node").sum("wdeg").iter_batches(batch_format="pyarrow"):
+        for n_, s_ in zip(b.column("node").to_pylist(),
+                          b.column("sum(wdeg)").to_pylist()):
+            wdeg_map[n_] = int(s_)
+    node_set = set(wdeg_map)
+    for b in edge_nodes(edges, src_col, dst_col).iter_batches(
+        batch_format="pyarrow",
+    ):
+        node_set.update(b.column("node").to_pylist())
+    nodes = sorted(node_set)
+    W = np.array([max(wdeg_map.get(n, 0), 1) for n in nodes], np.int64)
+    rank = np.full(len(nodes), scale, dtype=np.int64)
+    nodes_ref = ray.put(pa.array(nodes))
+
+    for _ in range(iters):
+        state_ref = ray.put((rank, W))
+
+        def _partial(t: pa.Table, _n=nodes_ref, _s=state_ref) -> pa.Table:
+            nds = ray.get(_n)
+            rk, wd = ray.get(_s)
+            src = t.column(src_col).combine_chunks()
+            dst = t.column(dst_col).combine_chunks()
+            si = pc.index_in(src, value_set=nds) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            di = pc.index_in(dst, value_set=nds) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            w = t.column(weight_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            contrib = rk[si] * w // wd[si]
+            sums = np.bincount(di, weights=contrib.astype(np.float64),
+                               minlength=len(nds)).astype(np.int64)
+            nz = np.flatnonzero(sums)
+            return pa.Table.from_arrays(
+                [pa.array(nz, pa.int64()), pa.array(sums[nz], pa.int64())],
+                names=["idx", "s"],
+            )
+
+        incoming = np.zeros(len(nodes), dtype=np.int64)
+        for b in edges.map_batches(
+            _partial, batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow"):
+            idx = b.column("idx").to_numpy(zero_copy_only=False)
+            s = b.column("s").to_numpy(zero_copy_only=False)
+            np.add.at(incoming, idx, s)
+        rank = teleport + (85 * incoming) // 100
+
+    return ray.data.from_arrow(pa.Table.from_arrays(
+        [pa.array(nodes), pa.array(rank, pa.int64())],
+        names=["node", "rank"],
+    ))
+
+
+def _pagerank_weighted_distributed(
+    edges, src_col, dst_col, weight_col, iters, scale, teleport, num_buckets,
+):
+    """Dataset-resident ranks: per iteration one bucketed (rank, W)
+    lookup onto the edges, per-batch weighted partial sums, one
+    ``groupby(dst)`` exchange, one bucketed left join back."""
+    from ..struct.degree import bucketed_attach
+
+    nodes = _snapshot(edge_nodes(edges, src_col, dst_col))
+
+    def _wdeg(t: pa.Table) -> pa.Table:
+        src = t.column(src_col).combine_chunks()
+        enc = src.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.bincount(codes, weights=w.astype(np.float64),
+                           minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [enc.dictionary, pa.array(sums, pa.int64())],
+            names=["node", "wdeg"],
+        )
+
+    wdeg = edges.map_batches(_wdeg, batch_format="pyarrow") \
+        .groupby("node").sum("wdeg").map_batches(
+            lambda t: t.rename_columns(
+                ["wdeg" if c == "sum(wdeg)" else c for c in t.column_names],
+            ),
+            batch_format="pyarrow",
+        )
+
+    ranks = _snapshot(bucketed_attach(
+        nodes, "node", wdeg, "node", ["wdeg"], num_buckets=num_buckets,
+        how="left",
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("node"),
+             pc.fill_null(t.column("wdeg"), 1),
+             pa.array(np.full(t.num_rows, scale, np.int64), pa.int64())],
+            names=["node", "wdeg", "rank"],
+        ),
+        batch_format="pyarrow",
+    ))
+
+    for _ in range(iters):
+        tagged = bucketed_attach(
+            edges, src_col, ranks, "node", ["rank", "wdeg"],
+            num_buckets=num_buckets, how="inner",
+        )
+
+        def _partial(t: pa.Table) -> pa.Table:
+            dst = t.column(dst_col).combine_chunks()
+            enc = dst.dictionary_encode()
+            codes = np.asarray(
+                enc.indices.to_numpy(zero_copy_only=False), np.int64,
+            )
+            rk = t.column("rank").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            wd = np.maximum(
+                t.column("wdeg").to_numpy(zero_copy_only=False)
+                .astype(np.int64), 1,
+            )
+            w = t.column(weight_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            contrib = rk * w // wd
+            sums = np.bincount(codes, weights=contrib.astype(np.float64),
+                               minlength=len(enc.dictionary)).astype(np.int64)
+            return pa.Table.from_arrays(
+                [enc.dictionary, pa.array(sums, pa.int64())],
+                names=["node", "s"],
+            )
+
+        def _sum(g: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [
+                    g.column("node").slice(0, 1),
+                    pa.array([int(pc.sum(g.column("s")).as_py())], pa.int64()),
+                ],
+                names=["node", "s"],
+            )
+
+        incoming = tagged.map_batches(_partial, batch_format="pyarrow") \
+            .groupby("node").map_groups(_sum, batch_format="pyarrow")
+
+        joined = bucketed_attach(
+            ranks.select_columns(["node", "wdeg"]), "node",
+            incoming, "node", ["s"], num_buckets=num_buckets, how="left",
+        )
+
+        def _next(t: pa.Table) -> pa.Table:
+            s = pc.fill_null(t.column("s"), 0).to_numpy(zero_copy_only=False)
+            nxt = teleport + (85 * s.astype(np.int64)) // 100
+            return pa.Table.from_arrays(
+                [t.column("node"), t.column("wdeg"),
+                 pa.array(nxt, pa.int64())],
+                names=["node", "wdeg", "rank"],
+            )
+
+        ranks = _snapshot(joined.map_batches(_next, batch_format="pyarrow"))
+
+    return ranks.select_columns(["node", "rank"])

@@ -473,3 +473,42 @@ def test_colink_similarity_exact_and_cap(ray_session):
     )
     out2 = colink_similarity(withnull, min_shared=1).to_pandas()
     assert len(out2) == 3
+
+
+def test_pagerank_weighted_matches_reference_and_branches(ray_session):
+    import ray.data
+
+    from pybel_ray.ops.graph import pagerank_weighted
+
+    edge_list = [
+        ("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+        ("c", "a", 5), ("d", "c", 4),
+    ]
+    ds = ray.data.from_items(
+        [{"src": s, "dst": d, "w": w} for s, d, w in edge_list],
+    )
+
+    def ref(E, iters=3, scale=10**6):
+        nodes = sorted({x for e in E for x in e[:2]})
+        W = {n: 0 for n in nodes}
+        for u, _v, w in E:
+            W[u] += w
+        r = {n: scale for n in nodes}
+        for _ in range(iters):
+            inc = {n: 0 for n in nodes}
+            for u, v, w in E:
+                inc[v] += r[u] * w // max(W[u], 1)
+            r = {n: 150_000 + 85 * inc[n] // 100 for n in nodes}
+        return sorted(r.items())
+
+    got = sorted(
+        (r["node"], r["rank"]) for r in pagerank_weighted(ds).take_all()
+    )
+    assert got == ref(edge_list)
+    dist = sorted(
+        (r["node"], r["rank"])
+        for r in pagerank_weighted(
+            ds, force_distributed=True, num_buckets=4,
+        ).take_all()
+    )
+    assert dist == got
