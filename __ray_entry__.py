@@ -1867,6 +1867,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
             base, delta, "o_orderkey", ["o_orderstatus"],
         )
 
+    def events_dwell_seconds(sf_dir):
+        # per-event dwell time = seconds to the user's NEXT event
+        # (lead window, null for the last event): one groupby exchange
+        from pybel_ray.ops.window import lead_by
+
+        led = lead_by(
+            _read(sf_dir, "events").select_columns(
+                ["event_id", "user_id", "ts"],
+            ),
+            "user_id", ["ts", "event_id"], "ts", out_col="next_ts",
+        )
+
+        def _dwell(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ts = t.column("ts").combine_chunks().cast(pa.timestamp("us")) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            nxt = t.column("next_ts").combine_chunks()
+            valid = pc.is_valid(nxt).to_numpy(zero_copy_only=False)
+            nv = nxt.cast(pa.timestamp("us")).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            dwell = np.where(valid, (np.where(valid, nv, 0) - ts), 0)
+            dwell = dwell // 1_000_000
+            return pa.Table.from_arrays(
+                [t.column("event_id"), t.column("user_id"),
+                 pa.array(dwell.astype(np.int64), pa.int64(),
+                          mask=~valid)],
+                names=["event_id", "user_id", "dwell_sec"],
+            )
+
+        return led.map_batches(_dwell, batch_format="pyarrow")
+
+    def lineitem_corr_stats(sf_dir):
+        # exact correlation sufficient statistics (quantity vs price in
+        # integer cents): six exact integers, one streaming pass, only
+        # one partial row per block reaches the driver
+        from pybel_ray.ops.stats import corr_stats
+
+        return corr_stats(
+            _read(sf_dir, "lineitem"), "l_quantity", "l_extendedprice",
+            scale=100,
+        )
+
     def events_transition_matrix(sf_dir):
         # per-user Markov transition counts over event types: lag_by
         # (skew-guarded per-key shift) -> vectorized pair partials ->
@@ -3038,6 +3081,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_version_diff": orders_version_diff,
         "web_url_params": web_url_params,
         "web_robots_filter": web_robots_filter,
+        "events_dwell_seconds": events_dwell_seconds,
+        "lineitem_corr_stats": lineitem_corr_stats,
         "events_row_number_per_user": events_row_number_per_user,
         "events_user_sequences": events_user_sequences,
         "events_profile": events_profile,
@@ -5244,6 +5289,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
             UNION ALL
             SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        # dwell time to the user's next event (LEAD window)
+        "events_dwell_seconds": """
+            WITH l AS (
+                SELECT event_id, user_id, ts,
+                       lead(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS next_ts
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN next_ts IS NULL THEN NULL
+                        ELSE CAST((epoch_us(next_ts) - epoch_us(ts))
+                                  // 1000000 AS BIGINT) END AS dwell_sec
+            FROM l
+        """,
+        # exact correlation sufficient statistics in integer cents
+        "lineitem_corr_stats": """
+            WITH q AS (
+                SELECT CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT) AS x,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+                           AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(COALESCE(sum(x), 0) AS VARCHAR) AS sum_x,
+                   CAST(COALESCE(sum(y), 0) AS VARCHAR) AS sum_y,
+                   CAST(COALESCE(sum(x * x), 0) AS VARCHAR) AS sum_xx,
+                   CAST(COALESCE(sum(y * y), 0) AS VARCHAR) AS sum_yy,
+                   CAST(COALESCE(sum(x * y), 0) AS VARCHAR) AS sum_xy
+            FROM q
         """,
         # query-string explosion: same piece/split semantics as
         # ops/urls.py url_params (value = text after the FIRST '=')

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .similarity import _matrix
 
@@ -297,4 +298,55 @@ def standardize_apply(ds, stats: pa.Table, vec_col: str = "embedding",
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         _apply, batch_format="pyarrow",
+    )
+
+
+def corr_stats(ds, x_col: str, y_col: str, scale: int = 100) -> pa.Table:
+    """Exact correlation/regression sufficient statistics for two
+    numeric columns: one row ``(n, sum_x, sum_y, sum_xx, sum_yy,
+    sum_xy)`` with both columns quantized to integers
+    (``floor(v*scale+0.5)``) so every sum is exact int64-free Python-int
+    arithmetic on the driver fold (per-batch partials are int64;
+    cross-products of quantized values can exceed int64, so partials
+    accumulate as Python ints via per-batch object sums).
+
+    Rows where either side is null are dropped (SQL ``corr`` pairwise
+    semantics).  Pearson r / OLS slope derive downstream as
+    ``(n*sxy - sx*sy) / sqrt(...)`` — the float step happens once, on
+    the six exact integers, never inside the distributed pass.
+    """
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).combine_chunks()
+        y = t.column(y_col).combine_chunks()
+        keep = pc.and_kleene(pc.is_valid(x), pc.is_valid(y))
+        x = x.filter(keep)
+        y = y.filter(keep)
+        xv = np.floor(
+            x.to_numpy(zero_copy_only=False).astype(np.float64) * scale + 0.5,
+        ).astype(np.int64).astype(object)
+        yv = np.floor(
+            y.to_numpy(zero_copy_only=False).astype(np.float64) * scale + 0.5,
+        ).astype(np.int64).astype(object)
+        vals = [
+            len(xv), int(xv.sum()), int(yv.sum()),
+            int((xv * xv).sum()), int((yv * yv).sum()),
+            int((xv * yv).sum()),
+        ] if len(xv) else [0, 0, 0, 0, 0, 0]
+        return pa.Table.from_arrays(
+            [pa.array([str(v)], pa.string()) for v in vals],
+            names=["n", "sx", "sy", "sxx", "syy", "sxy"],
+        )
+
+    totals = [0] * 6
+    names = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    for row in ds.select_columns([x_col, y_col]).map_batches(
+        _partial, batch_format="pyarrow",
+    ).take_all():  # one row per block
+        for i, k in enumerate(names):
+            totals[i] += int(row[k])
+    return pa.Table.from_arrays(
+        [pa.array([totals[0]], pa.int64())]
+        + [pa.array([str(v)], pa.string()) for v in totals[1:]],
+        names=["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"],
     )

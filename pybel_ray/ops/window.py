@@ -1027,3 +1027,30 @@ def rolling_mean_by(
         )
 
     return ds.groupby(partition_col).map_groups(_roll, batch_format="pyarrow")
+
+
+def lead_by(
+    ds,
+    partition_col: str,
+    order_cols,
+    value_col: str,
+    out_col: str = "lead",
+):
+    """``lead(value) OVER (PARTITION BY p ORDER BY o)``: each row gets
+    the NEXT row's value within its partition (null for the last).
+    Same one-exchange/per-group contract as :func:`lag_by` (salt
+    upstream for degenerate single-key skew)."""
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def _shift(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(c, "ascending") for c in order_cols])
+        vals = g.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        shifted = pa.concat_arrays([
+            vals.slice(1),
+            pa.nulls(min(1, len(vals)), vals.type),
+        ])
+        return g.append_column(out_col, shifted)
+
+    return ds.groupby(partition_col).map_groups(_shift, batch_format="pyarrow")

@@ -496,3 +496,34 @@ def test_url_params_and_prefix_filter(ray_session):
     assert dict(zip(f["id"], f["allowed"])) == {
         1: True, 2: False, 3: False, 4: True,
     }
+
+
+def test_lead_by_and_corr_stats(ray_session):
+    import ray.data
+
+    from pybel_ray.ops.stats import corr_stats
+    from pybel_ray.ops.window import lead_by
+
+    rows = [
+        {"k": "a", "o": 1, "v": 10}, {"k": "a", "o": 2, "v": 20},
+        {"k": "a", "o": 3, "v": 30}, {"k": "b", "o": 1, "v": 5},
+    ]
+    out = lead_by(
+        ray.data.from_items(rows).repartition(2), "k", ["o"], "v",
+    ).to_pandas().sort_values(["k", "o"])
+    got = [None if x != x else int(x) for x in out["lead"]]
+    assert got == [20, 30, None, None]
+
+    df = [{"x": 1.0, "y": 2.0}, {"x": 2.0, "y": 4.5},
+          {"x": 3.0, "y": None}, {"x": None, "y": 1.0},
+          {"x": -1.25, "y": 3.0}]
+    t = corr_stats(ray.data.from_items(df).repartition(3), "x", "y",
+                   scale=100)
+    # valid pairs: (100,200) (200,450) (-125,300)
+    assert t.column("n")[0].as_py() == 3
+    assert t.column("sum_x")[0].as_py() == str(100 + 200 - 125)
+    assert t.column("sum_y")[0].as_py() == str(200 + 450 + 300)
+    assert t.column("sum_xx")[0].as_py() == str(100**2 + 200**2 + 125**2)
+    assert t.column("sum_xy")[0].as_py() == str(
+        100 * 200 + 200 * 450 + (-125) * 300,
+    )
