@@ -1867,6 +1867,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             base, delta, "o_orderkey", ["o_orderstatus"],
         )
 
+    def events_purchasers_also_error(sf_dir):
+        # SQL INTERSECT: users with a purchase AND an error — per-side
+        # local-unique combiner, ONE bucketed semi-join, global dedup;
+        # only user ids move
+        from pybel_ray.ops.relational import intersect_distinct
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["user_id", "event_type"],
+        )
+        return intersect_distinct(
+            ev.filter(expr="event_type == 'purchase'").select_columns(
+                ["user_id"],
+            ),
+            ev.filter(expr="event_type == 'error'").select_columns(
+                ["user_id"],
+            ),
+            "user_id",
+        )
+
+    def orders_bigspenders_except_f(sf_dir):
+        # SQL EXCEPT: customers with a >150k order but no F-status
+        # order (bucketed anti-join counterpart of the INTERSECT op)
+        from pybel_ray.ops.relational import except_distinct
+
+        o = _read(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_totalprice", "o_orderstatus"],
+        )
+        return except_distinct(
+            o.filter(expr="o_totalprice > 150000").select_columns(
+                ["o_custkey"],
+            ),
+            o.filter(expr="o_orderstatus == 'F'").select_columns(
+                ["o_custkey"],
+            ),
+            "o_custkey",
+        )
+
     def events_dwell_seconds(sf_dir):
         # per-event dwell time = seconds to the user's NEXT event
         # (lead window, null for the last event): one groupby exchange
@@ -3083,6 +3120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_robots_filter": web_robots_filter,
         "events_dwell_seconds": events_dwell_seconds,
         "lineitem_corr_stats": lineitem_corr_stats,
+        "events_purchasers_also_error": events_purchasers_also_error,
+        "orders_bigspenders_except_f": orders_bigspenders_except_f,
         "events_row_number_per_user": events_row_number_per_user,
         "events_user_sequences": events_user_sequences,
         "events_profile": events_profile,
@@ -5289,6 +5328,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
             UNION ALL
             SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        # SQL set operators over user activity
+        "events_purchasers_also_error": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'error'
+        """,
+        "orders_bigspenders_except_f": """
+            SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         """,
         # dwell time to the user's next event (LEAD window)
         "events_dwell_seconds": """

@@ -32,7 +32,11 @@ __all__ = [
     "impute_by_group_median",
     "merge_upsert",
     "groupby_rollup",
+    "groupby_cube",
     "collect_sorted",
+    "skyline",
+    "intersect_distinct",
+    "except_distinct",
 ]
 
 
@@ -1018,3 +1022,52 @@ def skyline(ds, dims):
     return local.repartition(1).map_batches(
         _local, batch_format="pyarrow", batch_size=None,
     )
+
+
+def _distinct_on(ds, cols):
+    """Global distinct on ``cols`` (bucketed dedup on the rendered key;
+    NUL-joined rendering — the documented composite-key alias limit)."""
+    from ..stages.dedup import dedup_exact
+
+    def _key(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        parts = [
+            pc.fill_null(pc.cast(t.column(c), pa.string()), "\x00N")
+            for c in cols
+        ]
+        k = parts[0]
+        for p in parts[1:]:
+            k = pc.binary_join_element_wise(k, p, "\x00")
+        return t.append_column("_k", k)
+
+    return dedup_exact(
+        ds.map_batches(_key, batch_format="pyarrow"), "_k",
+    )
+
+
+def intersect_distinct(left, right, cols):
+    """SQL ``INTERSECT`` (distinct rows present on both sides) over the
+    given columns: per-side local unique combiner → ONE bucketed
+    semi-join on the rendered key → global dedup.  Only the key columns
+    ever move."""
+    from ..struct.degree import bucketed_semi_join
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    l_ = _distinct_on(left, cols)
+    r_ = _distinct_on(right, cols)
+    return bucketed_semi_join(
+        l_, "_k", r_.select_columns(["_k"]), keys_key="_k",
+    ).drop_columns(["_k"])
+
+
+def except_distinct(left, right, cols):
+    """SQL ``EXCEPT`` (distinct left rows absent from right): same shape
+    as :func:`intersect_distinct` with the anti-join."""
+    from ..struct.degree import bucketed_semi_join
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    l_ = _distinct_on(left, cols)
+    r_ = _distinct_on(right, cols)
+    return bucketed_semi_join(
+        l_, "_k", r_.select_columns(["_k"]), keys_key="_k", anti=True,
+    ).drop_columns(["_k"])

@@ -527,3 +527,31 @@ def test_lead_by_and_corr_stats(ray_session):
     assert t.column("sum_xy")[0].as_py() == str(
         100 * 200 + 200 * 450 + (-125) * 300,
     )
+
+
+def test_intersect_except_distinct(ray_session):
+    import ray.data
+
+    from pybel_ray.ops.relational import except_distinct, intersect_distinct
+
+    a = ray.data.from_items(
+        [{"k": v} for v in [1, 1, 2, 3, 4, None]],
+    ).repartition(3)
+    b = ray.data.from_items(
+        [{"k": v} for v in [2, 2, 4, 5, None]],
+    ).repartition(2)
+    inter = sorted(
+        r["k"] for r in intersect_distinct(a, b, "k").take_all()
+        if r["k"] is not None
+    )
+    exc = sorted(
+        r["k"] for r in except_distinct(a, b, "k").take_all()
+        if r["k"] is not None
+    )
+    assert inter == [2, 4]
+    assert exc == [1, 3]
+    # nulls render to the sentinel and behave as one distinct value
+    # (SQL INTERSECT/EXCEPT treat NULL = NULL for set membership)
+    assert None in [
+        r["k"] for r in intersect_distinct(a, b, "k").take_all()
+    ]
