@@ -231,10 +231,14 @@ def single_run(num_cpus: int, sf_dir: str, with_queries: bool,
         "cpu_probe_units_per_sec": cpu_probe,
         **headline,
     }
-    if with_queries:
-        result["queries"] = run_queries(sf_dir)
+    # large leg BEFORE the query sweep: ~60 queries leave enough
+    # object-store/actor residue in the session to degrade a subsequent
+    # steady-state run ~40% (measured 30.9k vs 51.7k t/s isolated), which
+    # would read as a phantom regression
     if with_large_leg:
         result.update(run_large_leg(num_cpus))
+    if with_queries:
+        result["queries"] = run_queries(sf_dir)
     import ray
 
     ray.shutdown()
