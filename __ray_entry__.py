@@ -1867,6 +1867,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             base, delta, "o_orderkey", ["o_orderstatus"],
         )
 
+    def events_value_winsorized(sf_dir):
+        # outlier clipping at the exact global p1/p99 order statistics
+        # (quantile_disc semantics both sides; comparisons only, so
+        # float-exact): one distributed sort fetches two rows, then a
+        # stateless vectorized clamp pass
+        from pybel_ray.ops.window import global_quantiles
+
+        ds = _read(sf_dir, "events").select_columns(
+            ["event_id", "value"],
+        )
+        q = global_quantiles(ds, "value", [0.01, 0.99], out_prefix="q")
+        lo = q.column("q1")[0].as_py()
+        hi = q.column("q99")[0].as_py()
+
+        def _clip(t: pa.Table) -> pa.Table:
+            v = t.column("value")
+            clipped = pc.min_element_wise(
+                pc.max_element_wise(v, pa.scalar(lo, pa.float64())),
+                pa.scalar(hi, pa.float64()),
+            )
+            return pa.Table.from_arrays(
+                [t.column("event_id"), clipped],
+                names=["event_id", "value_w"],
+            )
+
+        return ds.map_batches(_clip, batch_format="pyarrow")
+
     def events_purchasers_also_error(sf_dir):
         # SQL INTERSECT: users with a purchase AND an error — per-side
         # local-unique combiner, ONE bucketed semi-join, global dedup;
@@ -3122,6 +3149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_stats": lineitem_corr_stats,
         "events_purchasers_also_error": events_purchasers_also_error,
         "orders_bigspenders_except_f": orders_bigspenders_except_f,
+        "events_value_winsorized": events_value_winsorized,
         "events_row_number_per_user": events_row_number_per_user,
         "events_user_sequences": events_user_sequences,
         "events_profile": events_profile,
@@ -5328,6 +5356,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
             UNION ALL
             SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        # winsorize at the exact p1/p99 discrete quantiles
+        "events_value_winsorized": """
+            WITH q AS (
+                SELECT quantile_disc(value, 0.01) AS lo,
+                       quantile_disc(value, 0.99) AS hi
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(least(greatest(value, q.lo), q.hi) AS DOUBLE)
+                       AS value_w
+            FROM events, q
         """,
         # SQL set operators over user activity
         "events_purchasers_also_error": """

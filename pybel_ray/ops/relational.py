@@ -208,6 +208,23 @@ def anti_join(ds, key: str, keys_ds, keys_key: Optional[str] = None):
     return semi_join(ds, key, keys_ds, keys_key, anti=True)
 
 
+def _ensure_arrow_schema(ds):
+    """Return ``(ds, pa.Schema)`` — pandas-block datasets (e.g. built
+    with ``ray.data.from_pandas``) report a ``PandasBlockSchema`` with no
+    ``.field``; those get one pass-through ``map_batches`` to Arrow
+    blocks (which the join does per-batch anyway, so no extra work at
+    execution time) so the schema is introspectable up front.
+    """
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", None) or schema
+    if isinstance(base, pa.Schema):
+        return ds, base
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", None) or schema
+    return ds, base
+
+
 def equi_join(
     left,
     right,
@@ -215,13 +232,21 @@ def equi_join(
     right_on=None,
     how: str = "inner",
     suffix: str = "_r",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """General many-to-many distributed equi-join (Ray Data has no
     native join): hash-bucket both sides on the key, ONE
     ``groupby(bucket)`` exchange co-locates equal keys, and each bucket
     resolves with pyarrow's hash join (``pa.Table.join``) — vectorized,
     many-to-many, never on the driver.
+
+    ``num_buckets=None`` (default) sizes the exchange to the DATA, the
+    same rule as ``dedup_exact_sorted``: both sides materialize once
+    (the shuffle would execute them anyway; this avoids running the
+    lineage twice), and combined bytes pick the bucket count — 1 under
+    64 MB (a 64-task exchange on kilobytes is pure scheduling, measured
+    ~5 s), one per CPU in the mid range, ~256 MB buckets beyond, capped
+    at 1024.  Pass an explicit int to pin it (tests; known-skew keys).
 
     ``on`` / ``right_on`` may be a column name or a list (composite keys
     are joined on a ``\\x00``-separated string rendering; values
@@ -235,6 +260,19 @@ def equi_join(
     """
     if how not in ("inner", "left", "full"):
         raise ValueError(how)
+    if num_buckets is None:
+        left = left.materialize()
+        right = right.materialize()
+        combined = (left.size_bytes() or 0) + (right.size_bytes() or 0)
+        if combined < 64 * 1024 * 1024:
+            num_buckets = 1
+        else:
+            import ray as _ray
+
+            cpus = int(_ray.cluster_resources().get("CPU", 8))
+            num_buckets = min(
+                1024, max(cpus, combined // (256 * 1024 * 1024)),
+            )
     join_type = {"inner": "inner", "left": "left outer", "full": "full outer"}[how]
     lkeys = [on] if isinstance(on, str) else list(on)
     rkeys = lkeys if right_on is None else (
@@ -242,10 +280,8 @@ def equi_join(
     )
     from ..stages.dedup import add_hash_bucket
 
-    lschema = left.schema()
-    lbase = getattr(lschema, "base_schema", None) or lschema
-    rschema = right.schema()
-    rbase = getattr(rschema, "base_schema", None) or rschema
+    left, lbase = _ensure_arrow_schema(left)
+    right, rbase = _ensure_arrow_schema(right)
     lnames = list(lbase.names)
     rename = {
         n: (n + suffix if n in lnames else n)

@@ -328,3 +328,25 @@ def test_groupby_rollup_rejects_mean(ray_session):
         groupby_rollup(
             ray.data.from_arrow(t), ["a"], {"m": ("mean", "v")},
         )
+
+
+def test_equi_join_adaptive_buckets_small_input(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from pybel_ray.ops.relational import equi_join
+
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3, 3], "a": ["w", "x", "y", "z"],
+    }))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "k": [3, 3, 4], "b": ["p", "q", "r"],
+    }))
+    # num_buckets=None (default) sizes the exchange to the data — on
+    # kilobytes it must still produce the exact join result
+    out = equi_join(left, right, on="k").to_pandas()
+    got = sorted(zip(out["k"], out["a"], out["b"]))
+    assert got == [(3, "y", "p"), (3, "y", "q"),
+                   (3, "z", "p"), (3, "z", "q")]
+    full = equi_join(left, right, on="k", how="full").to_pandas()
+    assert sorted(full["k"]) == [1, 2, 3, 3, 3, 3, 4]
