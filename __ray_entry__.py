@@ -2068,6 +2068,142 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tie_keys=["l_orderkey"],
         )
 
+    def tpch_q6_forecast_revenue(sf_dir):
+        # TPC-H-Q6-shaped filter + exact global sum: ZERO shuffle —
+        # each batch filters (pushdown-shaped predicate trio) and emits
+        # one int64 partial in exact micros; Dataset.sum folds them
+        import datetime as _dt
+
+        lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+        hi = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        )
+
+        def _partial(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            m = pc.and_(
+                pc.and_(
+                    pc.greater_equal(t.column("l_shipdate"), lo),
+                    pc.less(t.column("l_shipdate"), hi),
+                ),
+                pc.and_(
+                    pc.and_(
+                        pc.greater_equal(
+                            t.column("l_discount"), pa.scalar(0.05),
+                        ),
+                        pc.less_equal(
+                            t.column("l_discount"), pa.scalar(0.07),
+                        ),
+                    ),
+                    pc.less(t.column("l_quantity"), pa.scalar(24.0)),
+                ),
+            )
+            t = t.filter(m)
+            p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            d = t.column("l_discount").to_numpy(zero_copy_only=False)
+            e6 = np.floor(p * d * 1e6 + 0.5).astype(np.int64)
+            return pa.Table.from_arrays(
+                [pa.array([int(e6.sum())], pa.int64())],
+                names=["revenue_e6"],
+            )
+
+        total = li.map_batches(_partial, batch_format="pyarrow").sum(
+            "revenue_e6",
+        )
+        return pa.Table.from_arrays(
+            [pa.array([int(total or 0)], pa.int64())], names=["revenue_e6"],
+        )
+
+    def tpch_q4_priority_returns(sf_dir):
+        # TPC-H-Q4-shaped EXISTS: orders with at least one returned
+        # line, counted per priority — ONE bucketed semi-join (local
+        # unique inside, neither side visits the driver) + a tiny
+        # 5-group aggregate
+        from pybel_ray.ops.relational import groupby_agg, semi_join
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderpriority"],
+        )
+        returned = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_returnflag"],
+        ).filter(expr="l_returnflag == 'R'").select_columns(["l_orderkey"])
+        kept = semi_join(orders, "o_orderkey", returned, "l_orderkey")
+        return groupby_agg(
+            kept, "o_orderpriority",
+            {"order_count": ("count", "o_orderkey")},
+        )
+
+    def tpch_q14_promo_share(sf_dir):
+        # TPC-H-Q14-shaped promotion share: lineitem ⋈ part is a
+        # BROADCAST dimension join (part ships once via the closure,
+        # never a shuffle), revenue quantized to exact micros before
+        # the per-ship-month sums
+        from pybel_ray.ops.relational import broadcast_join, groupby_agg
+
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        part = _read_arrow(sf_dir, "part").select(["p_partkey", "p_type"])
+        j = broadcast_join(li, part, "l_partkey", "p_partkey")
+
+        def _score(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            d = t.column("l_discount").to_numpy(zero_copy_only=False)
+            e6 = np.floor(p * (1.0 - d) * 1e6 + 0.5).astype(np.int64)
+            promo = pc.equal(
+                t.column("p_type"), pa.scalar("PROMO"),
+            ).to_numpy(zero_copy_only=False)
+            month = pc.strftime(t.column("l_shipdate"), format="%Y-%m")
+            return pa.Table.from_arrays(
+                [month, pa.array(e6), pa.array(np.where(promo, e6, 0))],
+                names=["ship_month", "rev_e6", "promo_e6"],
+            )
+
+        return groupby_agg(
+            j.map_batches(_score, batch_format="pyarrow"),
+            "ship_month",
+            {"promo_rev_e6": ("sum", "promo_e6"),
+             "total_rev_e6": ("sum", "rev_e6")},
+        )
+
+    def events_value_rank_per_user(sf_dir):
+        # rank() + dense_rank() per user by value ascending — real ties
+        # exist in the corpus so the two diverge; one groupby exchange
+        # with the skew probe armed (sorted fallback above 200k rows)
+        from pybel_ray.ops.window import rank_by
+
+        out = rank_by(
+            _read(sf_dir, "events").select_columns(
+                ["event_id", "user_id", "value"],
+            ),
+            "user_id", ["value"], max_rows_per_group=200_000,
+        )
+        return out.select_columns(
+            ["event_id", "user_id", "rank", "dense_rank"],
+        )
+
+    def events_mode_type_per_user(sf_dir):
+        # per-user modal event type (most frequent; ties -> smallest
+        # type string): ONE count exchange, then the skew-bounded
+        # topk_per_group local-combiner keeps k=1 per key
+        from pybel_ray.ops.relational import groupby_agg, topk_per_group
+
+        counts = groupby_agg(
+            _read(sf_dir, "events").select_columns(
+                ["user_id", "event_type"],
+            ),
+            ["user_id", "event_type"],
+            {"n": ("count", "event_type")},
+        )
+        return topk_per_group(
+            counts, "user_id", "n", k=1, descending=True,
+            tie_keys=["event_type"],
+        )
+
     def events_rolling_avg(sf_dir):
         # per-user rolling mean of the last 5 event values (ROWS
         # BETWEEN 4 PRECEDING AND CURRENT ROW) in exact integer micros;
@@ -3140,6 +3276,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": events_cube,
         "events_rolling_avg": events_rolling_avg,
         "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+        "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+        "tpch_q4_priority_returns": tpch_q4_priority_returns,
+        "tpch_q14_promo_share": tpch_q14_promo_share,
+        "events_value_rank_per_user": events_value_rank_per_user,
+        "events_mode_type_per_user": events_mode_type_per_user,
         "events_transition_matrix": events_transition_matrix,
         "doc_table_digest": doc_table_digest,
         "orders_version_diff": orders_version_diff,
@@ -5526,6 +5667,64 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1998-01-01'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue_e6 DESC, l_orderkey LIMIT 10
+        """,
+        # Q6-shaped forecast-revenue filter + exact-micros global sum
+        "tpch_q6_forecast_revenue": """
+            SELECT CAST(coalesce(sum(CAST(floor(
+                       l_extendedprice * l_discount * 1e6 + 0.5
+                   ) AS BIGINT)), 0) AS BIGINT) AS revenue_e6
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24.0
+        """,
+        # Q4-shaped EXISTS: orders with >=1 returned line, per priority
+        "tpch_q4_priority_returns": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+            )
+            GROUP BY o_orderpriority
+        """,
+        # Q14-shaped promo revenue share per ship month (exact micros)
+        "tpch_q14_promo_share": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                   CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+                       CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                  * 1e6 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS promo_rev_e6,
+                   CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                       * 1e6 + 0.5) AS BIGINT))
+                       AS BIGINT) AS total_rev_e6
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+            GROUP BY ship_month
+        """,
+        # rank + dense_rank per user by value (ascending; ties shared)
+        "events_value_rank_per_user": """
+            SELECT event_id, user_id,
+                   CAST(rank() OVER w AS BIGINT) AS rank,
+                   CAST(dense_rank() OVER w AS BIGINT) AS dense_rank
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY value)
+        """,
+        # per-user modal event type (ties -> smallest type string)
+        "events_mode_type_per_user": """
+            WITH c AS (
+                SELECT user_id, event_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY user_id, event_type
+            )
+            SELECT user_id, event_type, n FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY n DESC, event_type
+                ) AS rn FROM c
+            ) WHERE rn = 1
         """,
         # per-user rolling mean over the trailing 5-row window in
         # integer micros (sums are non-negative here so floor == //)

@@ -50,6 +50,7 @@ __all__ = [
     "tumbling_window_agg",
     "hopping_window_agg",
     "max_group_rows",
+    "rank_by",
 ]
 
 
@@ -1054,3 +1055,180 @@ def lead_by(
         return g.append_column(out_col, shifted)
 
     return ds.groupby(partition_col).map_groups(_shift, batch_format="pyarrow")
+
+
+def _run_changes(t: pa.Table, cols) -> np.ndarray:
+    """Boolean run-change marker per row of a (pre-sorted) table:
+    ``True`` where any of ``cols`` differs from the previous row
+    (row 0 is always a change).  Columns must be non-null."""
+    n = t.num_rows
+    rc = np.zeros(n, dtype=bool)
+    if n == 0:
+        return rc
+    rc[0] = True
+    for c in cols:
+        col = t.column(c)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        eq = pc.equal(col.slice(1), col.slice(0, n - 1))
+        rc[1:] |= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+    return rc
+
+
+def _rank_sorted(ds, partition_col, order_cols, out_rank, out_dense):
+    """Skew-proof rank: ONE distributed sort by (partition, order,
+    unique row id) + a per-block boundary exchange.  Each block sends
+    the driver one partial (first-row sort tuple, last key/order value,
+    trailing key-run stats); the driver folds them in sort order so
+    every block learns the carried (rows-done, runs-done,
+    rank-of-ongoing-run-start) for the key run it may continue.  No key
+    group ever has to fit one worker.  Requires non-null partition and
+    order values (same contract as :func:`_lag_sorted`)."""
+    import json as _json
+
+    import ray
+
+    sort_cols = [partition_col] + order_cols + ["_rid"]
+    sorted_ds = _with_unique_rid(ds).sort(sort_cols).materialize()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict({
+                "_tup": pa.array([], pa.string()),
+                "_first_key": pa.array([], pa.string()),
+                "_first_ord": pa.array([], pa.string()),
+                "_last_key": pa.array([], pa.string()),
+                "_last_ord": pa.array([], pa.string()),
+                "_n": pa.array([], pa.int64()),
+                "_trail_rows": pa.array([], pa.int64()),
+                "_trail_runs": pa.array([], pa.int64()),
+                "_trail_run_len": pa.array([], pa.int64()),
+            })
+        n = t.num_rows
+        kc = _run_changes(t, [partition_col])
+        rc = _run_changes(t, [partition_col] + order_cols)
+        idx = np.arange(n)
+        key_start_last = int(np.max(idx[kc]))
+        run_start_last = int(np.max(idx[rc]))
+        tup = _json.dumps(_first_row_tuple(t, sort_cols), default=str)
+        ord_of = lambda i: _json.dumps(
+            [t.column(c)[i].as_py() for c in order_cols], default=str,
+        )
+        return pa.Table.from_pydict({
+            "_tup": [tup],
+            "_first_key": [str(t.column(partition_col)[0].as_py())],
+            "_first_ord": [ord_of(0)],
+            "_last_key": [str(t.column(partition_col)[-1].as_py())],
+            "_last_ord": [ord_of(n - 1)],
+            "_n": [n],
+            "_trail_rows": [n - key_start_last],
+            "_trail_runs": [int(rc[key_start_last:].sum())],
+            "_trail_run_len": [n - run_start_last],
+        })
+
+    partials = sorted_ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None,
+    ).take_all()
+    partials.sort(key=lambda r: tuple(_json.loads(r["_tup"])))
+
+    # fold: carry = (key, ord, rows_done, runs_done, run_start_rank)
+    boundaries = {}
+    key, ordv, rows_done, runs_done, run_start_rank = None, None, 0, 0, 1
+    for r in partials:
+        boundaries[r["_tup"]] = (key, ordv, rows_done, runs_done,
+                                 run_start_rank)
+        if r["_first_key"] == key and r["_trail_rows"] == r["_n"]:
+            # the whole block continues the carried key run
+            merged = r["_first_ord"] == ordv
+            new_rows = rows_done + r["_n"]
+            new_runs = runs_done + r["_trail_runs"] - (1 if merged else 0)
+            if r["_trail_runs"] == 1 and merged:
+                new_rsr = run_start_rank
+            else:
+                new_rsr = rows_done + (r["_n"] - r["_trail_run_len"]) + 1
+            rows_done, runs_done, run_start_rank = new_rows, new_runs, new_rsr
+        else:
+            rows_done = r["_trail_rows"]
+            runs_done = r["_trail_runs"]
+            run_start_rank = r["_trail_rows"] - r["_trail_run_len"] + 1
+        key, ordv = r["_last_key"], r["_last_ord"]
+    b_ref = ray.put(boundaries)
+
+    def _apply(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_rank, pa.array([], pa.int64())) \
+                .append_column(out_dense, pa.array([], pa.int64())) \
+                .drop_columns(["_rid"])
+        n = t.num_rows
+        tup = _json.dumps(_first_row_tuple(t, sort_cols), default=str)
+        b_key, b_ord, b_rows, b_runs, b_rsr = ray.get(b_ref)[tup]
+        kc = _run_changes(t, [partition_col])
+        rc = _run_changes(t, [partition_col] + order_cols)
+        idx = np.arange(n)
+        key_start = np.maximum.accumulate(np.where(kc, idx, 0))
+        run_start = np.maximum.accumulate(np.where(rc, idx, 0))
+        runs_cum = np.cumsum(rc)  # 1-based count of run starts up to i
+        dense_local = runs_cum - runs_cum[key_start]  # 0-based run idx
+        rank = (run_start - key_start + 1).astype(np.int64)
+        dense = (dense_local + 1).astype(np.int64)
+        if b_key is not None and \
+                str(t.column(partition_col)[0].as_py()) == b_key:
+            # rows of the block's first key continue the carried run
+            first_ord = _json.dumps(
+                [t.column(c)[0].as_py() for c in order_cols], default=str,
+            )
+            merged = first_ord == b_ord
+            m = key_start == 0
+            rank = np.where(m, b_rows + run_start + 1, rank)
+            dense = np.where(
+                m, b_runs + dense_local + (0 if merged else 1), dense,
+            )
+            if merged:
+                m0 = m & (run_start == 0)
+                rank = np.where(m0, b_rsr, rank)
+        return t.append_column(out_rank, pa.array(rank, pa.int64())) \
+            .append_column(out_dense, pa.array(dense, pa.int64())) \
+            .drop_columns(["_rid"])
+
+    return sorted_ds.map_batches(
+        _apply, batch_format="pyarrow", batch_size=None,
+    )
+
+
+def rank_by(
+    ds,
+    partition_col: str,
+    order_cols,
+    out_rank: str = "rank",
+    out_dense: str = "dense_rank",
+    max_rows_per_group: int | None = None,
+):
+    """``rank()`` and ``dense_rank() OVER (PARTITION BY p ORDER BY o)``
+    in one pass (ascending order; rank ties share the run-start rank,
+    dense_rank counts distinct order-value runs).  Partition and order
+    values must be non-null.
+
+    Partitions co-locate with one ``groupby`` exchange; pass
+    ``max_rows_per_group`` to probe for degenerate single-key skew and
+    switch to the skew-proof sorted path (:func:`_rank_sorted` — one
+    global sort + one boundary row per block, no group co-location).
+    """
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    if max_rows_per_group is not None:
+        ds = ds.materialize()  # probe + op share one upstream execution
+        if max_group_rows(ds, partition_col) > max_rows_per_group:
+            return _rank_sorted(ds, partition_col, order_cols, out_rank,
+                                out_dense)
+
+    def _rank(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(c, "ascending") for c in order_cols])
+        n = g.num_rows
+        rc = _run_changes(g, order_cols)  # one key per group
+        idx = np.arange(n)
+        run_start = np.maximum.accumulate(np.where(rc, idx, 0))
+        rank = (run_start + 1).astype(np.int64)
+        dense = np.cumsum(rc).astype(np.int64)
+        return g.append_column(out_rank, pa.array(rank, pa.int64())) \
+            .append_column(out_dense, pa.array(dense, pa.int64()))
+
+    return ds.groupby(partition_col).map_groups(_rank, batch_format="pyarrow")

@@ -355,3 +355,59 @@ def test_sorted_paths_with_duplicate_timestamps(ray_session):
                    max_rows_per_group=100).take_all(), "session_seq",
     )
     assert sorted_s == plain_s
+
+
+def test_rank_by_matches_duckdb(ray_session):
+    """rank/dense_rank per key vs DuckDB window functions (fast path)."""
+    import duckdb
+
+    from pybel_ray.ops.window import rank_by
+
+    rows = _skew_rows(n_hot=300)
+    ds = _ds(rows, blocks=5)
+    out = sorted(
+        (r["k"], r["ts"], r["rank"], r["dense_rank"])
+        for r in rank_by(ds, "k", ["v", "ts"]).take_all()
+    )
+    con = duckdb.connect()
+    con.register("t", pa.Table.from_pylist(rows))
+    expect = sorted(
+        tuple(r) for r in con.execute(
+            """SELECT k, ts, CAST(rank() OVER w AS BIGINT),
+                      CAST(dense_rank() OVER w AS BIGINT)
+               FROM t WINDOW w AS (PARTITION BY k ORDER BY v, ts)""",
+        ).fetchall()
+    )
+    assert out == expect
+
+
+def test_rank_by_sorted_path_matches_groupby(ray_session):
+    """Planted single-key skew with tie runs spanning block boundaries:
+    the sorted (skew-proof) path must equal the per-group path exactly,
+    and the probe must engage it."""
+    from pybel_ray.ops.window import max_group_rows, rank_by
+
+    import random
+
+    rng = random.Random(11)
+    rows = [{"k": "hot", "i": i, "v": i // 7} for i in range(4000)]
+    for key in ("a", "b"):
+        rows += [{"k": key, "i": i, "v": i // 3} for i in range(35)]
+    rng.shuffle(rows)
+    ds = _ds(rows, blocks=9)
+    assert max_group_rows(ds, "k") == 4000
+
+    def _key(out):
+        return sorted((r["k"], r["i"], r["rank"], r["dense_rank"])
+                      for r in out)
+
+    plain = _key(rank_by(ds, "k", ["v"]).take_all())
+    salted = _key(
+        rank_by(ds, "k", ["v"], max_rows_per_group=100).take_all(),
+    )
+    assert salted == plain
+    # tie runs of 7: rank jumps by 7 per distinct value, dense by 1
+    hot = [(i, r, d) for k, i, r, d in salted if k == "hot"]
+    assert max(d for _, _, d in hot) == 4000 // 7 + 1
+    assert {r for i, r, d in hot if i < 7} == {1}
+    assert {r for i, r, d in hot if 7 <= i < 14} == {8}
