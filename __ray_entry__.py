@@ -2170,6 +2170,193 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "total_rev_e6": ("sum", "rev_e6")},
         )
 
+    def tpch_q5_local_supplier_revenue(sf_dir):
+        # TPC-H Q5 composition: the 6-table "local supplier" join.
+        # region/nation/supplier are BROADCAST dims (ship once in the
+        # closure); customer⋈orders and lineitem⋈(that) are bucketed
+        # big-big equi_joins; c_nationkey == s_nationkey filters after
+        # the supplier probe; revenue exact int64 micros per line.
+        from pybel_ray.ops.relational import (
+            broadcast_join, equi_join, groupby_agg,
+        )
+
+        import datetime as _dt
+
+        lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+        hi = pa.scalar(_dt.datetime(1998, 1, 1), pa.timestamp("us"))
+        region = _read_arrow(sf_dir, "region")
+        nation = _read_arrow(sf_dir, "nation")
+        rkeys = region.filter(
+            pc.equal(region.column("r_name"), pa.scalar("ASIA")),
+        ).column("r_regionkey").combine_chunks()
+        nat = nation.filter(
+            pc.is_in(nation.column("n_regionkey"), value_set=rkeys),
+        ).select(["n_nationkey", "n_name"])
+        supplier = _read_arrow(sf_dir, "supplier").select(
+            ["s_suppkey", "s_nationkey"],
+        )
+
+        cust = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_nationkey"],
+        )
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(
+            lambda t: t.filter(pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), lo),
+                pc.less(t.column("o_orderdate"), hi),
+            )),
+            batch_format="pyarrow",
+        )
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+
+        j = equi_join(orders, cust, on="o_custkey", right_on="c_custkey")
+        j = equi_join(
+            li, j.select_columns(["o_orderkey", "c_nationkey"]),
+            on="l_orderkey", right_on="o_orderkey",
+        )
+        j = broadcast_join(j, supplier, "l_suppkey", "s_suppkey")
+
+        def _local_rev(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            t = t.filter(pc.equal(
+                pc.cast(t.column("c_nationkey"), pa.int32()),
+                pc.cast(t.column("s_nationkey"), pa.int32()),
+            ))
+            p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            d = t.column("l_discount").to_numpy(zero_copy_only=False)
+            e6 = np.floor(p * (1.0 - d) * 1e6 + 0.5).astype(np.int64)
+            return pa.Table.from_arrays(
+                [t.column("s_nationkey"), pa.array(e6, pa.int64())],
+                names=["s_nationkey", "rev_e6"],
+            )
+
+        j = broadcast_join(
+            j.map_batches(_local_rev, batch_format="pyarrow"),
+            nat, "s_nationkey", "n_nationkey",
+        )
+        agg = groupby_agg(j, "n_name", {"revenue_e6": ("sum", "rev_e6")})
+        return agg.sort("revenue_e6", descending=True)
+
+    def tpch_q18_large_orders(sf_dir):
+        # TPC-H Q18 composition (large-volume customers): the HAVING
+        # subquery is ONE groupby(l_orderkey) sum in exact micros, the
+        # survivors equi_join orders (bucketed), customer names ride a
+        # broadcast; top-100 by (o_totalprice desc, orderkey)
+        from pybel_ray.ops.relational import (
+            broadcast_join, equi_join, groupby_agg, topk,
+        )
+
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_quantity"],
+        )
+
+        def _qty(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+            e6 = np.floor(q * 1e6 + 0.5).astype(np.int64)
+            return pa.Table.from_arrays(
+                [t.column("l_orderkey"), pa.array(e6, pa.int64())],
+                names=["l_orderkey", "qty_e6"],
+            )
+
+        sums = groupby_agg(
+            li.map_batches(_qty, batch_format="pyarrow"),
+            "l_orderkey", {"sum_qty_e6": ("sum", "qty_e6")},
+        ).filter(expr="sum_qty_e6 > 200000000")
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        j = equi_join(orders, sums, on="o_orderkey", right_on="l_orderkey")
+        cust = _read_arrow(sf_dir, "customer").select(
+            ["c_custkey", "c_name"],
+        )
+        j = broadcast_join(j, cust, "o_custkey", "c_custkey")
+
+        def _total(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+            e6 = np.floor(p * 1e6 + 0.5).astype(np.int64)
+            return pa.Table.from_arrays(
+                [t.column("c_name"), t.column("o_custkey"),
+                 t.column("o_orderkey"), t.column("o_orderdate"),
+                 pa.array(e6, pa.int64()), t.column("sum_qty_e6")],
+                names=["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+                       "total_e6", "sum_qty_e6"],
+            )
+
+        return topk(
+            j.map_batches(_total, batch_format="pyarrow"),
+            "total_e6", 100, descending=True, tie_keys=["o_orderkey"],
+        )
+
+    def tpch_q12_late_shipments(sf_dir):
+        # TPC-H-Q12-shaped conditional aggregation (the corpus has no
+        # l_shipmode/l_commitdate, so "late" = shipped >60 days after
+        # the order date): ONE bucketed orders⋈lineitem join, then per
+        # linestatus the urgent-vs-other CASE counts — the CASE runs
+        # vectorized inside map_batches so the exchange carries two
+        # int columns, not the priority strings
+        from pybel_ray.ops.relational import equi_join, groupby_agg
+
+        import datetime as _dt
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_linestatus", "l_shipdate"],
+        )
+        j = equi_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+        grace = pa.scalar(_dt.timedelta(days=60))
+
+        def _late(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            t = t.filter(pc.greater(
+                t.column("l_shipdate"),
+                pc.add(t.column("o_orderdate"), grace),
+            ))
+            high = pc.is_in(
+                t.column("o_orderpriority"),
+                value_set=pa.array(["1-URGENT", "2-HIGH"]),
+            ).to_numpy(zero_copy_only=False)
+            hi = high.astype(np.int64)
+            return pa.Table.from_arrays(
+                [t.column("l_linestatus"), pa.array(hi),
+                 pa.array(1 - hi)],
+                names=["l_linestatus", "high_i", "low_i"],
+            )
+
+        return groupby_agg(
+            j.map_batches(_late, batch_format="pyarrow"),
+            "l_linestatus",
+            {"high_line_count": ("sum", "high_i"),
+             "low_line_count": ("sum", "low_i")},
+        )
+
+    def events_value_pctrank_per_user(sf_dir):
+        # PERCENT_RANK + CUME_DIST per user by value, both as exact
+        # integer micros (integer division mirrors the DuckDB //
+        # oracle bit-for-bit); one groupby exchange
+        from pybel_ray.ops.window import rank_by
+
+        out = rank_by(
+            _read(sf_dir, "events").select_columns(
+                ["event_id", "user_id", "value"],
+            ),
+            "user_id", ["value"], extended=True,
+        )
+        return out.select_columns(
+            ["event_id", "user_id", "pct_rank_e6", "cume_dist_e6"],
+        )
+
     def events_value_rank_per_user(sf_dir):
         # rank() + dense_rank() per user by value ascending — real ties
         # exist in the corpus so the two diverge; one groupby exchange
@@ -3279,6 +3466,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
         "tpch_q4_priority_returns": tpch_q4_priority_returns,
         "tpch_q14_promo_share": tpch_q14_promo_share,
+        "tpch_q5_local_supplier_revenue": tpch_q5_local_supplier_revenue,
+        "tpch_q18_large_orders": tpch_q18_large_orders,
+        "tpch_q12_late_shipments": tpch_q12_late_shipments,
+        "events_value_pctrank_per_user": events_value_pctrank_per_user,
         "events_value_rank_per_user": events_value_rank_per_user,
         "events_mode_type_per_user": events_mode_type_per_user,
         "events_transition_matrix": events_transition_matrix,
@@ -5703,6 +5894,73 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, part
             WHERE l_partkey = p_partkey
             GROUP BY ship_month
+        """,
+        # TPC-H Q5: the 6-table local-supplier join (ASIA, 1996-1997)
+        "tpch_q5_local_supplier_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(floor(
+                       l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5
+                   ) AS BIGINT)) AS BIGINT) AS revenue_e6
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name ORDER BY revenue_e6 DESC
+        """,
+        # TPC-H Q18: large-volume orders (HAVING sum(qty) > 200, exact
+        # micros both sides), top-100 by (totalprice desc, orderkey)
+        "tpch_q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(floor(l_quantity * 1e6 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS sum_qty_e6
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum_qty_e6 > 200000000
+            )
+            SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+                   CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)
+                       AS total_e6,
+                   sum_qty_e6
+            FROM orders, customer, big
+            WHERE o_orderkey = big.l_orderkey AND c_custkey = o_custkey
+            ORDER BY total_e6 DESC, o_orderkey LIMIT 100
+        """,
+        # Q12-shaped late-shipment conditional aggregation per
+        # linestatus ("late" = shipped >60 days after the order date)
+        "tpch_q12_late_shipments": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                       AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                       AS BIGINT) AS low_line_count
+            FROM lineitem, orders
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_linestatus
+        """,
+        # PERCENT_RANK + CUME_DIST per user in exact integer micros —
+        # the engine's integer division is mirrored with // (peers_le
+        # for cume_dist = the RANGE-framed running count, ties included)
+        "events_value_pctrank_per_user": """
+            SELECT event_id, user_id,
+                   CASE WHEN count(*) OVER p = 1 THEN 0
+                        ELSE CAST((rank() OVER w - 1) * 1000000
+                             // (count(*) OVER p - 1) AS BIGINT) END
+                       AS pct_rank_e6,
+                   CAST(count(*) OVER (
+                            PARTITION BY user_id ORDER BY value
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW
+                        ) * 1000000 // count(*) OVER p AS BIGINT)
+                       AS cume_dist_e6
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY value),
+                   p AS (PARTITION BY user_id)
         """,
         # rank + dense_rank per user by value (ascending; ties shared)
         "events_value_rank_per_user": """

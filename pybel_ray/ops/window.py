@@ -1202,21 +1202,38 @@ def rank_by(
     out_rank: str = "rank",
     out_dense: str = "dense_rank",
     max_rows_per_group: int | None = None,
+    extended: bool = False,
 ):
     """``rank()`` and ``dense_rank() OVER (PARTITION BY p ORDER BY o)``
     in one pass (ascending order; rank ties share the run-start rank,
     dense_rank counts distinct order-value runs).  Partition and order
     values must be non-null.
 
+    ``extended=True`` additionally emits exact-integer-micros
+    ``pct_rank_e6`` (``(rank-1)*1e6 // (n-1)``; 0 for a 1-row group,
+    matching SQL PERCENT_RANK) and ``cume_dist_e6`` (``peers_le *
+    1e6 // n`` where ``peers_le`` counts rows whose order value is <=
+    the current row's — SQL CUME_DIST with RANGE tie semantics).  The
+    integer division mirrors a DuckDB ``//`` oracle bit-for-bit, unlike
+    a float percent_rank.  Extended mode needs the whole group (its
+    size) in one place, so it is groupby-path only.
+
     Partitions co-locate with one ``groupby`` exchange; pass
     ``max_rows_per_group`` to probe for degenerate single-key skew and
     switch to the skew-proof sorted path (:func:`_rank_sorted` — one
-    global sort + one boundary row per block, no group co-location).
+    global sort + one boundary row per block, no group co-location;
+    incompatible with ``extended``).
     """
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     if max_rows_per_group is not None:
         ds = ds.materialize()  # probe + op share one upstream execution
         if max_group_rows(ds, partition_col) > max_rows_per_group:
+            if extended:
+                raise NotImplementedError(
+                    "rank_by(extended=True) needs per-group sizes and has "
+                    "no sorted fallback; raise max_rows_per_group or salt "
+                    "the partition key upstream",
+                )
             return _rank_sorted(ds, partition_col, order_cols, out_rank,
                                 out_dense)
 
@@ -1228,7 +1245,17 @@ def rank_by(
         run_start = np.maximum.accumulate(np.where(rc, idx, 0))
         rank = (run_start + 1).astype(np.int64)
         dense = np.cumsum(rc).astype(np.int64)
-        return g.append_column(out_rank, pa.array(rank, pa.int64())) \
+        g = g.append_column(out_rank, pa.array(rank, pa.int64())) \
             .append_column(out_dense, pa.array(dense, pa.int64()))
+        if extended:
+            starts = np.flatnonzero(rc)
+            run_end = np.append(starts[1:], n)  # exclusive end per run
+            peers_le = run_end[dense - 1] if n else np.zeros(0, np.int64)
+            pct = ((rank - 1) * 1_000_000) // (n - 1) if n > 1 else \
+                np.zeros(n, np.int64)
+            cume = (peers_le.astype(np.int64) * 1_000_000) // max(n, 1)
+            g = g.append_column("pct_rank_e6", pa.array(pct, pa.int64())) \
+                .append_column("cume_dist_e6", pa.array(cume, pa.int64()))
+        return g
 
     return ds.groupby(partition_col).map_groups(_rank, batch_format="pyarrow")

@@ -411,3 +411,51 @@ def test_rank_by_sorted_path_matches_groupby(ray_session):
     assert max(d for _, _, d in hot) == 4000 // 7 + 1
     assert {r for i, r, d in hot if i < 7} == {1}
     assert {r for i, r, d in hot if 7 <= i < 14} == {8}
+
+
+def test_rank_by_extended_matches_duckdb(ray_session):
+    """pct_rank_e6/cume_dist_e6 vs the DuckDB integer-division mirror,
+    including tie runs and a 1-row group (PERCENT_RANK edge case)."""
+    import duckdb
+
+    from pybel_ray.ops.window import rank_by
+
+    rows = _skew_rows(n_hot=300) + [{"k": "solo", "ts": 0, "v": 9.0}]
+    ds = _ds(rows, blocks=5)
+    out = sorted(
+        (r["k"], r["ts"], r["pct_rank_e6"], r["cume_dist_e6"])
+        for r in rank_by(ds, "k", ["v", "ts"], extended=True).take_all()
+    )
+    con = duckdb.connect()
+    con.register("t", pa.Table.from_pylist(rows))
+    expect = sorted(
+        tuple(r) for r in con.execute(
+            """SELECT k, ts,
+                      CASE WHEN count(*) OVER p = 1 THEN 0
+                           ELSE CAST((rank() OVER w - 1) * 1000000
+                                // (count(*) OVER p - 1) AS BIGINT) END,
+                      CAST(count(*) OVER (
+                               PARTITION BY k ORDER BY v, ts
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW
+                           ) * 1000000 // count(*) OVER p AS BIGINT)
+               FROM t WINDOW w AS (PARTITION BY k ORDER BY v, ts),
+                             p AS (PARTITION BY k)""",
+        ).fetchall()
+    )
+    assert out == expect
+    solo = [r for r in out if r[0] == "solo"]
+    assert solo == [("solo", 0, 0, 1_000_000)]
+
+
+def test_rank_by_extended_rejects_sorted_path(ray_session):
+    """extended mode has no skew-proof fallback — the probe must raise,
+    not silently drop the extended columns."""
+    import pytest as _pytest
+
+    from pybel_ray.ops.window import rank_by
+
+    rows = [{"k": "hot", "i": i, "v": i} for i in range(500)]
+    ds = _ds(rows, blocks=4)
+    with _pytest.raises(NotImplementedError):
+        rank_by(ds, "k", ["v"], max_rows_per_group=100, extended=True)
