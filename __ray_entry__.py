@@ -1974,6 +1974,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             scale=100,
         )
 
+    def events_value_trend_by_type(sf_dir):
+        # per-segment exact OLS trend (value over time): one streaming
+        # pass emits per-(block, type) Python-int partial rows; the
+        # driver folds blocks x 5 rows; slope/intercept are exact
+        # integer micros via truncating division (SQL // semantics)
+        from pybel_ray.ops.stats import corr_stats_by
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_type", "ts", "value"],
+        )
+
+        def _xsec(t: pa.Table) -> pa.Table:
+            x = pc.divide(
+                pc.cast(t.column("ts"), pa.int64()),
+                pa.scalar(1_000_000, pa.int64()),
+            )  # epoch seconds, truncating (positive timestamps)
+            return pa.Table.from_arrays(
+                [t.column("event_type"), x, t.column("value")],
+                names=["event_type", "x_sec", "value"],
+            )
+
+        return corr_stats_by(
+            ev.map_batches(_xsec, batch_format="pyarrow"),
+            "event_type", "x_sec", "value", x_scale=1, y_scale=10**6,
+        )
+
+    def events_expectations(sf_dir):
+        # declarative data-quality gate: 5 rules, ONE shared
+        # map_batches sweep for the per-column rules (+ one tiny
+        # groupby(rule) fold) and ONE key-only exchange for uniqueness
+        from pybel_ray.ops.expect import expect
+
+        return expect(
+            _read(sf_dir, "events"),
+            [
+                {"kind": "not_null", "column": "value"},
+                {"kind": "between", "column": "value",
+                 "lo": 0.0, "hi": 100.0},
+                {"kind": "in_set", "column": "event_type",
+                 "values": ["click", "view", "purchase", "signup"]},
+                {"kind": "regex", "column": "props",
+                 "pattern": '"k": \\d+'},
+                {"kind": "unique", "column": "event_id"},
+            ],
+        )
+
     def events_transition_matrix(sf_dir):
         # per-user Markov transition counts over event types: lag_by
         # (skew-guarded per-key shift) -> vectorized pair partials ->
@@ -3470,6 +3516,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "tpch_q12_late_shipments": tpch_q12_late_shipments,
         "events_value_pctrank_per_user": events_value_pctrank_per_user,
+        "events_value_trend_by_type": events_value_trend_by_type,
+        "events_expectations": events_expectations,
         "events_value_rank_per_user": events_value_rank_per_user,
         "events_mode_type_per_user": events_mode_type_per_user,
         "events_transition_matrix": events_transition_matrix,
@@ -5894,6 +5942,69 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, part
             WHERE l_partkey = p_partkey
             GROUP BY ship_month
+        """,
+        # per-type exact OLS trend — HUGEINT sufficient statistics,
+        # slope/intercept via truncating // (intercept derives from the
+        # truncated slope; exact rational form exceeds 128 bits)
+        "events_value_trend_by_type": """
+            WITH q AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 1000000 AS HUGEINT) AS x,
+                       CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS y
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ), s AS (
+                SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+                       sum(y*y) AS syy, sum(x*y) AS sxy
+                FROM q GROUP BY event_type
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(sx AS VARCHAR) AS sum_x,
+                   CAST(sy AS VARCHAR) AS sum_y,
+                   CAST(sxx AS VARCHAR) AS sum_xx,
+                   CAST(syy AS VARCHAR) AS sum_yy,
+                   CAST(sxy AS VARCHAR) AS sum_xy,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE CAST((n * sxy - sx * sy) * 1000000
+                                  // (n * sxx - sx * sx) AS VARCHAR) END
+                       AS slope_e6,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE CAST((sy * 1000000 -
+                                   ((n * sxy - sx * sy) * 1000000
+                                    // (n * sxx - sx * sx)) * sx)
+                                  // n AS VARCHAR) END AS intercept_e6
+            FROM s
+        """,
+        # data-quality expectations: each rule is one SQL count; the
+        # regex shares RE2 with the engine; unique = surplus duplicates
+        "events_expectations": """
+            SELECT 'between:value' AS rule,
+                   CAST(count(*) FILTER (value IS NOT NULL AND
+                       (value < 0.0 OR value > 100.0)) AS BIGINT)
+                       AS violations FROM events
+            UNION ALL
+            SELECT 'in_set:event_type',
+                   CAST(count(*) FILTER (event_type IS NOT NULL AND
+                       event_type NOT IN
+                       ('click', 'view', 'purchase', 'signup'))
+                       AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'not_null:value',
+                   CAST(count(*) FILTER (value IS NULL) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'regex:props',
+                   CAST(count(*) FILTER (props IS NOT NULL AND NOT
+                       regexp_matches(props, '"k": \\d+')) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'unique:event_id',
+                   CAST(count(event_id) - count(DISTINCT event_id)
+                        AS BIGINT)
+            FROM events
+            ORDER BY rule
         """,
         # TPC-H Q5: the 6-table local-supplier join (ASIA, 1996-1997)
         "tpch_q5_local_supplier_revenue": """

@@ -350,3 +350,121 @@ def corr_stats(ds, x_col: str, y_col: str, scale: int = 100) -> pa.Table:
         + [pa.array([str(v)], pa.string()) for v in totals[1:]],
         names=["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"],
     )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — SQL ``//`` semantics
+    (DuckDB truncates; Python ``//`` floors, so -7//2 differs)."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+def corr_stats_by(
+    ds,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 10**6,
+) -> pa.Table:
+    """Per-group exact OLS/correlation sufficient statistics + exact
+    integer-micros slope/intercept: one output row per group with
+    ``(n, sum_x, sum_y, sum_xx, sum_yy, sum_xy, slope_e6,
+    intercept_e6)``.
+
+    Both columns quantize to integers (``floor(v*scale+0.5)``); every
+    partial is a Python-int (arbitrary precision) string so no
+    cross-product can overflow.  Each BLOCK emits one partial row per
+    group it sees — the driver folds ``blocks x groups`` rows, so group
+    cardinality must be small (segments/types, not user ids); the rows
+    themselves never leave the cluster.  Null x or y rows drop
+    (pairwise semantics); null group keys drop.
+
+    ``slope_e6 = (n*sxy - sx*sy) * 1e6 // (n*sxx - sx^2)`` and
+    ``intercept_e6 = (sy*1e6 - slope_e6*sx) // n`` with TRUNCATING
+    division (:func:`_tdiv`) so a DuckDB HUGEINT ``//`` oracle
+    reproduces both bit-for-bit.  The intercept deliberately derives
+    from the already-truncated ``slope_e6`` — the exact rational form
+    ``(sy*den - num*sx)*1e6 // (n*den)`` needs >128-bit intermediates
+    on epoch-scale x values, which the SQL mirror cannot hold.
+    Degenerate groups (n == 0 or zero x-variance) emit null
+    slope/intercept.
+    """
+
+    def _partials(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).combine_chunks()
+        x = t.column(x_col).combine_chunks()
+        y = t.column(y_col).combine_chunks()
+        keep = pc.and_kleene(
+            pc.is_valid(g),
+            pc.and_kleene(pc.is_valid(x), pc.is_valid(y)),
+        )
+        g = g.filter(keep)
+        xv = np.floor(
+            x.filter(keep).to_numpy(zero_copy_only=False).astype(np.float64)
+            * x_scale + 0.5,
+        ).astype(np.int64).astype(object)
+        yv = np.floor(
+            y.filter(keep).to_numpy(zero_copy_only=False).astype(np.float64)
+            * y_scale + 0.5,
+        ).astype(np.int64).astype(object)
+        gv = np.asarray(g.to_pylist(), dtype=object)
+        rows = {k: [] for k in
+                ("g", "n", "sx", "sy", "sxx", "syy", "sxy")}
+        for key in sorted(set(gv.tolist())):  # small by contract
+            m = gv == key
+            xs, ys = xv[m], yv[m]
+            rows["g"].append(key)
+            rows["n"].append(str(len(xs)))
+            rows["sx"].append(str(int(xs.sum())))
+            rows["sy"].append(str(int(ys.sum())))
+            rows["sxx"].append(str(int((xs * xs).sum())))
+            rows["syy"].append(str(int((ys * ys).sum())))
+            rows["sxy"].append(str(int((xs * ys).sum())))
+        return pa.Table.from_arrays(
+            [pa.array(rows["g"])] + [
+                pa.array(rows[k], pa.string())
+                for k in ("n", "sx", "sy", "sxx", "syy", "sxy")
+            ],
+            names=["g", "n", "sx", "sy", "sxx", "syy", "sxy"],
+        )
+
+    folded: dict = {}
+    for row in ds.select_columns([group_col, x_col, y_col]).map_batches(
+        _partials, batch_format="pyarrow",
+    ).take_all():  # blocks x groups rows, bounded by contract
+        acc = folded.setdefault(row["g"], [0] * 6)
+        for i, k in enumerate(("n", "sx", "sy", "sxx", "syy", "sxy")):
+            acc[i] += int(row[k])
+
+    out = {k: [] for k in
+           (group_col, "n", "sum_x", "sum_y", "sum_xx", "sum_yy",
+            "sum_xy", "slope_e6", "intercept_e6")}
+    for key in sorted(folded):
+        n, sx, sy, sxx, syy, sxy = folded[key]
+        out[group_col].append(key)
+        out["n"].append(n)
+        for name, v in (("sum_x", sx), ("sum_y", sy), ("sum_xx", sxx),
+                        ("sum_yy", syy), ("sum_xy", sxy)):
+            out[name].append(str(v))
+        den = n * sxx - sx * sx
+        if n == 0 or den == 0:
+            out["slope_e6"].append(None)
+            out["intercept_e6"].append(None)
+        else:
+            num = n * sxy - sx * sy
+            slope = _tdiv(num * 10**6, den)
+            out["slope_e6"].append(str(slope))
+            out["intercept_e6"].append(
+                str(_tdiv(sy * 10**6 - slope * sx, n)),
+            )
+    return pa.Table.from_arrays(
+        [pa.array(out[group_col]),
+         pa.array(out["n"], pa.int64())] + [
+            pa.array(out[k], pa.string())
+            for k in ("sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy",
+                      "slope_e6", "intercept_e6")
+        ],
+        names=[group_col, "n", "sum_x", "sum_y", "sum_xx", "sum_yy",
+               "sum_xy", "slope_e6", "intercept_e6"],
+    )

@@ -93,3 +93,63 @@ def test_pca_project_matches_numpy(ray_session):
     # the 3 components explain nearly everything of this rank-3 data
     total_var = np.trace(cov)
     assert w[::-1][:3].sum() / total_var > 0.999
+
+
+def test_corr_stats_by_matches_numpy_and_layout(ray_session):
+    """Per-group sufficient stats equal a driver numpy fold regardless
+    of block layout; degenerate groups emit null slope/intercept."""
+    import numpy as np
+    import ray
+
+    from pybel_ray.ops.stats import _tdiv, corr_stats_by
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, n in (("a", 503), ("b", 117), ("solo", 1)):
+        xs = rng.integers(0, 10**6, n)
+        ys = rng.uniform(-50, 450, n)
+        rows += [{"g": g, "x": int(x), "y": float(y)}
+                 for x, y in zip(xs, ys)]
+    rows.append({"g": "novar", "x": 5, "y": 1.0})
+    rows.append({"g": "novar", "x": 5, "y": 2.0})
+    rows.append({"g": None, "x": 1, "y": 1.0})  # dropped
+    rows.append({"g": "a", "x": None, "y": 1.0})  # dropped
+
+    outs = []
+    for blocks in (1, 7):
+        ds = ray.data.from_items(rows, override_num_blocks=blocks)
+        outs.append(corr_stats_by(ds, "g", "x", "y").to_pylist())
+    assert outs[0] == outs[1]  # layout-invariant
+
+    by_g = {r["g"]: r for r in outs[0]}
+    assert set(by_g) == {"a", "b", "solo", "novar"}
+    assert by_g["solo"]["slope_e6"] is None  # zero x-variance (n=1)
+    assert by_g["novar"]["slope_e6"] is None
+
+    for g, n in (("a", 503), ("b", 117)):
+        xs = np.array([r["x"] for r in rows
+                       if r["g"] == g and r["x"] is not None],
+                      dtype=object)
+        ys = np.array([int(np.floor(r["y"] * 1e6 + 0.5)) for r in rows
+                       if r["g"] == g and r["x"] is not None],
+                      dtype=object)
+        got = by_g[g]
+        assert got["n"] == n
+        assert int(got["sum_x"]) == int(xs.sum())
+        assert int(got["sum_xy"]) == int((xs * ys).sum())
+        den = n * int((xs * xs).sum()) - int(xs.sum()) ** 2
+        num = n * int((xs * ys).sum()) - int(xs.sum()) * int(ys.sum())
+        slope = _tdiv(num * 10**6, den)
+        assert int(got["slope_e6"]) == slope
+        assert int(got["intercept_e6"]) == _tdiv(
+            int(ys.sum()) * 10**6 - slope * int(xs.sum()), n,
+        )
+
+
+def test_tdiv_matches_sql_truncation():
+    from pybel_ray.ops.stats import _tdiv
+
+    assert _tdiv(-7, 2) == -3  # SQL //; Python -7//2 == -4
+    assert _tdiv(7, -2) == -3
+    assert _tdiv(-7, -2) == 3
+    assert _tdiv(7, 2) == 3
