@@ -1974,6 +1974,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             scale=100,
         )
 
+    def orders_premium_customer_left(sf_dir):
+        # LEFT JOIN against a broadcast dimension subset: premium
+        # customers ship once in the closure; order rows with no match
+        # keep null c_name — one index_in probe per batch, no shuffle
+        from pybel_ray.ops.relational import broadcast_join
+
+        prem = _read_arrow(sf_dir, "customer")
+        prem = prem.filter(
+            pc.greater(prem.column("c_acctbal"), pa.scalar(8000.0)),
+        ).select(["c_custkey", "c_name"])
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey"],
+        )
+        return broadcast_join(
+            orders, prem, "o_custkey", "c_custkey", how="left",
+        )
+
     def events_value_trend_by_type(sf_dir):
         # per-segment exact OLS trend (value over time): one streaming
         # pass emits per-(block, type) Python-int partial rows; the
@@ -3518,6 +3535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_pctrank_per_user": events_value_pctrank_per_user,
         "events_value_trend_by_type": events_value_trend_by_type,
         "events_expectations": events_expectations,
+        "orders_premium_customer_left": orders_premium_customer_left,
         "events_value_rank_per_user": events_value_rank_per_user,
         "events_mode_type_per_user": events_mode_type_per_user,
         "events_transition_matrix": events_transition_matrix,
@@ -5942,6 +5960,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, part
             WHERE l_partkey = p_partkey
             GROUP BY ship_month
+        """,
+        # LEFT JOIN against the premium-customer dimension subset
+        "orders_premium_customer_left": """
+            SELECT o_orderkey, o_custkey, c_name
+            FROM orders LEFT JOIN (
+                SELECT c_custkey, c_name FROM customer
+                WHERE c_acctbal > 8000.0
+            ) p ON o_custkey = p.c_custkey
         """,
         # per-type exact OLS trend — HUGEINT sufficient statistics,
         # slope/intercept via truncating // (intercept derives from the

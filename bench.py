@@ -154,6 +154,13 @@ def run_queries(sf_dir: str) -> dict:
         "tpch_q3_shipping_priority",
         "doc_table_digest",
         "events_transition_matrix",
+        # session-8 additions: 6-table join, having-subquery join,
+        # extended window ranks, grouped OLS trend, data-quality gate
+        "tpch_q5_local_supplier_revenue",
+        "tpch_q18_large_orders",
+        "events_value_pctrank_per_user",
+        "events_value_trend_by_type",
+        "events_expectations",
     ]
     q = entry.queries()
     out = {}

@@ -649,23 +649,33 @@ def broadcast_join(
     left_key: str,
     right_key: str,
     take_columns: Optional[Sequence[str]] = None,
+    how: str = "inner",
 ):
     """Hash-join a Dataset against a SMALL Arrow table (broadcast, no shuffle).
 
     Fully vectorized: each batch does one ``pc.index_in`` probe of the big
     side's key column against the small side's keys, filters misses (inner
-    join), then ``take``s the matching small-side rows — no Python per-row
-    loop.  The small table ships once in the UDF closure.
+    join) or keeps them with null payload columns (``how="left"`` — a
+    null index into ``Table.take`` yields a null row, so SQL LEFT JOIN
+    semantics fall out of the same single probe), then ``take``s the
+    matching small-side rows — no Python per-row loop.  The small table
+    ships once in the UDF closure.  The small side's ``right_key`` must
+    be unique (a dimension table); duplicate keys would need the
+    many-to-many :func:`equi_join`.
     """
+    if how not in ("inner", "left"):
+        raise ValueError("broadcast_join how must be inner or left")
     take_columns = list(take_columns or [c for c in small.column_names if c != right_key])
     keys = small.column(right_key).combine_chunks()
     payload = small.select(take_columns).combine_chunks()
 
     def _join(t: pa.Table) -> pa.Table:
         idx = pc.index_in(t.column(left_key), value_set=keys)
-        mask = pc.is_valid(idx)
-        t = t.filter(mask)
-        hit = payload.take(pc.filter(idx, mask))
+        if how == "inner":
+            mask = pc.is_valid(idx)
+            t = t.filter(mask)
+            idx = pc.filter(idx, mask)
+        hit = payload.take(idx)
         for c in take_columns:
             t = t.append_column(c, hit.column(c))
         return t

@@ -350,3 +350,36 @@ def test_equi_join_adaptive_buckets_small_input(ray_session):
                    (3, "z", "p"), (3, "z", "q")]
     full = equi_join(left, right, on="k", how="full").to_pandas()
     assert sorted(full["k"]) == [1, 2, 3, 3, 3, 3, 4]
+
+
+def test_broadcast_join_left_keeps_misses(ray_session):
+    """how='left' keeps unmatched big-side rows with null payload; the
+    same probe inner-joins when how is default."""
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.relational import broadcast_join
+
+    big = ray.data.from_items(
+        [{"k": i, "v": i * 10} for i in range(8)], override_num_blocks=3,
+    )
+    small = pa.table({"rk": [1, 3, 5], "name": ["a", "b", "c"]})
+
+    left = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in broadcast_join(big, small, "k", "rk", how="left").take_all()
+    )
+    assert left == [
+        (0, 0, None), (1, 10, "a"), (2, 20, None), (3, 30, "b"),
+        (4, 40, None), (5, 50, "c"), (6, 60, None), (7, 70, None),
+    ]
+
+    inner = sorted(
+        (r["k"], r["name"])
+        for r in broadcast_join(big, small, "k", "rk").take_all()
+    )
+    assert inner == [(1, "a"), (3, "b"), (5, "c")]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        broadcast_join(big, small, "k", "rk", how="full")
