@@ -243,10 +243,18 @@ def equi_join(
     ``num_buckets=None`` (default) sizes the exchange to the DATA, the
     same rule as ``dedup_exact_sorted``: both sides materialize once
     (the shuffle would execute them anyway; this avoids running the
-    lineage twice), and combined bytes pick the bucket count — 1 under
-    64 MB (a 64-task exchange on kilobytes is pure scheduling, measured
-    ~5 s), one per CPU in the mid range, ~256 MB buckets beyond, capped
-    at 1024.  Pass an explicit int to pin it (tests; known-skew keys).
+    lineage twice).  A right side under 64 MB skips the exchange
+    entirely for ``inner``/``left`` — it collects to ONE Arrow table
+    and every left batch hash-joins against it in place (the
+    dimension-join plan a 100 TB fact⋈dim wants: the small side ships
+    once, the big side never moves; ``full`` can't decompose per-batch
+    because right-unmatched rows need global match state).  Otherwise
+    combined bytes pick the bucket count — 1 under 64 MB (a 64-task
+    exchange on kilobytes is pure scheduling, measured ~5 s), one per
+    CPU in the mid range, ~256 MB buckets beyond, capped at 1024.
+    Pass an explicit int to pin the bucketed path (tests; known-skew
+    keys; a small side with duplicate-heavy keys whose join OUTPUT
+    explodes per batch).
 
     ``on`` / ``right_on`` may be a column name or a list (composite keys
     are joined on a ``\\x00``-separated string rendering; values
@@ -255,24 +263,11 @@ def equi_join(
     collide with left names get ``suffix``.  For ``full``, right-unmatched
     rows surface their key through the LEFT key columns (SQL
     ``COALESCE(l.k, r.k)`` USING semantics) — the key is never lost.
-    Broadcast a small side with :func:`broadcast_join` instead when it
-    fits in the object store — this operator is for two big sides.
+    For a UNIQUE-key small side :func:`broadcast_join` is still the
+    cheapest path (one ``index_in`` probe, no hash table build).
     """
     if how not in ("inner", "left", "full"):
         raise ValueError(how)
-    if num_buckets is None:
-        left = left.materialize()
-        right = right.materialize()
-        combined = (left.size_bytes() or 0) + (right.size_bytes() or 0)
-        if combined < 64 * 1024 * 1024:
-            num_buckets = 1
-        else:
-            import ray as _ray
-
-            cpus = int(_ray.cluster_resources().get("CPU", 8))
-            num_buckets = min(
-                1024, max(cpus, combined // (256 * 1024 * 1024)),
-            )
     join_type = {"inner": "inner", "left": "left outer", "full": "full outer"}[how]
     lkeys = [on] if isinstance(on, str) else list(on)
     rkeys = lkeys if right_on is None else (
@@ -282,6 +277,23 @@ def equi_join(
 
     left, lbase = _ensure_arrow_schema(left)
     right, rbase = _ensure_arrow_schema(right)
+    broadcast_right = False
+    if num_buckets is None:
+        import ray as _ray
+
+        left = left.materialize()
+        right = right.materialize()
+        rbytes = right.size_bytes() or 0
+        combined = (left.size_bytes() or 0) + rbytes
+        if how != "full" and rbytes < 64 * 1024 * 1024:
+            broadcast_right = True
+        elif combined < 64 * 1024 * 1024:
+            num_buckets = 1
+        else:
+            cpus = int(_ray.cluster_resources().get("CPU", 8))
+            num_buckets = min(
+                1024, max(cpus, combined // (256 * 1024 * 1024)),
+            )
     lnames = list(lbase.names)
     rename = {
         n: (n + suffix if n in lnames else n)
@@ -296,6 +308,32 @@ def equi_join(
         if len(casted) == 1:
             return casted[0]
         return pc.binary_join_element_wise(*casted, "\x00")
+
+    out_names_bc = list(lbase.names) + rvalue_names
+    if broadcast_right:
+        import ray as _ray
+
+        rtabs = [t for t in _ray.get(right.to_arrow_refs()) if t.num_rows]
+        if rtabs:
+            rtab = pa.concat_tables(rtabs).combine_chunks()
+        else:
+            rtab = pa.Table.from_arrays(
+                [pa.nulls(0, rbase.field(n).type) for n in rbase.names],
+                names=list(rbase.names),
+            )
+        small = pa.Table.from_arrays(
+            [rtab.column(n) for n in rbase.names if n not in rkeys]
+            + [_jk(rtab, rkeys)],
+            names=rvalue_names + ["_jk"],
+        )
+
+        def _bjoin(t: pa.Table) -> pa.Table:
+            lt = t.append_column("_jk", _jk(t, lkeys))
+            return lt.join(
+                small, keys=["_jk"], join_type=join_type,
+            ).select(out_names_bc)
+
+        return left.map_batches(_bjoin, batch_format="pyarrow")
 
     # full outer: carry the right key columns (as hidden ``_rk{i}``) so
     # right-unmatched rows can coalesce their key into the left key

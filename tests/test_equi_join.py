@@ -383,3 +383,40 @@ def test_broadcast_join_left_keeps_misses(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         broadcast_join(big, small, "k", "rk", how="full")
+
+
+def test_equi_join_broadcast_path_matches_bucketed(ray_session):
+    """Auto mode broadcasts a small right side (inner/left); results
+    must equal the pinned bucketed path exactly, incl. many-to-many
+    duplicate right keys and null keys (never matching)."""
+    import ray
+
+    from pybel_ray.ops.relational import equi_join
+
+    left = ray.data.from_items(
+        [{"k": i % 5, "lv": i} for i in range(40)]
+        + [{"k": None, "lv": 99}],
+        override_num_blocks=4,
+    )
+    right = ray.data.from_items(
+        [{"k": 1, "rv": "a"}, {"k": 1, "rv": "b"}, {"k": 3, "rv": "c"},
+         {"k": None, "rv": "never"}],
+        override_num_blocks=2,
+    )
+
+    def _key(ds):
+        rows = [(r["k"], r["lv"], r["rv"]) for r in ds.take_all()]
+        return sorted(rows, key=lambda x: tuple(
+            (v is None, v) for v in x
+        ))
+
+    for how in ("inner", "left"):
+        auto = _key(equi_join(left, right, on="k", how=how))
+        pinned = _key(equi_join(left, right, on="k", how=how,
+                                num_buckets=4))
+        assert auto == pinned, how
+    inner = _key(equi_join(left, right, on="k"))
+    assert len(inner) == 8 * 2 + 8  # k=1 matches a+b, k=3 matches c
+    assert all(k is not None for k, _, _ in inner)  # null keys no match
+    leftj = _key(equi_join(left, right, on="k", how="left"))
+    assert len(leftj) == 16 + 8 + 24 + 1  # unmatched k=0,2,4 + null row
