@@ -2858,6 +2858,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = links.map_batches(_hosts, batch_format="pyarrow")
         return pagerank(edges, iters=3)
 
+    def web_host_ppr(sf_dir):
+        # PERSONALIZED PageRank: teleport mass restarts at two seed
+        # hosts, so rank measures link-proximity to them — the
+        # trusted-seed spam-demotion shape (TrustRank); same exact-int64
+        # recurrence as web_host_pagerank, seeded oracle unrolled in SQL
+        from pybel_ray.ops.graph import pagerank
+        from pybel_ray.ops.html import extract_links
+        from pybel_ray.ops.urls import URL_PATTERN
+
+        links = extract_links(_html_pages(sf_dir))
+
+        def _hosts(t: pa.Table) -> pa.Table:
+            cols = []
+            for c in ("src_url", "dst_url"):
+                u = t.column(c)
+                if isinstance(u, pa.ChunkedArray):
+                    u = u.combine_chunks()
+                cols.append(pc.fill_null(pc.struct_field(
+                    pc.extract_regex(u, URL_PATTERN), "host",
+                ), ""))
+            return pa.Table.from_arrays(cols, names=["src", "dst"])
+
+        edges = links.map_batches(_hosts, batch_format="pyarrow")
+        return pagerank(
+            edges, iters=3,
+            seeds=["site0.example.com", "site1.example.com"],
+        )
+
     def web_host_hits(sf_dir):
         # HITS hubs/authorities over the host link graph (parallel
         # edges kept, max-normalized exact-int64 half-steps); oracle is
@@ -3582,6 +3610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_strip_tags": web_strip_tags,
         "web_anchor_topk": web_anchor_topk,
         "web_host_pagerank": web_host_pagerank,
+        "web_host_ppr": web_host_ppr,
         "web_host_pagerank_weighted": web_host_pagerank_weighted,
         "web_host_hits": web_host_hits,
         "web_cocitation": web_cocitation,
@@ -3964,6 +3993,42 @@ def oracle_sql() -> dict[str, str]:
             ", ".join(ctes), iters,
         )
 
+    def _ppr_sql(edges_sql: str, seeds, iters: int = 3) -> str:
+        """Unrolled PERSONALIZED PageRank (ops/graph.py pagerank with
+        seeds: rank0 = 1e6 on seeds else 0; next = (150000 if seed else
+        0) + (85 * sum(incoming contrib)) // 100) as pure DuckDB SQL."""
+        seed_sql = ", ".join("'{}'".format(s) for s in seeds)
+        tele = ("CASE WHEN n.node IN ({}) THEN 150000 ELSE 0 END"
+                .format(seed_sql))
+        ctes = [
+            "__edges AS ({})".format(edges_sql),
+            "__nodes AS (SELECT src AS node FROM __edges"
+            " UNION SELECT dst FROM __edges)",
+            "__deg AS (SELECT src AS node, count(*) AS outdeg"
+            " FROM __edges GROUP BY src)",
+            "__r0 AS (SELECT node, CAST(CASE WHEN node IN ({}) THEN"
+            ' 1000000 ELSE 0 END AS BIGINT) AS "rank"'
+            " FROM __nodes)".format(seed_sql),
+        ]
+        for i in range(iters):
+            ctes.append(
+                '__c{i} AS (SELECT r.node, r."rank" // CAST(CASE WHEN '
+                "coalesce(d.outdeg, 0) = 0 THEN 1 ELSE d.outdeg END AS "
+                "BIGINT) AS contrib FROM __r{i} r LEFT JOIN __deg d "
+                "ON r.node = d.node)".format(i=i),
+            )
+            ctes.append(
+                "__r{j} AS (SELECT n.node, CAST({tele} + "
+                "(85 * coalesce(s.incoming, 0)) // 100 AS BIGINT) AS "
+                '"rank" FROM __nodes n LEFT JOIN (SELECT e.dst AS node, '
+                "sum(c.contrib) AS incoming FROM __edges e JOIN __c{i} c "
+                "ON e.src = c.node GROUP BY e.dst) s ON n.node = s.node)"
+                .format(j=i + 1, i=i, tele=tele),
+            )
+        return "WITH {} SELECT node, \"rank\" FROM __r{}".format(
+            ", ".join(ctes), iters,
+        )
+
     def _pagerank_weighted_sql(edges_sql: str, iters: int = 3) -> str:
         """Unrolled weighted PageRank (ops/graph.py pagerank_weighted:
         contrib per edge = rank * w // W(src); next = 150000 +
@@ -4288,6 +4353,11 @@ def oracle_sql() -> dict[str, str]:
         # PageRank over the host link graph: DuckDB rebuilds the pages,
         # re-extracts the links and unrolls the same integer recurrence
         "web_host_pagerank": _pagerank_sql(_web_host_edges),
+        # seeded teleport recurrence, same edge rebuild
+        "web_host_ppr": _ppr_sql(
+            _web_host_edges,
+            ["site0.example.com", "site1.example.com"],
+        ),
         # HITS hubs/authorities over the same rebuilt host edges: the
         # unrolled max-normalized exact-int64 recurrence (see
         # ops/graph.py hits)

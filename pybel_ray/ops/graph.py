@@ -108,14 +108,25 @@ def pagerank(
     node_budget: int = 2_000_000,
     force_distributed: bool = False,
     num_buckets: int = 64,
+    seeds=None,
 ):
     """(node, rank) after ``iters`` integer power iterations (see module
     docstring for the exact recurrence).  ``rank`` sums are int64; with
     ``scale=1e6`` overflow needs > ~9e12 incoming mass per node — beyond
-    any realistic graph."""
+    any realistic graph.
+
+    ``seeds`` switches to PERSONALIZED PageRank: the teleport mass lands
+    only on the seed nodes (``tele(v) = (15*scale)//100`` for seeds, 0
+    otherwise; initial rank ``scale`` for seeds, 0 otherwise) — random
+    walks restart at the seed set, so rank measures proximity to it.
+    Seeds absent from the graph are ignored.  The seed list ships in
+    the closure (small by contract — a handful of trusted hosts, not a
+    node table); both branches share the same exact-int64 recurrence so
+    a seeded unrolled-SQL oracle stays bit-for-bit."""
     import ray
 
     teleport = (15 * scale) // 100
+    seed_list = sorted(set(seeds)) if seeds is not None else None
     edges = _snapshot(edges.select_columns([src_col, dst_col]))
     n_nodes = None
     if not force_distributed:
@@ -123,6 +134,7 @@ def pagerank(
     if force_distributed or n_nodes > node_budget:
         return _pagerank_distributed(
             edges, src_col, dst_col, iters, scale, teleport, num_buckets,
+            seed_list,
         )
 
     # ---- broadcast branch: rank vector on the driver -------------------
@@ -142,7 +154,13 @@ def pagerank(
     nodes = np.array(sorted(node_set))
     outdeg = np.array([deg.get(n, 0) for n in nodes], dtype=np.int64)
     safe_deg = np.where(outdeg == 0, 1, outdeg)
-    rank = np.full(len(nodes), scale, dtype=np.int64)
+    if seed_list is None:
+        tvec = np.full(len(nodes), teleport, dtype=np.int64)
+        rank = np.full(len(nodes), scale, dtype=np.int64)
+    else:
+        seed_mask = np.isin(nodes, np.asarray(seed_list))
+        tvec = np.where(seed_mask, teleport, 0).astype(np.int64)
+        rank = np.where(seed_mask, scale, 0).astype(np.int64)
 
     nodes_arr = pa.array(nodes.tolist())
     nodes_ref = ray.put(nodes_arr)
@@ -173,7 +191,7 @@ def pagerank(
             idx = b.column("idx").to_numpy(zero_copy_only=False)
             s = b.column("s").to_numpy(zero_copy_only=False)
             np.add.at(incoming, idx, s)
-        rank = teleport + (85 * incoming) // 100
+        rank = tvec + (85 * incoming) // 100
 
     return ray.data.from_arrow(pa.Table.from_arrays(
         [pa.array(nodes.tolist()), pa.array(rank, pa.int64())],
@@ -183,25 +201,38 @@ def pagerank(
 
 def _pagerank_distributed(
     edges, src_col, dst_col, iters, scale, teleport, num_buckets,
+    seed_list=None,
 ):
     """Ranks stay a Dataset; per iteration: bucketed src-lookup join →
     per-batch partial sums → ``groupby(dst)`` → bucketed left join onto
-    the node table."""
+    the node table.  ``seed_list`` (personalized teleport) ships in the
+    closure and materializes as a per-node ``tele`` column."""
     from ..struct.degree import bucketed_attach
 
     nodes = _snapshot(edge_nodes(edges, src_col, dst_col))
     degs = _snapshot(out_degrees(edges, src_col))
 
-    # rank table starts at scale; carry outdeg alongside to save a join
+    seed_arr = pa.array(seed_list) if seed_list is not None else None
+
+    def _init(t: pa.Table) -> pa.Table:
+        if seed_arr is None:
+            tele = np.full(t.num_rows, teleport, np.int64)
+            r0 = np.full(t.num_rows, scale, np.int64)
+        else:
+            mask = pc.is_in(
+                t.column("node"), value_set=seed_arr,
+            ).to_numpy(zero_copy_only=False)
+            tele = np.where(mask, teleport, 0).astype(np.int64)
+            r0 = np.where(mask, scale, 0).astype(np.int64)
+        return t.append_column("tele", pa.array(tele, pa.int64())) \
+            .append_column("rank", pa.array(r0, pa.int64()))
+
+    # rank table starts at scale (seeds only when personalized); carry
+    # outdeg + tele alongside to save joins
     ranks = _snapshot(bucketed_attach(
         nodes, "node", degs, "node", ["outdeg"], num_buckets=num_buckets,
         how="left",
-    ).map_batches(
-        lambda t: t.append_column(
-            "rank", pa.array(np.full(t.num_rows, scale, np.int64), pa.int64()),
-        ),
-        batch_format="pyarrow",
-    ))
+    ).map_batches(_init, batch_format="pyarrow"))
 
     for _ in range(iters):
         def _contrib_col(t: pa.Table) -> pa.Table:
@@ -256,17 +287,18 @@ def _pagerank_distributed(
             .groupby("node").map_groups(_sum, batch_format="pyarrow")
 
         joined = bucketed_attach(
-            ranks.select_columns(["node", "outdeg"]), "node",
+            ranks.select_columns(["node", "outdeg", "tele"]), "node",
             incoming, "node", ["s"], num_buckets=num_buckets, how="left",
         )
 
         def _next(t: pa.Table) -> pa.Table:
             s = pc.fill_null(t.column("s"), 0).to_numpy(zero_copy_only=False)
-            nxt = teleport + (85 * s.astype(np.int64)) // 100
+            tele = t.column("tele").to_numpy(zero_copy_only=False)
+            nxt = tele.astype(np.int64) + (85 * s.astype(np.int64)) // 100
             return pa.Table.from_arrays(
-                [t.column("node"), t.column("outdeg"),
+                [t.column("node"), t.column("outdeg"), t.column("tele"),
                  pa.array(nxt, pa.int64())],
-                names=["node", "outdeg", "rank"],
+                names=["node", "outdeg", "tele", "rank"],
             )
 
         ranks = _snapshot(joined.map_batches(_next, batch_format="pyarrow"))

@@ -512,3 +512,46 @@ def test_pagerank_weighted_matches_reference_and_branches(ray_session):
         ).take_all()
     )
     assert dist == got
+
+
+def _ref_ppr(src, dst, seeds, iters, scale=1_000_000):
+    nodes = sorted(set(src) | set(dst))
+    deg = {n: 0 for n in nodes}
+    for s in src:
+        deg[s] += 1
+    deg = {n: (d if d else 1) for n, d in deg.items()}
+    seeds = set(seeds)
+    rank = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        inc = {n: 0 for n in nodes}
+        for s, d in zip(src, dst):
+            inc[d] += rank[s] // deg[s]
+        rank = {n: ((15 * scale) // 100 if n in seeds else 0)
+                + (85 * inc[n]) // 100 for n in nodes}
+    return rank
+
+
+def test_personalized_pagerank_branches_match_reference(ray_session):
+    """Seeded teleport: both budget-hybrid branches equal the pure-python
+    recurrence; unknown seeds are ignored; mass concentrates near seeds."""
+    from pybel_ray.ops.graph import pagerank
+
+    rng = np.random.default_rng(3)
+    src = [int(x) for x in rng.integers(0, 30, 150)]
+    dst = [int(x) for x in rng.integers(0, 30, 150)]
+    seeds = [src[0], dst[1], 9999]  # 9999 not in the graph
+    a = {r["node"]: r["rank"] for r in
+         pagerank(_edges_ds(src, dst, blocks=2), iters=3,
+                  seeds=seeds).take_all()}
+    b = {r["node"]: r["rank"] for r in
+         pagerank(_edges_ds(src, dst, blocks=7), iters=3, seeds=seeds,
+                  force_distributed=True, num_buckets=8).take_all()}
+    expect = _ref_ppr(src, dst, seeds, 3)
+    assert a == b == expect
+    # non-seed nodes hold strictly less than the seeded teleport floor +
+    # propagated mass unless linked; a disconnected non-seed stays at 0
+    iso_src, iso_dst = src + [500], dst + [501]
+    out = {r["node"]: r["rank"] for r in
+           pagerank(_edges_ds(iso_src, iso_dst, blocks=3), iters=3,
+                    seeds=[src[0]]).take_all()}
+    assert out[500] == 0  # unreachable from the seed, no teleport
