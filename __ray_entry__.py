@@ -1736,6 +1736,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return read_clustered(out, 10.0, 20.0)
 
+    def events_zorder_box(sf_dir):
+        # two-dimensional storage-layout pruning: Z-order (Morton)
+        # clustered copy over (value, user_id), then a BOX read that
+        # opens only shards whose zone box overlaps — predicates on
+        # EITHER column prune, which a 1-D cluster cannot give; oracle
+        # is the plain two-sided BETWEEN, pruning pinned by pytests
+        import getpass
+        import os
+        import tempfile
+
+        from pybel_ray.sources import read_zordered, write_zordered
+
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "pybel_ray_zorder_{}_{}".format(getpass.getuser(), os.getpid()),
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+        write_zordered(
+            _read(sf_dir, "events").select_columns(
+                ["event_id", "value", "user_id"],
+            ),
+            out, "value", "user_id",
+        )
+        return read_zordered(out, 10.0, 20.0, 5, 40)
+
     def events_rollup(sf_dir):
         # GROUP BY ROLLUP over (event_type, day): ONE exchange (the
         # finest groupby) + re-aggregation of the tiny aggregate table
@@ -3564,6 +3589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_trend_by_type": events_value_trend_by_type,
         "events_expectations": events_expectations,
         "orders_premium_customer_left": orders_premium_customer_left,
+        "events_zorder_box": events_zorder_box,
         "events_value_rank_per_user": events_value_rank_per_user,
         "events_mode_type_per_user": events_mode_type_per_user,
         "events_transition_matrix": events_transition_matrix,
@@ -6030,6 +6056,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, part
             WHERE l_partkey = p_partkey
             GROUP BY ship_month
+        """,
+        # Z-order box read == the plain two-sided BETWEEN
+        "events_zorder_box": """
+            SELECT event_id, value, user_id FROM events
+            WHERE value BETWEEN 10.0 AND 20.0
+              AND user_id BETWEEN 5 AND 40
         """,
         # LEFT JOIN against the premium-customer dimension subset
         "orders_premium_customer_left": """

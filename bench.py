@@ -161,6 +161,8 @@ def run_queries(sf_dir: str) -> dict:
         "events_value_pctrank_per_user",
         "events_value_trend_by_type",
         "events_expectations",
+        "web_host_ppr",
+        "events_zorder_box",
     ]
     q = entry.queries()
     out = {}

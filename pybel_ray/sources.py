@@ -19,6 +19,7 @@ from __future__ import annotations
 import logging
 from typing import Optional, Sequence
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -457,6 +458,169 @@ def read_clustered(out_dir: str, lo, hi):
         return t.filter(
             pc.and_(pc.greater_equal(c, lo), pc.less_equal(c, hi)),
         )
+
+    return ray.data.read_parquet(files).map_batches(
+        _residual, batch_format="pyarrow",
+    )
+
+
+def _part1by1(x: "np.ndarray") -> "np.ndarray":
+    """Spread the low 16 bits of each uint64 so bit i lands at 2i."""
+    x = x.astype(np.uint64)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+    return x
+
+
+def write_zordered(ds, out_dir: str, col_a: str, col_b: str):
+    """Z-order (Morton-interleaved) clustered Parquet sink over TWO
+    numeric columns — the multi-dimensional sibling of
+    :func:`write_clustered`: one tiny global min/max aggregate per
+    column, one ``map_batches`` pass computes the 32-bit Morton code of
+    the two 16-bit-quantized ranks, ONE global sort by that code, and
+    each sorted block writes a shard whose manifest row records the
+    EXACT per-shard ``(amin, amax, bmin, bmax, n)`` zone box.
+    :func:`read_zordered` then opens only shards whose box overlaps the
+    query box — a predicate on EITHER column (or both) prunes, which a
+    single-column cluster cannot give.
+
+    Quantization (linear into 65536 bins between the global min/max)
+    only shapes the LAYOUT; correctness never depends on it because the
+    zone maps store exact native min/max values.  NULL rows in either
+    key are excluded (a box predicate can never match them).  Shards
+    get content-digest names + atomic rename (idempotent retries), the
+    same contract as ``write_clustered``.
+    """
+    import hashlib
+    import io
+    import json
+    import os
+
+    import pyarrow.ipc as ipc
+    import pyarrow.parquet as pq
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", None) or schema
+    types = {}
+    for f in base:
+        if f.name in (col_a, col_b):
+            types[f.name] = f.type
+    for c in (col_a, col_b):
+        t = types.get(c)
+        if t is None or not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+            raise ValueError(
+                "write_zordered: columns must be numeric, got %r for %s"
+                % (t, c),
+            )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(
+            pc.is_valid(t.column(col_a)), pc.is_valid(t.column(col_b)),
+        ))
+
+    from ray.data.aggregate import Max, Min
+
+    dn = ds.map_batches(_drop_null, batch_format="pyarrow").materialize()
+    bounds = dn.aggregate(Min(col_a), Max(col_a), Min(col_b), Max(col_b))
+    amin, amax = bounds["min({})".format(col_a)], bounds["max({})".format(col_a)]
+    bmin, bmax = bounds["min({})".format(col_b)], bounds["max({})".format(col_b)]
+
+    def _zcode(t: pa.Table) -> pa.Table:
+        a = t.column(col_a).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = t.column(col_b).to_numpy(zero_copy_only=False).astype(np.float64)
+        qa = np.zeros(len(a), np.uint64) if amax == amin else np.clip(
+            np.floor((a - amin) / (amax - amin) * 65535.0), 0, 65535,
+        ).astype(np.uint64)
+        qb = np.zeros(len(b), np.uint64) if bmax == bmin else np.clip(
+            np.floor((b - bmin) / (bmax - bmin) * 65535.0), 0, 65535,
+        ).astype(np.uint64)
+        z = (_part1by1(qa) | (_part1by1(qb) << np.uint64(1))).astype(np.int64)
+        return t.append_column("_z", pa.array(z, pa.int64()))
+
+    sorted_ds = dn.map_batches(_zcode, batch_format="pyarrow").sort("_z")
+
+    def _write(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string())]
+            + [pa.array([], types[col_a])] * 2
+            + [pa.array([], types[col_b])] * 2
+            + [pa.array([], pa.int64())],
+            names=["file", "amin", "amax", "bmin", "bmax", "n"],
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.drop_columns(["_z"])
+        sink = io.BytesIO()
+        with ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        name = hashlib.md5(sink.getvalue()).hexdigest()[:16] + ".parquet"  # noqa: S324
+        dest = os.path.join(out_dir, name)
+        tmp = dest + ".tmp." + str(os.getpid())
+        pq.write_table(t, tmp)
+        os.replace(tmp, dest)
+        ma = pc.min_max(t.column(col_a))
+        mb = pc.min_max(t.column(col_b))
+        return pa.Table.from_arrays(
+            [pa.array([name], pa.string()),
+             pa.array([ma["min"].as_py()], types[col_a]),
+             pa.array([ma["max"].as_py()], types[col_a]),
+             pa.array([mb["min"].as_py()], types[col_b]),
+             pa.array([mb["max"].as_py()], types[col_b]),
+             pa.array([t.num_rows], pa.int64())],
+            names=["file", "amin", "amax", "bmin", "bmax", "n"],
+        )
+
+    manifest = []
+    for b in sorted_ds.map_batches(
+        _write, batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        manifest.extend(b.to_pylist())
+    manifest.sort(key=lambda r: (r["file"]))
+    mpath = os.path.join(out_dir, "manifest.json")
+    tmp = mpath + ".tmp." + str(os.getpid())
+    with open(tmp, "w") as f:
+        json.dump({"cols": [col_a, col_b], "shards": manifest}, f)
+    os.replace(tmp, mpath)
+    return manifest
+
+
+def read_zordered(out_dir: str, a_lo, a_hi, b_lo, b_hi):
+    """Box read over a :func:`write_zordered` directory: opens ONLY the
+    shards whose zone box overlaps ``[a_lo,a_hi] x [b_lo,b_hi]``
+    (inclusive BETWEEN on both columns), then applies the exact
+    residual filter."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    m = _load_manifest(out_dir)
+    col_a, col_b = m["cols"]
+    files = [
+        os.path.join(out_dir, s["file"]) for s in m["shards"]
+        if s["amax"] >= a_lo and s["amin"] <= a_hi
+        and s["bmax"] >= b_lo and s["bmin"] <= b_hi
+    ]
+    logger.info(
+        "read_zordered: %d of %d shards overlap [%s,%s]x[%s,%s]",
+        len(files), len(m["shards"]), a_lo, a_hi, b_lo, b_hi,
+    )
+    if not files:
+        shards = m["shards"]
+        if not shards:
+            raise ValueError("read_zordered: empty clustered directory")
+        schema = pq.read_schema(os.path.join(out_dir, shards[0]["file"]))
+        return ray.data.from_arrow(schema.empty_table())
+
+    def _residual(t: pa.Table) -> pa.Table:
+        ca, cb = t.column(col_a), t.column(col_b)
+        return t.filter(pc.and_(
+            pc.and_(pc.greater_equal(ca, a_lo), pc.less_equal(ca, a_hi)),
+            pc.and_(pc.greater_equal(cb, b_lo), pc.less_equal(cb, b_hi)),
+        ))
 
     return ray.data.read_parquet(files).map_batches(
         _residual, batch_format="pyarrow",

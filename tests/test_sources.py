@@ -314,3 +314,56 @@ def test_write_clustered_rejects_unsupported_key_type(ray_session, tmp_path):
         write_clustered(
             ray.data.from_arrow(t), str(tmp_path / "c"), "ts",
         )
+
+
+def test_zordered_box_read_prunes_and_matches_brute(ray_session, tmp_path):
+    """Z-order sink: a box query over either/both columns equals the
+    brute filter, and the zone-box pruning actually skips shards."""
+    import json
+    import os
+
+    import ray
+
+    from pybel_ray.sources import read_zordered, write_zordered
+
+    rows = [{"id": 100 * x + y, "x": float(x), "y": y}
+            for x in range(40) for y in range(40)]
+    rows.append({"id": -1, "x": None, "y": 3})   # null key excluded
+    rows.append({"id": -2, "x": 1.0, "y": None})
+    ds = ray.data.from_items(rows, override_num_blocks=16)
+    out = str(tmp_path / "z")
+    manifest = write_zordered(ds, out, "x", "y")
+    assert sum(s["n"] for s in manifest) == 1600  # nulls dropped
+
+    got = sorted(r["id"] for r in
+                 read_zordered(out, 5.0, 9.0, 10, 14).take_all())
+    expect = sorted(100 * x + y for x in range(5, 10)
+                    for y in range(10, 15))
+    assert got == expect
+
+    m = json.load(open(os.path.join(out, "manifest.json")))
+    overlapping = [
+        s for s in m["shards"]
+        if s["amax"] >= 5.0 and s["amin"] <= 9.0
+        and s["bmax"] >= 10 and s["bmin"] <= 14
+    ]
+    assert len(m["shards"]) > 4
+    # the whole point: a small box touches a minority of shards
+    assert len(overlapping) < len(m["shards"]) / 2
+
+    # one-sided predicate still prunes (full range on y)
+    got_x = sorted(r["id"] for r in
+                   read_zordered(out, 0.0, 3.0, 0, 39).take_all())
+    assert got_x == sorted(100 * x + y for x in range(0, 4)
+                           for y in range(40))
+
+
+def test_zordered_rejects_non_numeric(ray_session, tmp_path):
+    import pytest as _pytest
+    import ray
+
+    from pybel_ray.sources import write_zordered
+
+    ds = ray.data.from_items([{"a": "s", "b": 1}])
+    with _pytest.raises(ValueError):
+        write_zordered(ds, str(tmp_path / "z2"), "a", "b")
