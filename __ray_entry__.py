@@ -1761,6 +1761,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return read_zordered(out, 10.0, 20.0, 5, 40)
 
+    def events_bloom_point(sf_dir):
+        # needle lookup on a NON-cluster column: the per-shard Bloom
+        # side-filter prunes shards the value-range zone map can't;
+        # oracle is the plain equality filter, pruning pinned by pytest
+        import getpass
+        import os
+        import tempfile
+
+        from pybel_ray.sources import (
+            read_clustered_point, write_clustered,
+        )
+
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "pybel_ray_bloomc_{}_{}".format(getpass.getuser(), os.getpid()),
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+        write_clustered(
+            _read(sf_dir, "events").select_columns(
+                ["event_id", "value", "user_id"],
+            ),
+            out, "value", bloom_cols=["user_id"],
+        )
+        return read_clustered_point(out, "user_id", 7)
+
     def events_rollup(sf_dir):
         # GROUP BY ROLLUP over (event_type, day): ONE exchange (the
         # finest groupby) + re-aggregation of the tiny aggregate table
@@ -3590,6 +3615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_expectations": events_expectations,
         "orders_premium_customer_left": orders_premium_customer_left,
         "events_zorder_box": events_zorder_box,
+        "events_bloom_point": events_bloom_point,
         "events_value_rank_per_user": events_value_rank_per_user,
         "events_mode_type_per_user": events_mode_type_per_user,
         "events_transition_matrix": events_transition_matrix,
@@ -6056,6 +6082,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, part
             WHERE l_partkey = p_partkey
             GROUP BY ship_month
+        """,
+        # Bloom point lookup == the plain equality filter
+        "events_bloom_point": """
+            SELECT event_id, value, user_id FROM events
+            WHERE user_id = 7
         """,
         # Z-order box read == the plain two-sided BETWEEN
         "events_zorder_box": """

@@ -163,6 +163,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_expectations",
         "web_host_ppr",
         "events_zorder_box",
+        "events_bloom_point",
     ]
     q = entry.queries()
     out = {}

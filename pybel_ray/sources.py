@@ -299,6 +299,8 @@ def write_clustered(
     ds,
     out_dir: str,
     cluster_col: str,
+    bloom_cols: Sequence[str] = (),
+    bloom_bits: int = 1 << 16,
 ):
     """Range-clustered Parquet sink with a zone-map manifest — the
     storage-layout half of predicate pruning: globally sort by
@@ -320,6 +322,16 @@ def write_clustered(
     block and ``read_parquet`` reads duplicated paths once each, which
     reproduces the data exactly.  Returns the manifest as a list of
     dicts.
+
+    ``bloom_cols`` adds a per-shard Bloom SIDE-FILTER for each listed
+    column (2 md5-window hashes into ``bloom_bits`` bits, hex-encoded in
+    the manifest — the repo-wide ``ops/sketch.md5_window_slots`` hash
+    family): :func:`read_clustered_point` then prunes shards for
+    EQUALITY lookups on columns the range zone map can't help with
+    (e.g. cluster by timestamp, point-look-up by url).  At the default
+    2^16 bits a shard with ~4k distinct values false-hits ~1.4% of
+    lookups — pruning quality only; correctness rides the residual
+    filter.
     """
     import hashlib
     import json
@@ -351,8 +363,10 @@ def write_clustered(
         empty = pa.Table.from_arrays(
             [pa.array([], pa.string()),
              pa.array([], ctype), pa.array([], ctype),
-             pa.array([], pa.int64())],
-            names=["file", "vmin", "vmax", "n"],
+             pa.array([], pa.int64())]
+            + [pa.array([], pa.string()) for _ in bloom_cols],
+            names=["file", "vmin", "vmax", "n"]
+            + ["bloom_{}".format(bc) for bc in bloom_cols],
         )
         if t.num_rows == 0:
             return empty
@@ -378,13 +392,27 @@ def write_clustered(
         pq.write_table(t, tmp)
         os.replace(tmp, dest)
         mm = pc.min_max(col)
-        return pa.Table.from_arrays(
-            [pa.array([name], pa.string()),
-             pa.array([mm["min"].as_py()], ctype),
-             pa.array([mm["max"].as_py()], ctype),
-             pa.array([t.num_rows], pa.int64())],
-            names=["file", "vmin", "vmax", "n"],
-        )
+        out_cols = [pa.array([name], pa.string()),
+                    pa.array([mm["min"].as_py()], ctype),
+                    pa.array([mm["max"].as_py()], ctype),
+                    pa.array([t.num_rows], pa.int64())]
+        out_names = ["file", "vmin", "vmax", "n"]
+        for bc in bloom_cols:
+            from .ops.sketch import md5_window_slots
+
+            vals = pc.unique(pc.drop_null(
+                t.column(bc).combine_chunks(),
+            )).to_pylist()
+            slots = md5_window_slots(vals, bloom_bits, 2) if vals else None
+            bits = 0
+            if slots is not None:
+                for s in slots.ravel().tolist():
+                    bits |= 1 << s
+            out_cols.append(pa.array(
+                ["{:x}".format(bits)], pa.string(),
+            ))
+            out_names.append("bloom_{}".format(bc))
+        return pa.Table.from_arrays(out_cols, names=out_names)
 
     manifest = []
     for b in sorted_ds.map_batches(
@@ -396,7 +424,9 @@ def write_clustered(
     mpath = os.path.join(out_dir, "manifest.json")
     tmp = mpath + ".tmp." + str(os.getpid())
     with open(tmp, "w") as f:
-        json.dump({"cluster_col": cluster_col, "shards": manifest}, f)
+        json.dump({"cluster_col": cluster_col, "shards": manifest,
+                   "bloom_cols": list(bloom_cols),
+                   "bloom_bits": bloom_bits}, f)
     os.replace(tmp, mpath)
     return manifest
 
@@ -459,6 +489,58 @@ def read_clustered(out_dir: str, lo, hi):
             pc.and_(pc.greater_equal(c, lo), pc.less_equal(c, hi)),
         )
 
+    return ray.data.read_parquet(files).map_batches(
+        _residual, batch_format="pyarrow",
+    )
+
+
+def read_clustered_point(out_dir: str, col: str, value):
+    """EQUALITY lookup over a :func:`write_clustered` directory: prunes
+    with the cluster zone map when ``col`` is the cluster column, with
+    the per-shard Bloom side-filter when ``col`` is in ``bloom_cols``
+    (both when applicable), then applies the exact residual filter —
+    the needle-in-100TB read path."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    m = _load_manifest(out_dir)
+    shards = m["shards"]
+    if col == m["cluster_col"]:
+        shards = [s for s in shards
+                  if s["vmin"] <= value and s["vmax"] >= value]
+    elif col in m.get("bloom_cols", []):
+        from .ops.sketch import md5_window_slots
+
+        slots = md5_window_slots([value], m["bloom_bits"], 2)[:, 0]
+        key = "bloom_{}".format(col)
+        kept = []
+        for s in shards:
+            bits = int(s[key], 16)
+            if all((bits >> int(sl)) & 1 for sl in slots):
+                kept.append(s)
+        shards = kept
+    else:
+        raise ValueError(
+            "read_clustered_point: %r is neither the cluster column nor "
+            "a bloom column" % col,
+        )
+    logger.info(
+        "read_clustered_point: %d of %d shards may contain %s=%r",
+        len(shards), len(m["shards"]), col, value,
+    )
+    if not shards:
+        alls = m["shards"]
+        if not alls:
+            raise ValueError("read_clustered_point: empty directory")
+        schema = pq.read_schema(os.path.join(out_dir, alls[0]["file"]))
+        return ray.data.from_arrow(schema.empty_table())
+
+    def _residual(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column(col), value))
+
+    files = [os.path.join(out_dir, s["file"]) for s in shards]
     return ray.data.read_parquet(files).map_batches(
         _residual, batch_format="pyarrow",
     )

@@ -367,3 +367,41 @@ def test_zordered_rejects_non_numeric(ray_session, tmp_path):
     ds = ray.data.from_items([{"a": "s", "b": 1}])
     with _pytest.raises(ValueError):
         write_zordered(ds, str(tmp_path / "z2"), "a", "b")
+
+
+def test_clustered_bloom_point_lookup(ray_session, tmp_path):
+    """Bloom side-filter: equality lookups on a NON-cluster column open
+    only hitting shards; results equal the brute filter; the cluster
+    column still answers point reads through the zone map."""
+    import json
+    import os
+
+    import ray
+
+    from pybel_ray.sources import read_clustered_point, write_clustered
+
+    # cluster by v; tag is deliberately uncorrelated with v so a tag
+    # lives in few shards only via the Bloom filter, never the zone map
+    rows = [{"v": i, "tag": "t%d" % (i % 97)} for i in range(4000)]
+    ds = ray.data.from_items(rows, override_num_blocks=12)
+    out = str(tmp_path / "c")
+    write_clustered(ds, out, "v", bloom_cols=["tag"])
+
+    got = sorted(r["v"] for r in
+                 read_clustered_point(out, "tag", "t13").take_all())
+    assert got == [i for i in range(4000) if i % 97 == 13]
+
+    # cluster-column point read: zone-map pruning path
+    one = read_clustered_point(out, "v", 1234).take_all()
+    assert [r["v"] for r in one] == [1234]
+
+    m = json.load(open(os.path.join(out, "manifest.json")))
+    assert m["bloom_cols"] == ["tag"]
+    # a value that never occurs: bloom should prune every shard (with
+    # 2^16 bits and ~97 distinct tags/shard, fp is ~0)
+    miss = read_clustered_point(out, "tag", "absent-tag").count()
+    assert miss == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_clustered_point(out, "nope", 1)
