@@ -39,10 +39,13 @@ def _violations(t: pa.Table, rule: Mapping) -> int:
             pc.greater_equal(col, pa.scalar(rule["lo"])),
             pc.less_equal(col, pa.scalar(rule["hi"])),
         )
-        # null -> not a between-violation (not_null reports those)
-        return t.num_rows - pc.sum(
+        # null -> not a between-violation (not_null reports those);
+        # pc.sum of an empty array is a null scalar, hence the `or 0`s
+        n_ok = pc.sum(
             pc.fill_null(ok, False).cast(pa.int64()),
-        ).as_py() - (t.num_rows - pc.count(col, mode="only_valid").as_py())
+        ).as_py() or 0
+        n_valid = pc.count(col, mode="only_valid").as_py() or 0
+        return n_valid - n_ok
     if kind == "in_set":
         ok = pc.is_in(col, value_set=pa.array(list(rule["values"])))
         bad = pc.and_(pc.is_valid(col), pc.invert(ok))
@@ -91,9 +94,13 @@ def expect(ds, rules: Sequence[Mapping]) -> pa.Table:
         agg = ds.select_columns(cols).map_batches(
             _partials, batch_format="pyarrow",
         ).groupby("rule").sum("violations")
+        seen = {}
         for row in agg.take_all():  # one row per rule
-            names.append(row["rule"])
-            counts.append(int(row["sum(violations)"]))
+            seen[row["rule"]] = int(row["sum(violations)"])
+        for r in scan_rules:  # empty dataset -> 0 violations, not no row
+            rn = _rule_name(r)
+            names.append(rn)
+            counts.append(seen.get(rn, 0))
 
     for r in unique_rules:
         col = r["column"]

@@ -326,11 +326,17 @@ def equi_join(
             + [_jk(rtab, rkeys)],
             names=rvalue_names + ["_jk"],
         )
+        # ship the collected right side ONCE through the object store
+        # (a closure capture would pickle up to 64 MB into the function
+        # blob and re-deserialize it per worker process)
+        small_ref = _ray.put(small)
 
-        def _bjoin(t: pa.Table) -> pa.Table:
+        def _bjoin(t: pa.Table, _s=small_ref) -> pa.Table:
+            import ray
+
             lt = t.append_column("_jk", _jk(t, lkeys))
             return lt.join(
-                small, keys=["_jk"], join_type=join_type,
+                ray.get(_s), keys=["_jk"], join_type=join_type,
             ).select(out_names_bc)
 
         return left.map_batches(_bjoin, batch_format="pyarrow")
@@ -708,7 +714,12 @@ def broadcast_join(
     payload = small.select(take_columns).combine_chunks()
 
     def _join(t: pa.Table) -> pa.Table:
-        idx = pc.index_in(t.column(left_key), value_set=keys)
+        lcol = t.column(left_key)
+        idx = pc.index_in(lcol, value_set=keys)
+        # SQL never matches NULL = NULL, but pc.index_in points a null
+        # probe at a null entry of the value set — null the index back
+        # out so null keys miss (inner drops them, left keeps nulls)
+        idx = pc.if_else(pc.is_valid(lcol), idx, pa.scalar(None, idx.type))
         if how == "inner":
             mask = pc.is_valid(idx)
             t = t.filter(mask)

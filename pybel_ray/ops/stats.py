@@ -372,7 +372,10 @@ def corr_stats_by(
     ``(n, sum_x, sum_y, sum_xx, sum_yy, sum_xy, slope_e6,
     intercept_e6)``.
 
-    Both columns quantize to integers (``floor(v*scale+0.5)``); every
+    Both columns quantize to integers (``floor(v*scale+0.5)``; an
+    INTEGER column at ``scale=1`` bypasses the float step and keeps its
+    exact ints — the float path rounds magnitudes >= 2^53, so pass
+    pre-scaled integer columns for epoch-nano-grade values); every
     partial is a Python-int (arbitrary precision) string so no
     cross-product can overflow.  Each BLOCK emits one partial row per
     group it sees — the driver folds ``blocks x groups`` rows, so group
@@ -391,6 +394,19 @@ def corr_stats_by(
     slope/intercept.
     """
 
+    def _quant(col: pa.Array, scale: int) -> np.ndarray:
+        # integer column at scale 1: take the exact ints — routing them
+        # through float64 would round values >= 2^53 (e.g. epoch-nanos)
+        # and silently break the bit-for-bit HUGEINT-oracle contract
+        if scale == 1 and pa.types.is_integer(col.type):
+            return col.to_numpy(zero_copy_only=False).astype(
+                np.int64,
+            ).astype(object)
+        return np.floor(
+            col.to_numpy(zero_copy_only=False).astype(np.float64)
+            * scale + 0.5,
+        ).astype(np.int64).astype(object)
+
     def _partials(t: pa.Table) -> pa.Table:
         g = t.column(group_col).combine_chunks()
         x = t.column(x_col).combine_chunks()
@@ -400,14 +416,8 @@ def corr_stats_by(
             pc.and_kleene(pc.is_valid(x), pc.is_valid(y)),
         )
         g = g.filter(keep)
-        xv = np.floor(
-            x.filter(keep).to_numpy(zero_copy_only=False).astype(np.float64)
-            * x_scale + 0.5,
-        ).astype(np.int64).astype(object)
-        yv = np.floor(
-            y.filter(keep).to_numpy(zero_copy_only=False).astype(np.float64)
-            * y_scale + 0.5,
-        ).astype(np.int64).astype(object)
+        xv = _quant(x.filter(keep), x_scale)
+        yv = _quant(y.filter(keep), y_scale)
         gv = np.asarray(g.to_pylist(), dtype=object)
         rows = {k: [] for k in
                 ("g", "n", "sx", "sy", "sxx", "syy", "sxy")}

@@ -295,6 +295,42 @@ def to_wet_shards(
     return ds.map_batches(_write, batch_format="pyarrow")
 
 
+def _shard_write(t: pa.Table, out_dir: str) -> str:
+    """Shared clustered-sink shard writer: content-digest name (Arrow
+    IPC bytes — distinct blocks never collide, byte-identical blocks
+    collide harmlessly) + write-to-tmp + atomic rename (idempotent
+    retries).  The single contract both :func:`write_clustered` and
+    :func:`write_zordered` ride."""
+    import hashlib
+    import io
+    import os
+
+    import pyarrow.ipc as ipc
+    import pyarrow.parquet as pq
+
+    sink = io.BytesIO()
+    with ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    name = hashlib.md5(sink.getvalue()).hexdigest()[:16] + ".parquet"  # noqa: S324
+    dest = os.path.join(out_dir, name)
+    tmp = dest + ".tmp." + str(os.getpid())
+    pq.write_table(t, tmp)
+    os.replace(tmp, dest)
+    return name
+
+
+def _dump_manifest(out_dir: str, payload: dict) -> None:
+    """Atomic manifest.json replace shared by both clustered sinks."""
+    import json
+    import os
+
+    mpath = os.path.join(out_dir, "manifest.json")
+    tmp = mpath + ".tmp." + str(os.getpid())
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, mpath)
+
+
 def write_clustered(
     ds,
     out_dir: str,
@@ -373,24 +409,7 @@ def write_clustered(
         col = t.column(cluster_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        # digest of the FULL block content: distinct blocks never share
-        # a name; identical blocks share one byte-identical file that
-        # the manifest lists once per block (see docstring)
-        import io
-
-        import pyarrow.ipc as ipc
-
-        sink = io.BytesIO()
-        with ipc.new_stream(sink, t.schema) as w:
-            w.write_table(t)
-        h = hashlib.md5(sink.getvalue())  # noqa: S324
-        name = h.hexdigest()[:16] + ".parquet"
-        dest = os.path.join(out_dir, name)
-        tmp = dest + ".tmp." + str(os.getpid())
-        import pyarrow.parquet as pq
-
-        pq.write_table(t, tmp)
-        os.replace(tmp, dest)
+        name = _shard_write(t, out_dir)
         mm = pc.min_max(col)
         out_cols = [pa.array([name], pa.string()),
                     pa.array([mm["min"].as_py()], ctype),
@@ -421,13 +440,10 @@ def write_clustered(
         for row in b.to_pylist():
             manifest.append(row)
     manifest.sort(key=lambda r: (r["vmin"], r["file"]))
-    mpath = os.path.join(out_dir, "manifest.json")
-    tmp = mpath + ".tmp." + str(os.getpid())
-    with open(tmp, "w") as f:
-        json.dump({"cluster_col": cluster_col, "shards": manifest,
-                   "bloom_cols": list(bloom_cols),
-                   "bloom_bits": bloom_bits}, f)
-    os.replace(tmp, mpath)
+    _dump_manifest(out_dir, {
+        "cluster_col": cluster_col, "shards": manifest,
+        "bloom_cols": list(bloom_cols), "bloom_bits": bloom_bits,
+    })
     return manifest
 
 
@@ -507,6 +523,19 @@ def read_clustered_point(out_dir: str, col: str, value):
 
     m = _load_manifest(out_dir)
     shards = m["shards"]
+    # canonicalize the probe through the column's ARROW type before
+    # hashing/comparing: the write side hashed str() of the column's
+    # to_pylist() values, so a type-mismatched-but-equal probe (int 7
+    # vs float column 7.0 -> str '7' vs '7.0') would silently prune
+    # every shard even though the residual pc.equal would match
+    if shards:
+        import pyarrow.parquet as _pq
+
+        schema0 = _pq.read_schema(
+            os.path.join(out_dir, shards[0]["file"]),
+        )
+        if col in schema0.names:
+            value = pa.scalar(value, schema0.field(col).type).as_py()
     if col == m["cluster_col"]:
         shards = [s for s in shards
                   if s["vmin"] <= value and s["vmax"] >= value]
@@ -635,14 +664,7 @@ def write_zordered(ds, out_dir: str, col_a: str, col_b: str):
         if t.num_rows == 0:
             return empty
         t = t.drop_columns(["_z"])
-        sink = io.BytesIO()
-        with ipc.new_stream(sink, t.schema) as w:
-            w.write_table(t)
-        name = hashlib.md5(sink.getvalue()).hexdigest()[:16] + ".parquet"  # noqa: S324
-        dest = os.path.join(out_dir, name)
-        tmp = dest + ".tmp." + str(os.getpid())
-        pq.write_table(t, tmp)
-        os.replace(tmp, dest)
+        name = _shard_write(t, out_dir)
         ma = pc.min_max(t.column(col_a))
         mb = pc.min_max(t.column(col_b))
         return pa.Table.from_arrays(
@@ -661,11 +683,7 @@ def write_zordered(ds, out_dir: str, col_a: str, col_b: str):
     ).iter_batches(batch_format="pyarrow"):
         manifest.extend(b.to_pylist())
     manifest.sort(key=lambda r: (r["file"]))
-    mpath = os.path.join(out_dir, "manifest.json")
-    tmp = mpath + ".tmp." + str(os.getpid())
-    with open(tmp, "w") as f:
-        json.dump({"cols": [col_a, col_b], "shards": manifest}, f)
-    os.replace(tmp, mpath)
+    _dump_manifest(out_dir, {"cols": [col_a, col_b], "shards": manifest})
     return manifest
 
 
