@@ -2409,6 +2409,214 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "total_e6", 100, descending=True, tie_keys=["o_orderkey"],
         )
 
+    def tpch_q13_custdist(sf_dir):
+        # TPC-H Q13 composition (customer order-count distribution):
+        # the LEFT JOIN never materializes — orders aggregate to
+        # (custkey, n) with ONE groupby, and the zero-order bucket is
+        # customers_total − matched (a semi-join against the customer
+        # keys guards stray order custkeys); the distribution itself is
+        # a second, tiny groupby over the counts
+        from pybel_ray.ops.relational import (
+            groupby_agg, groupby_count, semi_join,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_orderpriority"],
+        ).filter(expr="o_orderpriority != '1-URGENT'").select_columns(
+            ["o_custkey"],
+        )
+        cust = _read(sf_dir, "customer").select_columns(["c_custkey"])
+        counts = groupby_count(
+            semi_join(orders, "o_custkey", cust, "c_custkey"), "o_custkey",
+        )
+        dist = groupby_agg(
+            counts, "n", {"custdist": ("count", "o_custkey")},
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.cast(t.column("n"), pa.int64()),
+                 pc.cast(t.column("custdist"), pa.int64())],
+                names=["c_count", "custdist"],
+            ),
+            batch_format="pyarrow",
+        )
+        zero = cust.count() - counts.count()
+        if zero > 0:
+            import ray as _ray
+
+            dist = dist.union(_ray.data.from_arrow(pa.table({
+                "c_count": pa.array([0], pa.int64()),
+                "custdist": pa.array([zero], pa.int64()),
+            })))
+        return dist
+
+    def tpch_q17_small_qty_revenue(sf_dir):
+        # TPC-H Q17 composition (small-quantity-order revenue): the
+        # correlated per-part avg subquery is ONE groupby(l_partkey)
+        # over the brand's lineitems, and the avg comparison stays an
+        # exact rational — qty < avg/5  ⇔  5·qty·cnt < sum — so no
+        # float division ever happens; the brand's part keys broadcast
+        # in the closure, the agg joins back via the auto equi_join
+        # (broadcast under 64 MB, bucketed above)
+        from pybel_ray.ops.relational import equi_join, groupby_agg
+        from pybel_ray.ops.stats import _tdiv
+
+        part = _read_arrow(sf_dir, "part")
+        pk = part.filter(pc.and_(
+            pc.equal(part.column("p_brand"), pa.scalar("Brand#3")),
+            pc.less_equal(part.column("p_size"),
+                          pa.scalar(15, part.schema.field("p_size").type)),
+        )).column("p_partkey").combine_chunks()
+
+        def _narrow(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            t = t.filter(pc.is_in(t.column("l_partkey"), value_set=pk))
+            q = np.floor(
+                t.column("l_quantity").to_numpy(zero_copy_only=False)
+                * 100 + 0.5,
+            ).astype(np.int64)
+            p = np.floor(
+                t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                * 100 + 0.5,
+            ).astype(np.int64)
+            return pa.Table.from_arrays(
+                [t.column("l_partkey"), pa.array(q), pa.array(p)],
+                names=["l_partkey", "qc", "pcents"],
+            )
+
+        lf = _read(sf_dir, "lineitem").select_columns(
+            ["l_partkey", "l_quantity", "l_extendedprice"],
+        ).map_batches(_narrow, batch_format="pyarrow").materialize()
+        agg = groupby_agg(
+            lf, "l_partkey", {"s": ("sum", "qc"), "cnt": ("count", "qc")},
+        )
+        j = equi_join(lf, agg, on="l_partkey")
+
+        def _kept(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            qc = t.column("qc").to_numpy(zero_copy_only=False)
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+            keep = 5 * qc * cnt < s
+            pcents = t.column("pcents").to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [pa.array(np.where(keep, pcents, 0).astype(np.int64))],
+                names=["kept_c"],
+            )
+
+        total_c = j.map_batches(_kept, batch_format="pyarrow") \
+            .sum("kept_c") or 0
+        return pa.table({
+            "avg_yearly_e6": pa.array(
+                [_tdiv(int(total_c) * 10_000, 7)], pa.int64(),
+            ),
+        })
+
+    def tpch_q22_sales_opportunity(sf_dir):
+        # TPC-H Q22 composition (global sales opportunity): the scalar
+        # positive-balance average stays an exact rational (sum, count)
+        # so the rich-customer test is bal·n > sum in int64; customers
+        # with an URGENT order drop via the bucketed anti-join (the
+        # corpus is dense enough that EVERY customer has some order, so
+        # the classic no-order test would be vacuously empty); one tiny
+        # final groupby per nation
+        from pybel_ray.ops.relational import anti_join, groupby_agg
+
+        nset = pa.array([1, 3, 5, 7, 9, 11, 13], pa.int64())
+
+        def _cents(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            t = t.filter(pc.is_in(
+                pc.cast(t.column("c_nationkey"), pa.int64()),
+                value_set=nset,
+            ))
+            bal = np.floor(
+                t.column("c_acctbal").to_numpy(zero_copy_only=False)
+                * 100 + 0.5,
+            ).astype(np.int64)
+            return pa.Table.from_arrays(
+                [t.column("c_custkey"), t.column("c_nationkey"),
+                 pa.array(bal)],
+                names=["c_custkey", "c_nationkey", "bal_c"],
+            )
+
+        cc = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_nationkey", "c_acctbal"],
+        ).map_batches(_cents, batch_format="pyarrow").materialize()
+        pos = cc.filter(expr="bal_c > 0")
+        s = int(pos.sum("bal_c") or 0)
+        n = pos.count()
+
+        rich = cc.map_batches(
+            lambda t: t.filter(pc.greater(
+                pc.multiply(pc.cast(t.column("bal_c"), pa.int64()),
+                            pa.scalar(n, pa.int64())),
+                pa.scalar(s, pa.int64()),
+            )),
+            batch_format="pyarrow",
+        )
+        no_urgent = anti_join(
+            rich, "c_custkey",
+            _read(sf_dir, "orders").select_columns(
+                ["o_custkey", "o_orderpriority"],
+            ).filter(expr="o_orderpriority == '1-URGENT'").select_columns(
+                ["o_custkey"],
+            ),
+            "o_custkey",
+        )
+        return groupby_agg(
+            no_urgent, "c_nationkey",
+            {"numcust": ("count", "c_custkey"),
+             "totacctbal_c": ("sum", "bal_c")},
+        )
+
+    def events_forward_fill(sf_dir):
+        # LOCF gap fill: purchase/signup/error values carry forward
+        # over view/click rows within each user stream (the corpus has
+        # no raw nulls, so the view/click values are nulled first); one
+        # groupby exchange with the skew probe armed (sorted
+        # boundary-exchange fallback above 200k rows per user)
+        from pybel_ray.ops.window import forward_fill_by
+
+        gap_types = pa.array(["view", "click"])
+
+        def _null_views(t: pa.Table) -> pa.Table:
+            v = pc.if_else(
+                pc.is_in(t.column("event_type"), value_set=gap_types),
+                pa.scalar(None, pa.float64()),
+                t.column("value"),
+            )
+            return pa.Table.from_arrays(
+                [t.column("event_id"), t.column("user_id"),
+                 t.column("ts"), v],
+                names=["event_id", "user_id", "ts", "v"],
+            )
+
+        base = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "event_type", "value"],
+        ).map_batches(_null_views, batch_format="pyarrow")
+        out = forward_fill_by(
+            base, "user_id", ["ts", "event_id"], "v",
+            out_col="filled", max_rows_per_group=200_000,
+        )
+        return out.select_columns(["event_id", "user_id", "filled"])
+
+    def emb_centroid_by_label(sf_dir):
+        # per-label embedding centroid in exact integer micros: the
+        # vectors never shuffle — each block scatters label-partial
+        # sums (np.add.at), ONE groupby((label, dim)) exchange folds
+        # them, truncating division mirrors the SQL // readout
+        from pybel_ray.ops.stats import centroid_by
+
+        return centroid_by(
+            _read(sf_dir, "embeddings").select_columns(
+                ["label", "embedding"],
+            ),
+            "label",
+        )
+
     def tpch_q12_late_shipments(sf_dir):
         # TPC-H-Q12-shaped conditional aggregation (the corpus has no
         # l_shipmode/l_commitdate, so "late" = shipped >60 days after
@@ -3610,6 +3818,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_local_supplier_revenue": tpch_q5_local_supplier_revenue,
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "tpch_q12_late_shipments": tpch_q12_late_shipments,
+        "tpch_q13_custdist": tpch_q13_custdist,
+        "tpch_q17_small_qty_revenue": tpch_q17_small_qty_revenue,
+        "tpch_q22_sales_opportunity": tpch_q22_sales_opportunity,
+        "events_forward_fill": events_forward_fill,
+        "emb_centroid_by_label": emb_centroid_by_label,
         "events_value_pctrank_per_user": events_value_pctrank_per_user,
         "events_value_trend_by_type": events_value_trend_by_type,
         "events_expectations": events_expectations,
@@ -6212,6 +6425,87 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey = o_orderkey
               AND l_shipdate > o_orderdate + INTERVAL 60 DAY
             GROUP BY l_linestatus
+        """,
+        "tpch_q13_custdist": """
+            WITH oc AS (
+                SELECT c_custkey, count(o_custkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            )
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM oc GROUP BY c_count
+        """,
+        # the avg comparison is kept exact-rational on both sides:
+        # qty < avg(qty)/5  ⇔  5·qty_c·cnt < sum(qty_c)
+        "tpch_q17_small_qty_revenue": """
+            WITH pk AS (
+                SELECT p_partkey FROM part
+                WHERE p_brand = 'Brand#3' AND p_size <= 15
+            ),
+            lf AS (
+                SELECT l_partkey,
+                       CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+                       CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) AS pcents
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM pk)
+            ),
+            ag AS (
+                SELECT l_partkey, sum(qc) AS s, count(*) AS cnt
+                FROM lf GROUP BY l_partkey
+            )
+            SELECT CAST(coalesce((
+                SELECT sum(lf.pcents) FROM lf JOIN ag USING (l_partkey)
+                WHERE 5 * lf.qc * ag.cnt < ag.s
+            ), 0) * 10000 // 7 AS BIGINT) AS avg_yearly_e6
+        """,
+        # rich-customer test stays exact-rational: bal_c·n > sum_c
+        "tpch_q22_sales_opportunity": """
+            WITH cc AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                           AS bal_c
+                FROM customer
+                WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+            ),
+            s AS (
+                SELECT sum(bal_c) AS s, count(*) AS n
+                FROM cc WHERE bal_c > 0
+            )
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+            FROM cc, s
+            WHERE bal_c * s.n > s.s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
+        """,
+        "events_forward_fill": """
+            SELECT event_id, user_id,
+                   last_value(CASE WHEN event_type IN ('view', 'click')
+                                   THEN NULL ELSE value END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS filled
+            FROM events
+        """,
+        # truncating // readout mirrors the engine's _tdiv exactly
+        "emb_centroid_by_label": """
+            WITH u AS (
+                SELECT label, CAST(i.range AS BIGINT) AS dim,
+                       CAST(floor(CAST(embedding[i.range] AS DOUBLE)
+                                  * 1000000 + 0.5) AS BIGINT) AS q
+                FROM embeddings, range(1, 65) i
+                WHERE label IS NOT NULL
+            )
+            SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(q) // count(*) AS BIGINT) AS centroid_e6
+            FROM u GROUP BY label, dim
         """,
         # PERCENT_RANK + CUME_DIST per user in exact integer micros —
         # the engine's integer division is mirrored with // (peers_le

@@ -29,7 +29,7 @@ from .similarity import _matrix
 
 __all__ = [
     "gram_matrix_e12", "quantize_micros", "pca_project",
-    "standardize_stats", "standardize_apply",
+    "standardize_stats", "standardize_apply", "centroid_by",
 ]
 
 _INT64_MAX = (1 << 63) - 1
@@ -478,3 +478,77 @@ def corr_stats_by(
         names=[group_col, "n", "sum_x", "sum_y", "sum_xx", "sum_yy",
                "sum_xy", "slope_e6", "intercept_e6"],
     )
+
+
+def centroid_by(ds, label_col: str, vec_col: str = "embedding"):
+    """Per-label embedding centroid in exact integer micros — one output
+    row per ``(label, dim)``: ``(label, dim, n, centroid_e6)`` with
+    1-based dims (matching SQL ``unnest .. WITH ORDINALITY``) and
+    ``centroid_e6 = Σ floor(v·1e6 + 0.5) // n`` (truncating division —
+    DuckDB ``//`` semantics via :func:`_tdiv`).
+
+    Each batch quantizes its vectors and emits ``labels·dim`` partial
+    sum rows (a label-indexed ``np.add.at`` scatter — no Python loop
+    over rows); ONE ``groupby((label, dim))`` exchange folds them, so
+    the vectors themselves never shuffle and no label group has to fit
+    one worker.  Null labels are dropped (SQL GROUP BY emits a null
+    group; callers wanting it should fill upstream).  int64-safe while
+    ``rows_per_label · 1e6 · max|v|`` stays under 2⁶³ (~9.2e12 unit-norm
+    vectors per label).
+
+    Reference scope note: no reference analog; this is the
+    beyond-reference training-data surface (cluster prototypes /
+    class means for SemDeDup-style pipelines, SURVEY.md §2).
+    """
+
+    def _partials(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], t.schema.field(label_col).type),
+             pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=[label_col, "dim", "s", "n"],
+        )
+        lab = t.column(label_col)
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        keep = pc.is_valid(lab)
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+            lab = t.column(label_col)
+            if isinstance(lab, pa.ChunkedArray):
+                lab = lab.combine_chunks()
+        if t.num_rows == 0:
+            return empty
+        q = quantize_micros(_matrix(t, vec_col))
+        dim = q.shape[1]
+        labv = lab.to_numpy(zero_copy_only=False)
+        uniq, inv, counts = np.unique(
+            labv, return_inverse=True, return_counts=True,
+        )
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        k = len(uniq)
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(uniq, dim), type=lab.type),
+             pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), k)),
+             pa.array(sums.reshape(-1)),
+             pa.array(np.repeat(counts.astype(np.int64), dim))],
+            names=[label_col, "dim", "s", "n"],
+        )
+
+    agg = ds.map_batches(_partials, batch_format="pyarrow") \
+        .groupby([label_col, "dim"]).sum(["s", "n"])
+
+    def _finish(t: pa.Table) -> pa.Table:
+        s = t.column("sum(s)").to_numpy(zero_copy_only=False)
+        n = t.column("sum(n)").to_numpy(zero_copy_only=False)
+        cent = np.array(
+            [_tdiv(int(a), int(b)) for a, b in zip(s, n)], dtype=np.int64,
+        ) if len(s) else np.zeros(0, np.int64)
+        return pa.Table.from_arrays(
+            [t.column(label_col), t.column("dim"),
+             pa.array(n.astype(np.int64)), pa.array(cent)],
+            names=[label_col, "dim", "n", "centroid_e6"],
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

@@ -51,6 +51,7 @@ __all__ = [
     "hopping_window_agg",
     "max_group_rows",
     "rank_by",
+    "forward_fill_by",
 ]
 
 
@@ -1259,3 +1260,138 @@ def rank_by(
         return g
 
     return ds.groupby(partition_col).map_groups(_rank, batch_format="pyarrow")
+
+
+def _ffill_sorted(ds, partition_col, order_cols, value_col, out_col):
+    """Skew-proof LOCF: ONE distributed sort by (partition, order, _rid)
+    + a boundary exchange carrying, per block, the last non-null value
+    of the block's final key — a degenerate hot key spans as many blocks
+    as the sort assigns it, and an all-null middle block carries the
+    previous block's state through unchanged.  Requires non-null
+    partition/order values (same contract as the other sorted paths)."""
+    import json as _json
+
+    import ray
+
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    sort_cols = [partition_col] + order_cols + ["_rid"]
+    sorted_ds = _with_unique_rid(ds).sort(sort_cols).materialize()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"_tup": [], "_last_key": [], "_has": [], "_val": []},
+            )
+        tup = _json.dumps(_first_row_tuple(t, sort_cols), default=str)
+        keys = t.column(partition_col).to_numpy(zero_copy_only=False)
+        vals = t.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        cand = np.nonzero((keys == keys[-1]) & valid)[0]
+        return pa.Table.from_pydict({
+            "_tup": [tup],
+            "_last_key": [keys[-1]],
+            "_has": [bool(len(cand))],
+            "_val": [vals[int(cand[-1])].as_py() if len(cand) else None],
+        })
+
+    partials = sorted_ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None,
+    ).take_all()
+    partials.sort(key=lambda r: tuple(_json.loads(r["_tup"])))
+
+    # fold: (key in progress at block end, its latest non-null value).
+    # Keys are contiguous after the sort, so a block whose last key
+    # continues the state key refines the value; a new key resets it.
+    boundaries = {}
+    state_key, state_val = None, None
+    for r in partials:
+        boundaries[r["_tup"]] = (state_key, state_val)
+        if r["_last_key"] == state_key:
+            if r["_has"]:
+                state_val = r["_val"]
+        else:
+            state_key = r["_last_key"]
+            state_val = r["_val"] if r["_has"] else None
+    b_ref = ray.put(boundaries)
+
+    def _fill_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            vt = t.schema.field(value_col).type
+            return t.append_column(out_col, pa.array([], vt)) \
+                .drop_columns(["_rid"])
+        tup = _json.dumps(_first_row_tuple(t, sort_cols), default=str)
+        b_key, b_val = ray.get(b_ref)[tup]
+        keys = t.column(partition_col).to_numpy(zero_copy_only=False)
+        vals = t.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        idx = np.arange(n)
+        last_valid = np.maximum.accumulate(np.where(valid, idx, -1))
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = keys[1:] != keys[:-1]
+        key_start = np.maximum.accumulate(np.where(change, idx, 0))
+        in_block = last_valid >= key_start
+        filled = vals.take(
+            pa.array(last_valid.astype(np.int64), mask=~in_block),
+        )
+        if b_val is not None:
+            bmask = pa.array((~in_block) & (keys == b_key))
+            filled = pc.if_else(bmask, pa.scalar(b_val, vals.type), filled)
+        return t.append_column(out_col, filled).drop_columns(["_rid"])
+
+    return sorted_ds.map_batches(
+        _fill_block, batch_format="pyarrow", batch_size=None,
+    )
+
+
+def forward_fill_by(
+    ds,
+    partition_col: str,
+    order_cols,
+    value_col: str,
+    out_col: str = "filled",
+    max_rows_per_group: int | None = None,
+):
+    """Last-observation-carried-forward — SQL
+    ``last_value(v IGNORE NULLS) OVER (PARTITION BY p ORDER BY o ROWS
+    UNBOUNDED PRECEDING)``: each row gets the most recent non-null
+    ``value_col`` within its partition (rows before the first non-null
+    stay null).  The gap-fill step for sensor/event streams.
+
+    Partitions co-locate with one ``groupby`` exchange; the fill inside
+    a group is one ``maximum.accumulate`` + gather.  Deterministic iff
+    ``order_cols`` are unique within a partition.  Partition and order
+    values must be non-null.
+
+    Each key group must fit one worker.  Pass ``max_rows_per_group`` to
+    guard against degenerate single-key skew: one narrow groupby-count
+    probe runs first, and if any group exceeds the bound the operator
+    switches to the skew-proof sorted path (:func:`_ffill_sorted` — one
+    global sort + one boundary row per block, no group co-location).
+    """
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    if max_rows_per_group is not None:
+        ds = ds.materialize()  # probe + op share one upstream execution
+        if max_group_rows(ds, partition_col) > max_rows_per_group:
+            return _ffill_sorted(ds, partition_col, order_cols, value_col,
+                                 out_col)
+
+    def _fill(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(c, "ascending") for c in order_cols])
+        vals = g.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        idx = np.arange(g.num_rows)
+        last_valid = np.maximum.accumulate(np.where(valid, idx, -1))
+        filled = vals.take(
+            pa.array(last_valid.astype(np.int64), mask=last_valid < 0),
+        )
+        return g.append_column(out_col, filled)
+
+    return ds.groupby(partition_col).map_groups(_fill, batch_format="pyarrow")

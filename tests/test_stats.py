@@ -153,3 +153,57 @@ def test_tdiv_matches_sql_truncation():
     assert _tdiv(7, -2) == -3
     assert _tdiv(-7, -2) == 3
     assert _tdiv(7, 2) == 3
+
+
+def test_centroid_by_exact_and_layout_invariant(ray_session):
+    """Negative components exercise the truncating (not flooring)
+    division; block layout must not change a single cell."""
+    import ray
+
+    from pybel_ray.ops.stats import _tdiv, centroid_by, quantize_micros
+
+    rng = np.random.RandomState(13)
+    n, dim = 400, 8
+    labels = rng.randint(0, 5, n)
+    mat = (rng.rand(n, dim) - 0.7) * 3.0  # mostly negative sums
+    tbl = pa.table({
+        "label": pa.array(labels, pa.int32()),
+        "embedding": pa.array(list(mat.astype(np.float32)),
+                              pa.list_(pa.float32())),
+    })
+
+    q = quantize_micros(mat.astype(np.float32).astype(np.float64))
+    expect = {}
+    for lab in np.unique(labels):
+        sel = q[labels == lab]
+        for d in range(dim):
+            expect[(int(lab), d + 1)] = (
+                len(sel), _tdiv(int(sel[:, d].sum()), len(sel)),
+            )
+
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        got = {
+            (r["label"], r["dim"]): (r["n"], r["centroid_e6"])
+            for r in centroid_by(ds, "label").take_all()
+        }
+        assert got == expect
+
+    assert any(c < 0 for _, c in expect.values())  # negatives exercised
+
+
+def test_centroid_by_drops_null_labels(ray_session):
+    import ray
+
+    from pybel_ray.ops.stats import centroid_by
+
+    tbl = pa.table({
+        "label": pa.array([1, None, 1], pa.int32()),
+        "embedding": pa.array(
+            [[1.0, -2.0], [100.0, 100.0], [2.0, -3.0]],
+            pa.list_(pa.float32()),
+        ),
+    })
+    out = centroid_by(ray.data.from_arrow(tbl), "label").take_all()
+    got = {(r["label"], r["dim"]): (r["n"], r["centroid_e6"]) for r in out}
+    assert got == {(1, 1): (2, 1_500_000), (1, 2): (2, -2_500_000)}

@@ -459,3 +459,69 @@ def test_rank_by_extended_rejects_sorted_path(ray_session):
     ds = _ds(rows, blocks=4)
     with _pytest.raises(NotImplementedError):
         rank_by(ds, "k", ["v"], max_rows_per_group=100, extended=True)
+
+
+def _ffill_rows(seed=11, n=3000, null_rate=0.5):
+    """Keys with interleaved null values; some keys all-null, one key
+    whose non-nulls are sparse enough that whole sort blocks of it can
+    be all-null (exercises the boundary carry-through)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        k = rng.choice(["a", "b", "hot", "hot", "hot", "allnull"])
+        v = None if (k == "allnull" or rng.random() < null_rate) \
+            else rng.randint(0, 10**6)
+        rows.append({"k": k, "ts": i, "v": v})
+    return rows
+
+
+def _ffill_expected(rows):
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["k"], r["ts"])):
+        by_key[r["k"]].append(r)
+    out = []
+    for k, grp in by_key.items():
+        last = None
+        for r in grp:
+            if r["v"] is not None:
+                last = r["v"]
+            out.append((k, r["ts"], last))
+    return sorted(out)
+
+
+def test_forward_fill_by_matches_reference(ray_session):
+    from pybel_ray.ops.window import forward_fill_by
+
+    rows = _ffill_rows()
+    ds = _ds(rows, blocks=6)
+    got = sorted(
+        (r["k"], r["ts"], r["filled"])
+        for r in forward_fill_by(ds, "k", "ts", "v").take_all()
+    )
+    assert got == _ffill_expected(rows)
+
+
+def test_forward_fill_sorted_path_matches_groupby(ray_session):
+    """Planted skew: the sorted boundary-exchange path must equal the
+    per-group path, including all-null blocks inside a hot key run."""
+    from pybel_ray.ops.window import forward_fill_by
+
+    rows = _ffill_rows(seed=5, n=4000, null_rate=0.9)
+    ds = _ds(rows, blocks=8)
+    plain = sorted(
+        (r["k"], r["ts"], r["filled"])
+        for r in forward_fill_by(ds, "k", "ts", "v").take_all()
+    )
+    sorted_path = sorted(
+        (r["k"], r["ts"], r["filled"])
+        for r in forward_fill_by(
+            ds, "k", "ts", "v", max_rows_per_group=100,
+        ).take_all()
+    )
+    assert sorted_path == plain == _ffill_expected(rows)
+    # leading rows before any non-null stay null
+    assert any(v is None for _, _, v in plain)
