@@ -2603,6 +2603,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["event_id", "user_id", "filled"])
 
+    def events_value_median_selection(sf_dir):
+        # EXACT global median WITHOUT a sort: iterative 256-ary
+        # histogram narrowing (≤7 streaming passes over one
+        # materialized int64 column, 256 counts per block to the
+        # driver) — the scale path when a full sort exchange isn't
+        # worth it and a sketch bound isn't exact enough
+        from pybel_ray.ops.stats import exact_median_e6
+
+        return exact_median_e6(
+            _read(sf_dir, "events").select_columns(["value"]), "value",
+        )
+
+    def events_resample_daily(sf_dir):
+        # regular-grid resample with LOCF values (SQL generate_series +
+        # ASOF LEFT JOIN): ties at one (user, ts) dedup to the max
+        # event_id first (skew-bounded topk_per_group), then ONE tiny
+        # per-key bounds exchange builds the grid and the union rides
+        # forward_fill_by
+        from pybel_ray.ops.relational import topk_per_group
+        from pybel_ray.ops.window import resample_locf
+
+        step = 86_400_000_000  # one day in epoch micros
+
+        def _tsu(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [t.column("user_id"),
+                 pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                         pa.int64()),
+                 t.column("value"), t.column("event_id")],
+                names=["user_id", "tsu", "value", "event_id"],
+            )
+
+        obs = topk_per_group(
+            _read(sf_dir, "events").select_columns(
+                ["event_id", "user_id", "ts", "value"],
+            ).map_batches(
+                lambda t: t.filter(pc.is_valid(t.column("value"))),
+                batch_format="pyarrow",
+            ).map_batches(_tsu, batch_format="pyarrow"),
+            ["user_id", "tsu"], "event_id", k=1, descending=True,
+        )
+        return resample_locf(obs, "user_id", "tsu", "value", step)
+
     def emb_centroid_by_label(sf_dir):
         # per-label embedding centroid in exact integer micros: the
         # vectors never shuffle — each block scatters label-partial
@@ -3823,6 +3866,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22_sales_opportunity": tpch_q22_sales_opportunity,
         "events_forward_fill": events_forward_fill,
         "emb_centroid_by_label": emb_centroid_by_label,
+        "events_value_median_selection": events_value_median_selection,
+        "events_resample_daily": events_resample_daily,
         "events_value_pctrank_per_user": events_value_pctrank_per_user,
         "events_value_trend_by_type": events_value_trend_by_type,
         "events_expectations": events_expectations,
@@ -6493,6 +6538,44 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) AS filled
             FROM events
+        """,
+        # lower median via LIMIT/OFFSET — unambiguous, unlike
+        # quantile_disc interpolation conventions
+        "events_value_median_selection": """
+            WITH v AS (
+                SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+                FROM events WHERE value IS NOT NULL
+            ),
+            n AS (SELECT count(*) AS c FROM v)
+            SELECT (SELECT c FROM n) AS n,
+                   (SELECT q FROM v ORDER BY q
+                    LIMIT 1 OFFSET (SELECT CAST((c - 1) // 2 AS BIGINT)
+                                    FROM n)) AS median_e6
+        """,
+        "events_resample_daily": """
+            WITH obs AS (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,
+                       value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE value IS NOT NULL
+            ),
+            o1 AS (SELECT user_id, tsu, value FROM obs WHERE rn = 1),
+            b AS (
+                SELECT user_id, min(tsu) AS mn, max(tsu) AS mx
+                FROM o1 GROUP BY user_id
+            ),
+            g AS (
+                SELECT user_id,
+                       CAST(unnest(generate_series(
+                           (mn + 86400000000 - 1) // 86400000000
+                               * 86400000000,
+                           mx, 86400000000)) AS BIGINT) AS grid_ts
+                FROM b
+            )
+            SELECT g.user_id, g.grid_ts, o.value AS value
+            FROM g ASOF LEFT JOIN o1 o
+              ON g.user_id = o.user_id AND g.grid_ts >= o.tsu
         """,
         # truncating // readout mirrors the engine's _tdiv exactly
         "emb_centroid_by_label": """

@@ -164,6 +164,15 @@ def run_queries(sf_dir: str) -> dict:
         "web_host_ppr",
         "events_zorder_box",
         "events_bloom_point",
+        # session-9 additions: LOCF gap fill, label centroids,
+        # distribution/correlated-subquery/anti-join TPC-H shapes
+        "events_forward_fill",
+        "emb_centroid_by_label",
+        "tpch_q13_custdist",
+        "tpch_q17_small_qty_revenue",
+        "tpch_q22_sales_opportunity",
+        "events_value_median_selection",
+        "events_resample_daily",
     ]
     q = entry.queries()
     out = {}

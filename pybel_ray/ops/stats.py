@@ -30,6 +30,7 @@ from .similarity import _matrix
 __all__ = [
     "gram_matrix_e12", "quantize_micros", "pca_project",
     "standardize_stats", "standardize_apply", "centroid_by",
+    "select_kth_e6", "exact_median_e6",
 ]
 
 _INT64_MAX = (1 << 63) - 1
@@ -552,3 +553,103 @@ def centroid_by(ds, label_col: str, vec_col: str = "embedding"):
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def select_kth_e6(ds, col: str, k: int) -> int:
+    """EXACT k-th smallest (1-based, among non-null rows) of
+    ``floor(col·1e6 + 0.5)`` — distributed selection WITHOUT a global
+    sort: iterative 256-ary histogram narrowing.  Each pass streams the
+    (materialized, single-int64-column) dataset once and ships 256
+    counts per block to the driver; the candidate range shrinks 256×
+    per pass, so ≤ ⌈bits/8⌉ ≈ 7 passes cover any micro-quantized double
+    domain.  This is the scale path for exact medians/percentiles when
+    a full sort exchange is not worth it and a DDSketch bound is not
+    exact enough.
+
+    int64-safe while ``|v_e6| ≤ 2^54`` (the in-pass arithmetic computes
+    ``(v − lo)·256`` which then stays under 2^63).
+
+    Reference scope note: no reference analog; beyond-reference
+    training-data surface (SURVEY.md §2).
+    """
+    if k < 1:
+        raise ValueError("k is 1-based")
+
+    def _quant(t: pa.Table) -> pa.Table:
+        v = t.column(col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        v = v.drop_null()
+        q = np.floor(
+            v.to_numpy(zero_copy_only=False).astype(np.float64)
+            * 1e6 + 0.5,
+        ).astype(np.int64)
+        return pa.Table.from_arrays([pa.array(q)], names=["q"])
+
+    qs = ds.select_columns([col]).map_batches(
+        _quant, batch_format="pyarrow",
+    ).materialize()
+
+    lo = qs.min("q")
+    hi = qs.max("q")
+    if lo is None:
+        raise ValueError("no non-null rows")
+    lo, hi = int(lo), int(hi)
+    if abs(lo) > 1 << 54 or abs(hi) > 1 << 54:
+        raise ValueError("|v_e6| exceeds 2^54; rescale upstream")
+
+    # rank of the k-th element among values in [lo, hi]: values below
+    # lo are accounted for by shrinking k as the range narrows
+    while lo < hi:
+        width = hi - lo + 1
+
+        def _hist(t: pa.Table, _lo=lo, _hi=hi, _w=width) -> pa.Table:
+            v = t.column("q").to_numpy(zero_copy_only=False)
+            v = v[(v >= _lo) & (v <= _hi)]
+            b = ((v - _lo) * 256) // _w
+            return pa.Table.from_arrays(
+                [pa.array(np.bincount(b, minlength=256)
+                          .astype(np.int64))],
+                names=["c"],
+            )
+
+        counts = np.zeros(256, dtype=np.int64)
+        for blk in qs.map_batches(
+            _hist, batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            c = blk.column("c").to_numpy(zero_copy_only=False)
+            counts += c.reshape(-1, 256).sum(axis=0)
+        cum = np.cumsum(counts)
+        b = int(np.searchsorted(cum, k))
+        if b:
+            k -= int(cum[b - 1])
+        # bucket b covers [lo + ceil(b*w/256), lo + ceil((b+1)*w/256) - 1]
+        new_lo = lo + -((-b * width) // 256)
+        new_hi = lo + -((-(b + 1) * width) // 256) - 1
+        if (new_lo, new_hi) == (lo, hi):  # width < 256: buckets are exact
+            return new_lo
+        lo, hi = new_lo, new_hi
+    return lo
+
+
+def exact_median_e6(ds, col: str) -> pa.Table:
+    """One-row table ``(n, median_e6)`` — the LOWER median (the element
+    at 0-based offset ``(n−1)//2`` of the ascending non-null quantized
+    values, i.e. ``ORDER BY q LIMIT 1 OFFSET (n−1)//2``), found by
+    :func:`select_kth_e6` in ≤ 7 histogram passes with no sort."""
+    def _nn(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array([pc.count(t.column(col), mode="only_valid")
+                       .as_py()], pa.int64())],
+            names=["c"],
+        )
+
+    n = int(ds.select_columns([col]).map_batches(
+        _nn, batch_format="pyarrow",
+    ).sum("c") or 0)
+    if n == 0:
+        return pa.table({"n": pa.array([0], pa.int64()),
+                         "median_e6": pa.array([None], pa.int64())})
+    med = select_kth_e6(ds, col, (n - 1) // 2 + 1)
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "median_e6": pa.array([med], pa.int64())})

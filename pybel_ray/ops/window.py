@@ -52,6 +52,7 @@ __all__ = [
     "max_group_rows",
     "rank_by",
     "forward_fill_by",
+    "resample_locf",
 ]
 
 
@@ -1395,3 +1396,92 @@ def forward_fill_by(
         return g.append_column(out_col, filled)
 
     return ds.groupby(partition_col).map_groups(_fill, batch_format="pyarrow")
+
+
+def resample_locf(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: int,
+    out_ts: str = "grid_ts",
+):
+    """Resample each key's observations onto a regular grid (every
+    ``step`` ts units from ``ceil(min_ts/step)·step`` to ``max_ts``)
+    with last-observation-carried-forward values — the gap-fill /
+    downsample step for event streams (SQL: per-key ``generate_series``
+    + ``ASOF LEFT JOIN``).
+
+    ``ts_col`` must be int64 (cast epochs upstream) and unique per key
+    (pre-dedup ties upstream — at equal ts the carried value would be
+    arbitrary); rows with null ``value_col`` must be dropped upstream
+    (an ASOF join would carry them, LOCF would skip them).
+
+    Scale shape: ONE tiny groupby per-key (min, max) exchange builds
+    the grid spec (one row per key); grid rows are generated block-wise
+    from it (a hot key's grid is proportional to its time span, not its
+    row count); the union of observations and grid rows then rides
+    :func:`forward_fill_by`'s machinery (grid rows sort after the
+    observation at the same ts via a side column), and only grid rows
+    survive.  Pass-through of ``forward_fill_by``'s skew contract: each
+    (observations + grid) key group must fit one worker.
+    """
+    from .relational import groupby_agg
+
+    obs = ds.select_columns([key_col, ts_col, value_col])
+    bounds = groupby_agg(
+        obs, key_col,
+        {"_mn": ("min", ts_col), "_mx": ("max", ts_col)},
+    )
+
+    def _grid(t: pa.Table) -> pa.Table:
+        mn = t.column("_mn").to_numpy(zero_copy_only=False)
+        mx = t.column("_mx").to_numpy(zero_copy_only=False)
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        starts = ((mn + step - 1) // step) * step
+        counts = np.maximum((mx - starts) // step + 1, 0).astype(np.int64)
+        reps = pa.array(np.repeat(np.arange(len(counts)), counts))
+        offs = np.concatenate(
+            [np.arange(c, dtype=np.int64) for c in counts],
+        ) if len(counts) else np.zeros(0, np.int64)
+        gts = np.repeat(starts, counts) + offs * step
+        return pa.Table.from_arrays(
+            [keys.take(reps), pa.array(gts.astype(np.int64)),
+             pa.array(np.ones(len(gts), np.int8))],
+            names=[key_col, ts_col, "_grid"],
+        )
+
+    grid = bounds.map_batches(_grid, batch_format="pyarrow")
+
+    def _tag_obs(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column(key_col),
+             pc.cast(t.column(ts_col), pa.int64()),
+             pa.array(np.zeros(t.num_rows, np.int8)),
+             t.column(value_col)],
+            names=[key_col, ts_col, "_grid", value_col],
+        )
+
+    sch = obs.schema()
+    vtype = dict(zip(sch.names, sch.types))[value_col]
+
+    def _pad_grid(t: pa.Table) -> pa.Table:
+        return t.append_column(value_col, pa.nulls(t.num_rows, vtype))
+
+    u = obs.map_batches(_tag_obs, batch_format="pyarrow").union(
+        grid.map_batches(_pad_grid, batch_format="pyarrow"),
+    )
+    filled = forward_fill_by(
+        u, key_col, [ts_col, "_grid"], value_col, out_col="_filled",
+    )
+
+    def _take_grid(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("_grid"), pa.scalar(1, pa.int8())))
+        return pa.Table.from_arrays(
+            [t.column(key_col), t.column(ts_col), t.column("_filled")],
+            names=[key_col, out_ts, value_col],
+        )
+
+    return filled.map_batches(_take_grid, batch_format="pyarrow")

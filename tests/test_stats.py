@@ -207,3 +207,40 @@ def test_centroid_by_drops_null_labels(ray_session):
     out = centroid_by(ray.data.from_arrow(tbl), "label").take_all()
     got = {(r["label"], r["dim"]): (r["n"], r["centroid_e6"]) for r in out}
     assert got == {(1, 1): (2, 1_500_000), (1, 2): (2, -2_500_000)}
+
+
+def test_select_kth_exact_matches_numpy_sort(ray_session):
+    """Histogram-narrowing selection: exact k-th at every extreme
+    (min, max, median) across mixed magnitudes and layouts — no sort
+    ever runs."""
+    import ray
+
+    from pybel_ray.ops.stats import exact_median_e6, select_kth_e6
+
+    rng = np.random.RandomState(9)
+    vals = np.concatenate([
+        rng.randn(5000), rng.rand(7) * 1e8, [-1e8] * 3, [0.0] * 11,
+    ])
+    rows = list(vals) + [None] * 25
+    tbl = pa.table({"v": pa.array(rows, pa.float64())})
+    qs = np.sort(np.floor(vals * 1e6 + 0.5).astype(np.int64))
+
+    for blocks in (1, 9):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        for k in (1, 2, len(qs) // 2, len(qs) - 1, len(qs)):
+            assert select_kth_e6(ds, "v", k) == int(qs[k - 1])
+        med = exact_median_e6(ds, "v")
+        assert med.column("n")[0].as_py() == len(qs)
+        assert med.column("median_e6")[0].as_py() == \
+            int(qs[(len(qs) - 1) // 2])
+
+
+def test_select_kth_duplicates_and_all_equal(ray_session):
+    import ray
+
+    from pybel_ray.ops.stats import select_kth_e6
+
+    tbl = pa.table({"v": pa.array([3.5] * 100, pa.float64())})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    assert select_kth_e6(ds, "v", 1) == 3_500_000
+    assert select_kth_e6(ds, "v", 100) == 3_500_000

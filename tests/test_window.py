@@ -525,3 +525,42 @@ def test_forward_fill_sorted_path_matches_groupby(ray_session):
     assert sorted_path == plain == _ffill_expected(rows)
     # leading rows before any non-null stay null
     assert any(v is None for _, _, v in plain)
+
+
+def test_resample_locf_matches_reference(ray_session):
+    """Daily grid over irregular per-key observations: grid values are
+    the latest observation at-or-before each grid point; grids start at
+    the first step multiple >= the key's first observation."""
+    import random
+
+    from pybel_ray.ops.window import resample_locf
+
+    rng = random.Random(21)
+    rows = []
+    for k in ("a", "b", "c"):
+        t0 = rng.randint(0, 50)
+        for _ in range(60):
+            t0 += rng.randint(1, 40)
+            rows.append({"k": k, "ts": t0, "v": rng.randint(0, 999)})
+    step = 100
+    ds = _ds(rows, blocks=5)
+    got = sorted(
+        (r["k"], r["grid_ts"], r["v"])
+        for r in resample_locf(ds, "k", "ts", "v", step).take_all()
+    )
+
+    expect = []
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["k"]].append((r["ts"], r["v"]))
+    for k, obs in by_key.items():
+        obs.sort()
+        lo = -(-obs[0][0] // step) * step
+        g = lo
+        while g <= obs[-1][0]:
+            val = max((o for o in obs if o[0] <= g))[1]
+            expect.append((k, g, val))
+            g += step
+    assert got == sorted(expect)
