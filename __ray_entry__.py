@@ -2409,6 +2409,664 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "total_e6", 100, descending=True, tie_keys=["o_orderkey"],
         )
 
+    def tpch_q2_min_cost_supplier(sf_dir):
+        # TPC-H Q2 composition (min-cost supplier per part; the corpus
+        # has no partsupp, so the "offers" relation is the distinct
+        # (l_partkey, l_suppkey) pairs and the cost is s_acctbal): ONE
+        # distinct exchange over the filtered pairs, supplier/nation
+        # dims broadcast, per-part winner via the skew-bounded
+        # topk_per_group(k=1, ascending)
+        from pybel_ray.ops.relational import (
+            broadcast_join, groupby_count, topk_per_group,
+        )
+
+        part = _read_arrow(sf_dir, "part")
+        pkeys = part.filter(pc.and_(
+            pc.less_equal(part.column("p_size"),
+                          pa.scalar(10, part.schema.field("p_size").type)),
+            pc.equal(part.column("p_type"), pa.scalar("LARGE")),
+        )).column("p_partkey").combine_chunks()
+
+        region = _read_arrow(sf_dir, "region")
+        nation = _read_arrow(sf_dir, "nation")
+        rk = region.filter(
+            pc.equal(region.column("r_name"), pa.scalar("EUROPE")),
+        ).column("r_regionkey").combine_chunks()
+        euro = nation.filter(
+            pc.is_in(nation.column("n_regionkey"), value_set=rk),
+        ).select(["n_nationkey", "n_name"])
+        supp = _read_arrow(sf_dir, "supplier")
+        nidx = pc.index_in(supp.column("s_nationkey"),
+                           value_set=euro.column("n_nationkey")
+                           .combine_chunks())
+        supp = supp.append_column(
+            "n_name", euro.column("n_name").combine_chunks().take(nidx),
+        ).filter(pc.is_valid(nidx))
+
+        pairs = groupby_count(
+            _read(sf_dir, "lineitem").select_columns(
+                ["l_partkey", "l_suppkey"],
+            ).map_batches(
+                lambda t: t.filter(pc.is_in(t.column("l_partkey"),
+                                            value_set=pkeys)),
+                batch_format="pyarrow",
+            ),
+            ["l_partkey", "l_suppkey"],
+        ).select_columns(["l_partkey", "l_suppkey"])
+        cand = broadcast_join(
+            pairs,
+            supp.select(["s_suppkey", "s_name", "s_acctbal", "n_name"]),
+            "l_suppkey", "s_suppkey",
+        )
+        return topk_per_group(
+            cand, "l_partkey", "s_acctbal", k=1,
+            descending=False, tie_keys=["l_suppkey"],
+        ).map_batches(
+            lambda t: t.rename_columns(
+                ["l_partkey", "s_suppkey", "s_name", "s_acctbal",
+                 "n_name"],
+            ),
+            batch_format="pyarrow",
+        )
+
+    def tpch_q7_volume_shipping(sf_dir):
+        # TPC-H Q7 composition (bilateral shipping volume between two
+        # nations, per year): orders⋈customer and lineitem⋈(that) are
+        # bucketed equi_joins; supplier and nation-name dims broadcast;
+        # the (supp_nation, cust_nation) pair filter runs vectorized
+        # after the supplier probe; exact-micros revenue
+        from pybel_ray.ops.relational import (
+            broadcast_join, equi_join, groupby_agg,
+        )
+
+        pair = pa.array([13, 24], pa.int64())
+        nation = _read_arrow(sf_dir, "nation")
+
+        cust = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_nationkey"],
+        ).map_batches(
+            lambda t: t.filter(pc.is_in(
+                pc.cast(t.column("c_nationkey"), pa.int64()),
+                value_set=pair,
+            )),
+            batch_format="pyarrow",
+        )
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey"],
+        )
+        j = equi_join(orders, cust, on="o_custkey", right_on="c_custkey")
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+             "l_shipdate"],
+        )
+        j = equi_join(
+            li, j.select_columns(["o_orderkey", "c_nationkey"]),
+            on="l_orderkey", right_on="o_orderkey",
+        )
+        supp = _read_arrow(sf_dir, "supplier").select(
+            ["s_suppkey", "s_nationkey"],
+        )
+        j = broadcast_join(j, supp, "l_suppkey", "s_suppkey")
+        nnk = nation.column("n_nationkey").combine_chunks()
+        nnm = nation.column("n_name").combine_chunks()
+
+        def _vol(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            sn = pc.cast(t.column("s_nationkey"), pa.int64())
+            cn = pc.cast(t.column("c_nationkey"), pa.int64())
+            t = t.filter(pc.and_(
+                pc.and_(pc.is_in(sn, value_set=pair),
+                        pc.is_in(cn, value_set=pair)),
+                pc.not_equal(sn, cn),
+            ))
+            p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            d = t.column("l_discount").to_numpy(zero_copy_only=False)
+            e6 = np.floor(p * (1.0 - d) * 1e6 + 0.5).astype(np.int64)
+            year = pc.cast(pc.strftime(t.column("l_shipdate"),
+                                       format="%Y"), pa.int64())
+            supp_nat = nnm.take(pc.index_in(
+                t.column("s_nationkey").combine_chunks().cast(nnk.type),
+                value_set=nnk,
+            ))
+            cust_nat = nnm.take(pc.index_in(
+                t.column("c_nationkey").combine_chunks().cast(nnk.type),
+                value_set=nnk,
+            ))
+            return pa.Table.from_arrays(
+                [supp_nat, cust_nat, year, pa.array(e6)],
+                names=["supp_nation", "cust_nation", "l_year", "rev_e6"],
+            )
+
+        return groupby_agg(
+            j.map_batches(_vol, batch_format="pyarrow"),
+            ["supp_nation", "cust_nation", "l_year"],
+            {"revenue_e6": ("sum", "rev_e6")},
+        )
+
+    def tpch_q8_market_share(sf_dir):
+        # TPC-H Q8 composition (national market share per year):
+        # AMERICA-region customers' orders (bucketed joins), STANDARD
+        # parts and the supplier dim broadcast; share stays exact —
+        # share_e6 = nation_sum·1e6 // total_sum (truncating division
+        # mirrored in the oracle)
+        from pybel_ray.ops.relational import (
+            broadcast_join, equi_join, groupby_agg,
+        )
+        from pybel_ray.ops.stats import _tdiv
+
+        region = _read_arrow(sf_dir, "region")
+        nation = _read_arrow(sf_dir, "nation")
+        rk = region.filter(
+            pc.equal(region.column("r_name"), pa.scalar("AMERICA")),
+        ).column("r_regionkey").combine_chunks()
+        amk = nation.filter(
+            pc.is_in(nation.column("n_regionkey"), value_set=rk),
+        ).column("n_nationkey").combine_chunks()
+        part = _read_arrow(sf_dir, "part")
+        pkeys = part.filter(
+            pc.equal(part.column("p_type"), pa.scalar("STANDARD")),
+        ).column("p_partkey").combine_chunks()
+
+        cust = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_nationkey"],
+        ).map_batches(
+            lambda t: t.filter(pc.is_in(
+                pc.cast(t.column("c_nationkey"), amk.type),
+                value_set=amk,
+            )).select(["c_custkey"]),
+            batch_format="pyarrow",
+        )
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+        j = equi_join(orders, cust, on="o_custkey", right_on="c_custkey")
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+             "l_discount"],
+        ).map_batches(
+            lambda t: t.filter(pc.is_in(t.column("l_partkey"),
+                                        value_set=pkeys)),
+            batch_format="pyarrow",
+        )
+        j = equi_join(
+            li, j.select_columns(["o_orderkey", "o_orderdate"]),
+            on="l_orderkey", right_on="o_orderkey",
+        )
+        supp = _read_arrow(sf_dir, "supplier").select(
+            ["s_suppkey", "s_nationkey"],
+        )
+        j = broadcast_join(j, supp, "l_suppkey", "s_suppkey")
+
+        def _vol(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            d = t.column("l_discount").to_numpy(zero_copy_only=False)
+            e6 = np.floor(p * (1.0 - d) * 1e6 + 0.5).astype(np.int64)
+            year = pc.cast(pc.strftime(t.column("o_orderdate"),
+                                       format="%Y"), pa.int64())
+            isnat = pc.equal(
+                pc.cast(t.column("s_nationkey"), pa.int64()),
+                pa.scalar(18, pa.int64()),
+            ).to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [year, pa.array(e6),
+                 pa.array(np.where(isnat, e6, 0))],
+                names=["o_year", "rev_e6", "nat_e6"],
+            )
+
+        agg = groupby_agg(
+            j.map_batches(_vol, batch_format="pyarrow"),
+            "o_year",
+            {"total_e6": ("sum", "rev_e6"), "nation_e6": ("sum", "nat_e6")},
+        )
+
+        def _share(t: pa.Table) -> pa.Table:
+            tot = t.column("total_e6").to_numpy(zero_copy_only=False)
+            nat = t.column("nation_e6").to_numpy(zero_copy_only=False)
+            share = pa.array(
+                [_tdiv(int(a) * 1_000_000, int(b)) if b else None
+                 for a, b in zip(nat, tot)], pa.int64(),
+            )
+            return t.append_column("share_e6", share)
+
+        return agg.map_batches(_share, batch_format="pyarrow")
+
+    def tpch_q10_returned_item_revenue(sf_dir):
+        # TPC-H Q10 composition (top-20 customers by returned-item
+        # revenue): date-windowed orders ⋈ returned lineitems (bucketed),
+        # ONE groupby(custkey), then the small aggregate takes customer
+        # and nation payload via broadcast joins; top-20 exact micros
+        from pybel_ray.ops.relational import (
+            broadcast_join, equi_join, groupby_agg, topk,
+        )
+
+        import datetime as _dt
+
+        lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+        hi = pa.scalar(_dt.datetime(1996, 7, 1), pa.timestamp("us"))
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(
+            lambda t: t.filter(pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), lo),
+                pc.less(t.column("o_orderdate"), hi),
+            )).select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow",
+        )
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_returnflag", "l_extendedprice",
+             "l_discount"],
+        ).filter(expr="l_returnflag == 'R'")
+        j = equi_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+        def _rev(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            d = t.column("l_discount").to_numpy(zero_copy_only=False)
+            e6 = np.floor(p * (1.0 - d) * 1e6 + 0.5).astype(np.int64)
+            return pa.Table.from_arrays(
+                [t.column("o_custkey"), pa.array(e6)],
+                names=["o_custkey", "rev_e6"],
+            )
+
+        agg = groupby_agg(
+            j.map_batches(_rev, batch_format="pyarrow"),
+            "o_custkey", {"revenue_e6": ("sum", "rev_e6")},
+        )
+        nation = _read_arrow(sf_dir, "nation").select(
+            ["n_nationkey", "n_name"],
+        )
+        cust = _read_arrow(sf_dir, "customer").select(
+            ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        )
+        out = broadcast_join(agg, cust, "o_custkey", "c_custkey")
+        out = broadcast_join(out, nation, "c_nationkey", "n_nationkey")
+        return topk(
+            out.select_columns(
+                ["o_custkey", "c_name", "c_acctbal", "n_name",
+                 "revenue_e6"],
+            ),
+            "revenue_e6", 20, descending=True, tie_keys=["o_custkey"],
+        )
+
+    def tpch_q9_product_profit(sf_dir):
+        # TPC-H Q9 composition (product-type profit by supplier nation
+        # and year; no partsupp, so unit cost = p_retailprice): profit
+        # stays EXACT — rev_e4 = floor(p·(1−d)·1e4+0.5) minus
+        # retail_cents · qty_cents (cents × cents = exact 1e-4 units);
+        # part and supplier dims broadcast, orders join bucketed
+        from pybel_ray.ops.relational import (
+            broadcast_join, equi_join, groupby_agg,
+        )
+
+        part = _read_arrow(sf_dir, "part")
+        widg = part.filter(pc.match_substring(
+            part.column("p_name"), "widget",
+        ))
+
+        def _retail(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            rc = np.floor(
+                t.column("p_retailprice").to_numpy(zero_copy_only=False)
+                * 100 + 0.5,
+            ).astype(np.int64)
+            return pa.Table.from_arrays(
+                [t.column("p_partkey"), pa.array(rc)],
+                names=["p_partkey", "retail_c"],
+            )
+
+        pdim = _retail(widg)
+        nation = _read_arrow(sf_dir, "nation")
+        supp = _read_arrow(sf_dir, "supplier").select(
+            ["s_suppkey", "s_nationkey"],
+        )
+        sidx = pc.index_in(
+            supp.column("s_nationkey"),
+            value_set=nation.column("n_nationkey").combine_chunks(),
+        )
+        supp = supp.append_column(
+            "nation",
+            nation.column("n_name").combine_chunks().take(sidx),
+        ).select(["s_suppkey", "nation"])
+
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+             "l_extendedprice", "l_discount"],
+        )
+        j = broadcast_join(li, pdim, "l_partkey", "p_partkey")
+        j = broadcast_join(j, supp, "l_suppkey", "s_suppkey")
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderdate"],
+        )
+        j = equi_join(j, orders, on="l_orderkey", right_on="o_orderkey")
+
+        def _profit(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            d = t.column("l_discount").to_numpy(zero_copy_only=False)
+            rev = np.floor(p * (1.0 - d) * 1e4 + 0.5).astype(np.int64)
+            qc = np.floor(
+                t.column("l_quantity").to_numpy(zero_copy_only=False)
+                * 100 + 0.5,
+            ).astype(np.int64)
+            rc = t.column("retail_c").to_numpy(zero_copy_only=False)
+            year = pc.cast(pc.strftime(t.column("o_orderdate"),
+                                       format="%Y"), pa.int64())
+            return pa.Table.from_arrays(
+                [t.column("nation"), year, pa.array(rev - rc * qc)],
+                names=["nation", "o_year", "p_e4"],
+            )
+
+        return groupby_agg(
+            j.map_batches(_profit, batch_format="pyarrow"),
+            ["nation", "o_year"], {"profit_e4": ("sum", "p_e4")},
+        )
+
+    def tpch_q11_important_parts(sf_dir):
+        # TPC-H Q11 composition (important-stock parts; value = shipped
+        # extendedprice cents of one nation's suppliers): ONE
+        # groupby(partkey) over the supplier-filtered lineitems, then an
+        # exact-rational threshold — value_c · 1000 > total_c — against
+        # the tiny driver scalar (no float fraction)
+        from pybel_ray.ops.relational import groupby_agg
+
+        supp = _read_arrow(sf_dir, "supplier")
+        skeys = supp.filter(pc.equal(
+            pc.cast(supp.column("s_nationkey"), pa.int64()),
+            pa.scalar(18, pa.int64()),
+        )).column("s_suppkey").combine_chunks()
+
+        def _cents(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            t = t.filter(pc.is_in(t.column("l_suppkey"), value_set=skeys))
+            v = np.floor(
+                t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                * 100 + 0.5,
+            ).astype(np.int64)
+            return pa.Table.from_arrays(
+                [t.column("l_partkey"), pa.array(v)],
+                names=["l_partkey", "v_c"],
+            )
+
+        vals = groupby_agg(
+            _read(sf_dir, "lineitem").select_columns(
+                ["l_partkey", "l_suppkey", "l_extendedprice"],
+            ).map_batches(_cents, batch_format="pyarrow"),
+            "l_partkey", {"value_c": ("sum", "v_c")},
+        ).materialize()
+        total = int(vals.sum("value_c") or 0)
+        return vals.map_batches(
+            lambda t: t.filter(pc.greater(
+                pc.multiply(t.column("value_c"), pa.scalar(1000, pa.int64())),
+                pa.scalar(total, pa.int64()),
+            )),
+            batch_format="pyarrow",
+        )
+
+    def tpch_q15_top_supplier(sf_dir):
+        # TPC-H Q15 composition (top supplier by quarterly revenue):
+        # ONE groupby(suppkey) of exact micros, the max is a tiny
+        # driver scalar, ties all surface (SQL = HAVING rev = MAX)
+        from pybel_ray.ops.relational import broadcast_join, groupby_agg
+
+        import datetime as _dt
+
+        lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+        hi = pa.scalar(_dt.datetime(1996, 4, 1), pa.timestamp("us"))
+
+        def _rev(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            t = t.filter(pc.and_(
+                pc.greater_equal(t.column("l_shipdate"), lo),
+                pc.less(t.column("l_shipdate"), hi),
+            ))
+            p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            d = t.column("l_discount").to_numpy(zero_copy_only=False)
+            e6 = np.floor(p * (1.0 - d) * 1e6 + 0.5).astype(np.int64)
+            return pa.Table.from_arrays(
+                [t.column("l_suppkey"), pa.array(e6)],
+                names=["l_suppkey", "rev_e6"],
+            )
+
+        rev = groupby_agg(
+            _read(sf_dir, "lineitem").select_columns(
+                ["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+            ).map_batches(_rev, batch_format="pyarrow"),
+            "l_suppkey", {"total_rev_e6": ("sum", "rev_e6")},
+        ).materialize()
+        best = int(rev.max("total_rev_e6"))
+        top = rev.map_batches(
+            lambda t: t.filter(pc.equal(
+                t.column("total_rev_e6"), pa.scalar(best, pa.int64()),
+            )),
+            batch_format="pyarrow",
+        )
+        return broadcast_join(
+            top,
+            _read_arrow(sf_dir, "supplier").select(
+                ["s_suppkey", "s_name"],
+            ),
+            "l_suppkey", "s_suppkey",
+        )
+
+    def tpch_q16_supplier_counts(sf_dir):
+        # TPC-H Q16 composition (suppliers per part descriptor; the
+        # catalog = distinct lineitem pairs, "complaints" = suppliers
+        # with s_acctbal < 2000): part attrs broadcast onto the narrow
+        # pair stream, then the skew-safe exact count(DISTINCT)
+        from pybel_ray.ops.relational import (
+            broadcast_join, distinct_count_per_group,
+        )
+
+        part = _read_arrow(sf_dir, "part")
+        pdim = part.filter(pc.and_(
+            pc.and_(
+                pc.not_equal(part.column("p_brand"),
+                             pa.scalar("Brand#5")),
+                pc.not_equal(part.column("p_type"), pa.scalar("PROMO")),
+            ),
+            pc.is_in(pc.cast(part.column("p_size"), pa.int64()),
+                     value_set=pa.array([1, 4, 9, 16, 25, 36, 49],
+                                        pa.int64())),
+        )).select(["p_partkey", "p_brand", "p_type", "p_size"])
+        supp = _read_arrow(sf_dir, "supplier")
+        bad = supp.filter(pc.less(
+            supp.column("s_acctbal"), pa.scalar(2000.0),
+        )).column("s_suppkey").combine_chunks()
+
+        pairs = _read(sf_dir, "lineitem").select_columns(
+            ["l_partkey", "l_suppkey"],
+        ).map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(
+                t.column("l_suppkey"), value_set=bad,
+            ))),
+            batch_format="pyarrow",
+        )
+        j = broadcast_join(pairs, pdim, "l_partkey", "p_partkey")
+        out = distinct_count_per_group(
+            j, ["p_brand", "p_type", "p_size"], "l_suppkey",
+            out_col="supplier_cnt",
+        )
+        return out.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("p_size"), "p_size",
+                pc.cast(t.column("p_size"), pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+
+    def tpch_q19_discounted_revenue(sf_dir):
+        # TPC-H Q19 composition (OR-of-conjunctions predicate): part
+        # attrs ride ONE broadcast probe, the three (brand, size, qty)
+        # branch masks run vectorized per batch, one exact-micros
+        # global sum reaches the driver
+        from pybel_ray.ops.relational import broadcast_join
+
+        part = _read_arrow(sf_dir, "part").select(
+            ["p_partkey", "p_brand", "p_size"],
+        )
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        j = broadcast_join(li, part, "l_partkey", "p_partkey")
+
+        def _rev(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            b = t.column("p_brand").to_numpy(zero_copy_only=False)
+            s = t.column("p_size").to_numpy(zero_copy_only=False)
+            q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+            m = (
+                ((b == "Brand#1") & (s >= 1) & (s <= 5)
+                 & (q >= 1) & (q <= 11))
+                | ((b == "Brand#2") & (s >= 1) & (s <= 10)
+                   & (q >= 10) & (q <= 20))
+                | ((b == "Brand#3") & (s >= 1) & (s <= 15)
+                   & (q >= 20) & (q <= 30))
+            )
+            p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            d = t.column("l_discount").to_numpy(zero_copy_only=False)
+            e6 = np.floor(p * (1.0 - d) * 1e6 + 0.5).astype(np.int64)
+            return pa.Table.from_arrays(
+                [pa.array(np.where(m, e6, 0))], names=["rev_e6"],
+            )
+
+        total = j.map_batches(_rev, batch_format="pyarrow") \
+            .sum("rev_e6") or 0
+        return pa.table({
+            "revenue_e6": pa.array([int(total)], pa.int64()),
+        })
+
+    def tpch_q20_excess_stock_suppliers(sf_dir):
+        # TPC-H Q20 composition (suppliers holding excess share of a
+        # part's yearly PROMO shipments; no partsupp, so "stock" = the
+        # supplier's shipped quantity): two groupbys over the SAME
+        # narrow quantized stream, the pair/part aggregates meet in an
+        # auto equi_join, the >30% test stays exact (10·s_ps > 3·s_p)
+        from pybel_ray.ops.relational import (
+            broadcast_join, distinct_values, equi_join, groupby_agg,
+        )
+
+        import datetime as _dt
+
+        lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+        hi = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+        part = _read_arrow(sf_dir, "part")
+        promo = part.filter(
+            pc.equal(part.column("p_type"), pa.scalar("PROMO")),
+        ).column("p_partkey").combine_chunks()
+
+        def _narrow(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            t = t.filter(pc.and_(
+                pc.and_(pc.greater_equal(t.column("l_shipdate"), lo),
+                        pc.less(t.column("l_shipdate"), hi)),
+                pc.is_in(t.column("l_partkey"), value_set=promo),
+            ))
+            qc = np.floor(
+                t.column("l_quantity").to_numpy(zero_copy_only=False)
+                * 100 + 0.5,
+            ).astype(np.int64)
+            return pa.Table.from_arrays(
+                [t.column("l_partkey"), t.column("l_suppkey"),
+                 pa.array(qc)],
+                names=["l_partkey", "l_suppkey", "qc"],
+            )
+
+        lf = _read(sf_dir, "lineitem").select_columns(
+            ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        ).map_batches(_narrow, batch_format="pyarrow").materialize()
+        ps = groupby_agg(
+            lf, ["l_partkey", "l_suppkey"], {"s_ps": ("sum", "qc")},
+        )
+        pt = groupby_agg(lf, "l_partkey", {"s_p": ("sum", "qc")})
+        j = equi_join(ps, pt, on="l_partkey")
+        kept = j.map_batches(
+            lambda t: t.filter(pc.greater(
+                pc.multiply(t.column("s_ps"), pa.scalar(10, pa.int64())),
+                pc.multiply(t.column("s_p"), pa.scalar(3, pa.int64())),
+            )).select(["l_suppkey"]),
+            batch_format="pyarrow",
+        )
+        return broadcast_join(
+            distinct_values(kept, "l_suppkey"),
+            _read_arrow(sf_dir, "supplier").select(
+                ["s_suppkey", "s_name"],
+            ),
+            "l_suppkey", "s_suppkey",
+        )
+
+    def tpch_q21_waiting_suppliers(sf_dir):
+        # TPC-H Q21 composition (suppliers who kept multi-supplier
+        # orders waiting; no receipt/commit dates, so the laggard is
+        # the UNIQUE supplier of an F-order's latest shipment): order
+        # groups are schema-bounded (≤7 lines), so one
+        # groupby(orderkey).map_groups computes (max ship, distinct
+        # suppliers, laggard) per order; then a tiny count + top-10
+        from pybel_ray.ops.relational import (
+            broadcast_join, groupby_agg, semi_join, topk,
+        )
+
+        orders_f = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderstatus"],
+        ).filter(expr="o_orderstatus == 'F'").select_columns(
+            ["o_orderkey"],
+        )
+        lf = semi_join(
+            _read(sf_dir, "lineitem").select_columns(
+                ["l_orderkey", "l_suppkey", "l_shipdate"],
+            ),
+            "l_orderkey", orders_f, "o_orderkey",
+        )
+
+        def _laggard(g: pa.Table) -> pa.Table:
+            import numpy as np
+
+            empty = pa.Table.from_arrays(
+                [pa.array([], g.schema.field("l_suppkey").type)],
+                names=["l_suppkey"],
+            )
+            supp = g.column("l_suppkey").to_numpy(zero_copy_only=False)
+            if len(np.unique(supp)) < 2:
+                return empty
+            ship = g.column("l_shipdate")
+            if isinstance(ship, pa.ChunkedArray):
+                ship = ship.combine_chunks()
+            sv = ship.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            at_max = np.unique(supp[sv == sv.max()])
+            if len(at_max) != 1:
+                return empty
+            return pa.Table.from_arrays(
+                [pa.array([at_max[0]],
+                          g.schema.field("l_suppkey").type)],
+                names=["l_suppkey"],
+            )
+
+        lag = lf.groupby("l_orderkey").map_groups(
+            _laggard, batch_format="pyarrow",
+        )
+        counts = groupby_agg(
+            lag, "l_suppkey", {"numwait": ("count", "l_suppkey")},
+        )
+        named = broadcast_join(
+            counts,
+            _read_arrow(sf_dir, "supplier").select(
+                ["s_suppkey", "s_name"],
+            ),
+            "l_suppkey", "s_suppkey",
+        )
+        return topk(named, "numwait", 10, descending=True,
+                    tie_keys=["l_suppkey"])
+
     def tpch_q13_custdist(sf_dir):
         # TPC-H Q13 composition (customer order-count distribution):
         # the LEFT JOIN never materializes — orders aggregate to
@@ -3861,6 +4519,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_local_supplier_revenue": tpch_q5_local_supplier_revenue,
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "tpch_q12_late_shipments": tpch_q12_late_shipments,
+        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+        "tpch_q9_product_profit": tpch_q9_product_profit,
+        "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
+        "tpch_q20_excess_stock_suppliers": tpch_q20_excess_stock_suppliers,
+        "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
+        "tpch_q11_important_parts": tpch_q11_important_parts,
+        "tpch_q15_top_supplier": tpch_q15_top_supplier,
+        "tpch_q16_supplier_counts": tpch_q16_supplier_counts,
+        "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+        "tpch_q8_market_share": tpch_q8_market_share,
+        "tpch_q10_returned_item_revenue": tpch_q10_returned_item_revenue,
         "tpch_q13_custdist": tpch_q13_custdist,
         "tpch_q17_small_qty_revenue": tpch_q17_small_qty_revenue,
         "tpch_q22_sales_opportunity": tpch_q22_sales_opportunity,
@@ -6470,6 +7139,220 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey = o_orderkey
               AND l_shipdate > o_orderdate + INTERVAL 60 DAY
             GROUP BY l_linestatus
+        """,
+        # the "offers" relation is distinct (l_partkey, l_suppkey) —
+        # the corpus has no partsupp; cost = s_acctbal, min per part
+        "tpch_q2_min_cost_supplier": """
+            WITH euro AS (
+                SELECT n_nationkey, n_name
+                FROM nation JOIN region
+                  ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            ),
+            pk AS (
+                SELECT p_partkey FROM part
+                WHERE p_size <= 10 AND p_type = 'LARGE'
+            ),
+            pairs AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM pk)
+            ),
+            cand AS (
+                SELECT pr.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal,
+                       e.n_name,
+                       row_number() OVER (
+                           PARTITION BY pr.l_partkey
+                           ORDER BY s.s_acctbal ASC, s.s_suppkey ASC
+                       ) AS rn
+                FROM pairs pr
+                JOIN supplier s ON pr.l_suppkey = s.s_suppkey
+                JOIN euro e ON s.s_nationkey = e.n_nationkey
+            )
+            SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name
+            FROM cand WHERE rn = 1
+        """,
+        "tpch_q19_discounted_revenue": """
+            SELECT CAST(coalesce(sum(CAST(floor(
+                       l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5
+                   ) AS BIGINT)), 0) AS BIGINT) AS revenue_e6
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        # "stock" = shipped quantity (no partsupp); >30% stays exact:
+        # 10·pair_qty > 3·part_qty
+        "tpch_q20_excess_stock_suppliers": """
+            WITH lf AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                           AS qc
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                  AND l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_type = 'PROMO')
+            ),
+            ps AS (SELECT l_partkey, l_suppkey, sum(qc) AS s_ps
+                   FROM lf GROUP BY 1, 2),
+            pt AS (SELECT l_partkey, sum(qc) AS s_p FROM lf GROUP BY 1)
+            SELECT DISTINCT ps.l_suppkey, s_name
+            FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+            JOIN supplier ON ps.l_suppkey = s_suppkey
+            WHERE 10 * s_ps > 3 * s_p
+        """,
+        # laggard = the UNIQUE supplier of an F-order's latest shipment
+        # among orders with >= 2 distinct suppliers
+        "tpch_q21_waiting_suppliers": """
+            WITH lf AS (
+                SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                     WHERE o_orderstatus = 'F')
+            ),
+            o AS (
+                SELECT l_orderkey, max(l_shipdate) AS mx,
+                       count(DISTINCT l_suppkey) AS ns
+                FROM lf GROUP BY 1
+            ),
+            atmax AS (
+                SELECT lf.l_orderkey, lf.l_suppkey
+                FROM lf JOIN o ON lf.l_orderkey = o.l_orderkey
+                 AND lf.l_shipdate = o.mx AND o.ns >= 2
+            ),
+            lag AS (
+                SELECT l_orderkey, min(l_suppkey) AS s,
+                       count(DISTINCT l_suppkey) AS c
+                FROM atmax GROUP BY 1
+            )
+            SELECT s AS l_suppkey,
+                   CAST(count(*) AS BIGINT) AS numwait, s_name
+            FROM lag JOIN supplier ON s = s_suppkey
+            WHERE c = 1
+            GROUP BY 1, 3
+            ORDER BY numwait DESC, l_suppkey LIMIT 10
+        """,
+        # unit cost = p_retailprice (no partsupp); profit in exact 1e-4
+        # units: rev_e4 − retail_cents·qty_cents
+        "tpch_q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(
+                       CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                  * 1e4 + 0.5) AS BIGINT)
+                       - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                         * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                   ) AS BIGINT) AS profit_e4
+            FROM lineitem, orders, part, supplier, nation
+            WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+              AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        # importance threshold stays exact-rational: value·1000 > total
+        "tpch_q11_important_parts": """
+            WITH v AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS value_c
+                FROM lineitem
+                WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_nationkey = 18)
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, value_c FROM v
+            WHERE value_c * 1000 > (SELECT sum(value_c) FROM v)
+        """,
+        "tpch_q15_top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(floor(
+                           l_extendedprice * (1.0 - l_discount) * 1e6
+                           + 0.5) AS BIGINT)) AS BIGINT) AS total_rev_e6
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT l_suppkey, total_rev_e6, s_name
+            FROM r JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev_e6 = (SELECT max(total_rev_e6) FROM r)
+        """,
+        # catalog = distinct lineitem (part, supplier) pairs;
+        # "complaints" stand-in = s_acctbal < 2000
+        "tpch_q16_supplier_counts": """
+            WITH pairs AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                        WHERE s_acctbal < 2000)
+            )
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM pairs JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q7_volume_shipping": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(floor(
+                       l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5
+                   ) AS BIGINT)) AS BIGINT) AS revenue_e6
+            FROM lineitem, orders, customer, supplier,
+                 nation ns, nation nc
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey
+              AND s_nationkey = ns.n_nationkey
+              AND c_nationkey = nc.n_nationkey
+              AND ((s_nationkey = 13 AND c_nationkey = 24)
+                   OR (s_nationkey = 24 AND c_nationkey = 13))
+            GROUP BY 1, 2, 3
+        """,
+        # share_e6 = nation revenue · 1e6 // total revenue per year
+        "tpch_q8_market_share": """
+            WITH vol AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                  * 1e6 + 0.5) AS BIGINT) AS e6,
+                       s_nationkey
+                FROM lineitem, orders, customer, part, supplier
+                WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+                  AND l_partkey = p_partkey AND l_suppkey = s_suppkey
+                  AND p_type = 'STANDARD'
+                  AND c_nationkey IN (
+                      SELECT n_nationkey FROM nation JOIN region
+                        ON n_regionkey = r_regionkey
+                       AND r_name = 'AMERICA')
+            )
+            SELECT o_year,
+                   CAST(sum(e6) AS BIGINT) AS total_e6,
+                   CAST(sum(CASE WHEN s_nationkey = 18 THEN e6 ELSE 0
+                            END) AS BIGINT) AS nation_e6,
+                   CAST(sum(CASE WHEN s_nationkey = 18 THEN e6 ELSE 0
+                            END) * 1000000 // sum(e6) AS BIGINT)
+                       AS share_e6
+            FROM vol GROUP BY o_year
+        """,
+        "tpch_q10_returned_item_revenue": """
+            WITH agg AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(floor(
+                           l_extendedprice * (1.0 - l_discount) * 1e6
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e6
+                FROM lineitem, orders
+                WHERE l_orderkey = o_orderkey
+                  AND l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1996-07-01'
+                GROUP BY o_custkey
+            )
+            SELECT o_custkey, c_name, c_acctbal, n_name, revenue_e6
+            FROM agg, customer, nation
+            WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+            ORDER BY revenue_e6 DESC, o_custkey LIMIT 20
         """,
         "tpch_q13_custdist": """
             WITH oc AS (

@@ -173,6 +173,11 @@ def run_queries(sf_dir: str) -> dict:
         "tpch_q22_sales_opportunity",
         "events_value_median_selection",
         "events_resample_daily",
+        # the TPC-H suite is now complete (22/22 shapes); track the
+        # three with distinct execution shapes
+        "tpch_q9_product_profit",
+        "tpch_q16_supplier_counts",
+        "tpch_q21_waiting_suppliers",
     ]
     q = entry.queries()
     out = {}
