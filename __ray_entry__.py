@@ -3947,6 +3947,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = links.map_batches(_hosts, batch_format="pyarrow")
         return connected_components(edges, a_col="src", b_col="dst")
 
+    def web_host_scc(sf_dir):
+        # strongly connected components of the DIRECTED host link graph
+        # (the crawl's mutual-citation clusters): budget-hybrid scc() —
+        # iterative driver Tarjan at or under 2M distinct edges, the
+        # distributed forward-backward coloring above (pytest-covered);
+        # oracle = recursive-CTE mutual reachability + min label
+        from pybel_ray.ops.graph import scc
+        from pybel_ray.ops.html import extract_links
+
+        links = extract_links(_html_pages(sf_dir))
+
+        def _hosts(t: pa.Table) -> pa.Table:
+            from pybel_ray.ops.urls import URL_PATTERN
+
+            cols = []
+            for c in ("src_url", "dst_url"):
+                u = t.column(c)
+                if isinstance(u, pa.ChunkedArray):
+                    u = u.combine_chunks()
+                cols.append(pc.fill_null(pc.struct_field(
+                    pc.extract_regex(u, URL_PATTERN), "host",
+                ), ""))
+            return pa.Table.from_arrays(cols, names=["src", "dst"])
+
+        return scc(
+            links.map_batches(_hosts, batch_format="pyarrow"),
+            src_col="src", dst_col="dst",
+        )
+
     def emb_srp_projection(sf_dir):
         # JL signed random projection: deterministic md5-parity ±1
         # matrix, int64-micros matmul — every output cell exact integer
@@ -4594,6 +4623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_hits": web_host_hits,
         "web_cocitation": web_cocitation,
         "web_host_components": web_host_components,
+        "web_host_scc": web_host_scc,
         "web_host_reciprocity": web_host_reciprocity,
         "web_frontier": web_frontier,
         "web_crawl_pipeline": web_crawl_pipeline,
@@ -7750,6 +7780,71 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS id, min(lab) AS component
             FROM reach GROUP BY node
+        """,
+        "web_host_scc": r"""
+            WITH RECURSIVE pages AS (
+                SELECT doc_id,
+                       'https://site' || (doc_id % 20)
+                           || '.example.com/page/' || doc_id AS url,
+                       '<html><head><title>doc ' || doc_id
+                           || '</title></head><body><p>'
+                           || COALESCE(text, '')
+                           || '</p><a href="https://site'
+                           || ((doc_id * 7 + 1) % 20)
+                           || '.example.com/page/' || (doc_id * 7 + 1)
+                           || '">n' || doc_id || '</a><a href="/local/'
+                           || (doc_id % 13) || '">l</a>'
+                           || CASE WHEN doc_id % 3 = 0
+                                   THEN '<a href="mailto:a@b.c">m</a>'
+                                   ELSE '' END
+                           || '</body></html>' AS html
+                FROM documents
+            ),
+            l AS (
+                SELECT url,
+                       unnest(regexp_extract_all(
+                           html, '<a href="([^"]*)">([^<]*)</a>', 1
+                       )) AS href
+                FROM pages
+            ),
+            lk AS (
+                SELECT url AS src_url,
+                       CASE WHEN href LIKE 'http://%'
+                                 OR href LIKE 'https://%' THEN href
+                            ELSE 'https://' || regexp_extract(
+                                url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                            ) || href END AS dst_url
+                FROM l
+                WHERE href LIKE 'http://%' OR href LIKE 'https://%'
+                   OR (href LIKE '/%' AND href NOT LIKE '//%')
+            ),
+            he AS (
+                SELECT regexp_extract(
+                           src_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                       ) AS a,
+                       regexp_extract(
+                           dst_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1
+                       ) AS b
+                FROM lk
+            ),
+            de AS (SELECT DISTINCT a, b FROM he),
+            nodes AS (
+                SELECT a AS n FROM de UNION SELECT b FROM de
+            ),
+            reach(u, v) AS (
+                SELECT a, b FROM de
+                UNION
+                SELECT r.u, de.b FROM reach r JOIN de ON r.v = de.a
+            ),
+            mut AS (
+                SELECT a.u, a.v FROM reach a JOIN reach b
+                  ON a.u = b.v AND a.v = b.u
+            )
+            SELECT n AS node, min(m) AS scc FROM (
+                SELECT n, n AS m FROM nodes
+                UNION ALL
+                SELECT v AS n, u AS m FROM mut
+            ) GROUP BY n
         """,
         "doc_source_overlap": r"""
             WITH h AS (

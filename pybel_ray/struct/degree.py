@@ -145,6 +145,8 @@ def bucketed_semi_join(
     """
     keys_key = keys_key or key
     schema = ds.schema()
+    if schema is None:
+        return ds  # executed-empty schema-less input: both joins keep nothing
     base = getattr(schema, "base_schema", None) or schema
     from ..stages.dedup import add_hash_bucket
 

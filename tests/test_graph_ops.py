@@ -555,3 +555,67 @@ def test_personalized_pagerank_branches_match_reference(ray_session):
            pagerank(_edges_ds(iso_src, iso_dst, blocks=3), iters=3,
                     seeds=[src[0]]).take_all()}
     assert out[500] == 0  # unreachable from the seed, no teleport
+
+
+def _brute_scc(edge_list):
+    """Mutual-reachability closure (O(n^3), test oracle only)."""
+    nodes = sorted({x for e in edge_list for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    reach = np.eye(n, dtype=bool)
+    for s, d in edge_list:
+        reach[idx[s], idx[d]] = True
+    for k in range(n):
+        reach |= np.outer(reach[:, k], reach[k, :])
+    return {
+        v: min(nodes[j] for j in range(n) if reach[i, j] and reach[j, i])
+        for i, v in enumerate(nodes)
+    }
+
+
+def test_scc_driver_matches_brute_closure(ray_session):
+    import random
+
+    import ray
+
+    from pybel_ray.ops.graph import scc
+
+    rng = random.Random(5)
+    nodes = ["n%02d" % i for i in range(25)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(55)]
+    expect = _brute_scc(edges)
+    tbl = pa.table({"src": [e[0] for e in edges],
+                    "dst": [e[1] for e in edges]})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = {r["node"]: r["scc"] for r in scc(ds).take_all()}
+    assert got == expect
+    assert len({v for v in expect.values()}) > 1  # non-trivial structure
+
+
+def test_scc_distributed_branch_matches_driver(ray_session):
+    """Shallow-condensation planted graph (cycles + short tails + a
+    self loop): the distributed coloring branch must equal the Tarjan
+    branch exactly.  Deep chain-of-SCCs topologies are the documented
+    worst case for outer-round count and are excluded here — the branch
+    only engages above the 2M-edge budget where per-round costs
+    amortize."""
+    import ray
+
+    from pybel_ray.ops.graph import scc
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),       # 3-cycle
+        ("x", "y"), ("y", "x"), ("c", "x"),       # 2-cycle fed by it
+        ("p", "q"), ("q", "r"),                   # chain of singletons
+        ("s", "s"),                               # self loop
+        ("r", "a"),                               # tail into the cycle
+    ]
+    expect = _brute_scc(edges)
+    tbl = pa.table({"src": [e[0] for e in edges],
+                    "dst": [e[1] for e in edges]})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    drv = {r["node"]: r["scc"] for r in scc(ds).take_all()}
+    dist = {r["node"]: r["scc"]
+            for r in scc(ds, force_distributed=True).take_all()}
+    assert drv == expect
+    assert dist == expect
