@@ -3261,6 +3261,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["event_id", "user_id", "filled"])
 
+    def events_quarantine(sf_dir):
+        # row-level validation routing (the ingest dead-letter stream):
+        # every row is tagged with the FIRST violated rule; the
+        # quarantine stream = tagged rows with their reject reason —
+        # one vectorized sweep, zero shuffle
+        from pybel_ray.ops.expect import expect_tag
+
+        rules = [
+            {"kind": "between", "column": "value", "lo": 0.0,
+             "hi": 200.0, "name": "value_range"},
+            {"kind": "in_set", "column": "event_type",
+             "values": ["view", "click", "purchase", "signup"],
+             "name": "known_type"},
+            {"kind": "regex", "column": "props", "pattern": "^\\{",
+             "name": "props_json"},
+        ]
+        tagged = expect_tag(
+            _read(sf_dir, "events").select_columns(
+                ["event_id", "event_type", "value", "props"],
+            ),
+            rules,
+        )
+        return tagged.map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("bad_rule")))
+            .select(["event_id", "bad_rule"]),
+            batch_format="pyarrow",
+        )
+
     def events_value_median_selection(sf_dir):
         # EXACT global median WITHOUT a sort: iterative 256-ary
         # histogram narrowing (≤7 streaming passes over one
@@ -4564,6 +4592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22_sales_opportunity": tpch_q22_sales_opportunity,
         "events_forward_fill": events_forward_fill,
         "emb_centroid_by_label": emb_centroid_by_label,
+        "events_quarantine": events_quarantine,
         "events_value_median_selection": events_value_median_selection,
         "events_resample_daily": events_resample_daily,
         "events_value_pctrank_per_user": events_value_pctrank_per_user,
@@ -7451,6 +7480,30 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) AS filled
             FROM events
+        """,
+        # first violated rule wins (list order = priority); nulls
+        # violate only not_null, mirroring SQL three-valued logic
+        "events_quarantine": """
+            SELECT event_id,
+                   CASE
+                     WHEN value IS NOT NULL
+                          AND NOT (value >= 0.0 AND value <= 200.0)
+                       THEN 'value_range'
+                     WHEN event_type IS NOT NULL
+                          AND event_type NOT IN
+                              ('view', 'click', 'purchase', 'signup')
+                       THEN 'known_type'
+                     WHEN props IS NOT NULL
+                          AND NOT regexp_matches(props, '^\\{')
+                       THEN 'props_json'
+                   END AS bad_rule
+            FROM events
+            WHERE (value IS NOT NULL
+                   AND NOT (value >= 0.0 AND value <= 200.0))
+               OR (event_type IS NOT NULL AND event_type NOT IN
+                   ('view', 'click', 'purchase', 'signup'))
+               OR (props IS NOT NULL
+                   AND NOT regexp_matches(props, '^\\{'))
         """,
         # lower median via LIMIT/OFFSET — unambiguous, unlike
         # quantile_disc interpolation conventions

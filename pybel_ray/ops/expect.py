@@ -29,34 +29,36 @@ def _rule_name(rule: Mapping) -> str:
     return rule.get("name") or "{}:{}".format(rule["kind"], rule["column"])
 
 
-def _violations(t: pa.Table, rule: Mapping) -> int:
+def _violation_mask(t: pa.Table, rule: Mapping) -> pa.Array:
+    """Row-level violation mask for the per-column rule kinds (nulls
+    violate only ``not_null``; the other kinds skip them, mirroring SQL
+    three-valued logic)."""
     col = t.column(rule["column"]).combine_chunks()
     kind = rule["kind"]
     if kind == "not_null":
-        return t.num_rows - pc.count(col, mode="only_valid").as_py()
+        return pc.is_null(col)
     if kind == "between":
         ok = pc.and_(
             pc.greater_equal(col, pa.scalar(rule["lo"])),
             pc.less_equal(col, pa.scalar(rule["hi"])),
         )
-        # null -> not a between-violation (not_null reports those);
-        # pc.sum of an empty array is a null scalar, hence the `or 0`s
-        n_ok = pc.sum(
-            pc.fill_null(ok, False).cast(pa.int64()),
-        ).as_py() or 0
-        n_valid = pc.count(col, mode="only_valid").as_py() or 0
-        return n_valid - n_ok
+        return pc.and_(pc.is_valid(col),
+                       pc.invert(pc.fill_null(ok, False)))
     if kind == "in_set":
         ok = pc.is_in(col, value_set=pa.array(list(rule["values"])))
-        bad = pc.and_(pc.is_valid(col), pc.invert(ok))
-        return pc.sum(bad.cast(pa.int64())).as_py() or 0
+        return pc.and_(pc.is_valid(col), pc.invert(ok))
     if kind == "regex":
         ok = pc.match_substring_regex(
             pc.cast(col, pa.string()), rule["pattern"],
         )
-        bad = pc.and_(pc.is_valid(col), pc.invert(pc.fill_null(ok, False)))
-        return pc.sum(bad.cast(pa.int64())).as_py() or 0
+        return pc.and_(pc.is_valid(col),
+                       pc.invert(pc.fill_null(ok, False)))
     raise ValueError("unknown expectation kind: {}".format(kind))
+
+
+def _violations(t: pa.Table, rule: Mapping) -> int:
+    mask = _violation_mask(t, rule)
+    return pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
 
 
 def expect(ds, rules: Sequence[Mapping]) -> pa.Table:
@@ -127,3 +129,33 @@ def expect(ds, rules: Sequence[Mapping]) -> pa.Table:
          pa.array([counts[i] for i in order], pa.int64())],
         names=["rule", "violations"],
     )
+
+
+def expect_tag(ds, rules: Sequence[Mapping], out_col: str = "bad_rule"):
+    """Row-level validation routing: every row gains ``out_col`` = the
+    name of the FIRST violated rule (list order = priority) or null —
+    the quarantine/dead-letter step of an ingest (filter
+    ``out_col is null`` for the clean stream, not-null for the
+    quarantine stream with its reject reason attached).
+
+    One vectorized ``map_batches`` sweep, zero shuffle.  Only the
+    per-column rule kinds are allowed (``unique`` needs global state
+    and stays an aggregate-only check in :func:`expect`).
+    """
+    for r in rules:
+        if r["kind"] == "unique":
+            raise ValueError(
+                "expect_tag: 'unique' is aggregate-only (use expect())",
+            )
+    scan_rules = list(rules)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        tag = pa.nulls(t.num_rows, pa.string())
+        for r in reversed(scan_rules):  # first rule wins -> apply last
+            mask = _violation_mask(t, r)
+            if isinstance(mask, pa.ChunkedArray):
+                mask = mask.combine_chunks()
+            tag = pc.if_else(mask, pa.scalar(_rule_name(r)), tag)
+        return t.append_column(out_col, tag)
+
+    return ds.map_batches(_tag, batch_format="pyarrow")

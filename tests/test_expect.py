@@ -51,3 +51,41 @@ def test_expect_custom_name_and_unknown_kind(ray_session):
     assert out == [{"rule": "v_present", "violations": 1}]
     with pytest.raises(ValueError):
         expect(ds, [{"kind": "bogus", "column": "v"}]).to_pylist()
+
+
+def test_expect_tag_first_rule_wins_and_nulls_pass(ray_session):
+    import ray
+
+    from pybel_ray.ops.expect import expect_tag
+
+    tbl = pa.table({
+        "id": [1, 2, 3, 4, 5],
+        "v": pa.array([5.0, -1.0, None, 300.0, 10.0], pa.float64()),
+        "s": ["a", "zz", "a", "zz", "b"],
+    })
+    rules = [
+        {"kind": "between", "column": "v", "lo": 0.0, "hi": 100.0,
+         "name": "v_range"},
+        {"kind": "in_set", "column": "s", "values": ["a", "b"],
+         "name": "s_known"},
+    ]
+    out = {r["id"]: r["bad_rule"] for r in expect_tag(
+        ray.data.from_arrow(tbl).repartition(2), rules,
+    ).take_all()}
+    # row 2: both rules violated -> FIRST (v_range) wins; row 3: null v
+    # passes between; row 4: v out of range
+    assert out == {1: None, 2: "v_range", 3: None, 4: "v_range",
+                   5: None}
+
+
+def test_expect_tag_rejects_unique(ray_session):
+    import pytest
+    import ray
+
+    from pybel_ray.ops.expect import expect_tag
+
+    with pytest.raises(ValueError):
+        expect_tag(
+            ray.data.from_arrow(pa.table({"k": [1]})),
+            [{"kind": "unique", "column": "k"}],
+        )
