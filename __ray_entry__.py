@@ -3084,9 +3084,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["o_custkey"],
         )
         cust = _read(sf_dir, "customer").select_columns(["c_custkey"])
+        # materialized: both the distribution aggregate and the
+        # zero-bucket count() consume it (one scan, not two)
         counts = groupby_count(
             semi_join(orders, "o_custkey", cust, "c_custkey"), "o_custkey",
-        )
+        ).materialize()
         dist = groupby_agg(
             counts, "n", {"custdist": ("count", "o_custkey")},
         ).map_batches(

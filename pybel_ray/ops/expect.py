@@ -142,11 +142,14 @@ def expect_tag(ds, rules: Sequence[Mapping], out_col: str = "bad_rule"):
     per-column rule kinds are allowed (``unique`` needs global state
     and stays an aggregate-only check in :func:`expect`).
     """
-    for r in rules:
+    known = {"not_null", "between", "in_set", "regex"}
+    for r in rules:  # fail fast on the driver, not inside a task
         if r["kind"] == "unique":
             raise ValueError(
                 "expect_tag: 'unique' is aggregate-only (use expect())",
             )
+        if r["kind"] not in known:
+            raise ValueError("unknown expectation kind: {}".format(r["kind"]))
     scan_rules = list(rules)
 
     def _tag(t: pa.Table) -> pa.Table:

@@ -1428,7 +1428,16 @@ def scc(
         edges.select_columns([src_col, dst_col]), [src_col, dst_col],
     ).select_columns([src_col, dst_col]))
 
-    if not force_distributed and dedup.count() <= edge_budget:
+    n_edges = dedup.count()
+    if n_edges == 0:
+        sch = edges.schema()
+        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
+        nt = types.get(src_col, pa.string())
+        return ray.data.from_arrow(pa.Table.from_arrays(
+            [pa.array([], nt), pa.array([], nt)], names=["node", "scc"],
+        ))
+
+    if not force_distributed and n_edges <= edge_budget:
         adj: dict = {}
         for b in dedup.iter_batches(batch_format="pyarrow"):
             for s, d in zip(b.column(src_col).to_pylist(),
@@ -1443,13 +1452,16 @@ def scc(
         ))
 
     # ---- distributed branch: forward-backward coloring ----------------
+    def _finish(parts):
+        return _snapshot(parts[0].union(*parts[1:])
+                         if len(parts) > 1 else parts[0])
+
     remaining = _snapshot(edge_nodes(dedup, src_col, dst_col))
     active = dedup
     parts = []
     for _outer in range(max_outer_rounds):
         if remaining.count() == 0:
-            return _snapshot(parts[0].union(*parts[1:])
-                             if len(parts) > 1 else parts[0])
+            return _finish(parts)
         if active.count() == 0:
             # no edges left: every remaining node is a singleton SCC
             parts.append(remaining.map_batches(
@@ -1459,8 +1471,7 @@ def scc(
                 ),
                 batch_format="pyarrow",
             ))
-            out = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-            return _snapshot(out)
+            return _finish(parts)
 
         # (1) color = min node id that can reach you (along edges)
         colors = _snapshot(remaining.map_batches(
@@ -1581,6 +1592,8 @@ def scc(
             bucketed_semi_join(active, src_col, remaining, "node"),
             dst_col, remaining, "node",
         ))
+    if remaining.count() == 0:  # labeled in exactly max_outer_rounds
+        return _finish(parts)
     raise RuntimeError(
         "scc: max_outer_rounds exhausted (chain-of-SCCs topology?); "
         "raise the bound",

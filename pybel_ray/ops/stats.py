@@ -572,8 +572,13 @@ def select_kth_e6(ds, col: str, k: int) -> int:
     Reference scope note: no reference analog; beyond-reference
     training-data surface (SURVEY.md §2).
     """
-    if k < 1:
-        raise ValueError("k is 1-based")
+    qs = _quantized_column(ds, col)
+    return _select_kth_from(qs, k)
+
+
+def _quantized_column(ds, col: str):
+    """Materialized single-column dataset ``q = floor(col·1e6 + 0.5)``
+    with nulls dropped — the shared input of the selection passes."""
 
     def _quant(t: pa.Table) -> pa.Table:
         v = t.column(col)
@@ -586,17 +591,24 @@ def select_kth_e6(ds, col: str, k: int) -> int:
         ).astype(np.int64)
         return pa.Table.from_arrays([pa.array(q)], names=["q"])
 
-    qs = ds.select_columns([col]).map_batches(
+    return ds.select_columns([col]).map_batches(
         _quant, batch_format="pyarrow",
     ).materialize()
 
+
+def _select_kth_from(qs, k: int) -> int:
+    if k < 1:
+        raise ValueError("k is 1-based")
+    n = qs.count()
+    if k > n:
+        raise ValueError(
+            "k={} exceeds the {} non-null rows".format(k, n),
+        )
     lo = qs.min("q")
     hi = qs.max("q")
-    if lo is None:
-        raise ValueError("no non-null rows")
     lo, hi = int(lo), int(hi)
-    if abs(lo) > 1 << 54 or abs(hi) > 1 << 54:
-        raise ValueError("|v_e6| exceeds 2^54; rescale upstream")
+    if abs(lo) >= 1 << 54 or abs(hi) >= 1 << 54:
+        raise ValueError("|v_e6| exceeds 2^54-1; rescale upstream")
 
     # rank of the k-th element among values in [lo, hi]: values below
     # lo are accounted for by shrinking k as the range narrows
@@ -636,20 +648,14 @@ def exact_median_e6(ds, col: str) -> pa.Table:
     """One-row table ``(n, median_e6)`` — the LOWER median (the element
     at 0-based offset ``(n−1)//2`` of the ascending non-null quantized
     values, i.e. ``ORDER BY q LIMIT 1 OFFSET (n−1)//2``), found by
-    :func:`select_kth_e6` in ≤ 7 histogram passes with no sort."""
-    def _nn(t: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [pa.array([pc.count(t.column(col), mode="only_valid")
-                       .as_py()], pa.int64())],
-            names=["c"],
-        )
-
-    n = int(ds.select_columns([col]).map_batches(
-        _nn, batch_format="pyarrow",
-    ).sum("c") or 0)
+    the :func:`select_kth_e6` machinery in ≤ 7 histogram passes with no
+    sort; the quantized column materializes ONCE and both the count and
+    the selection ride it."""
+    qs = _quantized_column(ds, col)
+    n = qs.count()
     if n == 0:
         return pa.table({"n": pa.array([0], pa.int64()),
                          "median_e6": pa.array([None], pa.int64())})
-    med = select_kth_e6(ds, col, (n - 1) // 2 + 1)
+    med = _select_kth_from(qs, (n - 1) // 2 + 1)
     return pa.table({"n": pa.array([n], pa.int64()),
                      "median_e6": pa.array([med], pa.int64())})

@@ -1428,6 +1428,8 @@ def resample_locf(
     """
     from .relational import groupby_agg
 
+    if step <= 0:
+        raise ValueError("step must be positive")
     obs = ds.select_columns([key_col, ts_col, value_col])
     bounds = groupby_agg(
         obs, key_col,
