@@ -725,3 +725,95 @@ def read_zordered(out_dir: str, a_lo, a_hi, b_lo, b_hi):
     return ray.data.read_parquet(files).map_batches(
         _residual, batch_format="pyarrow",
     )
+
+
+def compact_clustered(out_dir: str, target_bytes: int = 256 << 20):
+    """Compact a :func:`write_clustered` directory's small shards into
+    ~``target_bytes`` files — the maintenance pass a streaming ingest
+    needs so the manifest (and per-query file-open count) stays bounded
+    while range/Bloom pruning keeps working.
+
+    The merge plan is built on the driver from the manifest + on-disk
+    sizes (tiny); adjacent-in-key-order shards group greedily up to the
+    target, each group merges in ONE distributed task (rows concatenate
+    in manifest order — the global sort order is preserved, so no
+    re-sort), and the group's zone map / Bloom bitsets fold by
+    min/max/OR with NO data recompute.  The manifest replaces
+    atomically BEFORE the replaced files are unlinked, so a crash
+    between the two leaves harmless orphans, never a broken manifest.
+    Singleton groups keep their existing file untouched.
+
+    Returns the new manifest list.
+    """
+    import json
+    import os
+
+    import ray.data
+
+    m = _load_manifest(out_dir)
+    shards = m["shards"]
+    bloom_cols = m.get("bloom_cols", [])
+    if not shards:
+        return shards
+
+    groups, cur, cur_bytes = [], [], 0
+    for s in shards:
+        sz = os.path.getsize(os.path.join(out_dir, s["file"]))
+        if cur and cur_bytes + sz > target_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(s)
+        cur_bytes += sz
+    if cur:
+        groups.append(cur)
+    if all(len(g) == 1 for g in groups):
+        return shards  # nothing to do
+
+    spec = ray.data.from_items([
+        {"members": json.dumps(g)} for g in groups if len(g) > 1
+    ])
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        rows = {"file": [], "vmin": [], "vmax": [], "n": []}
+        for bc in bloom_cols:
+            rows["bloom_{}".format(bc)] = []
+        for raw in t.column("members").to_pylist():
+            members = json.loads(raw)
+            merged = pa.concat_tables([
+                pq.read_table(os.path.join(out_dir, s["file"]))
+                for s in members
+            ])
+            name = _shard_write(merged, out_dir)
+            rows["file"].append(name)
+            rows["vmin"].append(min(s["vmin"] for s in members))
+            rows["vmax"].append(max(s["vmax"] for s in members))
+            rows["n"].append(sum(s["n"] for s in members))
+            for bc in bloom_cols:
+                bits = 0
+                for s in members:
+                    bits |= int(s["bloom_{}".format(bc)], 16)
+                rows["bloom_{}".format(bc)].append("{:x}".format(bits))
+        return pa.Table.from_pydict(rows)
+
+    merged_rows = []
+    for b in spec.map_batches(
+        _merge, batch_format="pyarrow", batch_size=1,
+    ).iter_batches(batch_format="pyarrow"):
+        merged_rows.extend(b.to_pylist())
+
+    new_manifest = [g[0] for g in groups if len(g) == 1] + merged_rows
+    new_manifest.sort(key=lambda r: (r["vmin"], r["file"]))
+    _dump_manifest(out_dir, {
+        "cluster_col": m["cluster_col"], "shards": new_manifest,
+        "bloom_cols": bloom_cols, "bloom_bits": m.get("bloom_bits"),
+    })
+    keep = {r["file"] for r in new_manifest}
+    for s in shards:
+        if s["file"] not in keep:
+            try:
+                os.unlink(os.path.join(out_dir, s["file"]))
+            except FileNotFoundError:
+                pass
+    return new_manifest

@@ -405,3 +405,57 @@ def test_clustered_bloom_point_lookup(ray_session, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         read_clustered_point(out, "nope", 1)
+
+
+def test_compact_clustered_preserves_reads_and_pruning(ray_session, tmp_path):
+    import os
+
+    import ray
+
+    from pybel_ray.sources import (
+        compact_clustered, read_clustered, read_clustered_point,
+        write_clustered,
+    )
+
+    tbl = pa.table({
+        "k": pa.array(list(range(1000)), pa.int64()),
+        "u": pa.array(["u%03d" % (i % 50) for i in range(1000)]),
+    })
+    out = str(tmp_path / "clustered")
+    ds = ray.data.from_arrow(tbl).repartition(16)  # many tiny shards
+    write_clustered(ds, out, "k", bloom_cols=["u"])
+    import json
+
+    before = json.load(open(os.path.join(out, "manifest.json")))
+    assert len(before["shards"]) >= 8
+
+    after = compact_clustered(out, target_bytes=64 << 10)
+    assert len(after) < len(before["shards"])
+    # full-range read reproduces every row
+    got = read_clustered(out, lo=0, hi=999).to_pandas().sort_values("k")
+    assert list(got["k"]) == list(range(1000))
+    # range pruning still opens a strict subset on a narrow predicate
+    nar = read_clustered(out, lo=10, hi=20).to_pandas()
+    assert sorted(nar["k"]) == list(range(10, 21))
+    # bloom point lookup still finds every row of a key
+    pt = read_clustered_point(out, "u", "u007").to_pandas()
+    assert sorted(pt["k"]) == [i for i in range(1000) if i % 50 == 7]
+    # replaced files are gone; manifest files all exist
+    files = {f for f in os.listdir(out) if f.endswith(".parquet")}
+    assert files == {s["file"] for s in after}
+
+
+def test_compact_clustered_noop_when_already_large(ray_session, tmp_path):
+    import json
+    import os
+
+    import ray
+
+    from pybel_ray.sources import compact_clustered, write_clustered
+
+    tbl = pa.table({"k": pa.array(list(range(100)), pa.int64())})
+    out = str(tmp_path / "c2")
+    write_clustered(ray.data.from_arrow(tbl), out, "k")
+    before = json.load(open(os.path.join(out, "manifest.json")))["shards"]
+    after = compact_clustered(out, target_bytes=1)  # every group singleton
+    assert after == before
