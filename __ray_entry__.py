@@ -3303,6 +3303,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events").select_columns(["value"]), "value",
         )
 
+    def events_value_percentiles_selection(sf_dir):
+        # EXACT p25/p50/p75/p99 WITHOUT a sort: all four ranks share
+        # the same <=7 histogram-narrowing passes (one map_batches per
+        # pass histograms every still-open rank's range)
+        from pybel_ray.ops.stats import select_quantiles_e6
+
+        return select_quantiles_e6(
+            _read(sf_dir, "events").select_columns(["value"]), "value",
+            [2500, 5000, 7500, 9900],
+        )
+
     def events_resample_daily(sf_dir):
         # regular-grid resample with LOCF values (SQL generate_series +
         # ASOF LEFT JOIN): ties at one (user, ts) dedup to the max
@@ -4597,6 +4608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quarantine": events_quarantine,
         "events_value_median_selection": events_value_median_selection,
         "events_resample_daily": events_resample_daily,
+        "events_value_percentiles_selection":
+            events_value_percentiles_selection,
         "events_value_pctrank_per_user": events_value_pctrank_per_user,
         "events_value_trend_by_type": events_value_trend_by_type,
         "events_expectations": events_expectations,
@@ -7519,6 +7532,23 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT q FROM v ORDER BY q
                     LIMIT 1 OFFSET (SELECT CAST((c - 1) // 2 AS BIGINT)
                                     FROM n)) AS median_e6
+        """,
+        # lower quantiles via LIMIT/OFFSET at 0-based (n-1)*bp//10000
+        "events_value_percentiles_selection": """
+            WITH v AS (
+                SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+                FROM events WHERE value IS NOT NULL
+            ),
+            n AS (SELECT count(*) AS c FROM v),
+            r AS (
+                SELECT q, row_number() OVER (ORDER BY q) - 1 AS rk
+                FROM v
+            ),
+            bps AS (SELECT unnest([2500, 5000, 7500, 9900]) AS q_bp)
+            SELECT CAST(q_bp AS BIGINT) AS q_bp, r.q AS value_e6,
+                   n.c AS n
+            FROM bps, n, r
+            WHERE r.rk = (n.c - 1) * q_bp // 10000
         """,
         "events_resample_daily": """
             WITH obs AS (

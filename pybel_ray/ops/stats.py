@@ -30,7 +30,7 @@ from .similarity import _matrix
 __all__ = [
     "gram_matrix_e12", "quantize_micros", "pca_project",
     "standardize_stats", "standardize_apply", "centroid_by",
-    "select_kth_e6", "exact_median_e6",
+    "select_kth_e6", "exact_median_e6", "select_quantiles_e6",
 ]
 
 _INT64_MAX = (1 << 63) - 1
@@ -597,51 +597,111 @@ def _quantized_column(ds, col: str):
 
 
 def _select_kth_from(qs, k: int) -> int:
-    if k < 1:
-        raise ValueError("k is 1-based")
+    return _select_kths_from(qs, [k])[0]
+
+
+def _select_kths_from(qs, ks) -> list:
+    """All ``ks`` (1-based ranks) resolved together: every pass runs ONE
+    ``map_batches`` over the quantized column that histograms EVERY
+    still-open rank's candidate range, so the pass count stays ≤ ~7
+    regardless of how many quantiles are requested."""
+    for k in ks:
+        if k < 1:
+            raise ValueError("k is 1-based")
     n = qs.count()
-    if k > n:
-        raise ValueError(
-            "k={} exceeds the {} non-null rows".format(k, n),
-        )
-    lo = qs.min("q")
-    hi = qs.max("q")
-    lo, hi = int(lo), int(hi)
-    if abs(lo) >= 1 << 54 or abs(hi) >= 1 << 54:
+    for k in ks:
+        if k > n:
+            raise ValueError(
+                "k={} exceeds the {} non-null rows".format(k, n),
+            )
+    glo = int(qs.min("q"))
+    ghi = int(qs.max("q"))
+    if abs(glo) >= 1 << 54 or abs(ghi) >= 1 << 54:
         raise ValueError("|v_e6| exceeds 2^54-1; rescale upstream")
 
-    # rank of the k-th element among values in [lo, hi]: values below
-    # lo are accounted for by shrinking k as the range narrows
-    while lo < hi:
-        width = hi - lo + 1
+    # per rank: (remaining rank within [lo, hi], lo, hi); values below
+    # lo are accounted for by shrinking the rank as the range narrows
+    states = {i: (k, glo, ghi) for i, k in enumerate(ks)}
+    resolved: dict = {}
+    while states:
+        open_spec = [
+            (sid, lo, hi, hi - lo + 1)
+            for sid, (k, lo, hi) in states.items() if lo < hi
+        ]
+        for sid, (k, lo, hi) in list(states.items()):
+            if lo == hi:
+                resolved[sid] = lo
+                del states[sid]
+        if not open_spec:
+            break
 
-        def _hist(t: pa.Table, _lo=lo, _hi=hi, _w=width) -> pa.Table:
+        def _hist(t: pa.Table, _spec=tuple(open_spec)) -> pa.Table:
             v = t.column("q").to_numpy(zero_copy_only=False)
-            v = v[(v >= _lo) & (v <= _hi)]
-            b = ((v - _lo) * 256) // _w
+            sids, counts = [], []
+            for sid, lo, hi, w in _spec:
+                m = v[(v >= lo) & (v <= hi)]
+                b = ((m - lo) * 256) // w
+                sids.append(np.full(256, sid, np.int64))
+                counts.append(np.bincount(b, minlength=256)
+                              .astype(np.int64))
             return pa.Table.from_arrays(
-                [pa.array(np.bincount(b, minlength=256)
-                          .astype(np.int64))],
-                names=["c"],
+                [pa.array(np.concatenate(sids)),
+                 pa.array(np.tile(np.arange(256, dtype=np.int64),
+                                  len(_spec))),
+                 pa.array(np.concatenate(counts))],
+                names=["sid", "bucket", "c"],
             )
 
-        counts = np.zeros(256, dtype=np.int64)
+        agg = {sid: np.zeros(256, dtype=np.int64)
+               for sid, _, _, _ in open_spec}
         for blk in qs.map_batches(
             _hist, batch_format="pyarrow",
         ).iter_batches(batch_format="pyarrow", batch_size=None):
-            c = blk.column("c").to_numpy(zero_copy_only=False)
-            counts += c.reshape(-1, 256).sum(axis=0)
-        cum = np.cumsum(counts)
-        b = int(np.searchsorted(cum, k))
-        if b:
-            k -= int(cum[b - 1])
-        # bucket b covers [lo + ceil(b*w/256), lo + ceil((b+1)*w/256) - 1]
-        new_lo = lo + -((-b * width) // 256)
-        new_hi = lo + -((-(b + 1) * width) // 256) - 1
-        if (new_lo, new_hi) == (lo, hi):  # width < 256: buckets are exact
-            return new_lo
-        lo, hi = new_lo, new_hi
-    return lo
+            sv = blk.column("sid").to_numpy(zero_copy_only=False)
+            bv = blk.column("bucket").to_numpy(zero_copy_only=False)
+            cv = blk.column("c").to_numpy(zero_copy_only=False)
+            for sid in np.unique(sv):
+                sel = sv == sid
+                np.add.at(agg[int(sid)], bv[sel], cv[sel])
+        for sid, lo, hi, width in open_spec:
+            k = states[sid][0]
+            cum = np.cumsum(agg[sid])
+            b = int(np.searchsorted(cum, k))
+            if b:
+                k -= int(cum[b - 1])
+            # bucket b covers [lo + ceil(b*w/256), lo+ceil((b+1)*w/256)-1]
+            new_lo = lo + -((-b * width) // 256)
+            new_hi = lo + -((-(b + 1) * width) // 256) - 1
+            if (new_lo, new_hi) == (lo, hi):  # width < 256: exact buckets
+                resolved[sid] = new_lo
+                del states[sid]
+            else:
+                states[sid] = (k, new_lo, new_hi)
+    return [resolved[i] for i in range(len(ks))]
+
+
+def select_quantiles_e6(ds, col: str, q_bps) -> pa.Table:
+    """Exact (lower) quantile VECTOR without a sort: one row
+    ``(q_bp, value_e6, n)`` per requested basis-point quantile (2500 =
+    p25), ``value_e6`` = the element at 0-based offset
+    ``(n−1)·q_bp // 10000`` of the ascending non-null quantized values
+    — every quantile shares the same ≤ ~7 histogram passes via
+    :func:`_select_kths_from`."""
+    q_bps = list(q_bps)
+    for bp in q_bps:
+        if not 0 <= bp <= 10000:
+            raise ValueError("quantiles are basis points in [0, 10000]")
+    qs = _quantized_column(ds, col)
+    n = qs.count()
+    if n == 0:
+        raise ValueError("no non-null rows")
+    ks = [(n - 1) * bp // 10000 + 1 for bp in q_bps]
+    vals = _select_kths_from(qs, ks)
+    return pa.table({
+        "q_bp": pa.array(q_bps, pa.int64()),
+        "value_e6": pa.array(vals, pa.int64()),
+        "n": pa.array([n] * len(q_bps), pa.int64()),
+    })
 
 
 def exact_median_e6(ds, col: str) -> pa.Table:

@@ -244,3 +244,24 @@ def test_select_kth_duplicates_and_all_equal(ray_session):
     ds = ray.data.from_arrow(tbl).repartition(4)
     assert select_kth_e6(ds, "v", 1) == 3_500_000
     assert select_kth_e6(ds, "v", 100) == 3_500_000
+
+
+def test_select_quantiles_vector_shares_passes(ray_session):
+    """Multi-rank selection equals per-rank numpy sorts at every
+    requested quantile, including the 0 and 10000 endpoints."""
+    import ray
+
+    from pybel_ray.ops.stats import select_quantiles_e6
+
+    rng = np.random.RandomState(17)
+    vals = np.concatenate([rng.randn(4000) * 50, [1e7, -1e7]])
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(list(vals) + [None] * 9, pa.float64())}),
+    ).repartition(5)
+    qs = np.sort(np.floor(vals * 1e6 + 0.5).astype(np.int64))
+    n = len(qs)
+    bps = [0, 100, 2500, 5000, 7500, 9900, 10000]
+    out = {r["q_bp"]: (r["value_e6"], r["n"])
+           for r in select_quantiles_e6(ds, "v", bps).to_pylist()}
+    for bp in bps:
+        assert out[bp] == (int(qs[(n - 1) * bp // 10000]), n)
