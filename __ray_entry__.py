@@ -3314,6 +3314,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [2500, 5000, 7500, 9900],
         )
 
+    def events_value_median_by_type(sf_dir):
+        # EXACT per-group median without co-locating any group: the
+        # histogram narrowing runs for every event_type simultaneously
+        # (one vectorized gather-binned pass per round, non-empty
+        # (group, bucket) pairs only) — the skew-proof alternative to
+        # groupby_quantiles
+        from pybel_ray.ops.stats import median_by_selection
+
+        return median_by_selection(
+            _read(sf_dir, "events").select_columns(
+                ["event_type", "value"],
+            ),
+            "event_type", "value",
+        )
+
     def events_resample_daily(sf_dir):
         # regular-grid resample with LOCF values (SQL generate_series +
         # ASOF LEFT JOIN): ties at one (user, ts) dedup to the max
@@ -4610,6 +4625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_resample_daily": events_resample_daily,
         "events_value_percentiles_selection":
             events_value_percentiles_selection,
+        "events_value_median_by_type": events_value_median_by_type,
         "events_value_pctrank_per_user": events_value_pctrank_per_user,
         "events_value_trend_by_type": events_value_trend_by_type,
         "events_expectations": events_expectations,
@@ -7532,6 +7548,23 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT q FROM v ORDER BY q
                     LIMIT 1 OFFSET (SELECT CAST((c - 1) // 2 AS BIGINT)
                                     FROM n)) AS median_e6
+        """,
+        "events_value_median_by_type": """
+            WITH v AS (
+                SELECT event_type,
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            r AS (
+                SELECT event_type, q,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY q) - 1 AS rk,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM v
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n, q AS median_e6
+            FROM r WHERE rk = (n - 1) // 2
         """,
         # lower quantiles via LIMIT/OFFSET at 0-based (n-1)*bp//10000
         "events_value_percentiles_selection": """

@@ -178,6 +178,9 @@ def run_queries(sf_dir: str) -> dict:
         "tpch_q9_product_profit",
         "tpch_q16_supplier_counts",
         "tpch_q21_waiting_suppliers",
+        "events_quarantine",
+        "events_value_percentiles_selection",
+        "web_host_scc",
     ]
     q = entry.queries()
     out = {}

@@ -31,6 +31,7 @@ __all__ = [
     "gram_matrix_e12", "quantize_micros", "pca_project",
     "standardize_stats", "standardize_apply", "centroid_by",
     "select_kth_e6", "exact_median_e6", "select_quantiles_e6",
+    "median_by_selection",
 ]
 
 _INT64_MAX = (1 << 63) - 1
@@ -719,3 +720,127 @@ def exact_median_e6(ds, col: str) -> pa.Table:
     med = _select_kth_from(qs, (n - 1) // 2 + 1)
     return pa.table({"n": pa.array([n], pa.int64()),
                      "median_e6": pa.array([med], pa.int64())})
+
+
+def median_by_selection(ds, group_col: str, value_col: str,
+                        group_budget: int = 65536) -> pa.Table:
+    """EXACT per-group lower median ``(group, n, median_e6)`` WITHOUT
+    co-locating any group: the histogram-narrowing selection runs for
+    EVERY group simultaneously — each pass is ONE vectorized
+    ``map_batches`` over the (group, quantized-value) column pair that
+    bins each row into its own group's candidate range (a gather
+    against the broadcast per-group (lo, width) state), emitting only
+    the non-empty ``(group, bucket)`` count pairs.  ≤ ~7 passes total
+    regardless of group count; driver state is O(groups) and gated by
+    ``group_budget`` (raise it deliberately for wider group domains).
+
+    This is the skew-proof alternative to
+    :func:`~pybel_ray.ops.relational.groupby_quantiles` (which needs
+    each key group to fit one worker): a degenerate hot group costs no
+    more than its share of the streaming passes.  Null groups and null
+    values are dropped (SQL GROUP BY + aggregate-ignores-null
+    semantics).
+    """
+    import ray
+
+    def _quant(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        v = t.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        keep = pc.and_(pc.is_valid(g), pc.is_valid(v))
+        g = g.filter(keep)
+        v = v.filter(keep)
+        q = np.floor(
+            v.to_numpy(zero_copy_only=False).astype(np.float64)
+            * 1e6 + 0.5,
+        ).astype(np.int64)
+        return pa.Table.from_arrays([g, pa.array(q)], names=["g", "q"])
+
+    qs = ds.select_columns([group_col, value_col]).map_batches(
+        _quant, batch_format="pyarrow",
+    ).materialize()
+
+    # one tiny aggregate: per-group n / lo / hi
+    bounds = qs.groupby("g").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Min("q"),
+        ray.data.aggregate.Max("q"),
+    ).take_all()
+    if len(bounds) > group_budget:
+        raise ValueError(
+            "median_by_selection: {} groups exceed group_budget={}; "
+            "raise it deliberately (driver state is O(groups))".format(
+                len(bounds), group_budget,
+            ),
+        )
+    groups = sorted(r["g"] for r in bounds)
+    gidx = {g: i for i, g in enumerate(groups)}
+    n_arr = np.zeros(len(groups), np.int64)
+    lo_arr = np.zeros(len(groups), np.int64)
+    hi_arr = np.zeros(len(groups), np.int64)
+    for r in bounds:
+        i = gidx[r["g"]]
+        n_arr[i] = r["count()"]
+        lo_arr[i] = r["min(q)"]
+        hi_arr[i] = r["max(q)"]
+    if len(groups) and (np.abs(lo_arr).max() >= 1 << 54
+                        or np.abs(hi_arr).max() >= 1 << 54):
+        raise ValueError("|v_e6| exceeds 2^54-1; rescale upstream")
+    k_arr = (n_arr - 1) // 2 + 1  # lower-median rank per group
+    group_keys = pa.array(groups)
+
+    while True:
+        open_mask = lo_arr < hi_arr
+        if not open_mask.any():
+            break
+        w_arr = np.where(open_mask, hi_arr - lo_arr + 1, 1)
+        st = ray.put((group_keys, lo_arr.copy(), hi_arr.copy(),
+                      w_arr.copy(), open_mask.copy()))
+
+        def _hist(t: pa.Table, _st=st) -> pa.Table:
+            keys, lo, hi, w, op = ray.get(_st)
+            gid = pc.index_in(
+                t.column("g").combine_chunks(), value_set=keys,
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            q = t.column("q").to_numpy(zero_copy_only=False)
+            ok = op[gid] & (q >= lo[gid]) & (q <= hi[gid])
+            gid, q = gid[ok], q[ok]
+            b = ((q - lo[gid]) * 256) // w[gid]
+            code = gid * 256 + b
+            uniq, cnt = np.unique(code, return_counts=True)
+            return pa.Table.from_arrays(
+                [pa.array(uniq), pa.array(cnt.astype(np.int64))],
+                names=["code", "c"],
+            )
+
+        agg: dict = {}
+        for blk in qs.map_batches(
+            _hist, batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            for code, c in zip(blk.column("code").to_numpy(zero_copy_only=False),
+                               blk.column("c").to_numpy(zero_copy_only=False)):
+                agg[int(code)] = agg.get(int(code), 0) + int(c)
+
+        for i in np.flatnonzero(open_mask):
+            counts = np.zeros(256, np.int64)
+            for b in range(256):
+                counts[b] = agg.get(int(i) * 256 + b, 0)
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, k_arr[i]))
+            if b:
+                k_arr[i] -= int(cum[b - 1])
+            width = int(w_arr[i])
+            new_lo = lo_arr[i] + -((-b * width) // 256)
+            new_hi = lo_arr[i] + -((-(b + 1) * width) // 256) - 1
+            if (new_lo, new_hi) == (lo_arr[i], hi_arr[i]):
+                hi_arr[i] = lo_arr[i] = new_lo  # width < 256: exact
+            else:
+                lo_arr[i], hi_arr[i] = new_lo, new_hi
+
+    return pa.Table.from_arrays(
+        [group_keys, pa.array(n_arr), pa.array(lo_arr)],
+        names=[group_col, "n", "median_e6"],
+    )

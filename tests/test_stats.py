@@ -265,3 +265,44 @@ def test_select_quantiles_vector_shares_passes(ray_session):
            for r in select_quantiles_e6(ds, "v", bps).to_pylist()}
     for bp in bps:
         assert out[bp] == (int(qs[(n - 1) * bp // 10000]), n)
+
+
+def test_median_by_selection_skewed_groups_and_nulls(ray_session):
+    """Per-group exact medians with a degenerate hot group, null groups
+    and null values dropped; layout must not change a cell."""
+    import ray
+
+    from pybel_ray.ops.stats import median_by_selection
+
+    rng = np.random.RandomState(4)
+    n = 6000
+    groups = rng.choice(["a", "b", "hot"], n, p=[0.05, 0.1, 0.85])
+    vals = rng.randn(n) * np.where(groups == "hot", 1e5, 10)
+    tbl = pa.table({
+        "g": pa.array(list(groups) + ["a", None]),
+        "v": pa.array(list(vals) + [None, 5.0], pa.float64()),
+    })
+    expect = {}
+    for g in ("a", "b", "hot"):
+        sel = np.sort(np.floor(
+            vals[groups == g] * 1e6 + 0.5,
+        ).astype(np.int64))
+        expect[g] = (len(sel), int(sel[(len(sel) - 1) // 2]))
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        got = {r["g"]: (r["n"], r["median_e6"])
+               for r in median_by_selection(ds, "g", "v").to_pylist()}
+        assert got == expect
+
+
+def test_median_by_selection_group_budget(ray_session):
+    import pytest
+    import ray
+
+    from pybel_ray.ops.stats import median_by_selection
+
+    tbl = pa.table({"g": ["a", "b", "c"], "v": [1.0, 2.0, 3.0]})
+    with pytest.raises(ValueError):
+        median_by_selection(
+            ray.data.from_arrow(tbl), "g", "v", group_budget=2,
+        )
