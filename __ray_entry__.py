@@ -999,6 +999,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(_edges, batch_format="pyarrow")
         return pagerank(edges, iters=3)
 
+    def _li_edges(sf_dir):
+        # shared lineitem bipartite graph (order 2k <- even, supplier
+        # 2k+1 <- odd) used by the graph-analytics family
+        def _edges(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ok = np.asarray(
+                t.column("l_orderkey").to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            sk = np.asarray(
+                t.column("l_suppkey").to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            return pa.Table.from_arrays(
+                [pa.array(2 * ok, pa.int64()),
+                 pa.array(2 * sk + 1, pa.int64())],
+                names=["src", "dst"],
+            )
+
+        return _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_suppkey"],
+        ).map_batches(_edges, batch_format="pyarrow")
+
+    def graph_modularity(sf_dir):
+        # partition-quality scoring of a node->community assignment in
+        # exact integers (Q = sum(contrib_num) / m^2); labels here are
+        # the deterministic (node >> 1) % 8 the SQL oracle reproduces
+        import numpy as np
+
+        from pybel_ray.ops.graph import edge_nodes, modularity
+
+        edges = _li_edges(sf_dir)
+
+        def _comm(t: pa.Table) -> pa.Table:
+            n = np.asarray(
+                t.column("node").to_numpy(zero_copy_only=False), np.int64,
+            )
+            return pa.Table.from_arrays(
+                [t.column("node"), pa.array((n >> 1) % 8, pa.int64())],
+                names=["node", "comm"],
+            )
+
+        comm = edge_nodes(edges).map_batches(_comm, batch_format="pyarrow")
+        return modularity(edges, comm)
+
+    def graph_assortativity(sf_dir):
+        # degree-assortativity sufficient statistics (out-deg of src vs
+        # in-deg of dst): six exact integers, float r derives downstream
+        from pybel_ray.ops.graph import degree_assortativity
+
+        return degree_assortativity(_li_edges(sf_dir))
+
+    def web_host_walks(sf_dir):
+        # deterministic DeepWalk-corpus walks over the crawl host graph:
+        # step t moves to the out-neighbor minimizing md5(walk|t|nbr) --
+        # 2 bounded exchanges per step; oracle = the same choice unrolled
+        from pybel_ray.ops.graph import random_walks
+        from pybel_ray.ops.html import extract_links, host_graph
+
+        hosts = host_graph(extract_links(_html_pages(sf_dir)))
+        return random_walks(
+            hosts, 4, src_col="src_host", dst_col="dst_host",
+        )
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -4549,6 +4614,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": graph_kcore,
         "doc_entity_cooccurrence": doc_entity_cooccurrence,
         "graph_pagerank": graph_pagerank,
+        "graph_modularity": graph_modularity,
+        "graph_assortativity": graph_assortativity,
+        "web_host_walks": web_host_walks,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -5028,6 +5096,33 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
+    def _walks_sql(edges_sql: str, steps: int) -> str:
+        # unrolled deterministic random walks (see ops/graph.py
+        # random_walks): step t picks the out-neighbor minimizing
+        # md5(walk|t|nbr) hex-lex, ties by neighbor
+        parts = [
+            "de AS (SELECT DISTINCT src, dst FROM ({}))".format(edges_sql),
+            "s0 AS (SELECT DISTINCT src AS walk, src AS cur FROM de)",
+        ]
+        sel = ["SELECT walk, CAST(0 AS BIGINT) AS step, walk AS node FROM s0"]
+        for t in range(1, steps + 1):
+            parts.append(
+                "c{t} AS (SELECT s{p}.walk, de.dst FROM s{p}"
+                " JOIN de ON de.src = s{p}.cur)".format(t=t, p=t - 1),
+            )
+            parts.append(
+                "s{t} AS (SELECT walk, dst AS cur FROM ("
+                "SELECT walk, dst, row_number() OVER (PARTITION BY walk"
+                " ORDER BY md5(CAST(walk AS VARCHAR) || '|{t}|' ||"
+                " CAST(dst AS VARCHAR)), dst) AS rn FROM c{t})"
+                " WHERE rn = 1)".format(t=t),
+            )
+            sel.append(
+                "SELECT walk, CAST({t} AS BIGINT) AS step, cur AS node"
+                " FROM s{t}".format(t=t),
+            )
+        return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
+
     def _pagerank_sql(edges_sql: str, iters: int = 3) -> str:
         """Unrolled integer PageRank (ops/graph.py recurrence: rank0 =
         1e6; contrib = rank // max(outdeg, 1); rank = 150000 +
@@ -5421,6 +5516,52 @@ def oracle_sql() -> dict[str, str]:
         ),
         # PageRank over the host link graph: DuckDB rebuilds the pages,
         # re-extracts the links and unrolls the same integer recurrence
+        # exact-integer directed modularity contributions per community
+        # (comm = (node >> 1) % 8): Q = sum(contrib_num) / m^2
+        "graph_modularity": """
+            WITH e AS (SELECT CAST(2 * l_orderkey AS BIGINT) AS src, CAST(2 * l_suppkey + 1 AS BIGINT) AS dst FROM lineitem),
+            nodes AS (SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+            c AS (SELECT node, CAST((node // 2) % 8 AS BIGINT) AS comm
+                  FROM nodes),
+            j AS (SELECT cs.comm AS csrc, cd.comm AS cdst
+                  FROM e JOIN c cs ON e.src = cs.node
+                         JOIN c cd ON e.dst = cd.node),
+            u AS (
+                SELECT csrc AS comm,
+                       CASE WHEN csrc = cdst THEN 1 ELSE 0 END AS intra,
+                       1 AS dout, 0 AS din
+                FROM j
+                UNION ALL SELECT cdst, 0, 0, 1 FROM j
+            )
+            SELECT comm,
+                   CAST(sum(intra) AS BIGINT) AS intra_w,
+                   CAST(sum(dout) AS BIGINT) AS dout_w,
+                   CAST(sum(din) AS BIGINT) AS din_w,
+                   CAST((SELECT count(*) FROM e) * sum(intra)
+                        - sum(dout) * sum(din) AS BIGINT) AS contrib_num
+            FROM u GROUP BY comm
+        """,
+        # degree-assortativity sufficient statistics (src out-deg vs dst
+        # in-deg), HUGEINT sums rendered as decimal strings
+        "graph_assortativity": """
+            WITH e AS (SELECT CAST(2 * l_orderkey AS BIGINT) AS src, CAST(2 * l_suppkey + 1 AS BIGINT) AS dst FROM lineitem),
+            od AS (SELECT src, count(*) AS x FROM e GROUP BY src),
+            id AS (SELECT dst, count(*) AS y FROM e GROUP BY dst),
+            p AS (SELECT CAST(od.x AS HUGEINT) AS x,
+                         CAST(id.y AS HUGEINT) AS y
+                  FROM e JOIN od ON e.src = od.src
+                         JOIN id ON e.dst = id.dst)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(COALESCE(sum(x), 0) AS VARCHAR) AS sum_x,
+                   CAST(COALESCE(sum(y), 0) AS VARCHAR) AS sum_y,
+                   CAST(COALESCE(sum(x * x), 0) AS VARCHAR) AS sum_xx,
+                   CAST(COALESCE(sum(y * y), 0) AS VARCHAR) AS sum_yy,
+                   CAST(COALESCE(sum(x * y), 0) AS VARCHAR) AS sum_xy
+            FROM p
+        """,
+        # deterministic DeepWalk-style walks over the rebuilt host graph
+        "web_host_walks": _walks_sql(_web_host_edges, 4),
         "web_host_pagerank": _pagerank_sql(_web_host_edges),
         # seeded teleport recurrence, same edge rebuild
         "web_host_ppr": _ppr_sql(

@@ -173,6 +173,11 @@ def run_queries(sf_dir: str) -> dict:
         "tpch_q22_sales_opportunity",
         "events_value_median_selection",
         "events_resample_daily",
+        # session-10 additions: partition scoring, degree mixing,
+        # walk-corpus generation
+        "graph_modularity",
+        "graph_assortativity",
+        "web_host_walks",
         # the TPC-H suite is now complete (22/22 shapes); track the
         # three with distinct execution shapes
         "tpch_q9_product_profit",

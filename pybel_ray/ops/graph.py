@@ -45,6 +45,9 @@ __all__ = [
     "colink_similarity",
     "pagerank_weighted",
     "scc",
+    "modularity",
+    "degree_assortativity",
+    "random_walks",
 ]
 
 
@@ -1598,3 +1601,291 @@ def scc(
         "scc: max_outer_rounds exhausted (chain-of-SCCs topology?); "
         "raise the bound",
     )
+
+
+def modularity(
+    edges,
+    communities,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    node_col: str = "node",
+    comm_col: str = "comm",
+    num_buckets: int = 64,
+):
+    """Per-community directed-modularity contributions in EXACT integer
+    arithmetic: ``(comm, intra_w, dout_w, din_w, contrib_num)`` where
+
+    * ``m``       = total edge weight (count when ``weight_col`` is None),
+    * ``intra_w`` = weight of edges with both endpoints in the community,
+    * ``dout_w`` / ``din_w`` = total out/in weight of the community's
+      nodes,
+    * ``contrib_num = m*intra_w - dout_w*din_w``, so the directed
+      Newman modularity of the partition is ``Q = sum(contrib_num)/m**2``
+      — the float division happens once, downstream, never in the
+      distributed pass.
+
+    This is the partition-quality measure community detection optimizes
+    (Newman 2004, "Finding and evaluating community structure in
+    networks"); here it scores ANY node→community assignment (components,
+    domains, externally supplied clusters).
+
+    Scale shape: ``m`` is one narrow aggregate; community labels attach
+    to edges via TWO bucketed lookup joins (:func:`~.struct.degree.
+    bucketed_attach` — nodes must all be labeled, inner-join semantics);
+    one partial pass emits per-batch per-community ``(intra, dout, din)``
+    rows (``np.add.at`` on int64 — exact); ONE ``groupby(comm)`` exchange
+    folds them.  Only per-community rows reach the final pass, where
+    ``contrib_num`` is computed in Python-int space and range-checked
+    (requires ``m < ~3e9`` so ``m**2`` products fit int64; raises
+    otherwise — at that scale emit the factors and fold downstream).
+
+    The reference has no community metrics; this extends its summary
+    family (``struct/summary/node_summary.py:33-238``) to partition
+    scoring.  Weights must be integers.
+    """
+    from ..struct.degree import bucketed_attach
+
+    if weight_col is not None:
+        m = int(edges.sum(weight_col))
+    else:
+        m = int(edges.count())
+
+    comm_sel = communities.select_columns([node_col, comm_col])
+
+    def _ren(new):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [new if c == comm_col else c for c in t.column_names],
+            )
+        return f
+
+    cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+    e = edges.select_columns(cols)
+    e = bucketed_attach(
+        e, src_col,
+        comm_sel.map_batches(_ren("_csrc"), batch_format="pyarrow"),
+        node_col, ["_csrc"], num_buckets=num_buckets,
+    )
+    e = bucketed_attach(
+        e, dst_col,
+        comm_sel.map_batches(_ren("_cdst"), batch_format="pyarrow"),
+        node_col, ["_cdst"], num_buckets=num_buckets,
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cs = t.column("_csrc").combine_chunks()
+        cd = t.column("_cdst").combine_chunks()
+        if weight_col is not None:
+            w = t.column(weight_col).to_numpy(zero_copy_only=False)
+            w = np.asarray(w, np.int64)
+        else:
+            w = np.ones(t.num_rows, np.int64)
+        both = pa.concat_arrays([cs, cd])
+        enc = both.dictionary_encode()
+        codes = np.asarray(
+            enc.indices.to_numpy(zero_copy_only=False), np.int64,
+        )
+        n = t.num_rows
+        csrc_codes, cdst_codes = codes[:n], codes[n:]
+        k = len(enc.dictionary)
+        dout = np.zeros(k, np.int64)
+        din = np.zeros(k, np.int64)
+        intra = np.zeros(k, np.int64)
+        np.add.at(dout, csrc_codes, w)
+        np.add.at(din, cdst_codes, w)
+        eq = csrc_codes == cdst_codes
+        np.add.at(intra, csrc_codes[eq], w[eq])
+        return pa.Table.from_arrays(
+            [enc.dictionary,
+             pa.array(intra, pa.int64()),
+             pa.array(dout, pa.int64()),
+             pa.array(din, pa.int64())],
+            names=[comm_col, "intra_w", "dout_w", "din_w"],
+        )
+
+    agg = e.map_batches(_partial, batch_format="pyarrow").groupby(
+        comm_col,
+    ).sum(["intra_w", "dout_w", "din_w"])
+
+    def _finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([
+            c.replace("sum(", "").replace(")", "") for c in t.column_names
+        ])
+        contrib = []
+        for intra, dout, din in zip(
+            t.column("intra_w").to_pylist(),
+            t.column("dout_w").to_pylist(),
+            t.column("din_w").to_pylist(),
+        ):
+            v = m * int(intra) - int(dout) * int(din)
+            if not -(2**63) <= v < 2**63:
+                raise OverflowError(
+                    "modularity: contrib_num exceeds int64 (m=%d); emit"
+                    " factors and fold downstream" % m,
+                )
+            contrib.append(v)
+        return t.append_column("contrib_num", pa.array(contrib, pa.int64()))
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def degree_assortativity(
+    edges,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 64,
+):
+    """Degree-assortativity sufficient statistics: the six EXACT integers
+    of the Pearson correlation between the source's out-degree and the
+    target's in-degree across all edges (``(n, sum_x, sum_y, sum_xx,
+    sum_yy, sum_xy)`` — sums as decimal strings, same contract as
+    :func:`~.stats.corr_stats`).  ``r`` derives downstream as
+    ``(n*sxy - sx*sy)/sqrt((n*sxx-sx^2)(n*syy-sy^2))`` — one float step
+    on six integers (Newman 2002, "Assortative mixing in networks",
+    directed out–in variant).
+
+    Scale shape: degree tables are two partial-count passes + native
+    ``groupby().sum`` (:func:`out_degrees`); degrees attach to edges via
+    two bucketed lookup joins; :func:`~.stats.corr_stats` folds exact
+    per-block partials — one row per block reaches the driver.
+    """
+    from ..struct.degree import bucketed_attach
+    from .stats import corr_stats
+
+    outd = out_degrees(edges, src_col)
+    ind = out_degrees(edges, dst_col).map_batches(
+        lambda t: t.rename_columns(
+            ["indeg" if c == "outdeg" else c for c in t.column_names],
+        ),
+        batch_format="pyarrow",
+    )
+    e = edges.select_columns([src_col, dst_col])
+    e = bucketed_attach(e, src_col, outd, "node", ["outdeg"],
+                        num_buckets=num_buckets)
+    e = bucketed_attach(e, dst_col, ind, "node", ["indeg"],
+                        num_buckets=num_buckets)
+    return corr_stats(e, "outdeg", "indeg", scale=1)
+
+
+def random_walks(
+    edges,
+    steps: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int | None = None,
+):
+    """Deterministic "random" walks over a directed graph — the DeepWalk/
+    node2vec corpus-generation step (Perozzi et al. 2014) made
+    layout/resume/cluster-size invariant: one walk starts at every node
+    with at least one out-edge, and step ``t`` moves from ``cur`` to the
+    out-neighbor minimizing ``md5(f"{walk}|{t}|{nbr}")`` (hex-lex order,
+    ties by neighbor) — a hash-derived pseudo-random uniform choice any
+    SQL engine can replay.  Walks at dead ends terminate (emit no
+    further rows).  Returns ``(walk, step, node)`` with ``step`` 0..N.
+
+    Scale shape: parallel edges dedup first (pair generation is per
+    distinct edge — ONE bucketed dedup); each step is one bucketed
+    many-to-many :func:`~.relational.equi_join` (frontier ⋈ edges) plus
+    one skew-bounded :func:`~.relational.topk_per_group` ``k=1`` (the
+    local combiner caps a mega-hub's candidates at one row per block) —
+    2 exchanges per step, frontier never exceeds one row per walk.  The
+    md5 per candidate is an unavoidable per-row digest (same policy as
+    ``ops/sampling.py``).
+    """
+    import hashlib
+
+    from ..stages.dedup import dedup_exact
+    from .relational import equi_join, topk_per_group
+
+    if steps < 0:
+        raise ValueError("steps must be >= 0")
+
+    sep = "\x1f"
+
+    def _key(t: pa.Table) -> pa.Table:
+        s = t.column(src_col)
+        d = t.column(dst_col)
+        keep = pc.and_kleene(pc.is_valid(s), pc.is_valid(d))
+        t = t.select([src_col, dst_col]).filter(keep)
+        return t.append_column(
+            "_k", pc.binary_join_element_wise(
+                pc.cast(t.column(src_col), pa.string()),
+                pc.cast(t.column(dst_col), pa.string()), sep,
+            ),
+        )
+
+    distinct = dedup_exact(
+        edges.map_batches(_key, batch_format="pyarrow"), "_k",
+    ).select_columns([src_col, dst_col]).materialize()
+
+    starts = dedup_exact(
+        distinct.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column(src_col)], names=["walk"],
+            ),
+            batch_format="pyarrow",
+        ),
+        "walk", local_first=True,
+    ).materialize()
+
+    def _step0(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("walk"),
+             pa.array(np.zeros(t.num_rows, np.int64)),
+             t.column("walk")],
+            names=["walk", "step", "node"],
+        )
+
+    out_parts = [starts.map_batches(_step0, batch_format="pyarrow")]
+    frontier = starts.map_batches(
+        lambda t: t.append_column("_cur", t.column("walk")),
+        batch_format="pyarrow",
+    )
+
+    for t_step in range(1, steps + 1):
+        cands = equi_join(
+            frontier.select_columns(["walk", "_cur"]), distinct,
+            on="_cur", right_on=src_col, how="inner",
+            num_buckets=num_buckets,
+        )
+
+        def _hash(t: pa.Table, _t=t_step) -> pa.Table:
+            walks = t.column("walk").to_pylist()
+            nbrs = t.column(dst_col).to_pylist()
+            h = [
+                hashlib.md5(  # noqa: S324 - layout-invariant choice hash
+                    f"{w}|{_t}|{nb}".encode(),
+                ).hexdigest()
+                for w, nb in zip(walks, nbrs)
+            ]
+            return t.append_column("_h", pa.array(h, pa.string()))
+
+        chosen = topk_per_group(
+            cands.map_batches(_hash, batch_format="pyarrow"),
+            "walk", "_h", 1, descending=False, tie_keys=[dst_col],
+        ).materialize()
+
+        def _emit(t: pa.Table, _t=t_step) -> pa.Table:
+            return pa.Table.from_arrays(
+                [t.column("walk"),
+                 pa.array(np.full(t.num_rows, _t, np.int64)),
+                 t.column(dst_col)],
+                names=["walk", "step", "node"],
+            )
+
+        out_parts.append(chosen.map_batches(_emit, batch_format="pyarrow"))
+        frontier = chosen.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("walk"), t.column(dst_col)],
+                names=["walk", "_cur"],
+            ),
+            batch_format="pyarrow",
+        )
+        if chosen.count() == 0:
+            break
+
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return out

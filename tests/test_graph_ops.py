@@ -619,3 +619,164 @@ def test_scc_distributed_branch_matches_driver(ray_session):
             for r in scc(ds, force_distributed=True).take_all()}
     assert drv == expect
     assert dist == expect
+
+
+def _ref_modularity(src, dst, comm, w=None):
+    w = w or [1] * len(src)
+    m = sum(w)
+    agg = {}
+    for s, d, wt in zip(src, dst, w):
+        cs, cd = comm[s], comm[d]
+        a = agg.setdefault(cs, [0, 0, 0])
+        a[1] += wt  # dout
+        agg.setdefault(cd, [0, 0, 0])[2] += wt  # din
+        if cs == cd:
+            a[0] += wt
+    return {
+        c: (i, o, n, m * i - o * n) for c, (i, o, n) in agg.items()
+    }
+
+
+def test_modularity_matches_reference(ray_session):
+    from pybel_ray.ops.graph import modularity
+
+    rng = np.random.default_rng(5)
+    src = [int(x) for x in rng.integers(0, 30, 150)]
+    dst = [int(x) for x in rng.integers(0, 30, 150)]
+    comm = {n: n % 4 for n in range(30)}
+    import ray
+
+    cds = ray.data.from_arrow(pa.Table.from_arrays(
+        [pa.array(list(range(30)), pa.int64()),
+         pa.array([comm[n] for n in range(30)], pa.int64())],
+        names=["node", "comm"],
+    )).repartition(3)
+    for blocks in (1, 7):
+        out = {
+            r["comm"]: (r["intra_w"], r["dout_w"], r["din_w"],
+                        r["contrib_num"])
+            for r in modularity(
+                _edges_ds(src, dst, blocks=blocks), cds,
+            ).take_all()
+        }
+        assert out == _ref_modularity(src, dst, comm)
+    # Q of the trivial one-community partition is exactly 0
+    one = ray.data.from_arrow(pa.Table.from_arrays(
+        [pa.array(list(range(30)), pa.int64()),
+         pa.array([0] * 30, pa.int64())], names=["node", "comm"],
+    ))
+    rows = modularity(_edges_ds(src, dst), one).take_all()
+    assert len(rows) == 1 and rows[0]["contrib_num"] == 0
+
+
+def test_modularity_weighted(ray_session):
+    import ray
+
+    from pybel_ray.ops.graph import modularity
+
+    src = [0, 0, 1, 2, 3]
+    dst = [1, 2, 0, 3, 2]
+    w = [3, 1, 2, 5, 4]
+    comm = {0: 0, 1: 0, 2: 1, 3: 1}
+    t = pa.Table.from_arrays(
+        [pa.array(src, pa.int64()), pa.array(dst, pa.int64()),
+         pa.array(w, pa.int64())],
+        names=["src", "dst", "w"],
+    )
+    cds = ray.data.from_arrow(pa.Table.from_arrays(
+        [pa.array([0, 1, 2, 3], pa.int64()),
+         pa.array([comm[n] for n in range(4)], pa.int64())],
+        names=["node", "comm"],
+    ))
+    out = {
+        r["comm"]: (r["intra_w"], r["dout_w"], r["din_w"], r["contrib_num"])
+        for r in modularity(
+            ray.data.from_arrow(t).repartition(2), cds, weight_col="w",
+        ).take_all()
+    }
+    assert out == _ref_modularity(src, dst, comm, w)
+
+
+def test_degree_assortativity_matches_reference(ray_session):
+    from pybel_ray.ops.graph import degree_assortativity
+
+    rng = np.random.default_rng(9)
+    src = [int(x) for x in rng.integers(0, 25, 120)]
+    dst = [int(x) for x in rng.integers(0, 25, 120)]
+    outdeg = {}
+    indeg = {}
+    for s in src:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    for d in dst:
+        indeg[d] = indeg.get(d, 0) + 1
+    xs = [outdeg[s] for s in src]
+    ys = [indeg[d] for d in dst]
+    exp = {
+        "n": len(xs),
+        "sum_x": str(sum(xs)), "sum_y": str(sum(ys)),
+        "sum_xx": str(sum(x * x for x in xs)),
+        "sum_yy": str(sum(y * y for y in ys)),
+        "sum_xy": str(sum(x * y for x, y in zip(xs, ys))),
+    }
+    for blocks in (1, 6):
+        row = degree_assortativity(
+            _edges_ds(src, dst, blocks=blocks),
+        ).to_pylist()[0]
+        assert row == exp
+
+
+def test_random_walks_deterministic_and_valid(ray_session):
+    import hashlib
+
+    from pybel_ray.ops.graph import random_walks
+
+    rng = np.random.default_rng(3)
+    src = [int(x) for x in rng.integers(0, 20, 80)]
+    dst = [int(x) for x in rng.integers(0, 20, 80)]
+    edge_set = set(zip(src, dst))
+    adj = {}
+    for s, d in edge_set:
+        adj.setdefault(s, set()).add(d)
+
+    def _ref_walks(steps):
+        out = []
+        for start in sorted(adj):
+            cur = start
+            out.append((start, 0, start))
+            for t in range(1, steps + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = min(
+                    nbrs,
+                    key=lambda nb: (hashlib.md5(
+                        f"{start}|{t}|{nb}".encode(),
+                    ).hexdigest(), nb),
+                )
+                out.append((start, t, cur))
+        return sorted(out)
+
+    exp = _ref_walks(3)
+    for blocks in (1, 5):
+        rows = random_walks(_edges_ds(src, dst, blocks=blocks), 3).take_all()
+        got = sorted((r["walk"], r["step"], r["node"]) for r in rows)
+        assert got == exp
+    # every non-start row rides an actual edge
+    by_walk = {}
+    for w, t, n in exp:
+        by_walk.setdefault(w, {})[t] = n
+    for w, path in by_walk.items():
+        for t in range(1, max(path)):
+            assert (path[t - 1], path[t]) in edge_set
+
+
+def test_random_walks_dead_end_terminates(ray_session):
+    from pybel_ray.ops.graph import random_walks
+
+    # 0 -> 1 -> 2, 2 has no out-edges: the walk from 0 stops at step 2
+    rows = random_walks(_edges_ds([0, 1], [1, 2], blocks=2), 5).take_all()
+    got = sorted((r["walk"], r["step"], r["node"]) for r in rows)
+    assert got == [
+        (0, 0, 0), (0, 1, 1), (0, 2, 2),
+        (1, 0, 1), (1, 1, 2),
+    ]
