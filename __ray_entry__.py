@@ -1064,6 +1064,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             hosts, 4, src_col="src_host", dst_col="dst_host",
         )
 
+    def web_host_sssp(sf_dir):
+        # bounded-hop weighted shortest paths over the aggregated host
+        # graph (edge weight = link count): multi-source Bellman-Ford
+        # with an improved-only frontier, 4 bounded exchanges per round
+        from pybel_ray.ops.graph import sssp_distances
+        from pybel_ray.ops.html import extract_links, host_graph
+
+        hosts = host_graph(extract_links(_html_pages(sf_dir)))
+        return sssp_distances(
+            hosts, ["site0.example.com", "site1.example.com"], 4,
+            src_col="src_host", dst_col="dst_host", weight_col="n",
+        )
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -4617,6 +4630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_modularity": graph_modularity,
         "graph_assortativity": graph_assortativity,
         "web_host_walks": web_host_walks,
+        "web_host_sssp": web_host_sssp,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -5123,6 +5137,32 @@ def oracle_sql() -> dict[str, str]:
             )
         return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
 
+    def _sssp_sql(edges_sql: str, seeds, rounds: int) -> str:
+        # unrolled bounded-hop Bellman-Ford (see ops/graph.py
+        # sssp_distances): d_t = min(d_{t-1} union relax(d_{t-1}))
+        vals = ", ".join("('{}')".format(x.replace("'", "''")) for x in seeds)
+        parts = [
+            "e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w"
+            " FROM ({}) GROUP BY src, dst)".format(edges_sql),
+            "d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist"
+            " FROM (VALUES {}) t(node))".format(vals),
+        ]
+        for t in range(1, rounds + 1):
+            parts.append(
+                "d{t} AS (SELECT node, min(dist) AS dist FROM ("
+                "SELECT node, dist FROM d{p}"
+                " UNION ALL SELECT e.dst AS node, d{p}.dist + e.w AS dist"
+                " FROM d{p} JOIN e ON e.src = d{p}.node) GROUP BY node)".format(
+                    t=t, p=t - 1,
+                ),
+            )
+        return (
+            "WITH " + ",\n".join(parts)
+            + "\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{}".format(
+                rounds,
+            )
+        )
+
     def _pagerank_sql(edges_sql: str, iters: int = 3) -> str:
         """Unrolled integer PageRank (ops/graph.py recurrence: rank0 =
         1e6; contrib = rank // max(outdeg, 1); rank = 150000 +
@@ -5562,6 +5602,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # deterministic DeepWalk-style walks over the rebuilt host graph
         "web_host_walks": _walks_sql(_web_host_edges, 4),
+        # bounded-hop weighted shortest paths, same edge rebuild
+        "web_host_sssp": _sssp_sql(
+            _web_host_edges,
+            ["site0.example.com", "site1.example.com"], 4,
+        ),
         "web_host_pagerank": _pagerank_sql(_web_host_edges),
         # seeded teleport recurrence, same edge rebuild
         "web_host_ppr": _ppr_sql(

@@ -48,6 +48,7 @@ __all__ = [
     "modularity",
     "degree_assortativity",
     "random_walks",
+    "sssp_distances",
 ]
 
 
@@ -1889,3 +1890,116 @@ def random_walks(
     for p in out_parts[1:]:
         out = out.union(p)
     return out
+
+
+def sssp_distances(
+    edges,
+    seeds,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    num_buckets: int | None = None,
+):
+    """Bounded-hop weighted shortest paths (multi-source Bellman-Ford):
+    one row ``(node, dist)`` per node reachable from any seed within
+    ``rounds`` edges, ``dist`` = minimum total integer weight over any
+    such path.  Unreachable nodes emit no row.  With non-negative
+    weights and ``rounds >= |V|-1`` this is exact SSSP; in general it is
+    the min-cost ≤-``rounds``-edge walk (the unrolled-relaxation
+    semantics any SQL engine replays).
+
+    The weighted complement of :func:`bfs_distances` (hop counts can't
+    settle weighted distances on first touch, so this relaxes instead):
+    each round relaxes ONLY the frontier of nodes whose distance
+    improved last round — contributions from settled nodes were already
+    incorporated the round they last improved, so the result equals
+    full Bellman-Ford, round for round (tested).  Per round: one
+    bucketed many-to-many :func:`~.relational.equi_join` (frontier ⋈
+    out-edges), one ``groupby(node).min`` with a per-batch local min
+    combiner, one bucketed lookup join against the current distance
+    table (improvement test), and one bucketed anti-join to swap the
+    improved rows in — 4 bounded exchanges; the loop exits early when a
+    round improves nothing.  Distance tables hold one short row per
+    REACHED node; per-round counts are the only driver-side values.
+
+    Weights must be int64 (quantize floats to micros upstream); rows
+    with a null weight are ignored.
+    """
+    import ray.data
+
+    from ..struct.degree import bucketed_attach, bucketed_semi_join
+    from .relational import equi_join
+
+    seed_list = sorted(set(seeds))
+    if not seed_list:
+        raise ValueError("sssp_distances: empty seed set")
+    if rounds < 0:
+        raise ValueError("sssp_distances: rounds must be >= 0")
+    seed_arr = pa.array(seed_list)
+    dist = ray.data.from_arrow(
+        pa.Table.from_arrays(
+            [seed_arr, pa.array(np.zeros(len(seed_arr), np.int64))],
+            names=["node", "dist"],
+        ),
+    ).materialize()
+    frontier = dist
+    pruned = edges.select_columns([src_col, dst_col, weight_col])
+
+    for _ in range(rounds):
+        cand = equi_join(
+            frontier, pruned, on="node", right_on=src_col, how="inner",
+            num_buckets=num_buckets,
+        )
+
+        def _relax(t: pa.Table) -> pa.Table:
+            w = t.column(weight_col)
+            keep = pc.is_valid(w)
+            t = t.filter(keep)
+            nd = pc.add_checked(
+                t.column("dist"), pc.cast(t.column(weight_col), pa.int64()),
+            )
+            out = pa.Table.from_arrays(
+                [t.column(dst_col), nd], names=["node", "_nd"],
+            )
+            # local min combiner: one row per node per batch
+            return out.group_by("node").aggregate([("_nd", "min")]).rename_columns(
+                ["node", "_nd"],
+            )
+
+        relaxed = cand.map_batches(_relax, batch_format="pyarrow")
+        nd_min = relaxed.groupby("node").min("_nd").map_batches(
+            lambda t: t.rename_columns(
+                ["_nd" if c == "min(_nd)" else c for c in t.column_names],
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if nd_min.count() == 0:
+            break
+        with_old = bucketed_attach(
+            nd_min, "node", dist, "node", ["dist"], how="left",
+        )
+
+        def _improved(t: pa.Table) -> pa.Table:
+            old = t.column("dist")
+            nd = t.column("_nd")
+            better = pc.or_kleene(
+                pc.is_null(old), pc.less(nd, pc.fill_null(old, 0)),
+            )
+            t = t.filter(pc.fill_null(better, True))
+            return pa.Table.from_arrays(
+                [t.column("node"), t.column("_nd")], names=["node", "dist"],
+            )
+
+        improved = with_old.map_batches(
+            _improved, batch_format="pyarrow",
+        ).materialize()
+        if improved.count() == 0:
+            break
+        kept = bucketed_semi_join(
+            dist, "node", improved.select_columns(["node"]), "node",
+            anti=True,
+        )
+        dist = kept.union(improved).materialize()
+        frontier = improved
+    return dist

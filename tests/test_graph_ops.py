@@ -780,3 +780,57 @@ def test_random_walks_dead_end_terminates(ray_session):
         (0, 0, 0), (0, 1, 1), (0, 2, 2),
         (1, 0, 1), (1, 1, 2),
     ]
+
+
+def _ref_sssp(src, dst, w, seeds, rounds):
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nd = dict(dist)
+        for s, d, wt in zip(src, dst, w):
+            if s in dist and (d not in nd or dist[s] + wt < nd[d]):
+                nd[d] = min(nd.get(d, dist[s] + wt), dist[s] + wt)
+        if nd == dist:
+            break
+        dist = nd
+    return dist
+
+
+def test_sssp_matches_reference_bellman_ford(ray_session):
+    import ray
+
+    from pybel_ray.ops.graph import sssp_distances
+
+    rng = np.random.default_rng(7)
+    src = [int(x) for x in rng.integers(0, 30, 160)]
+    dst = [int(x) for x in rng.integers(0, 30, 160)]
+    w = [int(x) for x in rng.integers(1, 50, 160)]
+    t = pa.Table.from_arrays(
+        [pa.array(src, pa.int64()), pa.array(dst, pa.int64()),
+         pa.array(w, pa.int64())],
+        names=["src", "dst", "w"],
+    )
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        for rounds in (0, 1, 3):
+            got = {r["node"]: r["dist"] for r in
+                   sssp_distances(ds, [0, 5], rounds).take_all()}
+            assert got == _ref_sssp(src, dst, w, [0, 5], rounds)
+
+
+def test_sssp_early_exit_and_unreachable(ray_session):
+    import ray
+
+    from pybel_ray.ops.graph import sssp_distances
+
+    # 0 -10-> 1 -1-> 2 ; 3 -2-> 4 unreachable from seed 0; a cheaper
+    # 2-hop detour 0 -1-> 9 -1-> 1 must beat the direct edge
+    t = pa.Table.from_arrays(
+        [pa.array([0, 1, 3, 0, 9], pa.int64()),
+         pa.array([1, 2, 4, 9, 1], pa.int64()),
+         pa.array([10, 1, 2, 1, 1], pa.int64())],
+        names=["src", "dst", "w"],
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    got = {r["node"]: r["dist"] for r in
+           sssp_distances(ds, [0], 10).take_all()}
+    assert got == {0: 0, 9: 1, 1: 2, 2: 3}
