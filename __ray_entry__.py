@@ -1077,6 +1077,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             src_col="src_host", dst_col="dst_host", weight_col="n",
         )
 
+    def graph_mis(sf_dir):
+        # deterministic Luby maximal independent set over the planted
+        # block-local doc-id graph (components <= 10 nodes, so the
+        # md5-priority rounds converge in <= 5 at ANY scale; the SQL
+        # oracle unrolls 6)
+        from pybel_ray.ops.graph import mis
+
+        def _edges(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = np.asarray(
+                t.column("doc_id").to_numpy(zero_copy_only=False), np.int64,
+            )
+            chain = ids[ids % 10 != 9]
+            tri = ids[ids % 10 <= 7]
+            skip3 = ids[(ids % 10 <= 6) & ((ids // 10) % 2 == 0)]
+            a = np.r_[chain, tri, skip3]
+            b = np.r_[chain + 1, tri + 2, skip3 + 3]
+            return pa.Table.from_arrays(
+                [pa.array(a, pa.int64()), pa.array(b, pa.int64())],
+                names=["a", "b"],
+            )
+
+        edges = _read(sf_dir, "documents").select_columns(
+            ["doc_id"],
+        ).map_batches(_edges, batch_format="pyarrow")
+        out = mis(edges, "a", "b", max_rounds=8)
+
+        def _cast(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.cast(t.column("node"), pa.int64()),
+                 t.column("mis_round")],
+                names=["node", "mis_round"],
+            )
+
+        return out.map_batches(_cast, batch_format="pyarrow")
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -4631,6 +4668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_assortativity": graph_assortativity,
         "web_host_walks": web_host_walks,
         "web_host_sssp": web_host_sssp,
+        "graph_mis": graph_mis,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -4953,6 +4991,75 @@ def _stop_presence_sql() -> str:
         )
         for w in STOPWORDS
     )
+
+
+def _mis_sql(rounds: int = 6) -> str:
+    """Unrolled deterministic Luby MIS (ops/graph.py mis) over the same
+    planted doc-id graph as _kcore_sql: components are <= 10 nodes, so
+    the engine converges in <= 5 rounds at any scale and ``rounds``
+    unrolled CTEs >= the fixpoint equal it exactly (later rounds are
+    empty no-ops)."""
+    key = "md5('{r}|' || CAST({col} AS VARCHAR)) || CAST({col} AS VARCHAR)"
+    ctes = [
+        """__s1 AS MATERIALIZED (
+            SELECT DISTINCT u, v FROM (
+                SELECT a AS u, b AS v FROM __me0
+                UNION ALL SELECT b, a FROM __me0
+            ) WHERE u != v
+        )""",
+        "__rem1 AS MATERIALIZED (SELECT DISTINCT u AS node FROM __s1)",
+    ]
+    base = """__me0 AS MATERIALIZED (
+            SELECT CAST(doc_id AS BIGINT) AS a,
+                   CAST(doc_id + 1 AS BIGINT) AS b
+            FROM documents WHERE doc_id % 10 != 9
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 2 AS BIGINT)
+            FROM documents WHERE doc_id % 10 <= 7
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 3 AS BIGINT)
+            FROM documents
+            WHERE doc_id % 10 <= 6 AND (doc_id // 10) % 2 = 0
+        )"""
+    ctes.insert(0, base)
+    sel = []
+    for r in range(1, rounds + 1):
+        vk = key.format(r=r, col="v")
+        nk = key.format(r=r, col="n.node")
+        ctes.append(
+            "__mn{r} AS MATERIALIZED (SELECT u, min({vk}) AS mk"
+            " FROM __s{r} GROUP BY u)".format(r=r, vk=vk),
+        )
+        ctes.append(
+            "__mis{r} AS MATERIALIZED ("
+            "SELECT n.node FROM __rem{r} n LEFT JOIN __mn{r} m"
+            " ON n.node = m.u"
+            " WHERE m.u IS NULL OR {nk} < m.mk)".format(r=r, nk=nk),
+        )
+        sel.append(
+            "SELECT node, CAST({r} AS BIGINT) AS mis_round"
+            " FROM __mis{r}".format(r=r),
+        )
+        if r == rounds:
+            break
+        ctes.append(
+            "__kill{r} AS MATERIALIZED ("
+            "SELECT node FROM __mis{r}"
+            " UNION SELECT v AS node FROM __s{r}"
+            " WHERE u IN (SELECT node FROM __mis{r}))".format(r=r),
+        )
+        ctes.append(
+            "__rem{j} AS MATERIALIZED (SELECT node FROM __rem{r}"
+            " WHERE node NOT IN (SELECT node FROM __kill{r}))".format(
+                r=r, j=r + 1,
+            ),
+        )
+        ctes.append(
+            "__s{j} AS MATERIALIZED (SELECT u, v FROM __s{r}"
+            " WHERE u IN (SELECT node FROM __rem{j})"
+            " AND v IN (SELECT node FROM __rem{j}))".format(r=r, j=r + 1),
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sel)
 
 
 def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
@@ -5907,6 +6014,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """.format(stop_presence=_stop_presence_sql()),
         "graph_kcore": _kcore_sql(k=3, rounds=6),
+        "graph_mis": _mis_sql(rounds=6),
         # per-group HLL registers recomputed cell-for-cell (same md5
         # bucket/rank windows as corpus_hll_registers, plus the group key)
         "events_hll_users_by_type": r"""

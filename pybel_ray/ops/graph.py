@@ -49,6 +49,7 @@ __all__ = [
     "degree_assortativity",
     "random_walks",
     "sssp_distances",
+    "mis",
 ]
 
 
@@ -2003,3 +2004,251 @@ def sssp_distances(
         dist = kept.union(improved).materialize()
         frontier = improved
     return dist
+
+
+def mis(
+    edges,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 32,
+    num_buckets: int = 64,
+    edge_budget: int = 2_000_000,
+    force_distributed: bool = False,
+):
+    """Deterministic Luby maximal independent set over an undirected
+    graph: one row ``(node, mis_round)`` per selected node.  Node ``v``
+    joins in round ``r`` iff its priority key ``md5(f"{r}|{v}") +
+    str(v)`` (md5 is fixed-width, so the concat compares as the
+    ``(digest, node)`` tuple) is strictly smaller than every remaining
+    neighbor's key; winners and their neighbors retire, and the loop
+    repeats on the residual graph (Luby 1986, derandomized by hashing —
+    the md5 round-salt replays in any SQL engine).  Isolated residual
+    nodes always win.  The node set is the edge endpoints (pass
+    zero-degree nodes downstream directly — they are trivially in the
+    MIS).
+
+    The result is a true MIS of the input graph: independent (two
+    winners can never be neighbors — one would have out-prioritized the
+    other in its round) and maximal (every retired non-winner lost to
+    an adjacent winner).
+
+    Budget hybrid (same shape as :func:`pagerank` / :func:`scc`): at or
+    under ``edge_budget`` distinct undirected edges the residual graph
+    fits one adjacency dict, so the rounds run on the driver — the
+    right call at toy scale, where each distributed round's exchanges
+    are pure scheduling overhead.  Above the budget (or with
+    ``force_distributed=True``): symmetrize + dedup once (ONE
+    exchange); per round the neighbor-minimum needs NO join — the key
+    is a pure function of ``(round, node)``, so a per-batch partial min
+    + ONE ``groupby(u).min`` computes it; winners resolve via one
+    bucketed left lookup join; retirement is one semi-join (neighbor
+    discovery) + three anti-joins (remaining, both edge endpoints) —
+    ~6 exchanges per round, bucket count sized to the residual data.
+    Both branches are rounds-for-rounds identical (tested).  Raises if
+    ``max_rounds`` is exhausted with nodes unresolved (rounds are
+    O(log n) whp).
+    """
+    import hashlib
+
+    import ray
+    import ray.data
+
+    from ..stages.dedup import dedup_exact
+    from ..struct.degree import bucketed_attach, bucketed_semi_join
+
+    sep = "\x1f"
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(a_col), pa.string())
+        b = pc.cast(t.column(b_col), pa.string())
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(a), pc.is_valid(b)),
+            pc.invert(pc.equal(a, b)),
+        )
+        a = a.filter(keep)
+        b = b.filter(keep)
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        u = pa.concat_arrays([a, b])
+        v = pa.concat_arrays([b, a])
+        t2 = pa.Table.from_arrays([u, v], names=["u", "v"])
+        return t2.append_column(
+            "_k", pc.binary_join_element_wise(u, v, sep),
+        )
+
+    sym = dedup_exact(
+        edges.map_batches(_sym, batch_format="pyarrow"), "_k",
+        num_buckets=num_buckets,
+    ).select_columns(["u", "v"]).materialize()
+    n_edges = sym.count()
+
+    def _key_of(vals, r):
+        return [
+            hashlib.md5(f"{r}|{x}".encode()).hexdigest() + x  # noqa: S324
+            for x in vals
+        ]
+
+    if not force_distributed and n_edges <= edge_budget:
+        # driver branch: one adjacency dict, same rounds, same keys
+        tbl = pa.concat_tables(
+            ray.get(sym.to_arrow_refs()),
+        )
+        adj: dict = {}
+        for u_val, v_val in zip(
+            tbl.column("u").to_pylist(), tbl.column("v").to_pylist(),
+        ):
+            adj.setdefault(u_val, set()).add(v_val)
+        remaining_set = set(adj)
+        won: dict = {}
+        for r in range(1, max_rounds + 1):
+            if not remaining_set:
+                break
+            keys = {x: k for x, k in zip(
+                remaining_set, _key_of(list(remaining_set), r),
+            )}
+            winners_set = {
+                v for v in remaining_set
+                if all(
+                    keys[v] < keys[u]
+                    for u in adj[v] if u in remaining_set
+                )
+            }
+            for v in winners_set:
+                won[v] = r
+            remaining_set -= winners_set
+            for v in winners_set:
+                remaining_set -= adj[v]
+        if remaining_set:
+            raise RuntimeError(
+                "mis: max_rounds exhausted with nodes unresolved; raise"
+                " the bound",
+            )
+        nodes = sorted(won)
+        return ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array(nodes, pa.string()),
+                 pa.array([won[x] for x in nodes], pa.int64())],
+                names=["node", "mis_round"],
+            ),
+        )
+
+    # distributed branch: bucket count sized to the data — a 64-task
+    # exchange on kilobytes is pure scheduling (same rule as equi_join)
+    nb = max(1, min(num_buckets, n_edges // 100_000 + 1))
+
+    remaining = dedup_exact(
+        sym.map_batches(
+            lambda t: pa.Table.from_arrays([t.column("u")], names=["node"]),
+            batch_format="pyarrow",
+        ),
+        "node", local_first=True,
+    ).materialize()
+
+    parts = []
+    for r in range(1, max_rounds + 1):
+        if remaining.count() == 0:
+            break
+        if sym.count() == 0:
+            # all residual nodes are isolated: they win unconditionally
+            def _all_win(t: pa.Table, _r=r) -> pa.Table:
+                return pa.Table.from_arrays(
+                    [t.column("node"),
+                     pa.array(np.full(t.num_rows, _r, np.int64))],
+                    names=["node", "mis_round"],
+                )
+
+            parts.append(remaining.map_batches(
+                _all_win, batch_format="pyarrow",
+            ).materialize())
+            break
+
+        def _nbr_min(t: pa.Table, _r=r) -> pa.Table:
+            keys = pa.array(
+                _key_of(t.column("v").to_pylist(), _r), pa.string(),
+            )
+            t2 = pa.Table.from_arrays(
+                [t.column("u"), keys], names=["u", "_nk"],
+            )
+            return t2.group_by("u").aggregate([("_nk", "min")]).rename_columns(
+                ["u", "_nk"],
+            )
+
+        mn = sym.map_batches(_nbr_min, batch_format="pyarrow").groupby(
+            "u",
+        ).min("_nk").map_batches(
+            lambda t: t.rename_columns(["u", "_nk"]),
+            batch_format="pyarrow",
+        ).materialize()
+        cand = bucketed_attach(
+            remaining, "node", mn, "u", ["_nk"], how="left",
+            num_buckets=nb,
+        )
+
+        def _winners(t: pa.Table, _r=r) -> pa.Table:
+            own = pa.array(
+                _key_of(t.column("node").to_pylist(), _r), pa.string(),
+            )
+            nk = t.column("_nk")
+            win = pc.or_kleene(pc.is_null(nk), pc.less(own, nk))
+            t = t.filter(pc.fill_null(win, True))
+            return pa.Table.from_arrays(
+                [t.column("node"),
+                 pa.array(np.full(t.num_rows, _r, np.int64))],
+                names=["node", "mis_round"],
+            )
+
+        winners = cand.map_batches(
+            _winners, batch_format="pyarrow",
+        ).materialize()
+        if winners.count() == 0:
+            continue
+        parts.append(winners)
+
+        hit = bucketed_semi_join(
+            sym, "u", winners.select_columns(["node"]), "node",
+            num_buckets=nb,
+        )
+        nbrs = dedup_exact(
+            hit.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t.column("v")], names=["node"],
+                ),
+                batch_format="pyarrow",
+            ),
+            "node", local_first=True,
+        )
+        kill = winners.select_columns(["node"]).union(nbrs).materialize()
+        remaining = bucketed_semi_join(
+            remaining, "node", kill, "node", anti=True,
+            num_buckets=nb,
+        ).materialize()
+        if remaining.count() == 0:
+            break
+        sym = bucketed_semi_join(
+            bucketed_semi_join(
+                sym, "u", remaining, "node", num_buckets=nb,
+            ),
+            "v", remaining, "node", num_buckets=nb,
+        ).materialize()
+        n_edges = sym.count()
+        nb = max(1, min(num_buckets, n_edges // 100_000 + 1))
+    else:
+        if remaining.count() > 0:
+            raise RuntimeError(
+                "mis: max_rounds exhausted with nodes unresolved; raise"
+                " the bound",
+            )
+
+    if not parts:
+        return ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["node", "mis_round"],
+            ),
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.union(p_)
+    return out

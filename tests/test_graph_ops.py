@@ -834,3 +834,70 @@ def test_sssp_early_exit_and_unreachable(ray_session):
     got = {r["node"]: r["dist"] for r in
            sssp_distances(ds, [0], 10).take_all()}
     assert got == {0: 0, 9: 1, 1: 2, 2: 3}
+
+
+def _ref_mis(edge_list, max_rounds=32):
+    import hashlib
+
+    adj = {}
+    for a, b in edge_list:
+        a, b = str(a), str(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    remaining = set(adj)
+    out = {}
+    for r in range(1, max_rounds + 1):
+        if not remaining:
+            break
+
+        def key(x, _r=r):
+            return hashlib.md5(f"{_r}|{x}".encode()).hexdigest() + x
+
+        winners = {
+            v for v in remaining
+            if all(key(v) < key(u) for u in adj[v] & remaining)
+        }
+        for v in winners:
+            out[v] = r
+        remaining -= winners
+        for v in winners:
+            remaining -= adj[v]
+    return out
+
+
+def test_mis_matches_reference_and_is_valid(ray_session):
+    from pybel_ray.ops.graph import mis
+
+    rng = np.random.default_rng(13)
+    src = [int(x) for x in rng.integers(0, 40, 140)]
+    dst = [int(x) for x in rng.integers(0, 40, 140)]
+    pairs = [(s, d) for s, d in zip(src, dst) if s != d]
+    exp = _ref_mis(pairs)
+    for blocks, forced in ((1, False), (6, False), (4, True)):
+        rows = mis(_edges_ds(src, dst, blocks=blocks),
+                   a_col="src", b_col="dst",
+                   force_distributed=forced).take_all()
+        got = {r["node"]: r["mis_round"] for r in rows}
+        assert got == {k: v for k, v in exp.items()}, f"forced={forced}"
+    # independence + maximality on the undirected graph
+    sel = set(got)
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(str(s), set()).add(str(d))
+        adj.setdefault(str(d), set()).add(str(s))
+    for v in sel:
+        assert not (adj[v] & sel), "MIS not independent"
+    for v in set(adj) - sel:
+        assert adj[v] & sel, "MIS not maximal"
+
+
+def test_mis_single_edge_and_isolated_component(ray_session):
+    from pybel_ray.ops.graph import mis
+
+    rows = mis(_edges_ds([0, 5], [1, 5], blocks=1),
+               a_col="src", b_col="dst").take_all()
+    got = {r["node"]: r["mis_round"] for r in rows}
+    # self-loop node 5 drops out entirely (no non-loop edges)
+    assert set(got) == {"0"} or set(got) == {"1"}
