@@ -1614,6 +1614,8 @@ def modularity(
     node_col: str = "node",
     comm_col: str = "comm",
     num_buckets: int = 64,
+    node_budget: int = 2_000_000,
+    force_distributed: bool = False,
 ):
     """Per-community directed-modularity contributions in EXACT integer
     arithmetic: ``(comm, intra_w, dout_w, din_w, contrib_num)`` where
@@ -1646,34 +1648,73 @@ def modularity(
     family (``struct/summary/node_summary.py:33-238``) to partition
     scoring.  Weights must be integers.
     """
-    from ..struct.degree import bucketed_attach
+    from .relational import equi_join
+
+    cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+    # snapshot the narrow edge projection once: the total-weight
+    # aggregate and the join probe would otherwise each re-execute the
+    # upstream lineage (2-3 int columns — cheap to hold)
+    edges = _snapshot(edges.select_columns(cols))
 
     if weight_col is not None:
         m = int(edges.sum(weight_col))
     else:
         m = int(edges.count())
 
-    comm_sel = communities.select_columns([node_col, comm_col])
+    comm_sel = _snapshot(communities.select_columns([node_col, comm_col]))
+    n_comm_rows = comm_sel.count()
 
-    def _ren(new):
-        def f(t: pa.Table) -> pa.Table:
-            return t.rename_columns(
-                [new if c == comm_col else c for c in t.column_names],
-            )
-        return f
+    if not force_distributed and n_comm_rows <= node_budget:
+        # broadcast branch: the label table fits the driver budget, so
+        # it ships ONCE via ray.put and each edge batch resolves labels
+        # with one vectorized index_in — no label-join exchange at all
+        import ray
 
-    cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
-    e = edges.select_columns(cols)
-    e = bucketed_attach(
-        e, src_col,
-        comm_sel.map_batches(_ren("_csrc"), batch_format="pyarrow"),
-        node_col, ["_csrc"], num_buckets=num_buckets,
-    )
-    e = bucketed_attach(
-        e, dst_col,
-        comm_sel.map_batches(_ren("_cdst"), batch_format="pyarrow"),
-        node_col, ["_cdst"], num_buckets=num_buckets,
-    )
+        tabs = [t for t in ray.get(comm_sel.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            lk = pa.concat_tables(tabs).combine_chunks()
+            nodes_arr = lk.column(node_col).combine_chunks()
+            comm_arr = lk.column(comm_col).combine_chunks()
+        else:
+            nodes_arr = pa.array([], pa.string())
+            comm_arr = pa.array([], pa.string())
+        lk_ref = ray.put((nodes_arr, comm_arr))
+
+        def _label(t: pa.Table, _ref=lk_ref) -> pa.Table:
+            import ray as _ray
+
+            narr, carr = _ray.get(_ref)
+            is_ = pc.index_in(t.column(src_col), value_set=narr)
+            id_ = pc.index_in(t.column(dst_col), value_set=narr)
+            keep = pc.and_kleene(pc.is_valid(is_), pc.is_valid(id_))
+            t = t.filter(keep)
+            cs = pc.take(carr, is_.filter(keep))
+            cd = pc.take(carr, id_.filter(keep))
+            t = t.append_column("_csrc", cs)
+            return t.append_column("_cdst", cd)
+
+        e = edges.map_batches(_label, batch_format="pyarrow")
+    else:
+
+        def _ren(new):
+            def f(t: pa.Table) -> pa.Table:
+                return t.rename_columns(
+                    [new if c == comm_col else c for c in t.column_names],
+                )
+            return f
+
+        # equi_join auto mode: a community table under 64 MB broadcasts
+        # (the dim-join plan — edges never move); bigger tables take the
+        # data-sized bucketed exchange
+        e = equi_join(
+            edges,
+            comm_sel.map_batches(_ren("_csrc"), batch_format="pyarrow"),
+            on=src_col, right_on=node_col, how="inner",
+        )
+        e = equi_join(
+            e, comm_sel.map_batches(_ren("_cdst"), batch_format="pyarrow"),
+            on=dst_col, right_on=node_col, how="inner",
+        )
 
     def _partial(t: pa.Table) -> pa.Table:
         cs = t.column("_csrc").combine_chunks()
@@ -1737,6 +1778,8 @@ def degree_assortativity(
     src_col: str = "src",
     dst_col: str = "dst",
     num_buckets: int = 64,
+    edge_budget: int = 10_000_000,
+    force_distributed: bool = False,
 ):
     """Degree-assortativity sufficient statistics: the six EXACT integers
     of the Pearson correlation between the source's out-degree and the
@@ -1752,8 +1795,85 @@ def degree_assortativity(
     two bucketed lookup joins; :func:`~.stats.corr_stats` folds exact
     per-block partials — one row per block reaches the driver.
     """
-    from ..struct.degree import bucketed_attach
+    import ray
+
+    from .relational import equi_join
     from .stats import corr_stats
+
+    # snapshot the narrow edge projection once: both degree passes and
+    # the join probe would otherwise re-execute the upstream lineage
+    edges = _snapshot(edges.select_columns([src_col, dst_col]))
+    n_e = edges.count()
+
+    if not force_distributed and n_e <= edge_budget:
+        # broadcast branch (node count <= 2*edges bounds driver memory,
+        # and the probe is free on the snapshot): fold per-batch degree
+        # partials in one driver dict — SKIPPING the global
+        # groupby(node) exchange, whose ~150k-group native aggregate
+        # measured ~5 s at toy scale — then one stateless pass attaches
+        # (x, y) per edge against the ray.put lookup and corr_stats
+        # folds exact per-block partials
+        deg_out: dict = {}
+        deg_in: dict = {}
+
+        def _deg_partial(t: pa.Table) -> pa.Table:
+            sa = t.column(src_col).combine_chunks()
+            da = t.column(dst_col).combine_chunks()
+            both = pa.concat_arrays([sa, da])
+            enc = both.dictionary_encode()
+            codes = np.asarray(
+                enc.indices.to_numpy(zero_copy_only=False), np.int64,
+            )
+            k = len(enc.dictionary)
+            n = t.num_rows
+            o = np.bincount(codes[:n], minlength=k).astype(np.int64)
+            i = np.bincount(codes[n:], minlength=k).astype(np.int64)
+            return pa.Table.from_arrays(
+                [enc.dictionary, pa.array(o), pa.array(i)],
+                names=["node", "o", "i"],
+            )
+
+        for b in edges.map_batches(
+            _deg_partial, batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow"):
+            for n_v, o_v, i_v in zip(
+                b.column("node").to_pylist(),
+                b.column("o").to_pylist(), b.column("i").to_pylist(),
+            ):
+                if o_v:
+                    deg_out[n_v] = deg_out.get(n_v, 0) + o_v
+                if i_v:
+                    deg_in[n_v] = deg_in.get(n_v, 0) + i_v
+
+        node_list = sorted(set(deg_out) | set(deg_in))
+        nodes_arr = pa.array(node_list)
+        out_np = np.array(
+            [deg_out.get(n_v, 0) for n_v in node_list], np.int64,
+        )
+        in_np = np.array(
+            [deg_in.get(n_v, 0) for n_v in node_list], np.int64,
+        )
+        lk_ref = ray.put((nodes_arr, out_np, in_np))
+
+        def _attach(t: pa.Table, _ref=lk_ref) -> pa.Table:
+            import ray as _ray
+
+            narr, onp, inp = _ray.get(_ref)
+            idx_s = np.asarray(
+                pc.index_in(t.column(src_col), value_set=narr)
+                .to_numpy(zero_copy_only=False), np.int64,
+            )
+            idx_d = np.asarray(
+                pc.index_in(t.column(dst_col), value_set=narr)
+                .to_numpy(zero_copy_only=False), np.int64,
+            )
+            return pa.Table.from_arrays(
+                [pa.array(onp[idx_s]), pa.array(inp[idx_d])],
+                names=["outdeg", "indeg"],
+            )
+
+        attached = edges.map_batches(_attach, batch_format="pyarrow")
+        return corr_stats(attached, "outdeg", "indeg", scale=1)
 
     outd = out_degrees(edges, src_col)
     ind = out_degrees(edges, dst_col).map_batches(
@@ -1762,11 +1882,10 @@ def degree_assortativity(
         ),
         batch_format="pyarrow",
     )
-    e = edges.select_columns([src_col, dst_col])
-    e = bucketed_attach(e, src_col, outd, "node", ["outdeg"],
-                        num_buckets=num_buckets)
-    e = bucketed_attach(e, dst_col, ind, "node", ["indeg"],
-                        num_buckets=num_buckets)
+    # equi_join auto mode: degree tables under 64 MB broadcast, bigger
+    # ones take the data-sized bucketed exchange
+    e = equi_join(edges, outd, on=src_col, right_on="node", how="inner")
+    e = equi_join(e, ind, on=dst_col, right_on="node", how="inner")
     return corr_stats(e, "outdeg", "indeg", scale=1)
 
 

@@ -651,15 +651,16 @@ def test_modularity_matches_reference(ray_session):
          pa.array([comm[n] for n in range(30)], pa.int64())],
         names=["node", "comm"],
     )).repartition(3)
-    for blocks in (1, 7):
+    for blocks, forced in ((1, False), (7, False), (4, True)):
         out = {
             r["comm"]: (r["intra_w"], r["dout_w"], r["din_w"],
                         r["contrib_num"])
             for r in modularity(
                 _edges_ds(src, dst, blocks=blocks), cds,
+                force_distributed=forced,
             ).take_all()
         }
-        assert out == _ref_modularity(src, dst, comm)
+        assert out == _ref_modularity(src, dst, comm), f"forced={forced}"
     # Q of the trivial one-community partition is exactly 0
     one = ray.data.from_arrow(pa.Table.from_arrays(
         [pa.array(list(range(30)), pa.int64()),
@@ -718,11 +719,11 @@ def test_degree_assortativity_matches_reference(ray_session):
         "sum_yy": str(sum(y * y for y in ys)),
         "sum_xy": str(sum(x * y for x, y in zip(xs, ys))),
     }
-    for blocks in (1, 6):
+    for blocks, forced in ((1, False), (6, False), (4, True)):
         row = degree_assortativity(
-            _edges_ds(src, dst, blocks=blocks),
+            _edges_ds(src, dst, blocks=blocks), force_distributed=forced,
         ).to_pylist()[0]
-        assert row == exp
+        assert row == exp, f"forced={forced}"
 
 
 def test_random_walks_deterministic_and_valid(ray_session):
