@@ -1114,6 +1114,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(_cast, batch_format="pyarrow")
 
+    def web_host_wwalks(sf_dir):
+        # deterministic WEIGHTED walks over the aggregated host graph:
+        # inverse-CDF draw on integer cumulative link counts — heavier
+        # edges chosen proportionally; one join exchange per step
+        from pybel_ray.ops.graph import weighted_random_walks
+        from pybel_ray.ops.html import extract_links, host_graph
+
+        hosts = host_graph(extract_links(_html_pages(sf_dir)))
+        return weighted_random_walks(
+            hosts, 4, src_col="src_host", dst_col="dst_host",
+            weight_col="n",
+        )
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -4669,6 +4682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_walks": web_host_walks,
         "web_host_sssp": web_host_sssp,
         "graph_mis": graph_mis,
+        "web_host_wwalks": web_host_wwalks,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -5270,6 +5284,40 @@ def oracle_sql() -> dict[str, str]:
             )
         )
 
+    def _wwalks_sql(edges_sql: str, steps: int) -> str:
+        # unrolled deterministic weighted walks (ops/graph.py
+        # weighted_random_walks): r = 60-bit md5(walk|t) mod total
+        # out-weight; winner = the neighbor whose [lo, hi) cumulative
+        # interval (ordered by dst) contains r
+        parts = [
+            "agg AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w"
+            " FROM ({}) GROUP BY src, dst)".format(edges_sql),
+            "we AS (SELECT src, dst, w,"
+            " sum(w) OVER (PARTITION BY src ORDER BY dst"
+            " ROWS UNBOUNDED PRECEDING) AS hi,"
+            " sum(w) OVER (PARTITION BY src ORDER BY dst"
+            " ROWS UNBOUNDED PRECEDING) - w AS lo,"
+            " sum(w) OVER (PARTITION BY src) AS tot FROM agg)",
+            "s0 AS (SELECT DISTINCT src AS walk, src AS cur FROM we)",
+        ]
+        sel = ["SELECT walk, CAST(0 AS BIGINT) AS step, walk AS node FROM s0"]
+        rexp = ("(('0x' || substr(md5(s{p}.walk || '|{t}'), 1, 15))::UBIGINT"
+                " % we.tot)")
+        for t in range(1, steps + 1):
+            r = rexp.format(p=t - 1, t=t)
+            parts.append(
+                "s{t} AS (SELECT s{p}.walk, we.dst AS cur"
+                " FROM s{p} JOIN we ON we.src = s{p}.cur"
+                " WHERE {r} >= we.lo AND {r} < we.hi)".format(
+                    t=t, p=t - 1, r=r,
+                ),
+            )
+            sel.append(
+                "SELECT walk, CAST({t} AS BIGINT) AS step, cur AS node"
+                " FROM s{t}".format(t=t),
+            )
+        return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
+
     def _pagerank_sql(edges_sql: str, iters: int = 3) -> str:
         """Unrolled integer PageRank (ops/graph.py recurrence: rank0 =
         1e6; contrib = rank // max(outdeg, 1); rank = 150000 +
@@ -5709,6 +5757,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # deterministic DeepWalk-style walks over the rebuilt host graph
         "web_host_walks": _walks_sql(_web_host_edges, 4),
+        # weighted variant: inverse-CDF draw on cumulative counts
+        "web_host_wwalks": _wwalks_sql(_web_host_edges, 4),
         # bounded-hop weighted shortest paths, same edge rebuild
         "web_host_sssp": _sssp_sql(
             _web_host_edges,

@@ -50,6 +50,7 @@ __all__ = [
     "random_walks",
     "sssp_distances",
     "mis",
+    "weighted_random_walks",
 ]
 
 
@@ -2369,5 +2370,160 @@ def mis(
         )
     out = parts[0]
     for p_ in parts[1:]:
+        out = out.union(p_)
+    return out
+
+
+def weighted_random_walks(
+    edges,
+    steps: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    num_buckets: int | None = None,
+):
+    """Deterministic WEIGHTED random walks — the node2vec/DeepWalk corpus
+    generator where transition probability is proportional to edge
+    weight, derandomized in exact integers: step ``t`` of the walk from
+    node ``s`` currently at ``cur`` draws ``r = md5(f"{walk}|{t}")[:15
+    hex] mod W(cur)`` (a 60-bit hash-uniform draw; ``W`` = total
+    positive out-weight) and moves to the unique out-neighbor whose
+    cumulative-weight interval ``[lo, hi)`` contains ``r`` — inverse-CDF
+    sampling on integer prefix sums, so heavier edges are chosen
+    proportionally more often and any SQL engine replays the choice
+    (``('0x' || substr(md5(..),1,15))::UBIGINT % W``).  Returns
+    ``(walk, step, node)``; dead ends (no positive-weight out-edge)
+    terminate.
+
+    ``edges`` must be unique per ``(src, dst)`` with int64 weights (the
+    output of a ``host_graph``-style aggregation); rows with weight
+    <= 0 are dropped (zero-weight edges are never drawn).
+
+    Scale shape: the per-source cumulative intervals precompute ONCE
+    (one ``groupby(src).map_groups`` exchange — group payload = one
+    node's out-degree, the same mega-hub caveat as
+    :func:`colink_similarity`); each step is then ONE bucketed
+    many-to-many :func:`~.relational.equi_join` plus a stateless filter
+    (the interval containment selects exactly one candidate per walk —
+    no per-group argmin, no second exchange, unlike
+    :func:`random_walks`).
+    """
+    import hashlib
+
+    from ..stages.dedup import dedup_exact
+    from .relational import equi_join
+
+    if steps < 0:
+        raise ValueError("steps must be >= 0")
+
+    def _pos(t: pa.Table) -> pa.Table:
+        w = pc.cast(t.column(weight_col), pa.int64())
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column(src_col)),
+                          pc.is_valid(t.column(dst_col))),
+            pc.greater(pc.fill_null(w, 0), 0),
+        )
+        return t.select([src_col, dst_col, weight_col]).filter(keep)
+
+    def _cum(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(dst_col, "ascending")])
+        v = np.asarray(
+            g.column(weight_col).to_numpy(zero_copy_only=False), np.int64,
+        )
+        cum = np.cumsum(v)
+        g = g.append_column("_lo", pa.array((cum - v).astype(np.int64)))
+        g = g.append_column("_hi", pa.array(cum.astype(np.int64)))
+        return g.append_column(
+            "_tot", pa.array(np.full(len(v), cum[-1], np.int64)),
+        )
+
+    cumed = edges.map_batches(_pos, batch_format="pyarrow").groupby(
+        src_col,
+    ).map_groups(_cum, batch_format="pyarrow").materialize()
+
+    starts = dedup_exact(
+        cumed.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column(src_col)], names=["walk"],
+            ),
+            batch_format="pyarrow",
+        ),
+        "walk", local_first=True,
+    ).materialize()
+
+    def _step0(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("walk"),
+             pa.array(np.zeros(t.num_rows, np.int64)),
+             t.column("walk")],
+            names=["walk", "step", "node"],
+        )
+
+    out_parts = [starts.map_batches(_step0, batch_format="pyarrow")]
+    frontier = starts.map_batches(
+        lambda t: t.append_column("_cur", t.column("walk")),
+        batch_format="pyarrow",
+    )
+
+    for t_step in range(1, steps + 1):
+        cands = equi_join(
+            frontier.select_columns(["walk", "_cur"]), cumed,
+            on="_cur", right_on=src_col, how="inner",
+            num_buckets=num_buckets,
+        )
+
+        def _pick(t: pa.Table, _t=t_step) -> pa.Table:
+            walks = t.column("walk").to_pylist()
+            r = np.array(
+                [
+                    int(hashlib.md5(  # noqa: S324 - derandomized draw
+                        f"{w}|{_t}".encode(),
+                    ).hexdigest()[:15], 16)
+                    for w in walks
+                ],
+                np.int64,
+            )
+            tot = np.asarray(
+                t.column("_tot").to_numpy(zero_copy_only=False), np.int64,
+            )
+            r = r % tot
+            lo = np.asarray(
+                t.column("_lo").to_numpy(zero_copy_only=False), np.int64,
+            )
+            hi = np.asarray(
+                t.column("_hi").to_numpy(zero_copy_only=False), np.int64,
+            )
+            win = (lo <= r) & (r < hi)
+            t = t.filter(pa.array(win))
+            return pa.Table.from_arrays(
+                [t.column("walk"), t.column(dst_col)],
+                names=["walk", "_next"],
+            )
+
+        chosen = cands.map_batches(
+            _pick, batch_format="pyarrow",
+        ).materialize()
+
+        def _emit(t: pa.Table, _t=t_step) -> pa.Table:
+            return pa.Table.from_arrays(
+                [t.column("walk"),
+                 pa.array(np.full(t.num_rows, _t, np.int64)),
+                 t.column("_next")],
+                names=["walk", "step", "node"],
+            )
+
+        out_parts.append(chosen.map_batches(_emit, batch_format="pyarrow"))
+        frontier = chosen.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("walk"), t.column("_next")],
+                names=["walk", "_cur"],
+            ),
+            batch_format="pyarrow",
+        )
+        if chosen.count() == 0:
+            break
+
+    out = out_parts[0]
+    for p_ in out_parts[1:]:
         out = out.union(p_)
     return out

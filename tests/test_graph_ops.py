@@ -902,3 +902,85 @@ def test_mis_single_edge_and_isolated_component(ray_session):
     got = {r["node"]: r["mis_round"] for r in rows}
     # self-loop node 5 drops out entirely (no non-loop edges)
     assert set(got) == {"0"} or set(got) == {"1"}
+
+
+def _ref_weighted_walks(agg_edges, steps):
+    """agg_edges: dict (src, dst) -> w (positive)."""
+    import hashlib
+
+    adj = {}
+    for (s, d), w in sorted(agg_edges.items()):
+        if w > 0:
+            adj.setdefault(s, []).append((d, w))
+    out = []
+    for start in sorted(adj):
+        cur = start
+        out.append((start, 0, start))
+        for t in range(1, steps + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            tot = sum(w for _, w in nbrs)
+            r = int(hashlib.md5(
+                f"{start}|{t}".encode(),
+            ).hexdigest()[:15], 16) % tot
+            acc = 0
+            for d, w in nbrs:  # sorted by dst
+                if acc <= r < acc + w:
+                    cur = d
+                    break
+                acc += w
+            out.append((start, t, cur))
+    return sorted(out)
+
+
+def test_weighted_random_walks_matches_reference(ray_session):
+    import ray
+
+    from pybel_ray.ops.graph import weighted_random_walks
+
+    rng = np.random.default_rng(21)
+    agg = {}
+    for _ in range(120):
+        s, d = int(rng.integers(0, 15)), int(rng.integers(0, 15))
+        if s != d:
+            agg[(s, d)] = agg.get((s, d), 0) + int(rng.integers(1, 9))
+    # plant a zero-weight edge: it must never be drawn
+    agg[(0, 14)] = 0
+    keys = sorted(agg)
+    t = pa.Table.from_arrays(
+        [pa.array([k[0] for k in keys], pa.int64()),
+         pa.array([k[1] for k in keys], pa.int64()),
+         pa.array([agg[k] for k in keys], pa.int64())],
+        names=["src", "dst", "w"],
+    )
+    exp = _ref_weighted_walks(agg, 3)
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = weighted_random_walks(ds, 3).take_all()
+        got = sorted((r["walk"], r["step"], r["node"]) for r in rows)
+        assert got == exp
+
+
+def test_weighted_random_walks_proportionality(ray_session):
+    import ray
+
+    from pybel_ray.ops.graph import weighted_random_walks
+
+    # hub 0 with a 99:1 weight split: across many (src, step) draws the
+    # heavy edge must dominate; here just pin determinism + validity of
+    # the single draw, and that the chosen nbr's interval contains r
+    t = pa.Table.from_arrays(
+        [pa.array([0, 0], pa.int64()),
+         pa.array([1, 2], pa.int64()),
+         pa.array([99, 1], pa.int64())],
+        names=["src", "dst", "w"],
+    )
+    rows = weighted_random_walks(
+        ray.data.from_arrow(t), 1,
+    ).take_all()
+    got = {(r["walk"], r["step"]): r["node"] for r in rows}
+    import hashlib
+
+    r = int(hashlib.md5(b"0|1").hexdigest()[:15], 16) % 100
+    assert got[(0, 1)] == (1 if r < 99 else 2)
