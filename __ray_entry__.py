@@ -1488,6 +1488,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["event_id", "user_id", "session_seq"])
 
+    def events_dedup_window(sf_dir):
+        # event-stream debounce: drop rows within 5 minutes of the
+        # previous event of the same (user, type) — LAG semantics, one
+        # skew-guarded exchange
+        from pybel_ray.ops.window import debounce_by
+
+        out = debounce_by(
+            _read(sf_dir, "events"), ["user_id", "event_type"], "ts",
+            gap_us=5 * 60 * 1_000_000, tie_cols=["event_id"],
+        )
+        return out.select_columns(["event_id", "user_id", "event_type"])
+
+    def events_value_mad(sf_dir):
+        # exact median + median-absolute-deviation in integer micros —
+        # the robust outlier scale, via the sortless histogram-narrowing
+        # selection (2 selections sharing the machinery)
+        from pybel_ray.ops.stats import mad_e6
+
+        return mad_e6(_read(sf_dir, "events"), "value")
+
     def customers_without_orders(sf_dir):
         # distributed anti-join (bucketed hash co-location)
         from pybel_ray.ops.relational import anti_join
@@ -4725,6 +4745,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_impute_value": events_impute_value,
         "events_rolling_max_value": events_rolling_max_value,
         "events_sessionize": events_sessionize,
+        "events_dedup_window": events_dedup_window,
+        "events_value_mad": events_value_mad,
         "events_funnel": events_funnel,
         "events_retention": events_retention,
         "doc_length_ntile": doc_length_ntile,
@@ -7882,6 +7904,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # lower median via LIMIT/OFFSET — unambiguous, unlike
         # quantile_disc interpolation conventions
+        "events_dedup_window": """
+            WITH l AS (
+                SELECT event_id, user_id, event_type,
+                       epoch_us(ts) AS tsu,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY epoch_us(ts), event_id
+                       ) AS prev
+                FROM events
+            )
+            SELECT event_id, user_id, event_type
+            FROM l WHERE prev IS NULL OR tsu - prev > 300000000
+        """,
+        "events_value_mad": """
+            WITH v AS (
+                SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+                FROM events WHERE value IS NOT NULL
+            ),
+            n AS (SELECT count(*) AS c FROM v),
+            med AS (
+                SELECT q AS m FROM v ORDER BY q
+                LIMIT 1 OFFSET (SELECT CAST((c - 1) // 2 AS BIGINT) FROM n)
+            ),
+            dev AS (SELECT abs(q - (SELECT m FROM med)) AS d FROM v)
+            SELECT (SELECT c FROM n) AS n,
+                   (SELECT m FROM med) AS median_e6,
+                   (SELECT d FROM dev ORDER BY d
+                    LIMIT 1 OFFSET (SELECT CAST((c - 1) // 2 AS BIGINT)
+                                    FROM n)) AS mad_e6
+        """,
         "events_value_median_selection": """
             WITH v AS (
                 SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q

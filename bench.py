@@ -181,6 +181,8 @@ def run_queries(sf_dir: str) -> dict:
         "web_host_sssp",
         "graph_mis",
         "web_host_wwalks",
+        "events_dedup_window",
+        "events_value_mad",
         # the TPC-H suite is now complete (22/22 shapes); track the
         # three with distinct execution shapes
         "tpch_q9_product_profit",

@@ -32,6 +32,7 @@ __all__ = [
     "standardize_stats", "standardize_apply", "centroid_by",
     "select_kth_e6", "exact_median_e6", "select_quantiles_e6",
     "median_by_selection",
+    "mad_e6",
 ]
 
 _INT64_MAX = (1 << 63) - 1
@@ -843,4 +844,46 @@ def median_by_selection(ds, group_col: str, value_col: str,
     return pa.Table.from_arrays(
         [group_keys, pa.array(n_arr), pa.array(lo_arr)],
         names=[group_col, "n", "median_e6"],
+    )
+
+
+def mad_e6(ds, col: str) -> pa.Table:
+    """One-row table ``(n, median_e6, mad_e6)``: the EXACT lower median
+    of ``floor(col·1e6 + 0.5)`` and the exact lower median of the
+    absolute deviations ``|q − median|`` — the robust scale estimate
+    (median absolute deviation) behind outlier gates that trimmed means
+    and stddevs get wrong on heavy-tailed data.
+
+    Runs entirely on the :func:`select_kth_e6` histogram-narrowing
+    machinery: the quantized column materializes once, the deviation
+    column once, and each selection costs ≤ ~7 streaming passes of 256
+    counts per block — no sort exchange at any point.
+    """
+    qs = _quantized_column(ds, col)
+    n = qs.count()
+    if n == 0:
+        return pa.Table.from_arrays(
+            [pa.array([0], pa.int64()),
+             pa.array([None], pa.int64()),
+             pa.array([None], pa.int64())],
+            names=["n", "median_e6", "mad_e6"],
+        )
+    k = (n - 1) // 2 + 1
+    med = _select_kth_from(qs, k)
+
+    def _dev(t: pa.Table) -> pa.Table:
+        q = np.asarray(
+            t.column("q").to_numpy(zero_copy_only=False), np.int64,
+        )
+        return pa.Table.from_arrays(
+            [pa.array(np.abs(q - med))], names=["q"],
+        )
+
+    dev = qs.map_batches(_dev, batch_format="pyarrow").materialize()
+    mad = _select_kth_from(dev, k)
+    return pa.Table.from_arrays(
+        [pa.array([n], pa.int64()),
+         pa.array([med], pa.int64()),
+         pa.array([mad], pa.int64())],
+        names=["n", "median_e6", "mad_e6"],
     )

@@ -53,6 +53,7 @@ __all__ = [
     "rank_by",
     "forward_fill_by",
     "resample_locf",
+    "debounce_by",
 ]
 
 
@@ -1487,3 +1488,60 @@ def resample_locf(
         )
 
     return filled.map_batches(_take_grid, batch_format="pyarrow")
+
+
+def debounce_by(
+    ds,
+    partition_cols,
+    ts_col: str,
+    gap_us: int,
+    tie_cols=(),
+):
+    """Event-stream debounce (duplicate-burst suppression): keep a row
+    iff the immediately preceding row of its partition (``ORDER BY ts``,
+    then ``tie_cols``) is more than ``gap_us`` microseconds older, or
+    absent — ``LAG`` semantics, so the comparison point is the previous
+    row whether or not it was itself kept (the stateless variant any SQL
+    window replays; chained throttling would need a recursive scan).
+    The ingest-hygiene step for at-least-once event streams where
+    retries and double-fires land within a short window.
+
+    Rides :func:`lag_by` (one exchange, skew-guarded), so no partition
+    group ever materializes; partition columns must be non-null.
+    Timestamps must cast to int64 microseconds.
+    """
+    partition_cols = (
+        [partition_cols] if isinstance(partition_cols, str)
+        else list(partition_cols)
+    )
+    tie_cols = list(tie_cols)
+    sep = "\x1f"
+
+    def _prep(t: pa.Table) -> pa.Table:
+        parts = [
+            pc.cast(t.column(c), pa.string()) for c in partition_cols
+        ]
+        key = parts[0] if len(parts) == 1 else (
+            pc.binary_join_element_wise(*parts, sep)
+        )
+        tsu = pc.cast(t.column(ts_col), pa.int64())
+        t = t.append_column("_dk", key)
+        return t.append_column("_tsu", tsu)
+
+    lagged = lag_by(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        "_dk", ["_tsu"] + tie_cols, "_tsu", out_col="_prev",
+    )
+
+    def _keep(t: pa.Table) -> pa.Table:
+        tsu = t.column("_tsu")
+        prev = t.column("_prev")
+        keep = pc.or_kleene(
+            pc.is_null(prev),
+            pc.greater(pc.subtract(tsu, pc.fill_null(prev, 0)), gap_us),
+        )
+        return t.filter(pc.fill_null(keep, True)).drop_columns(
+            ["_dk", "_tsu", "_prev"],
+        )
+
+    return lagged.map_batches(_keep, batch_format="pyarrow")

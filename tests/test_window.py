@@ -564,3 +564,53 @@ def test_resample_locf_matches_reference(ray_session):
             expect.append((k, g, val))
             g += step
     assert got == sorted(expect)
+
+
+def test_debounce_by_planted_bursts(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.window import debounce_by
+
+    # user 1 typeA: burst at 0s, 100s, 250s, then 700s -> keep 0 and 700
+    # (100 within 300 of 0; 250 within 300 of 100 even though 100 was
+    # itself dropped: LAG semantics); user 2: single event kept
+    t = pa.Table.from_arrays(
+        [pa.array([1, 2, 3, 4, 5], pa.int64()),
+         pa.array([1, 1, 1, 1, 2], pa.int64()),
+         pa.array(["A", "A", "A", "A", "A"], pa.string()),
+         pa.array([0, 100_000_000, 250_000_000, 700_000_000, 0],
+                  pa.int64())],
+        names=["event_id", "user_id", "event_type", "ts"],
+    )
+    out = debounce_by(
+        ray.data.from_arrow(t).repartition(2),
+        ["user_id", "event_type"], "ts",
+        gap_us=300_000_000, tie_cols=["event_id"],
+    )
+    kept = sorted(r["event_id"] for r in out.take_all())
+    assert kept == [1, 4, 5]
+
+
+def test_mad_e6_known_values(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.stats import mad_e6
+
+    # values 1..7 with an outlier 100: lower median of 8 values = 4,
+    # deviations |v-4| = 3,2,1,0,1,2,3,96 -> sorted 0,1,1,2,2,3,3,96,
+    # lower median = 2
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0]
+    t = pa.Table.from_arrays(
+        [pa.array(vals, pa.float64())], names=["value"],
+    )
+    out = mad_e6(ray.data.from_arrow(t).repartition(3), "value")
+    row = out.to_pylist()[0]
+    assert row == {"n": 8, "median_e6": 4_000_000, "mad_e6": 2_000_000}
+
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.float64())], names=["value"],
+    )
+    row0 = mad_e6(ray.data.from_arrow(empty), "value").to_pylist()[0]
+    assert row0 == {"n": 0, "median_e6": None, "mad_e6": None}
