@@ -1508,6 +1508,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return mad_e6(_read(sf_dir, "events"), "value")
 
+    def events_value_mad_by_type(sf_dir):
+        # per-group exact robust location+scale (median + MAD in integer
+        # micros) — two rounds of the skew-proof histogram selection, no
+        # group ever co-locates
+        from pybel_ray.ops.stats import mad_by_selection
+
+        return mad_by_selection(
+            _read(sf_dir, "events"), "event_type", "value",
+        )
+
     def customers_without_orders(sf_dir):
         # distributed anti-join (bucketed hash co-location)
         from pybel_ray.ops.relational import anti_join
@@ -4747,6 +4757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events_sessionize,
         "events_dedup_window": events_dedup_window,
         "events_value_mad": events_value_mad,
+        "events_value_mad_by_type": events_value_mad_by_type,
         "events_funnel": events_funnel,
         "events_retention": events_retention,
         "doc_length_ntile": doc_length_ntile,
@@ -7916,6 +7927,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, user_id, event_type
             FROM l WHERE prev IS NULL OR tsu - prev > 300000000
+        """,
+        "events_value_mad_by_type": """
+            WITH v AS (
+                SELECT event_type AS g,
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            n AS (SELECT g, count(*) AS c FROM v GROUP BY g),
+            med AS (
+                SELECT t.g, t.q AS m FROM (
+                    SELECT g, q, row_number() OVER (
+                        PARTITION BY g ORDER BY q) AS rn FROM v
+                ) t JOIN n ON t.g = n.g WHERE t.rn = (n.c - 1) // 2 + 1
+            ),
+            dev AS (
+                SELECT v.g, abs(v.q - med.m) AS d
+                FROM v JOIN med ON v.g = med.g
+            ),
+            madt AS (
+                SELECT t.g, t.d AS md FROM (
+                    SELECT g, d, row_number() OVER (
+                        PARTITION BY g ORDER BY d) AS rn FROM dev
+                ) t JOIN n ON t.g = n.g WHERE t.rn = (n.c - 1) // 2 + 1
+            )
+            SELECT n.g AS event_type, CAST(n.c AS BIGINT) AS n,
+                   med.m AS median_e6, madt.md AS mad_e6
+            FROM n JOIN med ON n.g = med.g JOIN madt ON n.g = madt.g
         """,
         "events_value_mad": """
             WITH v AS (

@@ -183,6 +183,7 @@ def run_queries(sf_dir: str) -> dict:
         "web_host_wwalks",
         "events_dedup_window",
         "events_value_mad",
+        "events_value_mad_by_type",
         # the TPC-H suite is now complete (22/22 shapes); track the
         # three with distinct execution shapes
         "tpch_q9_product_profit",

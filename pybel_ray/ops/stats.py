@@ -33,6 +33,7 @@ __all__ = [
     "select_kth_e6", "exact_median_e6", "select_quantiles_e6",
     "median_by_selection",
     "mad_e6",
+    "mad_by_selection",
 ]
 
 _INT64_MAX = (1 << 63) - 1
@@ -763,6 +764,14 @@ def median_by_selection(ds, group_col: str, value_col: str,
     qs = ds.select_columns([group_col, value_col]).map_batches(
         _quant, batch_format="pyarrow",
     ).materialize()
+    return _median_by_from(qs, group_col, group_budget)
+
+
+def _median_by_from(qs, group_col: str, group_budget: int) -> pa.Table:
+    """Shared per-group selection core over a materialized ``(g, q)``
+    dataset (q already int64 micros): used by
+    :func:`median_by_selection` and :func:`mad_by_selection`."""
+    import ray
 
     # one tiny aggregate: per-group n / lo / hi
     bounds = qs.groupby("g").aggregate(
@@ -886,4 +895,82 @@ def mad_e6(ds, col: str) -> pa.Table:
          pa.array([med], pa.int64()),
          pa.array([mad], pa.int64())],
         names=["n", "median_e6", "mad_e6"],
+    )
+
+
+def mad_by_selection(ds, group_col: str, value_col: str,
+                     group_budget: int = 65536) -> pa.Table:
+    """EXACT per-group robust location+scale ``(group, n, median_e6,
+    mad_e6)``: the lower median and the lower median of absolute
+    deviations, both in integer micros — :func:`mad_e6` per group,
+    WITHOUT co-locating any group.
+
+    Two rounds of the :func:`median_by_selection` histogram-narrowing
+    core (≤ ~14 streaming passes total): the per-group medians broadcast
+    via one ``ray.put`` and a stateless pass rewrites each row to its
+    absolute deviation IN INTEGER SPACE (no float round trip — exact at
+    the full ±2^54 micro domain), then the second selection runs on the
+    deviation column.  Driver state stays O(groups), gated by
+    ``group_budget``; a degenerate hot group costs only its share of the
+    streaming passes.
+    """
+    import ray
+
+    def _quant(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        v = t.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        keep = pc.and_(pc.is_valid(g), pc.is_valid(v))
+        g = g.filter(keep)
+        v = v.filter(keep)
+        q = np.floor(
+            v.to_numpy(zero_copy_only=False).astype(np.float64)
+            * 1e6 + 0.5,
+        ).astype(np.int64)
+        return pa.Table.from_arrays([g, pa.array(q)], names=["g", "q"])
+
+    qs = ds.select_columns([group_col, value_col]).map_batches(
+        _quant, batch_format="pyarrow",
+    ).materialize()
+    med_tbl = _median_by_from(qs, group_col, group_budget)
+    if med_tbl.num_rows == 0:
+        return pa.Table.from_arrays(
+            [med_tbl.column(group_col),
+             pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=[group_col, "n", "median_e6", "mad_e6"],
+        )
+    keys = med_tbl.column(group_col).combine_chunks()
+    meds = np.asarray(
+        med_tbl.column("median_e6").to_numpy(zero_copy_only=False),
+        np.int64,
+    )
+    st = ray.put((keys, meds))
+
+    def _dev(t: pa.Table, _st=st) -> pa.Table:
+        import ray as _ray
+
+        k_, m_ = _ray.get(_st)
+        gid = pc.index_in(
+            t.column("g").combine_chunks(), value_set=k_,
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.asarray(
+            t.column("q").to_numpy(zero_copy_only=False), np.int64,
+        )
+        return pa.Table.from_arrays(
+            [t.column("g"), pa.array(np.abs(q - m_[gid]))],
+            names=["g", "q"],
+        )
+
+    dev_qs = qs.map_batches(_dev, batch_format="pyarrow").materialize()
+    mad_tbl = _median_by_from(dev_qs, group_col, group_budget)
+    # both tables enumerate the same sorted group keys
+    assert mad_tbl.column(group_col).to_pylist() == keys.to_pylist()
+    return pa.Table.from_arrays(
+        [keys, med_tbl.column("n"), med_tbl.column("median_e6"),
+         mad_tbl.column("median_e6")],
+        names=[group_col, "n", "median_e6", "mad_e6"],
     )

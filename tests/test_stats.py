@@ -306,3 +306,45 @@ def test_median_by_selection_group_budget(ray_session):
         median_by_selection(
             ray.data.from_arrow(tbl), "g", "v", group_budget=2,
         )
+
+
+def test_mad_by_selection_matches_python(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.stats import mad_by_selection
+
+    rng = np.random.default_rng(31)
+    groups = [f"g{int(x)}" for x in rng.integers(0, 5, 400)]
+    vals = np.round(rng.normal(0, 10, 400), 4)
+    # plant nulls on both sides
+    g_col = pa.array(groups[:-2] + [None, "g0"], pa.string())
+    v_col = pa.array(list(vals[:-1]) + [None], pa.float64())
+    t = pa.Table.from_arrays([g_col, v_col], names=["g", "v"])
+
+    def lower_median(a):
+        a = np.sort(a)
+        return int(a[(len(a) - 1) // 2])
+
+    exp = {}
+    q = np.floor(np.asarray(v_col.to_numpy(zero_copy_only=False),
+                            np.float64) * 1e6 + 0.5)
+    for grp in sorted({g for g in g_col.to_pylist() if g is not None}):
+        mask = np.array([g == grp for g in g_col.to_pylist()]) & ~np.isnan(
+            np.asarray(v_col.to_numpy(zero_copy_only=False), np.float64),
+        )
+        qq = q[mask].astype(np.int64)
+        if not len(qq):
+            continue
+        m = lower_median(qq)
+        exp[grp] = (len(qq), m, lower_median(np.abs(qq - m)))
+
+    out = mad_by_selection(
+        ray.data.from_arrow(t).repartition(4), "g", "v",
+    )
+    got = {
+        r["g"]: (r["n"], r["median_e6"], r["mad_e6"])
+        for r in out.to_pylist()
+    }
+    assert got == exp
