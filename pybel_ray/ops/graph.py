@@ -659,6 +659,9 @@ def bfs_distances(
     src_col: str = "src",
     dst_col: str = "dst",
     max_rounds: int = 64,
+    num_buckets: int | None = None,
+    edge_budget: int = 2_000_000,
+    force_distributed: bool = False,
 ):
     """Multi-source BFS distances over a directed edge table: one row
     ``(node, dist)`` per node reachable from any seed within
@@ -681,6 +684,7 @@ def bfs_distances(
     this operator is the seeded variant (crawl-depth analysis,
     link-distance features).
     """
+    import ray
     import ray.data
 
     from ..struct.degree import bucketed_semi_join
@@ -697,9 +701,52 @@ def bfs_distances(
         ),
     ).materialize()
     frontier = visited.select_columns(["node"])
-    pruned = edges.select_columns([src_col, dst_col])
+    # snapshot the narrow edge projection once: every round's semi-join
+    # would otherwise re-execute the full upstream lineage
+    pruned = _snapshot(edges.select_columns([src_col, dst_col]))
+    n_edges = pruned.count()
+
+    if not force_distributed and n_edges <= edge_budget:
+        # budget branch (same shape as pagerank/mis): at or under the
+        # edge budget one adjacency dict beats ~3 exchanges per round
+        # of pure scheduling overhead; identical distances (tested)
+        adj: dict = {}
+        for b in pruned.iter_batches(batch_format="pyarrow"):
+            for s_v, d_v in zip(
+                b.column(src_col).to_pylist(),
+                b.column(dst_col).to_pylist(),
+            ):
+                if s_v is not None and d_v is not None:
+                    adj.setdefault(s_v, []).append(d_v)
+        dist = {x: 0 for x in seed_list}
+        front = list(dist)
+        for r in range(1, max_rounds + 1):
+            nxt = []
+            for u in front:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = r
+                        nxt.append(v)
+            if not nxt:
+                break
+            front = nxt
+        ks = sorted(dist)
+        return ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array(ks),
+                 pa.array([dist[x] for x in ks], pa.int64())],
+                names=["node", "dist"],
+            ),
+        )
+
+    if num_buckets is None:
+        # size each round's exchanges to the data — a 64-task exchange
+        # on kilobytes is pure scheduling (same rule as equi_join)
+        num_buckets = max(1, min(64, n_edges // 100_000 + 1))
     for r in range(1, max_rounds + 1):
-        hit = bucketed_semi_join(pruned, src_col, frontier, "node")
+        hit = bucketed_semi_join(
+            pruned, src_col, frontier, "node", num_buckets=num_buckets,
+        )
 
         def _as_node(t: pa.Table) -> pa.Table:
             c = t.column(dst_col)
@@ -716,7 +763,7 @@ def bfs_distances(
             break
         new_nodes = bucketed_semi_join(
             cand, "node", visited.select_columns(["node"]), "node",
-            anti=True,
+            anti=True, num_buckets=num_buckets,
         ).materialize()
         if new_nodes.count() == 0:
             break
@@ -2065,7 +2112,8 @@ def sssp_distances(
         ),
     ).materialize()
     frontier = dist
-    pruned = edges.select_columns([src_col, dst_col, weight_col])
+    # snapshot once: each round's relax join re-reads this projection
+    pruned = _snapshot(edges.select_columns([src_col, dst_col, weight_col]))
 
     for _ in range(rounds):
         cand = equi_join(

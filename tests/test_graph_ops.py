@@ -345,10 +345,15 @@ def test_bfs_distances_matches_python_bfs(ray_session):
         "dst": [f"n{b}" for b in e[:, 1]],
     })
     seeds = ["n0", "n7"]
-    out = bfs_distances(
-        ray.data.from_arrow(t).repartition(6), seeds,
-    ).to_pandas()
-    got = dict(zip(out["node"], out["dist"]))
+    results = {}
+    for forced in (False, True):
+        out = bfs_distances(
+            ray.data.from_arrow(t).repartition(6), seeds,
+            force_distributed=forced,
+        ).to_pandas()
+        results[forced] = dict(zip(out["node"], out["dist"]))
+    got = results[False]
+    assert results[True] == results[False]
 
     adj = {}
     for a, b in e:
