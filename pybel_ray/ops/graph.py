@@ -1661,7 +1661,6 @@ def modularity(
     weight_col: str | None = None,
     node_col: str = "node",
     comm_col: str = "comm",
-    num_buckets: int = 64,
     node_budget: int = 2_000_000,
     force_distributed: bool = False,
 ):
@@ -1694,15 +1693,32 @@ def modularity(
 
     The reference has no community metrics; this extends its summary
     family (``struct/summary/node_summary.py:33-238``) to partition
-    scoring.  Weights must be integers.
+    scoring.  Weights must be integers; rows with a null endpoint or
+    null weight are dropped; ``communities`` MUST be unique per node
+    (same contract as ``bucketed_attach`` — a duplicate label would
+    count an edge once in the broadcast branch but once per label in
+    the join branch).
     """
     from .relational import equi_join
 
     cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
-    # snapshot the narrow edge projection once: the total-weight
+
+    def _clean(t: pa.Table) -> pa.Table:
+        # rows with a null endpoint or null weight drop here, so the
+        # total-weight aggregate and the per-community sums always see
+        # the same row set (a null weight folded through int64 casts
+        # would silently corrupt the sums)
+        keep = pc.and_kleene(
+            pc.is_valid(t.column(src_col)), pc.is_valid(t.column(dst_col)),
+        )
+        if weight_col is not None:
+            keep = pc.and_kleene(keep, pc.is_valid(t.column(weight_col)))
+        return t.select(cols).filter(keep)
+
+    # snapshot the narrow cleaned projection once: the total-weight
     # aggregate and the join probe would otherwise each re-execute the
     # upstream lineage (2-3 int columns — cheap to hold)
-    edges = _snapshot(edges.select_columns(cols))
+    edges = _snapshot(edges.map_batches(_clean, batch_format="pyarrow"))
 
     if weight_col is not None:
         m = int(edges.sum(weight_col))
@@ -1825,7 +1841,6 @@ def degree_assortativity(
     edges,
     src_col: str = "src",
     dst_col: str = "dst",
-    num_buckets: int = 64,
     edge_budget: int = 10_000_000,
     force_distributed: bool = False,
 ):
@@ -1848,9 +1863,19 @@ def degree_assortativity(
     from .relational import equi_join
     from .stats import corr_stats
 
-    # snapshot the narrow edge projection once: both degree passes and
-    # the join probe would otherwise re-execute the upstream lineage
-    edges = _snapshot(edges.select_columns([src_col, dst_col]))
+    def _clean(t: pa.Table) -> pa.Table:
+        # edges with a null endpoint drop entirely (both branches and
+        # the degree tables then agree; a null src would otherwise
+        # crash the budget branch's bincount and silently vanish from
+        # the join branch)
+        keep = pc.and_kleene(
+            pc.is_valid(t.column(src_col)), pc.is_valid(t.column(dst_col)),
+        )
+        return t.select([src_col, dst_col]).filter(keep)
+
+    # snapshot the narrow cleaned projection once: both degree passes
+    # and the join probe would otherwise re-execute the upstream lineage
+    edges = _snapshot(edges.map_batches(_clean, batch_format="pyarrow"))
     n_e = edges.count()
 
     if not force_distributed and n_e <= edge_budget:
@@ -2114,6 +2139,9 @@ def sssp_distances(
     frontier = dist
     # snapshot once: each round's relax join re-reads this projection
     pruned = _snapshot(edges.select_columns([src_col, dst_col, weight_col]))
+    # size the per-round attach/anti exchanges to the data (the relax
+    # equi_join sizes itself in auto mode)
+    nb = max(1, min(64, pruned.count() // 100_000 + 1))
 
     for _ in range(rounds):
         cand = equi_join(
@@ -2147,6 +2175,7 @@ def sssp_distances(
             break
         with_old = bucketed_attach(
             nd_min, "node", dist, "node", ["dist"], how="left",
+            num_buckets=nb,
         )
 
         def _improved(t: pa.Table) -> pa.Table:
@@ -2167,7 +2196,7 @@ def sssp_distances(
             break
         kept = bucketed_semi_join(
             dist, "node", improved.select_columns(["node"]), "node",
-            anti=True,
+            anti=True, num_buckets=nb,
         )
         dist = kept.union(improved).materialize()
         frontier = improved
@@ -2478,6 +2507,12 @@ def weighted_random_walks(
         v = np.asarray(
             g.column(weight_col).to_numpy(zero_copy_only=False), np.int64,
         )
+        total = int(v.astype(object).sum())  # exact — no int64 wrap
+        if total >= 2**63:
+            raise OverflowError(
+                "weighted_random_walks: total out-weight of a node"
+                " exceeds int64; rescale weights upstream",
+            )
         cum = np.cumsum(v)
         g = g.append_column("_lo", pa.array((cum - v).astype(np.int64)))
         g = g.append_column("_hi", pa.array(cum.astype(np.int64)))

@@ -743,7 +743,14 @@ def median_by_selection(ds, group_col: str, value_col: str,
     values are dropped (SQL GROUP BY + aggregate-ignores-null
     semantics).
     """
-    import ray
+    qs = _quantized_group_column(ds, group_col, value_col)
+    return _median_by_from(qs, group_col, group_budget)
+
+
+def _quantized_group_column(ds, group_col: str, value_col: str):
+    """Materialized ``(g, q)`` dataset — null groups/values dropped,
+    values quantized ``floor(v*1e6 + 0.5)``; the shared input of the
+    per-group selection passes."""
 
     def _quant(t: pa.Table) -> pa.Table:
         g = t.column(group_col)
@@ -761,10 +768,9 @@ def median_by_selection(ds, group_col: str, value_col: str,
         ).astype(np.int64)
         return pa.Table.from_arrays([g, pa.array(q)], names=["g", "q"])
 
-    qs = ds.select_columns([group_col, value_col]).map_batches(
+    return ds.select_columns([group_col, value_col]).map_batches(
         _quant, batch_format="pyarrow",
     ).materialize()
-    return _median_by_from(qs, group_col, group_budget)
 
 
 def _median_by_from(qs, group_col: str, group_budget: int) -> pa.Table:
@@ -903,38 +909,21 @@ def mad_by_selection(ds, group_col: str, value_col: str,
     """EXACT per-group robust location+scale ``(group, n, median_e6,
     mad_e6)``: the lower median and the lower median of absolute
     deviations, both in integer micros — :func:`mad_e6` per group,
-    WITHOUT co-locating any group.
+    WITHOUT co-locating any group.  Values must satisfy
+    ``|v_e6| <= 2^53`` so the deviations (up to twice the value range)
+    stay inside the selection core's ±2^54 bound.
 
     Two rounds of the :func:`median_by_selection` histogram-narrowing
     core (≤ ~14 streaming passes total): the per-group medians broadcast
     via one ``ray.put`` and a stateless pass rewrites each row to its
-    absolute deviation IN INTEGER SPACE (no float round trip — exact at
-    the full ±2^54 micro domain), then the second selection runs on the
-    deviation column.  Driver state stays O(groups), gated by
+    absolute deviation IN INTEGER SPACE (no float round trip), then
+    the second selection runs on the deviation column.  Driver state stays O(groups), gated by
     ``group_budget``; a degenerate hot group costs only its share of the
     streaming passes.
     """
     import ray
 
-    def _quant(t: pa.Table) -> pa.Table:
-        g = t.column(group_col)
-        if isinstance(g, pa.ChunkedArray):
-            g = g.combine_chunks()
-        v = t.column(value_col)
-        if isinstance(v, pa.ChunkedArray):
-            v = v.combine_chunks()
-        keep = pc.and_(pc.is_valid(g), pc.is_valid(v))
-        g = g.filter(keep)
-        v = v.filter(keep)
-        q = np.floor(
-            v.to_numpy(zero_copy_only=False).astype(np.float64)
-            * 1e6 + 0.5,
-        ).astype(np.int64)
-        return pa.Table.from_arrays([g, pa.array(q)], names=["g", "q"])
-
-    qs = ds.select_columns([group_col, value_col]).map_batches(
-        _quant, batch_format="pyarrow",
-    ).materialize()
+    qs = _quantized_group_column(ds, group_col, value_col)
     med_tbl = _median_by_from(qs, group_col, group_budget)
     if med_tbl.num_rows == 0:
         return pa.Table.from_arrays(
@@ -967,8 +956,13 @@ def mad_by_selection(ds, group_col: str, value_col: str,
 
     dev_qs = qs.map_batches(_dev, batch_format="pyarrow").materialize()
     mad_tbl = _median_by_from(dev_qs, group_col, group_budget)
-    # both tables enumerate the same sorted group keys
-    assert mad_tbl.column(group_col).to_pylist() == keys.to_pylist()
+    # both rounds enumerate the same sorted group keys by construction;
+    # verify (an explicit raise — survives python -O, unlike assert)
+    if not mad_tbl.column(group_col).combine_chunks().equals(keys):
+        raise RuntimeError(
+            "mad_by_selection: group key order diverged between the"
+            " median and deviation rounds",
+        )
     return pa.Table.from_arrays(
         [keys, med_tbl.column("n"), med_tbl.column("median_e6"),
          mad_tbl.column("median_e6")],

@@ -1496,6 +1496,7 @@ def debounce_by(
     ts_col: str,
     gap_us: int,
     tie_cols=(),
+    max_rows_per_group: int | None = None,
 ):
     """Event-stream debounce (duplicate-burst suppression): keep a row
     iff the immediately preceding row of its partition (``ORDER BY ts``,
@@ -1506,9 +1507,11 @@ def debounce_by(
     The ingest-hygiene step for at-least-once event streams where
     retries and double-fires land within a short window.
 
-    Rides :func:`lag_by` (one exchange, skew-guarded), so no partition
-    group ever materializes; partition columns must be non-null.
-    Timestamps must cast to int64 microseconds.
+    Rides :func:`lag_by` (one exchange); pass ``max_rows_per_group`` to
+    arm its skew guard — groups above the bound then take the sorted
+    boundary-exchange path instead of co-locating on one worker.
+    Partition columns must be non-null.  Timestamps must cast to int64
+    microseconds.
     """
     partition_cols = (
         [partition_cols] if isinstance(partition_cols, str)
@@ -1531,6 +1534,7 @@ def debounce_by(
     lagged = lag_by(
         ds.map_batches(_prep, batch_format="pyarrow"),
         "_dk", ["_tsu"] + tie_cols, "_tsu", out_col="_prev",
+        max_rows_per_group=max_rows_per_group,
     )
 
     def _keep(t: pa.Table) -> pa.Table:

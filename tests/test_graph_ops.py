@@ -989,3 +989,64 @@ def test_weighted_random_walks_proportionality(ray_session):
 
     r = int(hashlib.md5(b"0|1").hexdigest()[:15], 16) % 100
     assert got[(0, 1)] == (1 if r < 99 else 2)
+
+
+def test_modularity_null_weight_and_endpoint_rows_drop(ray_session):
+    import ray
+
+    from pybel_ray.ops.graph import modularity
+
+    t = pa.Table.from_arrays(
+        [pa.array([0, 0, None, 1], pa.int64()),
+         pa.array([1, 2, 1, None], pa.int64()),
+         pa.array([3, None, 2, 2], pa.int64())],
+        names=["src", "dst", "w"],
+    )
+    cds = ray.data.from_arrow(pa.Table.from_arrays(
+        [pa.array([0, 1, 2], pa.int64()),
+         pa.array([0, 0, 1], pa.int64())],
+        names=["node", "comm"],
+    ))
+    # only the (0 -> 1, w=3) row survives: null weight / endpoints drop
+    out = {
+        r["comm"]: (r["intra_w"], r["dout_w"], r["din_w"],
+                    r["contrib_num"])
+        for r in modularity(
+            ray.data.from_arrow(t).repartition(2), cds, weight_col="w",
+        ).take_all()
+    }
+    assert out == {0: (3, 3, 3, 3 * 3 - 3 * 3)}
+
+
+def test_degree_assortativity_null_endpoints_drop(ray_session):
+    import ray
+
+    from pybel_ray.ops.graph import degree_assortativity
+
+    t = pa.Table.from_arrays(
+        [pa.array([0, None, 1], pa.int64()),
+         pa.array([1, 1, None], pa.int64())],
+        names=["src", "dst"],
+    )
+    row = degree_assortativity(
+        ray.data.from_arrow(t).repartition(2),
+    ).to_pylist()[0]
+    # only edge 0->1 survives: outdeg(0)=1, indeg(1)=1
+    assert row == {"n": 1, "sum_x": "1", "sum_y": "1",
+                   "sum_xx": "1", "sum_yy": "1", "sum_xy": "1"}
+
+
+def test_weighted_random_walks_overflow_guard(ray_session):
+    import pytest
+    import ray
+
+    from pybel_ray.ops.graph import weighted_random_walks
+
+    t = pa.Table.from_arrays(
+        [pa.array([0, 0], pa.int64()),
+         pa.array([1, 2], pa.int64()),
+         pa.array([2**62, 2**62], pa.int64())],
+        names=["src", "dst", "w"],
+    )
+    with pytest.raises(Exception, match="out-weight|OverflowError"):
+        weighted_random_walks(ray.data.from_arrow(t), 1).count()
