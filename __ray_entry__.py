@@ -1127,6 +1127,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             weight_col="n",
         )
 
+    def web_host_label_prop(sf_dir):
+        # weak-supervision label spreading: two seed hosts propagate
+        # their label over the weighted host graph by weight-majority
+        # (fixed-once-labeled; 4 bounded exchanges per round)
+        from pybel_ray.ops.graph import label_propagation
+        from pybel_ray.ops.html import extract_links, host_graph
+
+        hosts = host_graph(extract_links(_html_pages(sf_dir)))
+        return label_propagation(
+            hosts,
+            {"site0.example.com": "seedA", "site5.example.com": "seedB"},
+            5, src_col="src_host", dst_col="dst_host", weight_col="n",
+        )
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -4713,6 +4727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_sssp": web_host_sssp,
         "graph_mis": graph_mis,
         "web_host_wwalks": web_host_wwalks,
+        "web_host_label_prop": web_host_label_prop,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -5351,6 +5366,48 @@ def oracle_sql() -> dict[str, str]:
             )
         return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
 
+    def _label_prop_sql(edges_sql: str, seeds: dict, rounds: int) -> str:
+        # unrolled seeded label propagation (ops/graph.py
+        # label_propagation): per round, unlabeled nodes take the
+        # weight-majority label of the newly-labeled frontier's
+        # out-edges, ties to the smallest label
+        vals = ", ".join(
+            "('{}', '{}', CAST(0 AS BIGINT))".format(
+                k.replace("'", "''"), v.replace("'", "''"),
+            )
+            for k, v in sorted(seeds.items())
+        )
+        parts = [
+            "agg AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w"
+            " FROM ({}) GROUP BY src, dst)".format(edges_sql),
+            "f0 AS (SELECT * FROM (VALUES {}) t(node, label, lp_round))".format(
+                vals,
+            ),
+            "l0 AS (SELECT * FROM f0)",
+        ]
+        for r in range(1, rounds + 1):
+            p_ = r - 1
+            parts.append(
+                "c{r} AS (SELECT agg.dst AS node, f{p}.label,"
+                " sum(agg.w) AS s FROM f{p} JOIN agg ON agg.src = f{p}.node"
+                " WHERE agg.dst NOT IN (SELECT node FROM l{p})"
+                " GROUP BY 1, 2)".format(r=r, p=p_),
+            )
+            parts.append(
+                "f{r} AS (SELECT node, label, CAST({r} AS BIGINT) AS"
+                " lp_round FROM (SELECT node, label, row_number() OVER ("
+                "PARTITION BY node ORDER BY s DESC, label) AS rn FROM c{r})"
+                " WHERE rn = 1)".format(r=r),
+            )
+            parts.append(
+                "l{r} AS (SELECT * FROM l{p} UNION ALL"
+                " SELECT * FROM f{r})".format(r=r, p=p_),
+            )
+        return (
+            "WITH " + ",\n".join(parts)
+            + "\nSELECT node, label, lp_round FROM l{}".format(rounds)
+        )
+
     def _pagerank_sql(edges_sql: str, iters: int = 3) -> str:
         """Unrolled integer PageRank (ops/graph.py recurrence: rank0 =
         1e6; contrib = rank // max(outdeg, 1); rank = 150000 +
@@ -5792,6 +5849,12 @@ def oracle_sql() -> dict[str, str]:
         "web_host_walks": _walks_sql(_web_host_edges, 4),
         # weighted variant: inverse-CDF draw on cumulative counts
         "web_host_wwalks": _wwalks_sql(_web_host_edges, 4),
+        # seeded label spreading, same edge rebuild
+        "web_host_label_prop": _label_prop_sql(
+            _web_host_edges,
+            {"site0.example.com": "seedA",
+             "site5.example.com": "seedB"}, 5,
+        ),
         # bounded-hop weighted shortest paths, same edge rebuild
         "web_host_sssp": _sssp_sql(
             _web_host_edges,

@@ -51,6 +51,7 @@ __all__ = [
     "sssp_distances",
     "mis",
     "weighted_random_walks",
+    "label_propagation",
 ]
 
 
@@ -2610,3 +2611,155 @@ def weighted_random_walks(
     for p_ in out_parts[1:]:
         out = out.union(p_)
     return out
+
+
+def label_propagation(
+    edges,
+    seed_labels,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    num_buckets: int | None = None,
+):
+    """Seeded label propagation — the weak-supervision label-spreading
+    step (propagate a handful of trusted quality/topic labels over a
+    similarity or link graph): seeds keep their label; each round every
+    still-unlabeled node reachable from labeled nodes takes the
+    WEIGHT-MAJORITY label of its labeled in-neighbors (ties break to
+    the smallest label — deterministic), and once labeled a node is
+    FIXED (label spreading a la Zhu & Ghahramani 2002's hard variant,
+    which converges monotonically and unrolls into SQL).  Labels flow
+    along edge direction ``src → dst``.  Returns ``(node, label,
+    lp_round)`` with seeds at round 0.
+
+    Scale shape per round (4 bounded exchanges): one bucketed
+    many-to-many :func:`~.relational.equi_join` (newly-labeled frontier
+    ⋈ out-edges), one ``groupby`` on the composite (dst, label) key
+    (per-batch ``np.add.at`` partials first, so shuffled rows are
+    pre-aggregated), one skew-bounded :func:`~.relational.
+    topk_per_group` ``k=1`` argmax, one bucketed anti-join against the
+    labeled set.  Only (node, label, weight) triples ever move; the
+    loop exits as soon as a round labels nothing new.
+
+    ``seed_labels``: mapping node → label (collected driver-side by
+    contract — a handful of trusted seeds, not a node table).
+    """
+    import ray.data
+
+    from ..stages.dedup import add_hash_bucket  # noqa: F401 (doc link)
+    from ..struct.degree import bucketed_semi_join
+    from .relational import equi_join, topk_per_group
+
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    if not seed_labels:
+        raise ValueError("label_propagation: empty seed set")
+    sep = "\x1f"
+
+    # node ids coerce to their string rendering (same contract as
+    # :func:`mis`) so seed keys and edge endpoints always unify
+    seeds_sorted = sorted(
+        (str(k), str(v)) for k, v in seed_labels.items()
+    )
+    labeled = ray.data.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array([k for k, _ in seeds_sorted], pa.string()),
+             pa.array([v for _, v in seeds_sorted], pa.string()),
+             pa.array(np.zeros(len(seeds_sorted), np.int64))],
+            names=["node", "label", "lp_round"],
+        ),
+    ).materialize()
+    frontier = labeled
+
+    cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+
+    def _clean(t: pa.Table) -> pa.Table:
+        keep = pc.and_kleene(
+            pc.is_valid(t.column(src_col)), pc.is_valid(t.column(dst_col)),
+        )
+        if weight_col is not None:
+            keep = pc.and_kleene(keep, pc.is_valid(t.column(weight_col)))
+        t = t.select(cols).filter(keep)
+        arrays = [
+            pc.cast(t.column(src_col), pa.string()),
+            pc.cast(t.column(dst_col), pa.string()),
+        ]
+        if weight_col is not None:
+            arrays.append(pc.cast(t.column(weight_col), pa.int64()))
+        return pa.Table.from_arrays(arrays, names=cols)
+
+    pruned = _snapshot(edges.map_batches(_clean, batch_format="pyarrow"))
+
+    for r in range(1, rounds + 1):
+        cand = equi_join(
+            frontier.select_columns(["node", "label"]), pruned,
+            on="node", right_on=src_col, how="inner",
+            num_buckets=num_buckets,
+        )
+
+        def _partial(t: pa.Table) -> pa.Table:
+            d = t.column(dst_col)
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            lb = t.column("label")
+            if isinstance(lb, pa.ChunkedArray):
+                lb = lb.combine_chunks()
+            key = pc.binary_join_element_wise(
+                pc.cast(d, pa.string()), pc.cast(lb, pa.string()), sep,
+            )
+            enc = key.dictionary_encode()
+            codes = np.asarray(
+                enc.indices.to_numpy(zero_copy_only=False), np.int64,
+            )
+            if weight_col is not None:
+                w = np.asarray(
+                    t.column(weight_col).to_numpy(zero_copy_only=False),
+                    np.int64,
+                )
+            else:
+                w = np.ones(t.num_rows, np.int64)
+            acc = np.zeros(len(enc.dictionary), np.int64)
+            np.add.at(acc, codes, w)
+            return pa.Table.from_arrays(
+                [enc.dictionary, pa.array(acc)], names=["_k", "_w"],
+            )
+
+        summed = cand.map_batches(_partial, batch_format="pyarrow").groupby(
+            "_k",
+        ).sum("_w").map_batches(
+            lambda t: t.rename_columns(["_k", "_w"]),
+            batch_format="pyarrow",
+        )
+
+        def _split(t: pa.Table) -> pa.Table:
+            parts = pc.split_pattern(t.column("_k"), sep)
+            d = pc.list_element(parts, 0)
+            lb = pc.list_element(parts, 1)
+            return pa.Table.from_arrays(
+                [d, lb, t.column("_w")], names=["node", "label", "_w"],
+            )
+
+        votes = summed.map_batches(_split, batch_format="pyarrow")
+        winners = topk_per_group(
+            votes, "node", "_w", 1, descending=True, tie_keys=["label"],
+        )
+        new_labeled = bucketed_semi_join(
+            winners, "node", labeled.select_columns(["node"]), "node",
+            anti=True, num_buckets=num_buckets or 64,
+        ).materialize()
+        if new_labeled.count() == 0:
+            break
+
+        def _round(t: pa.Table, _r=r) -> pa.Table:
+            return pa.Table.from_arrays(
+                [t.column("node"), t.column("label"),
+                 pa.array(np.full(t.num_rows, _r, np.int64))],
+                names=["node", "label", "lp_round"],
+            )
+
+        frontier = new_labeled.map_batches(
+            _round, batch_format="pyarrow",
+        ).materialize()
+        labeled = labeled.union(frontier).materialize()
+    return labeled

@@ -1050,3 +1050,61 @@ def test_weighted_random_walks_overflow_guard(ray_session):
     )
     with pytest.raises(Exception, match="out-weight|OverflowError"):
         weighted_random_walks(ray.data.from_arrow(t), 1).count()
+
+
+def _ref_label_prop(edge_list, w_list, seeds, rounds):
+    labeled = {str(k): (str(v), 0) for k, v in seeds.items()}
+    frontier = set(labeled)
+    for r in range(1, rounds + 1):
+        votes = {}
+        for (s, d), w in zip(edge_list, w_list):
+            s, d = str(s), str(d)
+            if s in frontier and d not in labeled:
+                lab = labeled[s][0]
+                key = (d, lab)
+                votes[key] = votes.get(key, 0) + w
+        if not votes:
+            break
+        winners = {}
+        for (d, lab), w in votes.items():
+            cur = winners.get(d)
+            if cur is None or (-w, lab) < (-cur[1], cur[0]):
+                winners[d] = (lab, w)
+        if not winners:
+            break
+        frontier = set()
+        for d, (lab, _) in winners.items():
+            labeled[d] = (lab, r)
+            frontier.add(d)
+    return {k: v for k, v in labeled.items()}
+
+
+def test_label_propagation_matches_reference(ray_session):
+    import ray
+
+    from pybel_ray.ops.graph import label_propagation
+
+    rng = np.random.default_rng(17)
+    pairs = [(int(a), int(b)) for a, b in
+             zip(rng.integers(0, 25, 120), rng.integers(0, 25, 120))
+             if a != b]
+    w = [int(x) for x in rng.integers(1, 6, len(pairs))]
+    t = pa.Table.from_arrays(
+        [pa.array([p[0] for p in pairs], pa.int64()),
+         pa.array([p[1] for p in pairs], pa.int64()),
+         pa.array(w, pa.int64())],
+        names=["src", "dst", "w"],
+    )
+    seeds = {0: "A", 1: "B", 2: "A"}
+    exp = _ref_label_prop(pairs, w, seeds, 5)
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        rows = label_propagation(ds, seeds, 5, weight_col="w").take_all()
+        got = {r["node"]: (r["label"], r["lp_round"]) for r in rows}
+        assert got == exp
+    # unweighted variant agrees with w=1 reference
+    rows = label_propagation(
+        ray.data.from_arrow(t.select(["src", "dst"])), seeds, 5,
+    ).take_all()
+    got = {r["node"]: (r["label"], r["lp_round"]) for r in rows}
+    assert got == _ref_label_prop(pairs, [1] * len(pairs), seeds, 5)
