@@ -1141,6 +1141,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             5, src_col="src_host", dst_col="dst_host", weight_col="n",
         )
 
+    def web_url_canonical(sf_dir):
+        # crawl-dedup url canonicalization over synthetic messy urls
+        # (mixed case, default ports, tracking params, fragments,
+        # trailing slashes, junk rows); one stateless pass
+        from pybel_ray.ops.urls import canonicalize_urls
+
+        def _mk(t: pa.Table) -> pa.Table:
+            d = t.column("doc_id")
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            ds_ = pc.cast(d, pa.string())
+            import numpy as np
+
+            dn = np.asarray(d.to_numpy(zero_copy_only=False), np.int64)
+            h = pc.cast(pa.array(dn % 20), pa.string())
+            m = pa.array(dn % 5)
+            u0 = pc.binary_join_element_wise(
+                "HTTPS://Site", h, ".Example.com:443/p/", ds_,
+                "/?utm_source=x&id=", ds_, "#f", "")
+            u1 = pc.binary_join_element_wise(
+                "http://site", h, ".example.com:80/p/", ds_, "/", "")
+            u2 = pc.binary_join_element_wise(
+                "https://site", h, ".example.com", "")
+            u3 = pc.binary_join_element_wise(
+                "http://site", h, ".example.com/p/", ds_,
+                "?ref=a&q=", ds_, "&utm_c=z", "")
+            u4 = pc.binary_join_element_wise("oops ", ds_, "")
+            url = pc.if_else(
+                pc.equal(m, 0), u0,
+                pc.if_else(
+                    pc.equal(m, 1), u1,
+                    pc.if_else(
+                        pc.equal(m, 2), u2,
+                        pc.if_else(pc.equal(m, 3), u3, u4),
+                    ),
+                ),
+            )
+            return pa.Table.from_arrays([d, url], names=["doc_id", "url"])
+
+        urls = _read(sf_dir, "documents").select_columns(
+            ["doc_id"],
+        ).map_batches(_mk, batch_format="pyarrow")
+        return canonicalize_urls(urls).select_columns(
+            ["doc_id", "canonical_url"],
+        )
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -4728,6 +4774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_mis": graph_mis,
         "web_host_wwalks": web_host_wwalks,
         "web_host_label_prop": web_host_label_prop,
+        "web_url_canonical": web_url_canonical,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -5848,6 +5895,67 @@ def oracle_sql() -> dict[str, str]:
         # deterministic DeepWalk-style walks over the rebuilt host graph
         "web_host_walks": _walks_sql(_web_host_edges, 4),
         # weighted variant: inverse-CDF draw on cumulative counts
+        # url canonicalization: every step (case, ports, tracking
+        # params, fragment, trailing slash) reproduced in SQL
+        "web_url_canonical": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE doc_id % 5
+                           WHEN 0 THEN 'HTTPS://Site' || (doc_id % 20)
+                               || '.Example.com:443/p/' || doc_id
+                               || '/?utm_source=x&id=' || doc_id || '#f'
+                           WHEN 1 THEN 'http://site' || (doc_id % 20)
+                               || '.example.com:80/p/' || doc_id || '/'
+                           WHEN 2 THEN 'https://site' || (doc_id % 20)
+                               || '.example.com'
+                           WHEN 3 THEN 'http://site' || (doc_id % 20)
+                               || '.example.com/p/' || doc_id
+                               || '?ref=a&q=' || doc_id || '&utm_c=z'
+                           ELSE 'oops ' || doc_id
+                       END AS url
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, url,
+                       regexp_matches(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://') AS ok,
+                       lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+                       lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+                           AS host0,
+                       regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)',
+                           1) AS path0,
+                       regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\\?([^#]*)',
+                           1) AS q
+                FROM u
+            ),
+            n AS (
+                SELECT doc_id, ok, sch,
+                       CASE sch
+                           WHEN 'http' THEN regexp_replace(host0, ':80$', '')
+                           WHEN 'https' THEN regexp_replace(host0, ':443$', '')
+                           ELSE host0 END AS host1,
+                       CASE WHEN path0 = '' THEN '/'
+                            WHEN path0 = '/' THEN '/'
+                            ELSE regexp_replace(path0, '/$', '') END AS path1,
+                       list_filter(
+                           list_filter(str_split(q, '&'), x -> x <> ''),
+                           x -> NOT regexp_matches(x,
+                               '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$')
+                       ) AS keptl
+                FROM p
+            )
+            SELECT doc_id,
+                   CASE WHEN ok THEN sch || '://' || host1 || path1
+                            || CASE WHEN len(keptl) > 0
+                               THEN '?' || array_to_string(keptl, '&')
+                               ELSE '' END
+                        ELSE '' END AS canonical_url
+            FROM n
+        """,
         "web_host_wwalks": _wwalks_sql(_web_host_edges, 4),
         # seeded label spreading, same edge rebuild
         "web_host_label_prop": _label_prop_sql(

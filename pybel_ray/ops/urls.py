@@ -15,7 +15,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["add_url_parts", "domain_stats", "domain_rollup", "url_params", "prefix_filter"]
+__all__ = ["add_url_parts", "domain_stats", "domain_rollup", "url_params", "prefix_filter", "canonicalize_urls"]
 
 #: RE2, shared verbatim with the SQL oracle (both engines compile RE2)
 URL_PATTERN = r"^(?P<scheme>[a-z][a-z0-9+.-]*)://(?P<host>[^/?#]*)(?P<path>[^?#]*)"
@@ -213,5 +213,84 @@ def prefix_filter(ds, rules, url_col: str = "url",
             verdict[pick] = allow
             decided |= m
         return t.append_column(out_col, pa.array(verdict))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+#: RE2 with optional query group, shared verbatim with the SQL oracle
+CANON_PATTERN = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#]*)"
+    r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?"
+)
+
+#: one query-string token (name[=value]) is dropped iff it matches this
+#: (RE2, shared with the oracle's list_filter lambda)
+TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$"
+
+
+def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canonical_url"):
+    """Append the canonical form of a url column — the crawl-dedup
+    normalization that makes ``HTTP://Host:80/a/?utm_source=x#frag`` and
+    ``http://host/a`` compare equal:
+
+    1. scheme and host lowercase;
+    2. fragment dropped (never sent to the server);
+    3. default port stripped (``:80`` for http, ``:443`` for https);
+    4. tracking query params removed (``utm_*``, ``gclid``, ``fbclid``,
+       ``ref`` — :data:`TRACKING_PARAM_PATTERN`), others kept IN ORDER;
+    5. empty path → ``/``; otherwise one trailing slash stripped
+       (except the bare ``/``).
+
+    Unparseable urls canonicalize to the empty string.  Steps 1-3 and 5
+    are vectorized RE2/kernel passes; the query-param filter falls back
+    to a per-row split ONLY for rows that have a query string (same
+    vectorized-head/row-tail policy as ``text.normalize_text``).  One
+    stateless pass, no shuffle; the DuckDB oracle reproduces every step
+    (``list_filter`` + the same regexes).
+    """
+    import re
+
+    track_re = re.compile(TRACKING_PARAM_PATTERN)
+
+    def _f(t: pa.Table) -> pa.Table:
+        url = t.column(url_col)
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        st = pc.extract_regex(pc.fill_null(url, ""), CANON_PATTERN)
+        ok = pc.is_valid(st)
+        scheme = pc.utf8_lower(pc.fill_null(pc.struct_field(st, "scheme"), ""))
+        host = pc.utf8_lower(pc.fill_null(pc.struct_field(st, "host"), ""))
+        path = pc.fill_null(pc.struct_field(st, "path"), "")
+        query = pc.struct_field(st, "query")  # null when absent
+
+        host = pc.if_else(
+            pc.equal(scheme, "http"),
+            pc.replace_substring_regex(host, ":80$", ""),
+            pc.if_else(
+                pc.equal(scheme, "https"),
+                pc.replace_substring_regex(host, ":443$", ""),
+                host,
+            ),
+        )
+        path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
+        path = pc.if_else(
+            pc.equal(path, "/"),
+            path, pc.replace_substring_regex(path, "/$", ""),
+        )
+
+        kept = []
+        for q in query.to_pylist():
+            if not q:
+                kept.append("")
+                continue
+            parts = [p for p in q.split("&") if p and not track_re.match(p)]
+            kept.append("?" + "&".join(parts) if parts else "")
+        canon = pc.binary_join_element_wise(
+            scheme, "://", host, path, pa.array(kept, pa.string()), "",
+        )
+        canon = pc.if_else(ok, canon, pa.scalar(""))
+        if out_col in t.column_names:
+            t = t.drop_columns([out_col])
+        return t.append_column(out_col, canon)
 
     return ds.map_batches(_f, batch_format="pyarrow")

@@ -116,3 +116,38 @@ def test_domain_rollup_varied_hosts(ray_session):
         ("img.io", "io"): 2,
         ("", ""): 1,
     }
+
+
+def test_canonicalize_urls_cases(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.urls import canonicalize_urls
+
+    urls = [
+        "HTTPS://Site3.Example.com:443/a/?utm_source=x&id=7#frag",
+        "http://host.example.com:80/b/",
+        "https://h.example.com",
+        "http://h.example.com/c?ref=foo&q=1&utm_campaign=z",
+        "https://h.example.com:8443/x",      # non-default port kept
+        "ftp://h.example.com:80/x",          # :80 only default for http
+        "http://h.example.com/?gclid=1&fbclid=2",
+        "not a url",
+        None,
+        "https://h.example.com/",
+    ]
+    t = pa.Table.from_arrays([pa.array(urls, pa.string())], names=["url"])
+    out = canonicalize_urls(
+        ray.data.from_arrow(t).repartition(2),
+    ).to_pandas()
+    got = dict(zip(out["url"], out["canonical_url"]))
+    assert got[urls[0]] == "https://site3.example.com/a?id=7"
+    assert got[urls[1]] == "http://host.example.com/b"
+    assert got[urls[2]] == "https://h.example.com/"
+    assert got[urls[3]] == "http://h.example.com/c?q=1"
+    assert got[urls[4]] == "https://h.example.com:8443/x"
+    assert got[urls[5]] == "ftp://h.example.com:80/x"
+    assert got[urls[6]] == "http://h.example.com/"
+    assert got[urls[7]] == ""
+    assert got[None] == ""
+    assert got[urls[9]] == "https://h.example.com/"
