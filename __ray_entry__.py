@@ -1187,6 +1187,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "canonical_url"],
         )
 
+    def web_redirects(sf_dir):
+        # redirect-chain collapse by pointer doubling: planted url
+        # chains of 10 (block-local), 4 doublings cover 2^4 steps
+        from pybel_ray.ops.urls import resolve_redirects
+
+        def _mk(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            d = np.asarray(
+                t.column("doc_id").to_numpy(zero_copy_only=False),
+                np.int64,
+            )
+            d = d[d % 10 != 9]
+
+            def url(i):
+                return pa.array(
+                    [f"https://site{x % 20}.example.com/page/{x}"
+                     for x in i],
+                    pa.string(),
+                )
+
+            return pa.Table.from_arrays(
+                [url(d), url(d + 1)], names=["src", "dst"],
+            )
+
+        reds = _read(sf_dir, "documents").select_columns(
+            ["doc_id"],
+        ).map_batches(_mk, batch_format="pyarrow")
+        return resolve_redirects(reds, max_doublings=4)
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -4775,6 +4805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_wwalks": web_host_wwalks,
         "web_host_label_prop": web_host_label_prop,
         "web_url_canonical": web_url_canonical,
+        "web_redirects": web_redirects,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -5955,6 +5986,16 @@ def oracle_sql() -> dict[str, str]:
                                ELSE '' END
                         ELSE '' END AS canonical_url
             FROM n
+        """,
+        # pointer-doubling redirect collapse, unrolled (2^4 steps)
+        "web_redirects": """
+            WITH r AS (SELECT 'https://site' || (doc_id % 20) || '.example.com/page/' || doc_id AS src, 'https://site' || ((doc_id + 1) % 20) || '.example.com/page/' || (doc_id + 1) AS dst FROM documents WHERE doc_id % 10 != 9),
+            m0 AS (SELECT src, dst AS cur FROM r),
+            m1 AS (SELECT a.src, coalesce(b.cur, a.cur) AS cur FROM m0 a LEFT JOIN m0 b ON a.cur = b.src),
+            m2 AS (SELECT a.src, coalesce(b.cur, a.cur) AS cur FROM m1 a LEFT JOIN m1 b ON a.cur = b.src),
+            m3 AS (SELECT a.src, coalesce(b.cur, a.cur) AS cur FROM m2 a LEFT JOIN m2 b ON a.cur = b.src),
+            m4 AS (SELECT a.src, coalesce(b.cur, a.cur) AS cur FROM m3 a LEFT JOIN m3 b ON a.cur = b.src)
+            SELECT src, cur AS terminal, CAST(CASE WHEN cur IN (SELECT src FROM r) THEN 0 ELSE 1 END AS BIGINT) AS resolved FROM m4
         """,
         "web_host_wwalks": _wwalks_sql(_web_host_edges, 4),
         # seeded label spreading, same edge rebuild

@@ -186,6 +186,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_value_mad_by_type",
         "web_host_label_prop",
         "web_url_canonical",
+        "web_redirects",
         # the TPC-H suite is now complete (22/22 shapes); track the
         # three with distinct execution shapes
         "tpch_q9_product_profit",

@@ -15,7 +15,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["add_url_parts", "domain_stats", "domain_rollup", "url_params", "prefix_filter", "canonicalize_urls"]
+__all__ = ["add_url_parts", "domain_stats", "domain_rollup", "url_params", "prefix_filter", "canonicalize_urls", "resolve_redirects"]
 
 #: RE2, shared verbatim with the SQL oracle (both engines compile RE2)
 URL_PATTERN = r"^(?P<scheme>[a-z][a-z0-9+.-]*)://(?P<host>[^/?#]*)(?P<path>[^?#]*)"
@@ -294,3 +294,105 @@ def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canonical_url"):
         return t.append_column(out_col, canon)
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def resolve_redirects(
+    redirects,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_doublings: int = 16,
+    num_buckets: int | None = None,
+):
+    """Resolve every redirect source to its terminal target — the crawl
+    post-processing step that collapses ``A → B → C`` chains so content
+    keys on the final url.  Returns ``(src, terminal, resolved)`` with
+    ``resolved`` = 1 iff the terminal is not itself a redirect source
+    (cycles and chains longer than ``2^max_doublings`` stay unresolved
+    at whatever node ``2^max_doublings`` steps reach — deterministic,
+    and exactly what the unrolled SQL oracle computes).
+
+    POINTER DOUBLING, not step-by-step chasing: round ``k`` joins the
+    current map with ITSELF (``map[u] ← map[map[u]]``), so ``D`` rounds
+    cover chains up to ``2^D`` links — one bucketed many-to-many
+    :func:`~.relational.equi_join` per round (auto-sized; broadcasts
+    under 64 MB), with an early exit as soon as a round advances
+    nothing.  ``src`` values must be unique (one redirect per source;
+    exact duplicate rows are deduped first).
+    """
+    from ..stages.dedup import dedup_exact
+    from .relational import equi_join
+
+    sep = "\x1f"
+
+    def _key(t: pa.Table) -> pa.Table:
+        s_ = pc.cast(t.column(src_col), pa.string())
+        d_ = pc.cast(t.column(dst_col), pa.string())
+        keep = pc.and_kleene(pc.is_valid(s_), pc.is_valid(d_))
+        t2 = pa.Table.from_arrays(
+            [s_, d_], names=["src", "_cur"],
+        ).filter(keep)
+        return t2.append_column(
+            "_k", pc.binary_join_element_wise(
+                t2.column("src"), t2.column("_cur"), sep,
+            ),
+        )
+
+    mapping = dedup_exact(
+        redirects.map_batches(_key, batch_format="pyarrow"), "_k",
+    ).select_columns(["src", "_cur"]).materialize()
+    sources = mapping.select_columns(["src"]).materialize()
+
+    for _ in range(max_doublings):
+        joined = equi_join(
+            mapping,
+            mapping.map_batches(
+                lambda t: t.rename_columns(["_s2", "_next"]),
+                batch_format="pyarrow",
+            ),
+            on="_cur", right_on="_s2", how="left",
+            num_buckets=num_buckets,
+        )
+
+        def _advance(t: pa.Table) -> pa.Table:
+            nxt = t.column("_next")
+            cur = pc.if_else(pc.is_valid(nxt), nxt, t.column("_cur"))
+            out = pa.Table.from_arrays(
+                [t.column("src"), cur], names=["src", "_cur"],
+            )
+            return out.append_column(
+                "_moved", pc.is_valid(nxt),
+            )
+
+        stepped = joined.map_batches(
+            _advance, batch_format="pyarrow",
+        ).materialize()
+        moved = int(stepped.sum("_moved") or 0)
+        mapping = stepped.select_columns(["src", "_cur"]).materialize()
+        if moved == 0:
+            break
+
+    # resolved = terminal is not itself a redirect source: one bucketed
+    # lookup join against the source set
+    marked = equi_join(
+        mapping,
+        sources.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("src"),
+                 pa.array(np.ones(t.num_rows, np.int64))],
+                names=["_s3", "_isrc"],
+            ),
+            batch_format="pyarrow",
+        ),
+        on="_cur", right_on="_s3", how="left",
+        num_buckets=num_buckets,
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        unresolved = pc.is_valid(t.column("_isrc"))
+        return pa.Table.from_arrays(
+            [t.column("src"), t.column("_cur"),
+             pc.cast(pc.invert(unresolved), pa.int64())],
+            names=["src", "terminal", "resolved"],
+        )
+
+    return marked.map_batches(_final, batch_format="pyarrow")

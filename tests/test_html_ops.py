@@ -151,3 +151,42 @@ def test_canonicalize_urls_cases(ray_session):
     assert got[urls[7]] == ""
     assert got[None] == ""
     assert got[urls[9]] == "https://h.example.com/"
+
+
+def test_resolve_redirects_chains_and_cycle(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.urls import resolve_redirects
+
+    # chain a->b->c->d (d terminal), lone e->f, cycle x->y->z->x
+    t = pa.Table.from_arrays(
+        [pa.array(["a", "b", "c", "e", "x", "y", "z"], pa.string()),
+         pa.array(["b", "c", "d", "f", "y", "z", "x"], pa.string())],
+        names=["src", "dst"],
+    )
+    out = resolve_redirects(
+        ray.data.from_arrow(t).repartition(3), max_doublings=4,
+    ).to_pandas()
+    got = {r.src: (r.terminal, r.resolved) for r in out.itertuples()}
+    assert got["a"] == ("d", 1)
+    assert got["b"] == ("d", 1)
+    assert got["c"] == ("d", 1)
+    assert got["e"] == ("f", 1)
+    # cycle nodes: after 2^4 = 16 steps from dst, 16 % 3 rotations;
+    # unresolved flag 0, and deterministic
+    assert got["x"][1] == 0 and got["y"][1] == 0 and got["z"][1] == 0
+    assert got["x"][0] in {"x", "y", "z"}
+
+    # long chain 0->1->...->20 resolves with doublings (2^5 >= 20)
+    n = 21
+    t2 = pa.Table.from_arrays(
+        [pa.array([f"u{i}" for i in range(n - 1)], pa.string()),
+         pa.array([f"u{i+1}" for i in range(n - 1)], pa.string())],
+        names=["src", "dst"],
+    )
+    out2 = resolve_redirects(
+        ray.data.from_arrow(t2).repartition(4), max_doublings=5,
+    ).to_pandas()
+    assert set(out2["terminal"]) == {f"u{n-1}"}
+    assert set(out2["resolved"]) == {1}
