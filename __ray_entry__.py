@@ -1217,6 +1217,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(_mk, batch_format="pyarrow")
         return resolve_redirects(reds, max_doublings=4)
 
+    def doc_split_leakage(sf_dir):
+        # split-leakage audit: near-dup-blocked pairs (8-word normalized
+        # prefix key — the standard blocking key) whose members fall in
+        # DIFFERENT train/val/test splits; self-join bounded per block
+        # cluster, split labels are pure md5 gates (no join), and the
+        # tiny (<=9-row) result collects to a schema-stable Arrow table
+        import hashlib
+
+        import numpy as np
+
+        from pybel_ray.ops.relational import equi_join
+        from pybel_ray.ops.sampling import _md5_prefixes
+
+        import re
+
+        ws = re.compile(r"\s+")
+
+        def _fp(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t.column("text")))
+            hs = []
+            for txt in t.column("text").to_pylist():
+                norm = ws.sub(" ", txt).strip().lower()
+                prefix = " ".join(norm.split(" ")[:8])
+                hs.append(hashlib.md5(prefix.encode()).hexdigest())  # noqa: S324
+            pref = _md5_prefixes(pc.cast(t.column("doc_id"), pa.string()))
+            lab = pc.if_else(
+                pc.less_equal(pref, "cccc"), pa.scalar("train"),
+                pc.if_else(
+                    pc.less_equal(pref, "e666"), pa.scalar("val"),
+                    pa.scalar("test"),
+                ),
+            )
+            return pa.Table.from_arrays(
+                [t.column("doc_id"), pa.array(hs, pa.string()), lab],
+                names=["doc_id", "h", "split"],
+            )
+
+        labeled = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"],
+        ).map_batches(_fp, batch_format="pyarrow")
+        pairs = equi_join(
+            labeled,
+            labeled.map_batches(
+                lambda t: t.rename_columns(["doc_id_b", "_h2", "split_b"]),
+                batch_format="pyarrow",
+            ),
+            on="h", right_on="_h2", how="inner",
+        )
+
+        def _count(t: pa.Table) -> pa.Table:
+            keep = pc.less(t.column("doc_id"), t.column("doc_id_b"))
+            t = t.filter(keep)
+            key = pc.binary_join_element_wise(
+                t.column("split"), t.column("split_b"), "\x1f",
+            )
+            enc = key.combine_chunks().dictionary_encode()
+            codes = np.asarray(
+                enc.indices.to_numpy(zero_copy_only=False), np.int64,
+            )
+            acc = np.zeros(len(enc.dictionary), np.int64)
+            np.add.at(acc, codes, 1)
+            return pa.Table.from_arrays(
+                [enc.dictionary, pa.array(acc)], names=["_k", "_n"],
+            )
+
+        summed = pairs.map_batches(_count, batch_format="pyarrow").groupby(
+            "_k",
+        ).sum("_n")
+        rows = summed.take_all()  # <= 9 split-pair combinations
+        ka, kb, n = [], [], []
+        for r in sorted(rows, key=lambda r: r["_k"]):
+            a, b = r["_k"].split("\x1f")
+            ka.append(a)
+            kb.append(b)
+            n.append(int(r["sum(_n)"]))
+        return pa.Table.from_arrays(
+            [pa.array(ka, pa.string()), pa.array(kb, pa.string()),
+             pa.array(n, pa.int64())],
+            names=["split_a", "split_b", "n_pairs"],
+        )
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -4806,6 +4887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_label_prop": web_host_label_prop,
         "web_url_canonical": web_url_canonical,
         "web_redirects": web_redirects,
+        "doc_split_leakage": doc_split_leakage,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -5996,6 +6078,27 @@ def oracle_sql() -> dict[str, str]:
             m3 AS (SELECT a.src, coalesce(b.cur, a.cur) AS cur FROM m2 a LEFT JOIN m2 b ON a.cur = b.src),
             m4 AS (SELECT a.src, coalesce(b.cur, a.cur) AS cur FROM m3 a LEFT JOIN m3 b ON a.cur = b.src)
             SELECT src, cur AS terminal, CAST(CASE WHEN cur IN (SELECT src FROM r) THEN 0 ELSE 1 END AS BIGINT) AS resolved FROM m4
+        """,
+        # split-leakage audit: normalized-text md5 self-join + the
+        # hash-split CASE gate, counted per split pair
+        "doc_split_leakage": """
+            WITH f AS (
+                SELECT doc_id,
+                       md5(array_to_string(list_slice(str_split(
+                           lower(trim(regexp_replace(
+                               text, '\\s+', ' ', 'g'))), ' '),
+                           1, 8), ' ')) AS h,
+                       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                                 <= 'cccc' THEN 'train'
+                            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                                 <= 'e666' THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT a.split AS split_a, b.split AS split_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         "web_host_wwalks": _wwalks_sql(_web_host_edges, 4),
         # seeded label spreading, same edge rebuild
