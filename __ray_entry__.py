@@ -1298,6 +1298,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             names=["split_a", "split_b", "n_pairs"],
         )
 
+    def doc_fim_split(sf_dir):
+        # fill-in-the-middle rewrite: md5-derived cut points split each
+        # doc into (prefix, middle, suffix) for infilling training
+        from pybel_ray.ops.chunk import fim_split
+
+        return fim_split(_read(sf_dir, "documents"))
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -4888,6 +4895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_url_canonical": web_url_canonical,
         "web_redirects": web_redirects,
         "doc_split_leakage": doc_split_leakage,
+        "doc_fim_split": doc_fim_split,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -6099,6 +6107,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pairs
             FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        # FIM split: same 60-bit md5 cut-point arithmetic in SQL
+        "doc_fim_split": """
+            WITH c AS (
+                SELECT doc_id, coalesce(text, '') AS txt,
+                       length(coalesce(text, '')) AS n,
+                       text IS NULL OR length(text) < 16 AS short
+                FROM documents
+            ),
+            k AS (
+                SELECT doc_id, txt, n, short,
+                       CASE WHEN short THEN 1 ELSE
+                           1 + (('0x' || substr(md5(
+                               CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                               % (n // 2))::BIGINT END AS cut1
+                FROM c
+            ),
+            k2 AS (
+                SELECT doc_id, txt, n, short, cut1,
+                       CASE WHEN short THEN 1 ELSE
+                           cut1 + (('0x' || substr(md5(
+                               CAST(doc_id AS VARCHAR) || '|2'), 1, 15))
+                               ::UBIGINT % (n - cut1 + 1))::BIGINT END
+                           AS cut2
+                FROM k
+            )
+            SELECT doc_id,
+                   CASE WHEN short THEN txt
+                        ELSE substr(txt, 1, cut1 - 1) END AS fim_prefix,
+                   CASE WHEN short THEN ''
+                        ELSE substr(txt, cut1, cut2 - cut1) END
+                       AS fim_middle,
+                   CASE WHEN short THEN ''
+                        ELSE substr(txt, cut2) END AS fim_suffix
+            FROM k2
         """,
         "web_host_wwalks": _wwalks_sql(_web_host_edges, 4),
         # seeded label spreading, same edge rebuild

@@ -188,6 +188,7 @@ def run_queries(sf_dir: str) -> dict:
         "web_url_canonical",
         "web_redirects",
         "doc_split_leakage",
+        "doc_fim_split",
         # the TPC-H suite is now complete (22/22 shapes); track the
         # three with distinct execution shapes
         "tpch_q9_product_profit",

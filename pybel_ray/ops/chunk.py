@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 
 from .lines import _split_words
 
-__all__ = ["chunk_text", "split_sentences"]
+__all__ = ["chunk_text", "split_sentences", "fim_split"]
 
 
 def chunk_text(
@@ -147,3 +147,60 @@ def split_sentences(
         )
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def fim_split(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 16,
+):
+    """Fill-in-the-middle (FIM) transformation — the code/LLM
+    training-data rewrite (Bavarian et al. 2022) that turns a document
+    into ``(prefix, middle, suffix)`` so the model learns infilling:
+    two md5-derived cut points (``H1 = md5(id)``, ``H2 = md5(id|2)``,
+    60-bit hex prefixes) pick ``cut1 = 1 + H1 % (n // 2)`` and ``cut2 =
+    cut1 + H2 % (n - cut1 + 1)`` over the character length ``n`` —
+    deterministic per document, layout/resume-invariant, and exactly
+    reproducible in SQL (``substr`` + the shared hex-to-int idiom).
+    Documents shorter than ``min_len`` characters (or null) emit the
+    whole text as ``fim_prefix`` with empty middle/suffix.
+
+    One stateless pass; the per-row md5 is the same unavoidable digest
+    as the sampling gates.  Character (codepoint) arithmetic matches
+    DuckDB ``substr``/``length`` on the corpus's text.
+    """
+    import hashlib
+
+    def _h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: S324
+
+    def _f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        pre, mid, suf = [], [], []
+        for i, txt in zip(ids, texts):
+            if txt is None or len(txt) < min_len:
+                pre.append(txt if txt is not None else "")
+                mid.append("")
+                suf.append("")
+                continue
+            n = len(txt)
+            cut1 = 1 + _h60(str(i)) % (n // 2)
+            cut2 = cut1 + _h60(f"{i}|2") % (n - cut1 + 1)
+            # 1-based [1, cut1) / [cut1, cut2) / [cut2, n]
+            pre.append(txt[:cut1 - 1])
+            mid.append(txt[cut1 - 1:cut2 - 1])
+            suf.append(txt[cut2 - 1:])
+        out = pa.Table.from_arrays(
+            [t.column(id_col),
+             pa.array(pre, pa.string()),
+             pa.array(mid, pa.string()),
+             pa.array(suf, pa.string())],
+            names=[id_col, "fim_prefix", "fim_middle", "fim_suffix"],
+        )
+        return out
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _f, batch_format="pyarrow",
+    )

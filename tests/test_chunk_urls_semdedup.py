@@ -198,3 +198,28 @@ def test_semdedup_oracle_threshold_margin():
             d = np.abs(s[iu] - THRESHOLD)
             worst = min(worst, d.min())
         assert worst > EPS, (sf, worst)
+
+
+def test_fim_split_reconstruction_and_short_docs(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.chunk import fim_split
+
+    texts = ["x" * 100, "short", None, "a" * 16]
+    t = pa.Table.from_arrays(
+        [pa.array([1, 2, 3, 4], pa.int64()),
+         pa.array(texts, pa.string())],
+        names=["doc_id", "text"],
+    )
+    out = fim_split(
+        ray.data.from_arrow(t).repartition(2),
+    ).to_pandas().set_index("doc_id")
+    for i, txt in zip([1, 2, 3, 4], texts):
+        row = out.loc[i]
+        assert row.fim_prefix + row.fim_middle + row.fim_suffix == (txt or "")
+    # short/null docs pass through untouched
+    assert out.loc[2].fim_prefix == "short" and out.loc[2].fim_middle == ""
+    assert out.loc[3].fim_prefix == ""
+    # long doc actually splits (cut points are hash-chosen but valid)
+    assert out.loc[1].fim_middle != "" or out.loc[1].fim_suffix != ""
