@@ -1305,6 +1305,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return fim_split(_read(sf_dir, "documents"))
 
+    def events_value_p90_by_type(sf_dir):
+        # per-group exact p90 without co-locating any group (the
+        # skew-proof selection core at an arbitrary rank)
+        from pybel_ray.ops.stats import quantile_by_selection
+
+        return quantile_by_selection(
+            _read(sf_dir, "events"), "event_type", "value", 9000,
+        )
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -4896,6 +4905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_redirects": web_redirects,
         "doc_split_leakage": doc_split_leakage,
         "doc_fim_split": doc_fim_split,
+        "events_value_p90_by_type": events_value_p90_by_type,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -6142,6 +6152,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN short THEN ''
                         ELSE substr(txt, cut2) END AS fim_suffix
             FROM k2
+        """,
+        # per-group exact p90: row_number at (n-1)*9000//10000 + 1
+        "events_value_p90_by_type": """
+            WITH v AS (
+                SELECT event_type AS g,
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            n AS (SELECT g, count(*) AS c FROM v GROUP BY g)
+            SELECT t.g AS event_type, CAST(n.c AS BIGINT) AS n,
+                   t.q AS q_e6
+            FROM (
+                SELECT g, q, row_number() OVER (
+                    PARTITION BY g ORDER BY q) AS rn FROM v
+            ) t JOIN n ON t.g = n.g
+            WHERE t.rn = (n.c - 1) * 9000 // 10000 + 1
         """,
         "web_host_wwalks": _wwalks_sql(_web_host_edges, 4),
         # seeded label spreading, same edge rebuild

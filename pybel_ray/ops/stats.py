@@ -34,6 +34,7 @@ __all__ = [
     "median_by_selection",
     "mad_e6",
     "mad_by_selection",
+    "quantile_by_selection",
 ]
 
 _INT64_MAX = (1 << 63) - 1
@@ -773,10 +774,15 @@ def _quantized_group_column(ds, group_col: str, value_col: str):
     ).materialize()
 
 
-def _median_by_from(qs, group_col: str, group_budget: int) -> pa.Table:
+def _median_by_from(qs, group_col: str, group_budget: int,
+                    q_bp: int | None = None,
+                    out_name: str = "median_e6") -> pa.Table:
     """Shared per-group selection core over a materialized ``(g, q)``
     dataset (q already int64 micros): used by
-    :func:`median_by_selection` and :func:`mad_by_selection`."""
+    :func:`median_by_selection`, :func:`mad_by_selection` and
+    :func:`quantile_by_selection`.  ``q_bp`` (basis points) selects the
+    rank ``(n - 1) * q_bp // 10000 + 1`` — SQL ``ORDER BY q LIMIT 1
+    OFFSET (n-1)*q_bp//10000``; ``None`` keeps the lower-median rank."""
     import ray
 
     # one tiny aggregate: per-group n / lo / hi
@@ -805,7 +811,10 @@ def _median_by_from(qs, group_col: str, group_budget: int) -> pa.Table:
     if len(groups) and (np.abs(lo_arr).max() >= 1 << 54
                         or np.abs(hi_arr).max() >= 1 << 54):
         raise ValueError("|v_e6| exceeds 2^54-1; rescale upstream")
-    k_arr = (n_arr - 1) // 2 + 1  # lower-median rank per group
+    if q_bp is None:
+        k_arr = (n_arr - 1) // 2 + 1  # lower-median rank per group
+    else:
+        k_arr = (n_arr - 1) * q_bp // 10000 + 1
     group_keys = pa.array(groups)
 
     while True:
@@ -858,7 +867,7 @@ def _median_by_from(qs, group_col: str, group_budget: int) -> pa.Table:
 
     return pa.Table.from_arrays(
         [group_keys, pa.array(n_arr), pa.array(lo_arr)],
-        names=[group_col, "n", "median_e6"],
+        names=[group_col, "n", out_name],
     )
 
 
@@ -967,4 +976,23 @@ def mad_by_selection(ds, group_col: str, value_col: str,
         [keys, med_tbl.column("n"), med_tbl.column("median_e6"),
          mad_tbl.column("median_e6")],
         names=[group_col, "n", "median_e6", "mad_e6"],
+    )
+
+
+def quantile_by_selection(ds, group_col: str, value_col: str,
+                          q_bp: int,
+                          group_budget: int = 65536) -> pa.Table:
+    """EXACT per-group discrete quantile ``(group, n, q_e6)`` at ``q_bp``
+    basis points (``q_bp=9000`` → p90: the order statistic at rank
+    ``(n-1)*q_bp//10000 + 1``, i.e. SQL ``ORDER BY v LIMIT 1 OFFSET
+    (n-1)*q_bp//10000``) — the same skew-proof histogram-narrowing
+    machinery as :func:`median_by_selection` (≤ ~7 streaming passes, no
+    group co-location, O(groups) driver state), generalized to any
+    rank.  Completes the family: median → arbitrary percentile.
+    """
+    if not 0 <= q_bp <= 10000:
+        raise ValueError("q_bp must be in [0, 10000]")
+    qs = _quantized_group_column(ds, group_col, value_col)
+    return _median_by_from(
+        qs, group_col, group_budget, q_bp=q_bp, out_name="q_e6",
     )
