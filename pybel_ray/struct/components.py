@@ -56,16 +56,65 @@ def connected_components(
     max_iters: int = 25,
     num_buckets: int = 64,
     label_blocks: int = 16,
+    edge_budget: int = 2_000_000,
+    force_distributed: bool = False,
 ):
     """(id, component) Dataset from an edge-pair Dataset; component = the
     lexicographic-min member id, so labels are deterministic.
 
     Only edge-endpoint nodes appear in the output (isolated nodes are their
     own components by definition — handle them at the call site).
+
+    Budget hybrid (same shape as ``ops/graph.py`` pagerank/mis/bfs): at
+    or under ``edge_budget`` edges the pair list fits one driver
+    union-find — identical min-member labels (tested), without the
+    per-round exchange overhead that dominates at toy scale.  Above the
+    budget (or ``force_distributed=True``) the min-label propagation
+    below runs unchanged.
     """
     import ray
 
     from ..stages.dedup import add_hash_bucket, dedup_exact
+
+    edges_sel = _snapshot(pairs.select_columns([a_col, b_col]))
+    n_pairs = edges_sel.count()
+    if not force_distributed and n_pairs <= edge_budget:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] is not root:
+                root = parent[root]
+            while parent[x] is not root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for blk in edges_sel.iter_batches(batch_format="pyarrow"):
+            for a, b in zip(
+                blk.column(a_col).to_pylist(), blk.column(b_col).to_pylist(),
+            ):
+                if a is None or b is None:
+                    continue
+                for v in (a, b):
+                    if v not in parent:
+                        parent[v] = v
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+        comp_min: dict = {}
+        for v in parent:
+            r = find(v)
+            cur = comp_min.get(r)
+            if cur is None or v < cur:
+                comp_min[r] = v
+        ids = sorted(parent)
+        return ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array(ids), pa.array([comp_min[find(v)] for v in ids])],
+                names=["id", "component"],
+            ),
+        )
+    pairs = edges_sel
 
     # static (key, neighbor) message topology: each edge contributes both
     # directions; built once, reused every round via materialize

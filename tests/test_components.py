@@ -19,6 +19,9 @@ def test_connected_components_basic(ray_session):
         [{"src_md5": a, "dst_md5": b} for a, b in pairs],
     ).repartition(3)
     got = sorted((r["id"], r["component"]) for r in connected_components(ds).take_all())
+    forced = sorted((r["id"], r["component"]) for r in connected_components(
+        ds, force_distributed=True).take_all())
+    assert forced == got
     assert got == [
         ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
         ("m", "m"), ("n", "m"), ("o", "m"), ("p", "m"),
@@ -39,6 +42,9 @@ def test_connected_components_deep_chain(ray_session):
         [{"src_md5": a, "dst_md5": b} for a, b in pairs],
     ).repartition(4)
     got = {r["id"]: r["component"] for r in connected_components(ds).take_all()}
+    forced = {r["id"]: r["component"] for r in connected_components(
+        ds, force_distributed=True).take_all()}
+    assert forced == got
     assert set(got.values()) == {"n000"}
     assert len(got) == 101
 
@@ -58,7 +64,10 @@ def test_connected_components_matches_union_find(ray_session):
     ds = ray.data.from_items(
         [{"src_md5": a, "dst_md5": b} for a, b in pairs],
     ).repartition(4)
-    dist = {r["id"]: r["component"] for r in connected_components(ds).take_all()}
+    dist = {r["id"]: r["component"] for r in connected_components(
+        ds, force_distributed=True).take_all()}
+    drv = {r["id"]: r["component"] for r in connected_components(ds).take_all()}
+    assert drv == dist
     drv = connected_components_driver(pairs)
     assert dist == drv
 
