@@ -136,28 +136,47 @@ def pagerank(
     teleport = (15 * scale) // 100
     seed_list = sorted(set(seeds)) if seeds is not None else None
     edges = _snapshot(edges.select_columns([src_col, dst_col]))
-    n_nodes = None
-    if not force_distributed:
-        n_nodes = edge_nodes(edges, src_col, dst_col).count()
-    if force_distributed or n_nodes > node_budget:
+    # budget gate: edge count (free on the snapshot) as a conservative
+    # node-count proxy (nodes <= 2*edges) — probing the exact node count
+    # cost its own dedup exchange, ~2 s of pure overhead at toy scale
+    n_edges = edges.count()
+    if force_distributed or n_edges > node_budget:
         return _pagerank_distributed(
             edges, src_col, dst_col, iters, scale, teleport, num_buckets,
             seed_list,
         )
 
     # ---- broadcast branch: rank vector on the driver -------------------
-    # two distributed partial-aggregate drains (node set + out-degrees);
-    # both are O(nodes) on the driver, which the budget gate bounds
+    # ONE partial-aggregate drain (out-degree + endpoint presence per
+    # batch, folded in a driver dict — skipping out_degrees' global
+    # groupby(node), whose ~150k-group native aggregate measured ~5 s);
+    # O(nodes) driver state, which the budget gate bounds
     deg: dict = {}
-    for b in out_degrees(edges, src_col).iter_batches(batch_format="pyarrow"):
-        for n_, c_ in zip(b.column("node").to_pylist(),
-                          b.column("outdeg").to_pylist()):
-            deg[n_] = int(c_)
-    node_set: set = set(deg)
-    for b in edge_nodes(edges, src_col, dst_col).iter_batches(
-        batch_format="pyarrow",
-    ):
-        node_set.update(b.column("node").to_pylist())
+    node_set: set = set()
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        sa = t.column(src_col).combine_chunks()
+        da = t.column(dst_col).combine_chunks()
+        both = pa.concat_arrays([sa, da])
+        enc = both.dictionary_encode()
+        codes = np.asarray(
+            enc.indices.to_numpy(zero_copy_only=False), np.int64,
+        )
+        n = t.num_rows
+        o = np.bincount(codes[:n], minlength=len(enc.dictionary))
+        return pa.Table.from_arrays(
+            [enc.dictionary, pa.array(o.astype(np.int64))],
+            names=["node", "o"],
+        )
+
+    for b in edges.map_batches(
+        _deg_partial, batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        for n_, o_ in zip(b.column("node").to_pylist(),
+                          b.column("o").to_pylist()):
+            node_set.add(n_)
+            if o_:
+                deg[n_] = deg.get(n_, 0) + int(o_)
 
     nodes = np.array(sorted(node_set))
     outdeg = np.array([deg.get(n, 0) for n in nodes], dtype=np.int64)
