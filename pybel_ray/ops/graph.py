@@ -895,18 +895,23 @@ def hits(
     import ray
 
     edges = _snapshot(edges.select_columns([src_col, dst_col]))
-    n_nodes = None
-    if not force_distributed:
-        n_nodes = edge_nodes(edges, src_col, dst_col).count()
-    if force_distributed or n_nodes > node_budget:
+    # budget gate: snapshot edge count as the free conservative proxy
+    # (nodes <= 2*edges) — same rationale as pagerank
+    if force_distributed or edges.count() > node_budget:
         return _hits_distributed(
             edges, src_col, dst_col, iters, scale, num_buckets,
         )
 
     node_set: set = set()
-    for b in edge_nodes(edges, src_col, dst_col).iter_batches(
+    for b in edges.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pc.unique(pa.concat_arrays([
+                t.column(src_col).combine_chunks(),
+                t.column(dst_col).combine_chunks(),
+            ]))], names=["node"],
+        ),
         batch_format="pyarrow",
-    ):
+    ).iter_batches(batch_format="pyarrow"):
         node_set.update(b.column("node").to_pylist())
     nodes = sorted(node_set)
     nodes_arr = pa.array(nodes)
@@ -1229,10 +1234,9 @@ def pagerank_weighted(
 
     teleport = (15 * scale) // 100
     edges = _snapshot(edges.select_columns([src_col, dst_col, weight_col]))
-    n_nodes = None
-    if not force_distributed:
-        n_nodes = edge_nodes(edges, src_col, dst_col).count()
-    if force_distributed or n_nodes > node_budget:
+    # budget gate: snapshot edge count as the free conservative proxy
+    # (nodes <= 2*edges) — same rationale as pagerank
+    if force_distributed or edges.count() > node_budget:
         return _pagerank_weighted_distributed(
             edges, src_col, dst_col, weight_col, iters, scale, teleport,
             num_buckets,
@@ -1251,16 +1255,25 @@ def pagerank_weighted(
             names=["node", "wdeg"],
         )
 
+    # ONE partial drain: per-batch weighted-degree partials (plus dst
+    # presence) fold in a driver dict — no global groupby, no separate
+    # node-set dedup exchange
     wdeg_map: dict = {}
+    node_set: set = set()
     for b in edges.map_batches(_wdeg, batch_format="pyarrow") \
-            .groupby("node").sum("wdeg").iter_batches(batch_format="pyarrow"):
+            .iter_batches(batch_format="pyarrow"):
         for n_, s_ in zip(b.column("node").to_pylist(),
-                          b.column("sum(wdeg)").to_pylist()):
-            wdeg_map[n_] = int(s_)
-    node_set = set(wdeg_map)
-    for b in edge_nodes(edges, src_col, dst_col).iter_batches(
+                          b.column("wdeg").to_pylist()):
+            if s_:
+                wdeg_map[n_] = wdeg_map.get(n_, 0) + int(s_)
+            node_set.add(n_)
+    for b in edges.select_columns([dst_col]).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pc.unique(t.column(dst_col).combine_chunks())],
+            names=["node"],
+        ),
         batch_format="pyarrow",
-    ):
+    ).iter_batches(batch_format="pyarrow"):
         node_set.update(b.column("node").to_pylist())
     nodes = sorted(node_set)
     W = np.array([max(wdeg_map.get(n, 0), 1) for n in nodes], np.int64)
