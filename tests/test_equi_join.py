@@ -420,3 +420,48 @@ def test_equi_join_broadcast_path_matches_bucketed(ray_session):
     assert all(k is not None for k, _, _ in inner)  # null keys no match
     leftj = _key(equi_join(left, right, on="k", how="left"))
     assert len(leftj) == 16 + 8 + 24 + 1  # unmatched k=0,2,4 + null row
+
+
+def test_grouped_sum_matches_native(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.relational import grouped_sum
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    k1 = [f"k{int(x)}" for x in rng.integers(0, 800, n)]
+    k1[0] = None  # null key groups alone
+    v1 = [int(x) for x in rng.integers(-50, 50, n)]
+    v2 = [int(x) for x in rng.integers(0, 9, n)]
+    t = pa.Table.from_arrays(
+        [pa.array(k1, pa.string()), pa.array(v1, pa.int64()),
+         pa.array(v2, pa.int64())],
+        names=["k", "a", "b"],
+    )
+    exp = {}
+    for k, a, b in zip(k1, v1, v2):
+        cur = exp.setdefault(k, [0, 0])
+        cur[0] += a
+        cur[1] += b
+    for blocks, nb in ((1, None), (6, None), (6, 4)):
+        out = grouped_sum(
+            ray.data.from_arrow(t).repartition(blocks), "k", ["a", "b"],
+            num_buckets=nb,
+        ).take_all()
+        got = {r["k"]: [r["a"], r["b"]] for r in out}
+        assert got == exp, (blocks, nb)
+
+    # composite keys
+    t2 = pa.Table.from_arrays(
+        [pa.array(["x", "x", "y", None], pa.string()),
+         pa.array([1, 2, 1, 1], pa.int64()),
+         pa.array([10, 20, 30, 40], pa.int64())],
+        names=["g1", "g2", "v"],
+    )
+    out2 = grouped_sum(
+        ray.data.from_arrow(t2).repartition(2), ["g1", "g2"], ["v"],
+    ).take_all()
+    got2 = {(r["g1"], r["g2"]): r["v"] for r in out2}
+    assert got2 == {("x", 1): 10, ("x", 2): 20, ("y", 1): 30, (None, 1): 40}
