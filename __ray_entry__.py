@@ -1314,6 +1314,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events"), "event_type", "value", 9000,
         )
 
+    def events_value_winsorized_by_type(sf_dir):
+        # per-group p05/p95 winsorization (robust tail clipping): two
+        # skew-proof quantile selections broadcast once, one clamp pass
+        from pybel_ray.ops.stats import winsorize_by
+
+        out = winsorize_by(
+            _read(sf_dir, "events"), "event_type", "value",
+        )
+        return out.select_columns(
+            ["event_id", "event_type", "value_wins_e6"],
+        )
+
+    def events_outliers_robust(sf_dir):
+        # per-group 3-MAD robust outlier counts — integer cross-
+        # multiplied comparison, bit-exact vs the SQL gate
+        from pybel_ray.ops.stats import robust_outliers_by
+
+        return robust_outliers_by(
+            _read(sf_dir, "events"), "event_type", "value",
+        )
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -4906,6 +4927,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_leakage": doc_split_leakage,
         "doc_fim_split": doc_fim_split,
         "events_value_p90_by_type": events_value_p90_by_type,
+        "events_value_winsorized_by_type": events_value_winsorized_by_type,
+        "events_outliers_robust": events_outliers_robust,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -6154,6 +6177,63 @@ def oracle_sql() -> dict[str, str]:
             FROM k2
         """,
         # per-group exact p90: row_number at (n-1)*9000//10000 + 1
+        "events_value_winsorized_by_type": """
+            WITH v AS (
+                SELECT event_type AS g,
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            n AS (SELECT g, count(*) AS c FROM v GROUP BY g),
+            r AS (
+                SELECT g, q, row_number() OVER (
+                    PARTITION BY g ORDER BY q) AS rn FROM v
+            ),
+            lo AS (SELECT r.g, r.q FROM r JOIN n ON r.g = n.g
+                   WHERE r.rn = (n.c - 1) * 500 // 10000 + 1),
+            hi AS (SELECT r.g, r.q FROM r JOIN n ON r.g = n.g
+                   WHERE r.rn = (n.c - 1) * 9500 // 10000 + 1)
+            SELECT e.event_id, e.event_type,
+                   CASE WHEN e.event_type IS NULL OR e.value IS NULL
+                        THEN NULL
+                        ELSE least(greatest(
+                            CAST(floor(e.value * 1000000 + 0.5) AS BIGINT),
+                            lo.q), hi.q) END AS value_wins_e6
+            FROM events e
+            LEFT JOIN lo ON e.event_type = lo.g
+            LEFT JOIN hi ON e.event_type = hi.g
+        """,
+        "events_outliers_robust": """
+            WITH v AS (
+                SELECT event_type AS g,
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            n AS (SELECT g, count(*) AS c FROM v GROUP BY g),
+            med AS (
+                SELECT t.g, t.q AS m FROM (
+                    SELECT g, q, row_number() OVER (
+                        PARTITION BY g ORDER BY q) AS rn FROM v
+                ) t JOIN n ON t.g = n.g WHERE t.rn = (n.c - 1) // 2 + 1
+            ),
+            dev AS (
+                SELECT v.g, v.q, abs(v.q - med.m) AS d
+                FROM v JOIN med ON v.g = med.g
+            ),
+            madt AS (
+                SELECT t.g, t.d AS md FROM (
+                    SELECT g, d, row_number() OVER (
+                        PARTITION BY g ORDER BY d) AS rn FROM dev
+                ) t JOIN n ON t.g = n.g WHERE t.rn = (n.c - 1) // 2 + 1
+            )
+            SELECT dev.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN CAST(dev.d AS HUGEINT) * 1000000
+                                  > CAST(madt.md AS HUGEINT) * 3000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev JOIN madt ON dev.g = madt.g
+            GROUP BY dev.g
+        """,
         "events_value_p90_by_type": """
             WITH v AS (
                 SELECT event_type AS g,

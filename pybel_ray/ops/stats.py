@@ -35,6 +35,8 @@ __all__ = [
     "mad_e6",
     "mad_by_selection",
     "quantile_by_selection",
+    "winsorize_by",
+    "robust_outliers_by",
 ]
 
 _INT64_MAX = (1 << 63) - 1
@@ -995,4 +997,141 @@ def quantile_by_selection(ds, group_col: str, value_col: str,
     qs = _quantized_group_column(ds, group_col, value_col)
     return _median_by_from(
         qs, group_col, group_budget, q_bp=q_bp, out_name="q_e6",
+    )
+
+
+def winsorize_by(ds, group_col: str, value_col: str,
+                 lo_bp: int = 500, hi_bp: int = 9500,
+                 out_col: str | None = None,
+                 group_budget: int = 65536):
+    """Per-group winsorization: clamp ``value_col`` to its group's exact
+    discrete [``lo_bp``, ``hi_bp``] basis-point quantiles (default
+    p05/p95) — the robust tail-clipping step before averaging noisy
+    metrics.  Returns the input rows with ``out_col`` (default
+    ``<value>_wins_e6``) = the clamped value in integer micros.
+
+    Both cut points come from ONE run of the skew-proof per-group
+    selection core each (:func:`quantile_by_selection`); the tiny
+    (group, lo, hi) table broadcasts via ``ray.put`` and a stateless
+    vectorized pass clamps — no group ever co-locates, null
+    groups/values pass through with a null output.
+    """
+    import ray
+
+    out_col = out_col or value_col + "_wins_e6"
+    lo_t = quantile_by_selection(ds, group_col, value_col, lo_bp,
+                                 group_budget=group_budget)
+    hi_t = quantile_by_selection(ds, group_col, value_col, hi_bp,
+                                 group_budget=group_budget)
+    keys = lo_t.column(group_col).combine_chunks()
+    lo_v = np.asarray(lo_t.column("q_e6").to_numpy(zero_copy_only=False),
+                      np.int64)
+    hi_v = np.asarray(hi_t.column("q_e6").to_numpy(zero_copy_only=False),
+                      np.int64)
+    st = ray.put((keys, lo_v, hi_v))
+
+    def _clamp(t: pa.Table, _st=st) -> pa.Table:
+        import ray as _ray
+
+        k_, lo_, hi_ = _ray.get(_st)
+        g = t.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        v = t.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        gid = pc.index_in(g, value_set=k_).to_numpy(zero_copy_only=False)
+        vf = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(vf * 1e6 + 0.5)
+        ok = ~(np.isnan(q) | np.isnan(gid.astype(np.float64)))
+        gi = np.where(ok, gid, 0).astype(np.int64)
+        clamped = np.clip(q, lo_[gi], hi_[gi])
+        out = pa.array(
+            np.where(ok, clamped, 0).astype(np.int64), pa.int64(),
+        )
+        out = pc.if_else(pa.array(ok), out, pa.nulls(t.num_rows, pa.int64()))
+        if out_col in t.column_names:
+            t = t.drop_columns([out_col])
+        return t.append_column(out_col, out)
+
+    return ds.map_batches(_clamp, batch_format="pyarrow")
+
+
+def robust_outliers_by(ds, group_col: str, value_col: str,
+                       k_e6: int = 3_000_000,
+                       group_budget: int = 65536) -> pa.Table:
+    """Per-group robust outlier counts ``(group, n, n_outliers)``: a row
+    is an outlier when ``|q - median| * 1e6 > k_e6 * mad`` (default
+    ``k_e6=3e6`` — the classic 3-MAD gate) — the heavy-tail-safe
+    anomaly count that stddev gates get wrong.  All integer arithmetic
+    (the comparison cross-multiplies, no division), so the DuckDB
+    oracle matches bit-for-bit; groups whose MAD is 0 count any
+    deviation as an outlier (strict > 0 comparison).
+
+    One :func:`mad_by_selection` run (≤ ~14 streaming passes) + one
+    broadcast counting pass; only (group, counters) rows reach the
+    driver.
+    """
+    import ray
+
+    mt = mad_by_selection(ds, group_col, value_col,
+                          group_budget=group_budget)
+    keys = mt.column(group_col).combine_chunks()
+    med = np.asarray(mt.column("median_e6").to_numpy(zero_copy_only=False),
+                     np.int64)
+    mad = np.asarray(mt.column("mad_e6").to_numpy(zero_copy_only=False),
+                     np.int64)
+    st = ray.put((keys, med, mad))
+
+    def _partial(t: pa.Table, _st=st) -> pa.Table:
+        import ray as _ray
+
+        k_, m_, d_ = _ray.get(_st)
+        g = t.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        v = t.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        keep = pc.and_(pc.is_valid(g), pc.is_valid(v))
+        g = g.filter(keep)
+        v = v.filter(keep)
+        gid = np.asarray(
+            pc.index_in(g, value_set=k_).to_numpy(zero_copy_only=False),
+            np.int64,
+        )
+        q = np.floor(
+            v.to_numpy(zero_copy_only=False).astype(np.float64) * 1e6 + 0.5,
+        ).astype(np.int64)
+        dev = np.abs(q - m_[gid]).astype(object) * 1_000_000
+        thresh = d_[gid].astype(object) * int(k_e6)
+        flags = (dev > thresh).astype(np.int64)
+        counts = np.zeros(len(k_), np.int64)
+        totals = np.zeros(len(k_), np.int64)
+        np.add.at(counts, gid, flags)
+        np.add.at(totals, gid, 1)
+        nz = np.flatnonzero(totals)
+        return pa.Table.from_arrays(
+            [pc.take(k_, pa.array(nz, pa.int64())),
+             pa.array(totals[nz]), pa.array(counts[nz])],
+            names=[group_col, "n", "n_outliers"],
+        )
+
+    agg: dict = {}
+    for b in ds.select_columns([group_col, value_col]).map_batches(
+        _partial, batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        for g_, n_, c_ in zip(
+            b.column(group_col).to_pylist(), b.column("n").to_pylist(),
+            b.column("n_outliers").to_pylist(),
+        ):
+            cur = agg.setdefault(g_, [0, 0])
+            cur[0] += int(n_)
+            cur[1] += int(c_)
+    ks = sorted(agg)
+    return pa.Table.from_arrays(
+        [pa.array(ks),
+         pa.array([agg[g][0] for g in ks], pa.int64()),
+         pa.array([agg[g][1] for g in ks], pa.int64())],
+        names=[group_col, "n", "n_outliers"],
     )

@@ -348,3 +348,37 @@ def test_mad_by_selection_matches_python(ray_session):
         for r in out.to_pylist()
     }
     assert got == exp
+
+
+def test_winsorize_and_robust_outliers_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.stats import robust_outliers_by, winsorize_by
+
+    # group A: 1..100 plus an outlier 10000; group B: constant 5s
+    vals = list(range(1, 101)) + [10000] + [5.0] * 20
+    grps = ["A"] * 101 + ["B"] * 20
+    t = pa.Table.from_arrays(
+        [pa.array(grps, pa.string()), pa.array(
+            [float(v) for v in vals], pa.float64())],
+        names=["g", "v"],
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = winsorize_by(ds, "g", "v").to_pandas()
+    a = out[out.g == "A"]
+    # p95 of 101 values at rank (100*9500)//10000+1 = 96 -> value 96
+    assert a.v_wins_e6.max() == 96_000_000
+    # p05 rank (100*500)//10000+1 = 6 -> value 6
+    assert a.v_wins_e6.min() == 6_000_000
+    b = out[out.g == "B"]
+    assert set(b.v_wins_e6) == {5_000_000}
+
+    rows = robust_outliers_by(ds, "g", "v").to_pylist()
+    got = {r["g"]: (r["n"], r["n_outliers"]) for r in rows}
+    # A: median 51, MAD 25; outliers need |q-51| > 3*25=75 -> values
+    # beyond [>126 or <-24]: only the 10000 -> 1
+    assert got["A"] == (101, 1)
+    # B: MAD 0, no deviation -> 0 outliers
+    assert got["B"] == (20, 0)
