@@ -1335,6 +1335,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events"), "event_type", "value",
         )
 
+    def emb_ann_join(sf_dir):
+        # cross-table approximate cosine join (record linkage): even
+        # vec_ids vs odd vec_ids at >= 0.8; banded LSH + exact verify,
+        # brute cross-join oracle (recall verified on this corpus)
+        from pybel_ray.ops.dedup_approx import ann_join
+
+        emb = _read(sf_dir, "embeddings")
+
+        def _half(par):
+            def f(t: pa.Table) -> pa.Table:
+                import numpy as np
+
+                v = np.asarray(
+                    t.column("vec_id").to_numpy(zero_copy_only=False),
+                    np.int64,
+                )
+                return t.filter(pa.array(v % 2 == par))
+            return f
+
+        left = emb.map_batches(_half(0), batch_format="pyarrow")
+        right = emb.map_batches(_half(1), batch_format="pyarrow")
+        pairs = ann_join(left, right, threshold=0.8).select_columns(
+            ["id_left", "id_right"],
+        )
+        tables = list(pairs.iter_batches(batch_format="pyarrow"))
+        if not tables:
+            return pa.schema(
+                [("id_left", pa.int64()), ("id_right", pa.int64())],
+            ).empty_table()
+        return pa.concat_tables(tables)
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -4929,6 +4960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_p90_by_type": events_value_p90_by_type,
         "events_value_winsorized_by_type": events_value_winsorized_by_type,
         "events_outliers_robust": events_outliers_robust,
+        "emb_ann_join": emb_ann_join,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -7091,6 +7123,13 @@ def oracle_sql() -> dict[str, str]:
         # false positives); miss rate ~2e-4/pair at the threshold and the
         # planted corpus yields pairs only at cosine where recall is 1.0
         # with the fixed seed (verified equal to brute at sf0.001/sf0.01)
+        "emb_ann_join": """
+            SELECT CAST(a.vec_id AS BIGINT) AS id_left,
+                   CAST(b.vec_id AS BIGINT) AS id_right
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+        """,
         "emb_near_dups": """
             SELECT CAST(a.vec_id AS BIGINT) AS id_a,
                    CAST(b.vec_id AS BIGINT) AS id_b

@@ -34,6 +34,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_brute",
     "near_dedup_corpus",
+    "ann_join",
 ]
 
 #: FNV-1a style multiplier for the vectorized rolling shingle hash
@@ -1275,3 +1276,141 @@ def _exact_dedup_corpus(ds, text_col: str, id_col: str):
     tagged = ds.map_batches(_tag, batch_format="pyarrow")
     out = bucketed_semi_join(tagged, "_key", keep_keys, "key")
     return out.drop_columns(["_key"])
+
+
+def ann_join(
+    left,
+    right,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    bands: int = 16,
+    seed: int = 4321,
+):
+    """Approximate cosine-similarity JOIN between TWO embedding tables —
+    the record-linkage / cross-corpus-alignment primitive: one row
+    ``(id_left, id_right, cosine)`` per cross-table pair with cosine ≥
+    ``threshold``.  Same banded hyperplane LSH as
+    :func:`embedding_near_dup_pairs` (shared seeded planes, so both
+    sides hash identically), but the within-bucket verify only scores
+    LEFT × RIGHT pairs — the self-pairs of either side never compute.
+    Exact within-bucket cosines → no false positives; recall follows
+    the banding bound ((1 - p)^bands miss rate; pick bands for the
+    threshold as documented there).
+
+    Scale shape: each side emits ``bands`` bucket rows, ONE bucket-sort
+    shuffle co-locates collisions, per-run numpy matmul verifies, one
+    pair-key dedup collapses multi-band hits.  Ids may collide across
+    tables (the side tag disambiguates until the final projection).
+    """
+    def _bucket_rows_side(side_val: int):
+        def _f(t: pa.Table) -> pa.Table:
+            arr = t.column(vec_col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            flat = np.asarray(arr.values, dtype=np.float64)
+            offsets = np.asarray(arr.offsets)
+            dim = int(offsets[1] - offsets[0]) if len(arr) else 0
+            mat = flat.reshape(len(arr), dim)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            rng = np.random.RandomState(seed)
+            planes = rng.standard_normal((bands, n_planes, dim))
+            n = len(arr)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            keys = np.empty(n * bands, dtype=np.uint64)
+            weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+            for band in range(bands):
+                signs = (unit @ planes[band].T) > 0
+                code = (signs.astype(np.uint64) * weights[None, :]).sum(axis=1)
+                keys[band::bands] = (
+                    np.uint64(band) << np.uint64(n_planes)
+                ) | code
+            repeated = np.repeat(unit, bands, axis=0)
+            unit_list = pa.ListArray.from_arrays(
+                pa.array(np.arange(
+                    0, (n * bands + 1) * dim, dim, dtype=np.int32,
+                )),
+                pa.array(repeated.reshape(-1), pa.float64()),
+            )
+            return pa.Table.from_arrays(
+                [
+                    pa.array(keys, pa.uint64()),
+                    pa.array(np.repeat(ids, bands), pa.int64()),
+                    pa.array(
+                        np.full(n * bands, side_val, np.int64), pa.int64(),
+                    ),
+                    unit_list,
+                ],
+                names=["bucket", id_col, "_side", "unit"],
+            )
+
+        return _f
+
+    rows = left.select_columns([id_col, vec_col]).map_batches(
+        _bucket_rows_side(0), batch_format="pyarrow",
+    ).union(
+        right.select_columns([id_col, vec_col]).map_batches(
+            _bucket_rows_side(1), batch_format="pyarrow",
+        ),
+    )
+
+    def _run_pairs(t: pa.Table) -> pa.Table:
+        buckets = t.column("bucket").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sides = t.column("_side").to_numpy(zero_copy_only=False)
+        arr = t.column("unit")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = np.asarray(arr.values, dtype=np.float64)
+        if t.num_rows:
+            offsets = np.asarray(arr.offsets)
+            dim = int(offsets[1] - offsets[0])
+            units = flat.reshape(t.num_rows, dim)
+        else:
+            units = flat.reshape(0, 0)
+        l_out, r_out, c_out = [], [], []
+        start = 0
+        n = len(buckets)
+        for end in range(1, n + 1):
+            if end == n or buckets[end] != buckets[start]:
+                run_sides = sides[start:end]
+                li = np.flatnonzero(run_sides == 0)
+                ri = np.flatnonzero(run_sides == 1)
+                if len(li) and len(ri):
+                    run_ids = ids[start:end]
+                    run_u = units[start:end]
+                    lu, lidx = np.unique(run_ids[li], return_index=True)
+                    ru, ridx = np.unique(run_ids[ri], return_index=True)
+                    sims = run_u[li][lidx] @ run_u[ri][ridx].T
+                    ia, ib = np.where(sims >= threshold)
+                    for x, y in zip(ia, ib):
+                        l_out.append(int(lu[x]))
+                        r_out.append(int(ru[y]))
+                        c_out.append(round(float(sims[x, y]), 6))
+                start = end
+        return pa.Table.from_arrays(
+            [pa.array(l_out, pa.int64()), pa.array(r_out, pa.int64()),
+             pa.array(c_out, pa.float64())],
+            names=["id_left", "id_right", "cosine"],
+        )
+
+    pairs = rows.sort("bucket").map_batches(
+        _run_pairs, batch_format="pyarrow",
+    )
+
+    from ..stages.dedup import dedup_exact_sorted
+
+    def _key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("id_left"), pa.string()),
+            pc.cast(t.column("id_right"), pa.string()), "_",
+        )
+        return t.append_column("pair", key)
+
+    pairs = pairs.map_batches(_key, batch_format="pyarrow")
+    return dedup_exact_sorted(
+        pairs, "pair", ["id_left", "id_right"],
+    ).drop_columns(["pair"])

@@ -287,3 +287,37 @@ def test_near_dedup_keep_best_validation(ray_session):
         near_dedup_corpus(ds, method="exact", keep="best", score_col="score")
     with pytest.raises(ValueError, match="keep"):
         near_dedup_corpus(ds, keep="median")
+
+
+def test_ann_join_cross_table_only(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.dedup_approx import ann_join
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(0, 1, (6, 16))
+    # left vectors 0..5; right: 10+i = near-copy of i for i in 0..2,
+    # plus 13..15 random (no match)
+    left_vecs = base
+    right_vecs = np.vstack([
+        base[:3] + rng.normal(0, 0.01, (3, 16)),
+        rng.normal(0, 1, (3, 16)),
+    ])
+
+    def tab(ids, vecs):
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()),
+             pa.array([list(map(float, v)) for v in vecs],
+                      pa.list_(pa.float64()))],
+            names=["vec_id", "embedding"],
+        )
+
+    left = ray.data.from_arrow(tab(list(range(6)), left_vecs))
+    right = ray.data.from_arrow(tab([10, 11, 12, 13, 14, 15], right_vecs))
+    out = ann_join(left, right, threshold=0.95).to_pandas()
+    got = set(zip(out.id_left, out.id_right))
+    assert {(0, 10), (1, 11), (2, 12)} <= got
+    # left-left / right-right pairs never emitted
+    assert all(l < 10 and r >= 10 for l, r in got)
