@@ -1366,6 +1366,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).empty_table()
         return pa.concat_tables(tables)
 
+    def doc_budget_mix(sf_dir):
+        # static data-mixing sampler: target 10% per src0-4, 6% per
+        # src5-9, 2% per src10-19 by character weight — exact integer
+        # rate derivation + md5 gates, replayed in SQL
+        from pybel_ray.ops.sampling import budget_mix_sample
+
+        def _wt(t: pa.Table) -> pa.Table:
+            w = pc.utf8_length(pc.fill_null(t.column("text"), ""))
+            return pa.Table.from_arrays(
+                [t.column("doc_id"), t.column("source"),
+                 pc.cast(w, pa.int64())],
+                names=["doc_id", "source", "wt"],
+            )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "source", "text"],
+        ).map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("text"))),
+            batch_format="pyarrow",
+        ).map_batches(_wt, batch_format="pyarrow")
+        targets = {}
+        for i in range(20):
+            targets[f"src{i}"] = 1000 if i < 5 else (600 if i < 10 else 200)
+        out = budget_mix_sample(docs, "source", "wt", targets)
+        return out.select_columns(["doc_id", "source"])
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -4961,6 +4987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_winsorized_by_type": events_value_winsorized_by_type,
         "events_outliers_robust": events_outliers_robust,
         "emb_ann_join": emb_ann_join,
+        "doc_budget_mix": doc_budget_mix,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -7129,6 +7156,39 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+        """,
+        # data-mixing sampler: identical integer rate derivation + md5
+        # gate thresholds in SQL
+        "doc_budget_mix": """
+            WITH w AS (
+                SELECT doc_id, source, length(text) AS wt
+                FROM documents
+                WHERE text IS NOT NULL AND source IS NOT NULL
+                  AND doc_id IS NOT NULL
+            ),
+            t AS (SELECT source, sum(wt) AS tot FROM w GROUP BY source),
+            g AS (SELECT sum(wt) AS gtot FROM w),
+            b AS (
+                SELECT source, tot,
+                       CASE WHEN CAST(substr(source, 4) AS INT) < 5
+                            THEN 1000
+                            WHEN CAST(substr(source, 4) AS INT) < 10
+                            THEN 600 ELSE 200 END AS bp
+                FROM t
+            ),
+            r AS (
+                SELECT source,
+                       CASE WHEN ((SELECT gtot FROM g) * bp // 10000)
+                                 * 65536 // tot >= 65536 THEN 'ffffg'
+                            ELSE lpad(lower(hex(CAST(
+                                ((SELECT gtot FROM g) * bp // 10000)
+                                * 65536 // tot AS BIGINT))), 4, '0')
+                       END AS th
+                FROM b
+            )
+            SELECT w.doc_id, w.source
+            FROM w JOIN r ON w.source = r.source
+            WHERE substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 4) < r.th
         """,
         "emb_near_dups": """
             SELECT CAST(a.vec_id AS BIGINT) AS id_a,

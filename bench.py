@@ -193,6 +193,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_value_winsorized_by_type",
         "events_outliers_robust",
         "emb_ann_join",
+        "doc_budget_mix",
         # the TPC-H suite is now complete (22/22 shapes); track the
         # three with distinct execution shapes
         "tpch_q9_product_profit",

@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 __all__ = [
     "hash_sample", "weighted_sample", "rate_to_threshold",
     "bottomk_sample", "hash_split", "negative_samples",
+    "budget_mix_sample",
 ]
 
 
@@ -222,3 +223,71 @@ def negative_samples(ds, n_ids: int, k: int = 4, id_col: str = "vec_id"):
     return ds.select_columns([id_col]).map_batches(
         _f, batch_format="pyarrow",
     )
+
+
+def budget_mix_sample(
+    ds,
+    source_col: str,
+    weight_col: str,
+    targets_bp: dict,
+    key_col: str = "doc_id",
+):
+    """Deterministic data-mixing sampler: downsample each source so the
+    corpus approaches the TARGET mixture ``targets_bp`` (source → share
+    in basis points) by total ``weight_col`` (tokens/chars) — the
+    static mixing step behind "50% web, 30% code, 20% books" recipes.
+
+    Exact integer rate derivation (any SQL engine replays it):
+    ``desired_s = gtot * bp_s // 10000``; keep gate ``n_s = min(65536,
+    desired_s * 65536 // actual_s)``; a row survives iff
+    ``md5(str(key))[:4] < hex4(n_s)`` — the same md5 gate family as
+    :func:`hash_sample`, so the kept set is layout-, resume- and
+    cluster-size-invariant and each source's kept weight lands within
+    one gate-quantum of its target (sources already under target keep
+    everything; sources absent from ``targets_bp`` drop entirely).
+
+    One tiny ``grouped_sum`` exchange computes per-source totals; the
+    per-source thresholds broadcast in the closure (a handful of
+    sources by contract); one stateless filter pass samples.  Rows with
+    a null source/weight/key drop.
+    """
+    from .relational import grouped_sum  # local import: avoid cycle
+
+    def _clean(t: pa.Table) -> pa.Table:
+        keep = pc.and_kleene(
+            pc.and_kleene(
+                pc.is_valid(t.column(source_col)),
+                pc.is_valid(t.column(weight_col)),
+            ),
+            pc.is_valid(t.column(key_col)),
+        )
+        return t.filter(keep)
+
+    cleaned = ds.map_batches(_clean, batch_format="pyarrow").materialize()
+    totals = {
+        r[source_col]: int(r[weight_col])
+        for r in grouped_sum(
+            cleaned.select_columns([source_col, weight_col]),
+            source_col, [weight_col],
+        ).take_all()
+    }
+    gtot = sum(totals.values())
+    thresholds = {}
+    for src, actual in totals.items():
+        bp = int(targets_bp.get(src, 0))
+        desired = gtot * bp // 10000
+        n = min(65536, desired * 65536 // actual) if actual else 0
+        thresholds[src] = "ffffg" if n >= 65536 else format(n, "04x")
+
+    def _gate(t: pa.Table) -> pa.Table:
+        src = t.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        pref = _md5_prefixes(pc.cast(t.column(key_col), pa.string()))
+        th = pa.array(
+            [thresholds.get(s, "0000") for s in src.to_pylist()],
+            pa.string(),
+        )
+        return t.filter(pc.less(pref, th))
+
+    return cleaned.map_batches(_gate, batch_format="pyarrow")

@@ -248,3 +248,40 @@ def test_hash_split_and_sample_null_keys(ray_session):
     # hash_sample: md5(NULL) IS NULL -> null keys are never kept
     kept = hash_sample(ray.data.from_arrow(t), 1.0).to_pandas()
     assert kept["doc_id"].notna().all()
+
+
+def test_budget_mix_sample_rates(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.sampling import budget_mix_sample
+
+    # two sources with equal weight; target 90/10 -> source b keeps
+    # roughly 1/5 of its rows (0.1 * gtot / actual_b = 0.2), a keeps all
+    n = 2000
+    t = pa.Table.from_arrays(
+        [pa.array(list(range(n)), pa.int64()),
+         pa.array(["a" if i < n // 2 else "b" for i in range(n)],
+                  pa.string()),
+         pa.array([10] * n, pa.int64())],
+        names=["doc_id", "source", "wt"],
+    )
+    out = budget_mix_sample(
+        ray.data.from_arrow(t).repartition(4), "source", "wt",
+        {"a": 9000, "b": 1000},
+    ).to_pandas()
+    kept_a = (out.source == "a").sum()
+    kept_b = (out.source == "b").sum()
+    assert kept_a == n // 2  # under target: keep everything
+    assert 0.1 < kept_b / (n // 2) < 0.3  # gate ~= 0.2
+    # deterministic across layouts
+    out2 = budget_mix_sample(
+        ray.data.from_arrow(t).repartition(9), "source", "wt",
+        {"a": 9000, "b": 1000},
+    ).to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+    # unlisted source drops entirely
+    out3 = budget_mix_sample(
+        ray.data.from_arrow(t), "source", "wt", {"a": 10000},
+    ).to_pandas()
+    assert set(out3.source) == {"a"}
