@@ -1392,6 +1392,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = budget_mix_sample(docs, "source", "wt", targets)
         return out.select_columns(["doc_id", "source"])
 
+    def doc_diversified_topk(sf_dir):
+        # eval-set construction: global top-100 docs by char length with
+        # a floor of 3 per source; per-group guarantee + anti-join +
+        # global sort-limit filler
+        from pybel_ray.ops.relational import diversified_topk
+
+        def _score(t: pa.Table) -> pa.Table:
+            w = pc.cast(
+                pc.utf8_length(pc.fill_null(t.column("text"), "")),
+                pa.int64(),
+            )
+            return pa.Table.from_arrays(
+                [t.column("doc_id"), t.column("source"), w],
+                names=["doc_id", "source", "score"],
+            )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "source", "text"],
+        ).map_batches(_score, batch_format="pyarrow")
+        return diversified_topk(
+            docs, "source", "score", 100, 3, "doc_id",
+        ).select_columns(["doc_id", "source", "score"])
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -4988,6 +5011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers_robust": events_outliers_robust,
         "emb_ann_join": emb_ann_join,
         "doc_budget_mix": doc_budget_mix,
+        "doc_diversified_topk": doc_diversified_topk,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -7189,6 +7213,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, w.source
             FROM w JOIN r ON w.source = r.source
             WHERE substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 4) < r.th
+        """,
+        # diversity-floored selection: per-group guarantee + global
+        # filler, same ranking SQL
+        "doc_diversified_topk": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       length(coalesce(text, '')) AS score
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, source, score, row_number() OVER (
+                    PARTITION BY source ORDER BY score DESC, doc_id
+                ) AS rng FROM t
+            ),
+            g AS (SELECT doc_id, source, score FROM r WHERE rng <= 3),
+            n AS (SELECT count(*) AS c FROM g),
+            rest AS (
+                SELECT doc_id, source, score, row_number() OVER (
+                    ORDER BY score DESC, doc_id
+                ) AS rnl FROM r WHERE rng > 3
+            )
+            SELECT doc_id, source, CAST(score AS BIGINT) AS score FROM g
+            UNION ALL
+            SELECT doc_id, source, CAST(score AS BIGINT) AS score
+            FROM rest
+            WHERE rnl <= greatest(0, 100 - (SELECT c FROM n))
         """,
         "emb_near_dups": """
             SELECT CAST(a.vec_id AS BIGINT) AS id_a,

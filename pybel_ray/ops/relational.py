@@ -38,6 +38,7 @@ __all__ = [
     "intersect_distinct",
     "except_distinct",
     "grouped_sum",
+    "diversified_topk",
 ]
 
 
@@ -1332,3 +1333,56 @@ def grouped_sum(ds, keys, value_cols, num_buckets: int | None = None):
     return bucketed.groupby("_bucket").map_groups(
         _fold, batch_format="pyarrow",
     )
+
+
+def diversified_topk(
+    ds,
+    group_col: str,
+    score_col: str,
+    k_total: int,
+    min_per_group: int,
+    id_col: str,
+    descending: bool = True,
+):
+    """Diversity-constrained selection: the global top-``k_total`` rows
+    by ``score_col`` subject to a floor of ``min_per_group`` rows per
+    group — the eval-set / showcase construction rule ("the 1000 best
+    documents, but at least 20 from every source").  Semantics
+    (deterministic; ``id_col`` must be a unique row id and is the tie
+    break at both levels):
+
+    1. every group's top ``min_per_group`` rows are guaranteed in;
+    2. the remaining ``k_total - |guaranteed|`` slots fill from the
+       global ranking of all NON-guaranteed rows.
+
+    Scale shape: the guarantee is one skew-bounded
+    :func:`topk_per_group`; the filler is one bucketed anti-join (drop
+    guaranteed rows) + the local-then-global :func:`topk` sort-limit;
+    one small union.  Only ``(group, score, id)`` columns move.
+    """
+    from ..struct.degree import bucketed_semi_join
+
+    if min_per_group < 0 or k_total < 0:
+        raise ValueError("k_total and min_per_group must be >= 0")
+    sel = ds.select_columns([group_col, score_col, id_col])
+    guaranteed = topk_per_group(
+        sel, group_col, score_col, min_per_group,
+        descending=descending, tie_keys=[id_col],
+    ).materialize() if min_per_group else None
+    n_g = guaranteed.count() if guaranteed is not None else 0
+    fill = max(0, k_total - n_g)
+    if guaranteed is not None:
+        rest = bucketed_semi_join(
+            sel, id_col, guaranteed.select_columns([id_col]), id_col,
+            anti=True,
+        )
+    else:
+        rest = sel
+    filler = topk(
+        rest, score_col, fill, descending=descending, tie_keys=[id_col],
+    ) if fill else None
+    if guaranteed is None:
+        return filler if filler is not None else sel.limit(0)
+    if filler is None:
+        return guaranteed
+    return guaranteed.union(filler)

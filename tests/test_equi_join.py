@@ -465,3 +465,31 @@ def test_grouped_sum_matches_native(ray_session):
     ).take_all()
     got2 = {(r["g1"], r["g2"]): r["v"] for r in out2}
     assert got2 == {("x", 1): 10, ("x", 2): 20, ("y", 1): 30, (None, 1): 40}
+
+
+def test_diversified_topk_floor_and_fill(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.relational import diversified_topk
+
+    # group A scores 100..91, group B scores 10..1: global top-6 with
+    # floor 2 -> A's top2 + B's top2 guaranteed, filler = next 2 best
+    # non-guaranteed (A 98, 97)
+    ids = list(range(20))
+    grp = ["A"] * 10 + ["B"] * 10
+    score = list(range(100, 90, -1)) + list(range(10, 0, -1))
+    t = pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(grp, pa.string()),
+         pa.array(score, pa.int64())],
+        names=["id", "g", "s"],
+    )
+    out = diversified_topk(
+        ray.data.from_arrow(t).repartition(3), "g", "s", 6, 2, "id",
+    ).to_pandas()
+    assert sorted(out.id) == [0, 1, 2, 3, 10, 11]
+    # zero floor degrades to plain global top-k
+    out2 = diversified_topk(
+        ray.data.from_arrow(t), "g", "s", 4, 0, "id",
+    ).to_pandas()
+    assert sorted(out2.id) == [0, 1, 2, 3]
