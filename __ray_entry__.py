@@ -1415,6 +1415,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs, "source", "score", 100, 3, "doc_id",
         ).select_columns(["doc_id", "source", "score"])
 
+    def emb_semantic_decontaminate(sf_dir):
+        # semantic decontamination: drop "training" vectors (odd ids)
+        # that match any "eval" vector (even ids) at cosine >= 0.5 —
+        # ann_join (n_planes=4, bands=64: miss ~1e-6 at 0.5) + one
+        # bucketed anti-join; NOT EXISTS oracle
+        from pybel_ray.ops.dedup_approx import ann_join
+        from pybel_ray.struct.degree import bucketed_semi_join
+
+        emb = _read(sf_dir, "embeddings")
+
+        def _half(par):
+            def f(t: pa.Table) -> pa.Table:
+                import numpy as np
+
+                v = np.asarray(
+                    t.column("vec_id").to_numpy(zero_copy_only=False),
+                    np.int64,
+                )
+                return t.filter(pa.array(v % 2 == par))
+            return f
+
+        evals = emb.map_batches(_half(0), batch_format="pyarrow")
+        train = emb.map_batches(_half(1), batch_format="pyarrow")
+        hits = ann_join(
+            evals, train, threshold=0.5, n_planes=4, bands=64,
+        ).select_columns(["id_right"])
+        kept = bucketed_semi_join(
+            train.select_columns(["vec_id"]), "vec_id", hits, "id_right",
+            anti=True,
+        )
+        tables = list(kept.iter_batches(batch_format="pyarrow"))
+        if not tables:
+            return pa.schema([("vec_id", pa.int64())]).empty_table()
+        return pa.concat_tables(tables)
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -5012,6 +5047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_join": emb_ann_join,
         "doc_budget_mix": doc_budget_mix,
         "doc_diversified_topk": doc_diversified_topk,
+        "emb_semantic_decontaminate": emb_semantic_decontaminate,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -7239,6 +7275,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, CAST(score AS BIGINT) AS score
             FROM rest
             WHERE rnl <= greatest(0, 100 - (SELECT c FROM n))
+        """,
+        "emb_semantic_decontaminate": """
+            SELECT CAST(t.vec_id AS BIGINT) AS vec_id
+            FROM embeddings t
+            WHERE t.vec_id % 2 = 1 AND NOT EXISTS (
+                SELECT 1 FROM embeddings e
+                WHERE e.vec_id % 2 = 0
+                  AND list_cosine_similarity(e.embedding, t.embedding)
+                      >= 0.5
+            )
         """,
         "emb_near_dups": """
             SELECT CAST(a.vec_id AS BIGINT) AS id_a,
