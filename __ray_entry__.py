@@ -1450,6 +1450,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pa.schema([("vec_id", pa.int64())]).empty_table()
         return pa.concat_tables(tables)
 
+    def doc_mixed_language(sf_dir):
+        # mixed-language detection: language-ID each document half with
+        # the shared marker scorer and flag disagreement — the
+        # code-switching / concatenation-artifact gate
+        from pybel_ray.ops.text import LANG_MARKERS
+
+        def _halves(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t.column("text")))
+            texts = t.column("text").to_pylist()
+            first, second = [], []
+            for txt in texts:
+                n = len(txt)
+                first.append(txt[:n // 2])
+                second.append(txt[n // 2:])
+
+            def lang_of(vals):
+                padded = pc.binary_join_element_wise(
+                    " ", pc.utf8_lower(pa.array(vals, pa.string())),
+                    " ", "",
+                )
+                counts = {}
+                for lang, markers in LANG_MARKERS.items():
+                    total = None
+                    for m in markers:
+                        c = pc.count_substring(padded, m)
+                        total = c if total is None else pc.add(total, c)
+                    counts[lang] = total
+                en, de, fr = counts["en"], counts["de"], counts["fr"]
+                return pc.if_else(
+                    pc.and_(pc.greater_equal(en, de),
+                            pc.greater_equal(en, fr)),
+                    "en",
+                    pc.if_else(pc.greater_equal(de, fr), "de", "fr"),
+                )
+
+            l1 = lang_of(first)
+            l2 = lang_of(second)
+            mixed = pc.cast(pc.invert(pc.equal(l1, l2)), pa.int64())
+            return pa.Table.from_arrays(
+                [t.column("doc_id"), l1, l2, mixed],
+                names=["doc_id", "lang_first", "lang_second", "is_mixed"],
+            )
+
+        return _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"],
+        ).map_batches(_halves, batch_format="pyarrow")
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -5048,6 +5095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_budget_mix": doc_budget_mix,
         "doc_diversified_topk": doc_diversified_topk,
         "emb_semantic_decontaminate": emb_semantic_decontaminate,
+        "doc_mixed_language": doc_mixed_language,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -6606,6 +6654,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
             FROM documents
         """,
+        "doc_mixed_language": """
+            WITH halves AS (
+                SELECT doc_id,
+                       ' ' || lower(substr(text, 1, length(text) // 2))
+                           || ' ' AS p1,
+                       ' ' || lower(substr(text, length(text) // 2 + 1))
+                           || ' ' AS p2
+                FROM documents WHERE text IS NOT NULL
+            ),
+            h AS (
+                SELECT doc_id,
+                       {en1} AS en1, {de1} AS de1, {fr1} AS fr1,
+                       {en2} AS en2, {de2} AS de2, {fr2} AS fr2
+                FROM halves
+            ),
+            l AS (
+                SELECT doc_id,
+                       CASE WHEN en1 >= de1 AND en1 >= fr1 THEN 'en'
+                            WHEN de1 >= fr1 THEN 'de' ELSE 'fr' END
+                           AS lang_first,
+                       CASE WHEN en2 >= de2 AND en2 >= fr2 THEN 'en'
+                            WHEN de2 >= fr2 THEN 'de' ELSE 'fr' END
+                           AS lang_second
+                FROM h
+            )
+            SELECT doc_id, lang_first, lang_second,
+                   CAST(CASE WHEN lang_first <> lang_second THEN 1
+                        ELSE 0 END AS BIGINT) AS is_mixed
+            FROM l
+        """.format(
+            en1=hits_expr("en").replace("padded", "p1"),
+            de1=hits_expr("de").replace("padded", "p1"),
+            fr1=hits_expr("fr").replace("padded", "p1"),
+            en2=hits_expr("en").replace("padded", "p2"),
+            de2=hits_expr("de").replace("padded", "p2"),
+            fr2=hits_expr("fr").replace("padded", "p2"),
+        ),
         "doc_lang_id": langid_sql,
         "doc_exact_dedup": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
