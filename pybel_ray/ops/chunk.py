@@ -172,6 +172,12 @@ def fim_split(
     """
     import hashlib
 
+    if min_len < 2:
+        raise ValueError(
+            "fim_split: min_len must be >= 2 (cut-point arithmetic needs"
+            " n // 2 >= 1)",
+        )
+
     def _h60(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: S324
 

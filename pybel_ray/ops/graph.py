@@ -136,11 +136,14 @@ def pagerank(
     teleport = (15 * scale) // 100
     seed_list = sorted(set(seeds)) if seeds is not None else None
     edges = _snapshot(edges.select_columns([src_col, dst_col]))
-    # budget gate: edge count (free on the snapshot) as a conservative
-    # node-count proxy (nodes <= 2*edges) — probing the exact node count
-    # cost its own dedup exchange, ~2 s of pure overhead at toy scale
+    # budget gate: edge count (free on the snapshot) as the node-count
+    # proxy — probing the exact node count cost its own dedup exchange,
+    # ~2 s of pure overhead at toy scale.  nodes <= 2*edges, so gating
+    # at node_budget // 2 edges bounds driver state by node_budget
+    # exactly (trade: dense graphs with edges >> nodes now take the
+    # distributed branch the old probe would have kept on broadcast)
     n_edges = edges.count()
-    if force_distributed or n_edges > node_budget:
+    if force_distributed or n_edges > node_budget // 2:
         return _pagerank_distributed(
             edges, src_col, dst_col, iters, scale, teleport, num_buckets,
             seed_list,
@@ -895,9 +898,10 @@ def hits(
     import ray
 
     edges = _snapshot(edges.select_columns([src_col, dst_col]))
-    # budget gate: snapshot edge count as the free conservative proxy
-    # (nodes <= 2*edges) — same rationale as pagerank
-    if force_distributed or edges.count() > node_budget:
+    # budget gate: snapshot edge count at node_budget // 2 bounds
+    # driver node state by node_budget (nodes <= 2*edges) — same
+    # rationale and trade as pagerank
+    if force_distributed or edges.count() > node_budget // 2:
         return _hits_distributed(
             edges, src_col, dst_col, iters, scale, num_buckets,
         )
@@ -1234,9 +1238,10 @@ def pagerank_weighted(
 
     teleport = (15 * scale) // 100
     edges = _snapshot(edges.select_columns([src_col, dst_col, weight_col]))
-    # budget gate: snapshot edge count as the free conservative proxy
-    # (nodes <= 2*edges) — same rationale as pagerank
-    if force_distributed or edges.count() > node_budget:
+    # budget gate: snapshot edge count at node_budget // 2 bounds
+    # driver node state by node_budget (nodes <= 2*edges) — same
+    # rationale and trade as pagerank
+    if force_distributed or edges.count() > node_budget // 2:
         return _pagerank_weighted_distributed(
             edges, src_col, dst_col, weight_col, iters, scale, teleport,
             num_buckets,
@@ -1694,6 +1699,7 @@ def modularity(
     weight_col: str | None = None,
     node_col: str = "node",
     comm_col: str = "comm",
+    num_buckets: int | None = None,
     node_budget: int = 2_000_000,
     force_distributed: bool = False,
 ):
@@ -1807,10 +1813,12 @@ def modularity(
             edges,
             comm_sel.map_batches(_ren("_csrc"), batch_format="pyarrow"),
             on=src_col, right_on=node_col, how="inner",
+            num_buckets=num_buckets,
         )
         e = equi_join(
             e, comm_sel.map_batches(_ren("_cdst"), batch_format="pyarrow"),
             on=dst_col, right_on=node_col, how="inner",
+            num_buckets=num_buckets,
         )
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -1874,6 +1882,7 @@ def degree_assortativity(
     edges,
     src_col: str = "src",
     dst_col: str = "dst",
+    num_buckets: int | None = None,
     edge_budget: int = 10_000_000,
     force_distributed: bool = False,
 ):
@@ -1990,8 +1999,10 @@ def degree_assortativity(
     )
     # equi_join auto mode: degree tables under 64 MB broadcast, bigger
     # ones take the data-sized bucketed exchange
-    e = equi_join(edges, outd, on=src_col, right_on="node", how="inner")
-    e = equi_join(e, ind, on=dst_col, right_on="node", how="inner")
+    e = equi_join(edges, outd, on=src_col, right_on="node", how="inner",
+                  num_buckets=num_buckets)
+    e = equi_join(e, ind, on=dst_col, right_on="node", how="inner",
+                  num_buckets=num_buckets)
     return corr_stats(e, "outdeg", "indeg", scale=1)
 
 
@@ -2589,16 +2600,24 @@ def weighted_random_walks(
         )
 
         def _pick(t: pa.Table, _t=t_step) -> pa.Table:
-            walks = t.column("walk").to_pylist()
-            r = np.array(
+            # one digest per DISTINCT walk, gathered back per row — a
+            # hub frontier would otherwise recompute the identical md5
+            # once per out-edge
+            wcol = t.column("walk").combine_chunks()
+            enc = wcol.dictionary_encode()
+            codes = np.asarray(
+                enc.indices.to_numpy(zero_copy_only=False), np.int64,
+            )
+            uniq_r = np.array(
                 [
                     int(hashlib.md5(  # noqa: S324 - derandomized draw
                         f"{w}|{_t}".encode(),
                     ).hexdigest()[:15], 16)
-                    for w in walks
+                    for w in enc.dictionary.to_pylist()
                 ],
                 np.int64,
             )
+            r = uniq_r[codes]
             tot = np.asarray(
                 t.column("_tot").to_numpy(zero_copy_only=False), np.int64,
             )
@@ -2688,6 +2707,12 @@ def label_propagation(
     if not seed_labels:
         raise ValueError("label_propagation: empty seed set")
     sep = "\x1f"
+    for k, v in seed_labels.items():
+        if sep in str(k) or sep in str(v):
+            raise ValueError(
+                "label_propagation: node ids and labels must not contain"
+                " the \\x1f separator (vote keys render through it)",
+            )
 
     # node ids coerce to their string rendering (same contract as
     # :func:`mis`) so seed keys and edge endpoints always unify

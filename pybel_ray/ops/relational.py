@@ -677,7 +677,10 @@ def groupby_agg(ds, keys, aggs: Mapping[str, tuple]):
     # (:func:`grouped_sum`'s shape) instead of the native sort-based
     # aggregate — measured 5x at 150k groups.  Float sums/means keep the
     # native path (their accumulation order must not change under the
-    # hood of existing oracles).
+    # hood of existing oracles).  Null-key rows: the fast path groups
+    # them together (SQL GROUP BY semantics) where the native Ray
+    # aggregate raises in its sort — callers with nullable keys should
+    # filter explicitly if they need the old failure.
     fast_ok = all(kind in ("count", "sum", "min", "max")
                   for kind, _ in aggs.values())
     if fast_ok:

@@ -1019,10 +1019,12 @@ def winsorize_by(ds, group_col: str, value_col: str,
     import ray
 
     out_col = out_col or value_col + "_wins_e6"
-    lo_t = quantile_by_selection(ds, group_col, value_col, lo_bp,
-                                 group_budget=group_budget)
-    hi_t = quantile_by_selection(ds, group_col, value_col, hi_bp,
-                                 group_budget=group_budget)
+    # quantize once; both cut points ride the same materialized (g, q)
+    qs = _quantized_group_column(ds, group_col, value_col)
+    lo_t = _median_by_from(qs, group_col, group_budget, q_bp=lo_bp,
+                           out_name="q_e6")
+    hi_t = _median_by_from(qs, group_col, group_budget, q_bp=hi_bp,
+                           out_name="q_e6")
     keys = lo_t.column(group_col).combine_chunks()
     lo_v = np.asarray(lo_t.column("q_e6").to_numpy(zero_copy_only=False),
                       np.int64)

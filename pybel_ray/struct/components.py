@@ -76,7 +76,18 @@ def connected_components(
 
     from ..stages.dedup import add_hash_bucket, dedup_exact
 
-    edges_sel = _snapshot(pairs.select_columns([a_col, b_col]))
+    def _drop_null_edges(t: pa.Table) -> pa.Table:
+        # rows with a null endpoint drop in BOTH branches (the
+        # propagation branch would otherwise crash in the label sort,
+        # and the union-find branch must agree with it)
+        keep = pc.and_kleene(
+            pc.is_valid(t.column(a_col)), pc.is_valid(t.column(b_col)),
+        )
+        return t.select([a_col, b_col]).filter(keep)
+
+    edges_sel = _snapshot(pairs.select_columns([a_col, b_col]).map_batches(
+        _drop_null_edges, batch_format="pyarrow",
+    ))
     n_pairs = edges_sel.count()
     if not force_distributed and n_pairs <= edge_budget:
         parent: dict = {}
