@@ -1497,6 +1497,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "text"],
         ).map_batches(_halves, batch_format="pyarrow")
 
+    def events_burst_windows(sf_dir):
+        # burst detection: 5-minute tumbling windows whose event count
+        # exceeds the type's median by more than 3 MADs (one-sided
+        # robust gate, exact integers end to end) — grouped_sum window
+        # counts + mad_by_selection + one broadcast filter
+        import ray as _ray
+
+        from pybel_ray.ops.relational import grouped_sum
+        from pybel_ray.ops.stats import mad_by_selection
+
+        step = 5 * 60 * 1_000_000
+
+        def _win(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            keep = pc.and_kleene(
+                pc.is_valid(t.column("ts")),
+                pc.is_valid(t.column("event_type")),
+            )
+            t = t.filter(keep)
+            tsu = np.asarray(
+                pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False),
+                np.int64,
+            )
+            win = (tsu // step) * step
+            return pa.Table.from_arrays(
+                [t.column("event_type"), pa.array(win, pa.int64()),
+                 pa.array(np.ones(len(win), np.int64))],
+                names=["event_type", "window_start", "one"],
+            )
+
+        counts = grouped_sum(
+            _read(sf_dir, "events").select_columns(
+                ["event_type", "ts"],
+            ).map_batches(_win, batch_format="pyarrow"),
+            ["event_type", "window_start"], ["one"],
+        ).map_batches(
+            lambda t: t.rename_columns(
+                ["event_type", "window_start", "n"],
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        stats = mad_by_selection(counts, "event_type", "n")
+        keys = stats.column("event_type").combine_chunks()
+        med = stats.column("median_e6").to_numpy(zero_copy_only=False)
+        mad = stats.column("mad_e6").to_numpy(zero_copy_only=False)
+        st = _ray.put((keys, med.copy(), mad.copy()))
+
+        def _gate(t: pa.Table, _st=st) -> pa.Table:
+            import numpy as np
+
+            k_, m_, d_ = _ray.get(_st)
+            gid = np.asarray(
+                pc.index_in(t.column("event_type"), value_set=k_)
+                .to_numpy(zero_copy_only=False), np.int64,
+            )
+            n = np.asarray(
+                t.column("n").to_numpy(zero_copy_only=False), np.int64,
+            )
+            dev = n * 1_000_000 - m_[gid]
+            keep = dev > 3 * d_[gid]
+            return t.filter(pa.array(keep))
+
+        return counts.map_batches(_gate, batch_format="pyarrow")
+
     def graph_components(sf_dir):
         from pybel_ray.struct.components import connected_components
 
@@ -5096,6 +5162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_diversified_topk": doc_diversified_topk,
         "emb_semantic_decontaminate": emb_semantic_decontaminate,
         "doc_mixed_language": doc_mixed_language,
+        "events_burst_windows": events_burst_windows,
         "graph_components": graph_components,
         "orders_lineitem_join": orders_lineitem_join,
         "customer_orders_left_join": customer_orders_left_join,
@@ -6344,6 +6411,41 @@ def oracle_sql() -> dict[str, str]:
             FROM k2
         """,
         # per-group exact p90: row_number at (n-1)*9000//10000 + 1
+        "events_burst_windows": """
+            WITH c AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 300000000) * 300000000
+                           AS window_start,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            v AS (SELECT event_type AS g, n * 1000000 AS q FROM c),
+            cnt AS (SELECT g, count(*) AS c FROM v GROUP BY g),
+            med AS (
+                SELECT t.g, t.q AS m FROM (
+                    SELECT g, q, row_number() OVER (
+                        PARTITION BY g ORDER BY q) AS rn FROM v
+                ) t JOIN cnt ON t.g = cnt.g
+                WHERE t.rn = (cnt.c - 1) // 2 + 1
+            ),
+            dev AS (
+                SELECT v.g, v.q, abs(v.q - med.m) AS d
+                FROM v JOIN med ON v.g = med.g
+            ),
+            madt AS (
+                SELECT t.g, t.d AS md FROM (
+                    SELECT g, d, row_number() OVER (
+                        PARTITION BY g ORDER BY d) AS rn FROM dev
+                ) t JOIN cnt ON t.g = cnt.g
+                WHERE t.rn = (cnt.c - 1) // 2 + 1
+            )
+            SELECT c.event_type, c.window_start, c.n
+            FROM c JOIN med ON c.event_type = med.g
+                   JOIN madt ON c.event_type = madt.g
+            WHERE c.n * 1000000 - med.m > 3 * madt.md
+        """,
         "events_value_winsorized_by_type": """
             WITH v AS (
                 SELECT event_type AS g,

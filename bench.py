@@ -197,6 +197,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_diversified_topk",
         "emb_semantic_decontaminate",
         "doc_mixed_language",
+        "events_burst_windows",
         # the TPC-H suite is now complete (22/22 shapes); track the
         # three with distinct execution shapes
         "tpch_q9_product_profit",
