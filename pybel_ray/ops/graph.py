@@ -402,41 +402,79 @@ def triangle_counts(
     deg = groupby_count(
         pairs.map_batches(_endpoints, batch_format="pyarrow"), "node", "deg",
     ).materialize()
-    if deg.count() > broadcast_budget:
-        raise NotImplementedError(
-            "degree table beyond broadcast budget: wire bucketed_attach "
-            "(struct/degree.py) for the orientation join",
-        )
-    deg_batches = list(deg.iter_batches(batch_format="pyarrow")) or [
-        pa.Table.from_arrays(
-            [pa.array([], pa.string()), pa.array([], pa.int64())],
-            names=["node", "deg"],
-        ),
-    ]
-    deg_tbl = pa.concat_tables(deg_batches).combine_chunks()
-    deg_ref = ray.put(deg_tbl)
+    deg_tbl = None
+    if deg.count() <= broadcast_budget:
+        deg_batches = list(deg.iter_batches(batch_format="pyarrow")) or [
+            pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["node", "deg"],
+            ),
+        ]
+        deg_tbl = pa.concat_tables(deg_batches).combine_chunks()
+        deg_ref = ray.put(deg_tbl)
 
-    # 3) orient each edge lower-(deg, id) -> higher-(deg, id)
-    def _orient(t: pa.Table) -> pa.Table:
-        m = ray.get(deg_ref)
-        keys, degs = m.column("node").combine_chunks(), m.column("deg")
-        d_lo = pc.take(degs, pc.index_in(t.column("lo"), value_set=keys))
-        d_hi = pc.take(degs, pc.index_in(t.column("hi"), value_set=keys))
-        dl = d_lo.to_numpy(zero_copy_only=False)
-        dh = d_hi.to_numpy(zero_copy_only=False)
-        # lo < hi lexicographically, so ties on degree keep lo first
-        fwd = dl <= dh
-        lo, hi = t.column("lo").combine_chunks(), t.column("hi").combine_chunks()
-        mask = pa.array(fwd)
-        inv = pa.array(~fwd)
-        u = pa.concat_arrays([lo.filter(mask), hi.filter(inv)])
-        v = pa.concat_arrays([hi.filter(mask), lo.filter(inv)])
-        dv = np.r_[dh[fwd], dl[~fwd]]
-        return pa.Table.from_arrays(
-            [u, v, pa.array(dv, pa.int64())], names=["u", "v", "deg_v"],
+        # 3) orient each edge lower-(deg, id) -> higher-(deg, id)
+        def _orient(t: pa.Table) -> pa.Table:
+            m = ray.get(deg_ref)
+            keys, degs = m.column("node").combine_chunks(), m.column("deg")
+            d_lo = pc.take(degs, pc.index_in(t.column("lo"), value_set=keys))
+            d_hi = pc.take(degs, pc.index_in(t.column("hi"), value_set=keys))
+            dl = d_lo.to_numpy(zero_copy_only=False)
+            dh = d_hi.to_numpy(zero_copy_only=False)
+            # lo < hi lexicographically, so ties on degree keep lo first
+            fwd = dl <= dh
+            lo = t.column("lo").combine_chunks()
+            hi = t.column("hi").combine_chunks()
+            mask = pa.array(fwd)
+            inv = pa.array(~fwd)
+            u = pa.concat_arrays([lo.filter(mask), hi.filter(inv)])
+            v = pa.concat_arrays([hi.filter(mask), lo.filter(inv)])
+            dv = np.r_[dh[fwd], dl[~fwd]]
+            return pa.Table.from_arrays(
+                [u, v, pa.array(dv, pa.int64())], names=["u", "v", "deg_v"],
+            )
+
+        oriented = pairs.map_batches(
+            _orient, batch_format="pyarrow",
+        ).materialize()
+    else:
+        # distributed orientation: two bucketed lookup-join exchanges
+        # attach deg(lo) and deg(hi), then a stateless vectorized flip.
+        from ..struct.degree import bucketed_attach
+
+        def _as(name):
+            def _r(t: pa.Table, _n=name) -> pa.Table:
+                return t.rename_columns(["node", _n])
+
+            return _r
+
+        deg_lo = deg.map_batches(_as("_d_lo"), batch_format="pyarrow")
+        deg_hi = deg.map_batches(_as("_d_hi"), batch_format="pyarrow")
+        withdeg = bucketed_attach(
+            pairs, "lo", deg_lo, "node", ["_d_lo"], how="inner",
+        )
+        withdeg = bucketed_attach(
+            withdeg, "hi", deg_hi, "node", ["_d_hi"], how="inner",
         )
 
-    oriented = pairs.map_batches(_orient, batch_format="pyarrow").materialize()
+        def _orient_attached(t: pa.Table) -> pa.Table:
+            dl = t.column("_d_lo").to_numpy(zero_copy_only=False)
+            dh = t.column("_d_hi").to_numpy(zero_copy_only=False)
+            fwd = dl <= dh
+            lo = t.column("lo").combine_chunks()
+            hi = t.column("hi").combine_chunks()
+            mask = pa.array(fwd)
+            inv = pa.array(~fwd)
+            u = pa.concat_arrays([lo.filter(mask), hi.filter(inv)])
+            v = pa.concat_arrays([hi.filter(mask), lo.filter(inv)])
+            dv = np.r_[dh[fwd], dl[~fwd]]
+            return pa.Table.from_arrays(
+                [u, v, pa.array(dv, pa.int64())], names=["u", "v", "deg_v"],
+            )
+
+        oriented = withdeg.map_batches(
+            _orient_attached, batch_format="pyarrow",
+        ).materialize()
 
     # 4) wedges: per source, pairs of out-neighbors in (deg, id) order
     def _wedges(g: pa.Table) -> pa.Table:
@@ -471,33 +509,60 @@ def triangle_counts(
 
     keys_ds = oriented.map_batches(_edge_keys, batch_format="pyarrow")
     n_keys = keys_ds.count()
-    if n_keys > broadcast_budget:
-        raise NotImplementedError(
-            "oriented edge set beyond broadcast budget: use "
-            "bucketed_semi_join (struct/degree.py) for the wedge check",
-        )
-    key_batches = list(keys_ds.iter_batches(batch_format="pyarrow")) or [
-        pa.Table.from_arrays([pa.array([], pa.string())], names=["k"]),
-    ]
-    key_tbl = pa.concat_tables(key_batches).combine_chunks()
-    key_ref = ray.put(key_tbl.column("k").combine_chunks())
+    if n_keys <= broadcast_budget:
+        key_batches = list(keys_ds.iter_batches(batch_format="pyarrow")) or [
+            pa.Table.from_arrays([pa.array([], pa.string())], names=["k"]),
+        ]
+        key_tbl = pa.concat_tables(key_batches).combine_chunks()
+        key_ref = ray.put(key_tbl.column("k").combine_chunks())
 
-    def _close(t: pa.Table) -> pa.Table:
-        ks = ray.get(key_ref)
-        key = pc.binary_join_element_wise(
-            t.column("x").combine_chunks(), t.column("y").combine_chunks(),
-            "\x1f",
-        )
-        hit = pc.is_in(key, value_set=ks)
-        tri = t.filter(hit)
-        node = pa.concat_arrays([
-            tri.column("x").combine_chunks(),
-            tri.column("y").combine_chunks(),
-            tri.column("witness").combine_chunks(),
-        ])
-        return pa.Table.from_arrays([node], names=["node"])
+        def _close(t: pa.Table) -> pa.Table:
+            ks = ray.get(key_ref)
+            key = pc.binary_join_element_wise(
+                t.column("x").combine_chunks(),
+                t.column("y").combine_chunks(),
+                "\x1f",
+            )
+            hit = pc.is_in(key, value_set=ks)
+            tri = t.filter(hit)
+            node = pa.concat_arrays([
+                tri.column("x").combine_chunks(),
+                tri.column("y").combine_chunks(),
+                tri.column("witness").combine_chunks(),
+            ])
+            return pa.Table.from_arrays([node], names=["node"])
 
-    members = wedges.map_batches(_close, batch_format="pyarrow")
+        members = wedges.map_batches(_close, batch_format="pyarrow")
+    else:
+        # distributed wedge check: one bucketed semi-join exchange of the
+        # wedge stream against the oriented-edge key set — wedges and keys
+        # co-locate by hash(key) bucket, never on the driver.
+        from ..struct.degree import bucketed_semi_join
+
+        def _wedge_key(t: pa.Table) -> pa.Table:
+            key = pc.binary_join_element_wise(
+                t.column("x").combine_chunks(),
+                t.column("y").combine_chunks(),
+                "\x1f",
+            )
+            return t.append_column(
+                "k", key if isinstance(key, pa.Array) else key.combine_chunks(),
+            )
+
+        closed = bucketed_semi_join(
+            wedges.map_batches(_wedge_key, batch_format="pyarrow"),
+            "k", keys_ds, "k",
+        )
+
+        def _members(t: pa.Table) -> pa.Table:
+            node = pa.concat_arrays([
+                t.column("x").combine_chunks(),
+                t.column("y").combine_chunks(),
+                t.column("witness").combine_chunks(),
+            ])
+            return pa.Table.from_arrays([node], names=["node"])
+
+        members = closed.map_batches(_members, batch_format="pyarrow")
     counts = groupby_count(members, "node", "n_triangles")
     if not _with_degrees:
         return counts
@@ -525,43 +590,62 @@ def clustering_coefficients(
     counts, deg_ds, _deg_tbl = triangle_counts(
         edges, a_col, b_col, broadcast_budget, _with_degrees=True,
     )
-    cnt_batches = list(counts.iter_batches(batch_format="pyarrow")) or [
-        pa.Table.from_arrays(
-            [pa.array([], pa.string()), pa.array([], pa.int64())],
-            names=["node", "n_triangles"],
-        ),
-    ]
-    cnt_tbl = pa.concat_tables(cnt_batches).combine_chunks()
-    if cnt_tbl.num_rows > broadcast_budget:
-        raise NotImplementedError(
-            "triangle-count table beyond broadcast budget: wire "
-            "bucketed_attach for the cc join",
-        )
-    cnt_ref = ray.put(cnt_tbl)
+    counts = counts.materialize()
+    if counts.count() <= broadcast_budget:
+        cnt_batches = list(counts.iter_batches(batch_format="pyarrow")) or [
+            pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["node", "n_triangles"],
+            ),
+        ]
+        cnt_tbl = pa.concat_tables(cnt_batches).combine_chunks()
+        cnt_ref = ray.put(cnt_tbl)
 
-    def _cc(t: pa.Table) -> pa.Table:
-        m = ray.get(cnt_ref)
-        idx = pc.index_in(
-            t.column("node"), value_set=m.column("node").combine_chunks(),
-        )
-        tri = pc.fill_null(
-            pc.take(m.column("n_triangles").combine_chunks(), idx), 0,
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        deg = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
-        denom = deg * (deg - 1)
-        cc = np.zeros(len(deg), np.float64)
-        ok = denom > 0
-        cc[ok] = (2.0 * tri[ok]) / denom[ok]
-        q = np.floor(cc * 1e6 + 0.5).astype(np.int64)
-        return pa.Table.from_arrays(
-            [
-                t.column("node"), t.column("deg"),
-                pa.array(tri, pa.int64()), pa.array(q, pa.int64()),
-            ],
-            names=["node", "deg", "n_triangles", "cc_e6"],
-        )
+        def _cc(t: pa.Table) -> pa.Table:
+            m = ray.get(cnt_ref)
+            idx = pc.index_in(
+                t.column("node"), value_set=m.column("node").combine_chunks(),
+            )
+            tri = pc.fill_null(
+                pc.take(m.column("n_triangles").combine_chunks(), idx), 0,
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            return _cc_table(t, tri)
 
-    return deg_ds.map_batches(_cc, batch_format="pyarrow")
+        return deg_ds.map_batches(_cc, batch_format="pyarrow")
+
+    # distributed attach: one bucketed lookup-join exchange of the degree
+    # Dataset against the triangle-count Dataset (left join, absent -> 0).
+    from ..struct.degree import bucketed_attach
+
+    joined = bucketed_attach(
+        deg_ds, "node", counts, "node", ["n_triangles"],
+        how="left",
+    )
+
+    def _cc_joined(t: pa.Table) -> pa.Table:
+        tri = pc.fill_null(t.column("n_triangles"), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return _cc_table(t, tri)
+
+    return joined.map_batches(_cc_joined, batch_format="pyarrow")
+
+
+def _cc_table(t: pa.Table, tri: "np.ndarray") -> pa.Table:
+    """(node, deg, n_triangles, cc_e6) from a degree table + aligned
+    per-row triangle counts — shared tail of both cc branches."""
+    deg = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+    denom = deg * (deg - 1)
+    cc = np.zeros(len(deg), np.float64)
+    ok = denom > 0
+    cc[ok] = (2.0 * tri[ok]) / denom[ok]
+    q = np.floor(cc * 1e6 + 0.5).astype(np.int64)
+    return pa.Table.from_arrays(
+        [
+            t.column("node"), t.column("deg"),
+            pa.array(tri, pa.int64()), pa.array(q, pa.int64()),
+        ],
+        names=["node", "deg", "n_triangles", "cc_e6"],
+    )
 
 
 def kcore(
@@ -582,7 +666,11 @@ def kcore(
     exchange (per-batch endpoint combiner) + one stateless broadcast
     anti-filter over the edge Dataset (the REMOVED node set ships via
     ``ray.put``; it is the small side by construction — peeling removes
-    a shrinking frontier, never the surviving bulk).  The edge Dataset
+    a shrinking frontier, never the surviving bulk).  A frontier larger
+    than ``broadcast_budget`` (e.g. the first peel round of a web-scale
+    host graph) switches that round to two
+    :func:`~pybel_ray.struct.degree.bucketed_semi_join` anti-join
+    exchanges (one per endpoint column) — same fixpoint, no broadcast.  The edge Dataset
     is re-materialized per round so lineage stays one round deep
     instead of re-executing the whole peel chain.  Rounds are bounded
     by graph structure (≤ the longest peel cascade), not by data size;
@@ -651,10 +739,19 @@ def kcore(
 
             return rd.from_arrow(empty)
         if n_bad > broadcast_budget:
-            raise NotImplementedError(
-                "peel frontier beyond broadcast budget: wire the bucketed "
-                "anti-join (struct/degree.py) for the removal filter",
+            # distributed removal: two bucketed anti-join exchanges (one
+            # per endpoint column) against the peel frontier — no driver
+            # or broadcast copy of the removed set.
+            from ..struct.degree import bucketed_semi_join
+
+            stripped = bucketed_semi_join(
+                pairs, "lo", bad, "node", anti=True,
             )
+            stripped = bucketed_semi_join(
+                stripped, "hi", bad, "node", anti=True,
+            )
+            pairs = stripped.materialize()
+            continue
         bad_nodes = pa.concat_tables(
             list(bad.select_columns(["node"]).iter_batches(
                 batch_format="pyarrow",

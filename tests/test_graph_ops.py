@@ -1108,3 +1108,63 @@ def test_label_propagation_matches_reference(ray_session):
     ).take_all()
     got = {r["node"]: (r["label"], r["lp_round"]) for r in rows}
     assert got == _ref_label_prop(pairs, [1] * len(pairs), seeds, 5)
+
+
+# ---------------------------------------------------------------------------
+# planted over-budget parity: broadcast_budget=0 forces every bucketed
+# fallback branch (orientation attach, wedge semi-join, cc attach, peel
+# anti-join) and must agree exactly with the broadcast branch
+# ---------------------------------------------------------------------------
+
+
+def _tri_fixture():
+    rs = np.random.RandomState(17)
+    pairs = [tuple(sorted((int(rs.randint(25)), int(rs.randint(25)))))
+             for _ in range(140)]
+    # add a hub so degree skew exercises the orientation
+    pairs += [(99, i) for i in range(25)]
+    return pairs
+
+
+def test_triangles_bucketed_branch_parity(ray_session):
+    from pybel_ray.ops.graph import triangle_counts
+
+    pairs = _tri_fixture()
+    fast = triangle_counts(_edge_ds(pairs, blocks=5)).to_pandas()
+    slow = triangle_counts(
+        _edge_ds(pairs, blocks=5), broadcast_budget=0,
+    ).to_pandas()
+    assert (dict(zip(fast["node"], fast["n_triangles"]))
+            == dict(zip(slow["node"], slow["n_triangles"])))
+    assert len(slow) > 0
+
+
+def test_clustering_bucketed_branch_parity(ray_session):
+    from pybel_ray.ops.graph import clustering_coefficients
+
+    pairs = _tri_fixture()
+    fast = clustering_coefficients(_edge_ds(pairs, blocks=4)).to_pandas()
+    slow = clustering_coefficients(
+        _edge_ds(pairs, blocks=4), broadcast_budget=0,
+    ).to_pandas()
+    key = lambda df: {r.node: (r.deg, r.n_triangles, r.cc_e6)  # noqa: E731
+                      for r in df.itertuples()}
+    assert key(fast) == key(slow)
+    assert (fast["cc_e6"] > 0).any()
+
+
+def test_kcore_bucketed_branch_parity(ray_session):
+    from pybel_ray.ops.graph import kcore
+
+    ids = list(range(20))
+    pairs = [(i, i + 1) for i in ids if i % 10 != 9]
+    pairs += [(i, i + 2) for i in ids if i % 10 <= 7]
+    pairs += [(i, i + 3) for i in ids if i % 10 <= 6 and (i // 10) % 2 == 0]
+    spairs = [("%08d" % a, "%08d" % b) for a, b in pairs]
+    for k in (2, 3):
+        fast = kcore(_edge_ds(spairs, blocks=4), k=k).to_pandas()
+        slow = kcore(
+            _edge_ds(spairs, blocks=4), k=k, broadcast_budget=0,
+        ).to_pandas()
+        assert (dict(zip(fast["node"], fast["deg"]))
+                == dict(zip(slow["node"], slow["deg"]))), "k=%d" % k
