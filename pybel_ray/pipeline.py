@@ -72,6 +72,7 @@ def events_pipeline(
     disallow_nested: bool = False,
     events_dir: Optional[str] = None,
     triples_dir: Optional[str] = None,
+    filesystem=None,
 ):
     """pages Dataset -> lazy events Dataset (extract → gate+parse).
 
@@ -79,9 +80,12 @@ def events_pipeline(
     block themselves (see :class:`ParseDocumentsToDir`) and the returned
     Dataset is the tiny per-shard manifest instead of the events; with
     ``triples_dir`` they additionally write the narrow per-shard-deduped
-    raw triples.
+    raw triples.  ``events_dir``/``triples_dir`` may be local paths,
+    ``pyarrow.fs`` URIs, or paths under an explicit ``filesystem``.
     """
     import ray
+
+    from . import fsio
 
     registry_ref = ray.put(registry or ResourceRegistry())
     extracted = pages.map_batches(ExtractText(), batch_format="pyarrow")
@@ -93,13 +97,14 @@ def events_pipeline(
         gate=gate,
     )
     if events_dir is not None:
-        os.makedirs(events_dir, exist_ok=True)
+        fsio.ensure_dir(*fsio.parse_target(events_dir, filesystem))
         if triples_dir is not None:
-            os.makedirs(triples_dir, exist_ok=True)
+            fsio.ensure_dir(*fsio.parse_target(triples_dir, filesystem))
         return extracted.map_batches(
             ParseDocumentsToDir,
             fn_constructor_kwargs=dict(
-                out_dir=events_dir, triples_dir=triples_dir, **kwargs,
+                out_dir=events_dir, triples_dir=triples_dir,
+                filesystem=filesystem, **kwargs,
             ),
             batch_format="pyarrow",
             batch_size=None,  # one shard per input block
@@ -130,6 +135,7 @@ class KGTables:
     events_path: Optional[str] = None
     manifest: "object" = None  # Dataset of per-shard counts (events_dir mode)
     triples_path: Optional[str] = None  # narrow raw-triples shards side output
+    filesystem: "object" = None  # pyarrow.fs.FileSystem for the paths (None=local)
 
     # -- views -------------------------------------------------------------
 
@@ -145,6 +151,7 @@ class KGTables:
                 ])
             return ray.data.read_parquet(
                 self.events_path, columns=columns, schema=schema,
+                filesystem=self.filesystem,
             )
         ds = self.events
         if columns is not None:
@@ -216,10 +223,21 @@ class KGTables:
             # blocks, so above ~256MB/CPU let Ray size blocks itself
             total_bytes = 0
             try:
-                for root, _dirs, files in os.walk(self.triples_path):
-                    total_bytes += sum(
-                        os.path.getsize(os.path.join(root, f))
-                        for f in files if f.endswith(".parquet")
+                if self.filesystem is None:
+                    for root, _dirs, files in os.walk(self.triples_path):
+                        total_bytes += sum(
+                            os.path.getsize(os.path.join(root, f))
+                            for f in files if f.endswith(".parquet")
+                        )
+                else:
+                    from pyarrow import fs as pafs
+
+                    sel = pafs.FileSelector(self.triples_path, recursive=True)
+                    total_bytes = sum(
+                        info.size or 0
+                        for info in self.filesystem.get_file_info(sel)
+                        if info.type == pafs.FileType.File
+                        and info.path.endswith(".parquet")
                     )
             except OSError:
                 total_bytes = 0
@@ -230,6 +248,7 @@ class KGTables:
                     ("h", pa.string()), ("r", pa.string()), ("t", pa.string()),
                 ]),
                 override_num_blocks=override,
+                filesystem=self.filesystem,
             )
 
             def _key(t: pa.Table) -> pa.Table:
@@ -341,9 +360,16 @@ class CheckpointedCompile:
 
     One shard = one group of input files (the natural 100 TB partition
     unit).  Each shard's events land in ``out_dir/events/shard=<id>/`` and a
-    manifest line ``(shard_id, files, rows, triples, seconds)`` is appended
+    manifest entry ``(shard_id, files, rows, triples, seconds)`` commits it
     on completion; a re-run skips shards already in the manifest
     (anti-join resume, BASELINE.md checkpoint criterion).
+
+    ``out_dir`` may be a local path (manifest = appended ``manifest.jsonl``,
+    atomicity via ``os.replace``), a ``pyarrow.fs`` URI, or a path under an
+    explicit ``filesystem`` (object-store protocol: direct-PUT parts +
+    one ``manifest/shard=<id>.json`` commit object per shard — see
+    :mod:`pybel_ray.fsio`).  Resume semantics are identical in both modes:
+    a shard without its manifest entry is cleared and re-run.
     """
 
     def __init__(
@@ -351,16 +377,26 @@ class CheckpointedCompile:
         out_dir: str,
         registry: Optional[ResourceRegistry] = None,
         files_per_shard: int = 1,
+        filesystem=None,
         **options,
     ):
-        self.out_dir = out_dir
+        from . import fsio
+
+        self.fs, self.out_dir = fsio.parse_target(out_dir, filesystem)
         self.registry = registry
         self.files_per_shard = files_per_shard
         self.options = options
-        self.manifest_path = os.path.join(out_dir, "manifest.jsonl")
-        os.makedirs(os.path.join(out_dir, "events"), exist_ok=True)
+        if self.fs is None:
+            self.manifest_path = os.path.join(self.out_dir, "manifest.jsonl")
+        else:
+            self.manifest_path = fsio.join(self.fs, self.out_dir, "manifest")
+        fsio.ensure_dir(self.fs, fsio.join(self.fs, self.out_dir, "events"))
 
     def completed_shards(self) -> dict:
+        from . import fsio
+
+        if self.fs is not None:
+            return fsio.read_manifest_dir(self.fs, self.manifest_path)
         done = {}
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
@@ -368,6 +404,23 @@ class CheckpointedCompile:
                     entry = json.loads(line)
                     done[entry["shard_id"]] = entry
         return done
+
+    def _commit_shard(self, entry: dict) -> None:
+        from . import fsio
+
+        if self.fs is None:
+            with open(self.manifest_path, "a") as f:
+                f.write(json.dumps(entry) + "\n")
+            return
+        fsio.ensure_dir(self.fs, self.manifest_path)
+        fsio.write_text_atomic(
+            self.fs,
+            fsio.join(
+                self.fs, self.manifest_path,
+                "shard={}.json".format(entry["shard_id"]),
+            ),
+            json.dumps(entry),
+        )
 
     def _shards(self, files: Sequence[str]) -> List[List[str]]:
         files = sorted(files)
@@ -378,44 +431,52 @@ class CheckpointedCompile:
         """Compile all shards (skipping completed ones); return KGTables."""
         import ray
 
+        from . import fsio
+
         done = self.completed_shards()
         for shard_id, shard_files in enumerate(self._shards(files)):
             if shard_id in done:
                 continue
             t0 = time.time()
-            shard_dir = os.path.join(self.out_dir, "events", "shard={}".format(shard_id))
-            tri_dir = os.path.join(self.out_dir, "triples", "shard={}".format(shard_id))
+            shard_dir = fsio.join(
+                self.fs, self.out_dir, "events", "shard={}".format(shard_id),
+            )
+            tri_dir = fsio.join(
+                self.fs, self.out_dir, "triples", "shard={}".format(shard_id),
+            )
             # A shard absent from the manifest may still have partial output
             # from a crashed attempt.  Part filenames depend on input block
             # boundaries (parallelism-dependent), so a resume with different
             # blocking would leave stale parts alongside the new ones —
-            # clear the shard dirs before re-running.
+            # clear the shard dirs/prefixes before re-running.
             for d in (shard_dir, tri_dir):
-                if os.path.isdir(d):
-                    import shutil
-
-                    shutil.rmtree(d)
+                fsio.delete_dir(self.fs, d)
             pages = ray.data.read_parquet(shard_files)
             # actor-write path: parse actors write the shard's Parquet
             # themselves and return per-block counts (see ParseDocumentsToDir)
             manifest_rows = events_pipeline(
                 pages, self.registry,
-                events_dir=shard_dir, triples_dir=tri_dir, **self.options,
+                events_dir=shard_dir, triples_dir=tri_dir,
+                filesystem=self.fs, **self.options,
             ).take_all()
-            with open(self.manifest_path, "a") as f:
-                f.write(json.dumps({
-                    "shard_id": shard_id,
-                    "files": shard_files,
-                    "rows": sum(r["rows"] for r in manifest_rows),
-                    "statements": sum(r["statements"] for r in manifest_rows),
-                    "triples": sum(r["triples"] for r in manifest_rows),
-                    "seconds": round(time.time() - t0, 3),
-                }) + "\n")
+            self._commit_shard({
+                "shard_id": shard_id,
+                "files": shard_files,
+                "rows": sum(r["rows"] for r in manifest_rows),
+                "statements": sum(r["statements"] for r in manifest_rows),
+                "triples": sum(r["triples"] for r in manifest_rows),
+                "seconds": round(time.time() - t0, 3),
+            })
         return self.tables()
 
     def tables(self) -> KGTables:
-        triples_dir = os.path.join(self.out_dir, "triples")
+        from . import fsio
+
+        triples_dir = fsio.join(self.fs, self.out_dir, "triples")
         return KGTables(
-            events_path=os.path.join(self.out_dir, "events"),
-            triples_path=triples_dir if os.path.isdir(triples_dir) else None,
+            events_path=fsio.join(self.fs, self.out_dir, "events"),
+            triples_path=(
+                triples_dir if fsio.is_dir(self.fs, triples_dir) else None
+            ),
+            filesystem=self.fs,
         )

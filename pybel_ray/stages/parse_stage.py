@@ -350,24 +350,42 @@ class ParseDocumentsToDir(ParseDocuments):
     Retry-safe: the shard filename is the md5 over ALL the batch's urls (a
     first-url-only name silently collides when two blocks start with the
     same url — plausible with duplicate urls in a real crawl), so a retried
-    task overwrites its own output (write-to-temp + atomic rename), never
-    duplicating events, and distinct blocks never alias.  Use with
-    ``batch_size=None`` (one batch = one input block) so shards are
-    read-efficient (~10-50 MB).
+    task overwrites its own output (local: write-to-temp + atomic rename;
+    object store: direct PUT to the same key — see
+    :mod:`pybel_ray.fsio` for the two commit protocols), never duplicating
+    events, and distinct blocks never alias.  Use with ``batch_size=None``
+    (one batch = one input block) so shards are read-efficient (~10-50 MB).
+
+    ``out_dir``/``triples_dir`` may be plain local paths, ``pyarrow.fs``
+    URIs (``s3://…``), or paths under an explicit ``filesystem`` instance
+    (filesystems pickle into the actor constructor).
     """
 
-    def __init__(self, out_dir: str, triples_dir: Optional[str] = None, **kwargs):
+    def __init__(
+        self,
+        out_dir: str,
+        triples_dir: Optional[str] = None,
+        filesystem=None,
+        **kwargs,
+    ):
         super().__init__(**kwargs)
-        self.out_dir = out_dir
-        self.triples_dir = triples_dir
+        from .. import fsio
 
-    @staticmethod
-    def _atomic_write(table: pa.Table, path: str) -> None:
+        self.fs, self.out_dir = fsio.parse_target(out_dir, filesystem)
+        if triples_dir is not None:
+            tfs, self.triples_dir = fsio.parse_target(triples_dir, filesystem)
+            if (tfs is None) != (self.fs is None):
+                raise ValueError(
+                    "events and triples targets must share a filesystem",
+                )
+        else:
+            self.triples_dir = None
+
+    def _atomic_write(self, table: pa.Table, path: str) -> None:
         import os
 
-        import pyarrow.parquet as pq
+        from .. import fsio
 
-        tmp = path + ".tmp"
         # zstd-1 measured ~3x smaller than snappy at the same encode time
         # on events-shaped tables; shard write+read-back bandwidth is what
         # saturates first when the host disk window degrades (152 MB/s
@@ -375,15 +393,16 @@ class ParseDocumentsToDir(ParseDocuments):
         # to compute.  PYBEL_RAY_SHARD_CODEC=snappy flips the trade for
         # fast-disk hosts (and for A/B attribution of bench deltas).
         if os.environ.get("PYBEL_RAY_SHARD_CODEC", "zstd1") == "snappy":
-            pq.write_table(table, tmp, compression="snappy")
+            fsio.write_parquet_atomic(self.fs, table, path, compression="snappy")
         else:
-            pq.write_table(table, tmp, compression="zstd", compression_level=1)
-        os.replace(tmp, path)  # atomic: retries overwrite, never duplicate
+            fsio.write_parquet_atomic(
+                self.fs, table, path, compression="zstd", compression_level=1,
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import os
-
         import pyarrow.compute as pc
+
+        from .. import fsio
 
         events = super().__call__(batch)
         h = hashlib.md5()  # noqa: S324
@@ -391,7 +410,7 @@ class ParseDocumentsToDir(ParseDocuments):
             h.update((url or "").encode("utf8"))
             h.update(b"\x00")
         name = h.hexdigest()
-        path = os.path.join(self.out_dir, "part-{}.parquet".format(name))
+        path = fsio.join(self.fs, self.out_dir, "part-{}.parquet".format(name))
         self._atomic_write(events, path)
 
         kind = events.column("kind")
@@ -422,7 +441,10 @@ class ParseDocumentsToDir(ParseDocuments):
             tri = tri.drop_columns(["hrt"])
             n_triples = tri.num_rows
             self._atomic_write(
-                tri, os.path.join(self.triples_dir, "part-{}.parquet".format(name)),
+                tri,
+                fsio.join(
+                    self.fs, self.triples_dir, "part-{}.parquet".format(name),
+                ),
             )
         else:
             n_triples = pc.sum(

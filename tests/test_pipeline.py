@@ -250,3 +250,93 @@ def test_term_cache_scope_isolation(ray_session):
         r["url"] == "https://b" and r["error_class"] == "UndefinedNamespaceWarning"
         for r in errors
     ), errors
+
+
+def test_checkpoint_subtree_filesystem_parity(ray_session, tmp_path, pages_table):
+    """The object-store sink branch (pyarrow.fs, write-then-manifest-commit)
+    produces byte-identical tables to the local POSIX branch, and its
+    resume semantics (skip committed shards, clear + re-run uncommitted
+    ones) match — exercised via SubTreeFileSystem over a local dir."""
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    from pybel_ray.pipeline import CheckpointedCompile
+
+    files = []
+    half = pages_table.num_rows // 2
+    for i, tbl in enumerate(
+        [pages_table.slice(0, half), pages_table.slice(half)],
+    ):
+        path = str(tmp_path / "fs_pages_{}.parquet".format(i))
+        pq.write_table(tbl, path)
+        files.append(path)
+
+    kg_local = CheckpointedCompile(
+        str(tmp_path / "local_ckpt"), default_registry(), concurrency=(1, 2),
+    ).run(files)
+    want = kg_local.triples().to_pandas()
+    assert len(want) > 0
+
+    base = tmp_path / "bucket"
+    base.mkdir()
+    subfs = pafs.SubTreeFileSystem(str(base), pafs.LocalFileSystem())
+    cc = CheckpointedCompile(
+        "ckpt", default_registry(), concurrency=(1, 2), filesystem=subfs,
+    )
+    kg_fs = cc.run(files)
+    got = kg_fs.triples().to_pandas()
+    # both globally sorted -> positional equality
+    assert got.equals(want)
+
+    # manifest commit objects: one JSON per shard, no .jsonl, no .tmp litter
+    done = cc.completed_shards()
+    assert sorted(done) == [0, 1]
+    assert all(m["rows"] > 0 for m in done.values())
+    assert (base / "ckpt" / "manifest" / "shard=0.json").exists()
+    assert not (base / "ckpt" / "manifest.jsonl").exists()
+    litter = [p for p in (base / "ckpt").rglob("*.tmp")]
+    assert litter == []
+
+    # resume: shard 1 uncommitted (manifest object gone) + a stale part from
+    # a differently-blocked crashed attempt -> cleared and recompiled;
+    # shard 0 (committed) untouched
+    subfs.delete_file("ckpt/manifest/shard=1.json")
+    shard1 = base / "ckpt" / "events" / "shard=1"
+    parts = sorted(shard1.glob("*.parquet"))
+    stale = shard1 / "part-deadbeef.parquet"
+    import shutil
+
+    shutil.copy(parts[0], stale)
+    shard0_before = sorted(
+        (p.name, p.stat().st_mtime_ns)
+        for p in (base / "ckpt" / "events" / "shard=0").glob("*.parquet")
+    )
+    kg2 = CheckpointedCompile(
+        "ckpt", default_registry(), concurrency=(1, 2), filesystem=subfs,
+    ).run(files)
+    shard0_after = sorted(
+        (p.name, p.stat().st_mtime_ns)
+        for p in (base / "ckpt" / "events" / "shard=0").glob("*.parquet")
+    )
+    assert shard0_before == shard0_after  # committed shard skipped
+    assert not stale.exists()
+    assert kg2.triples().to_pandas().equals(want)
+    assert kg2.statement_count() == kg_local.statement_count()
+
+
+def test_events_pipeline_uri_target(ray_session, tmp_path, pages_table):
+    """A file:// URI events_dir resolves to the local branch and compiles."""
+    import ray.data
+
+    from pybel_ray.pipeline import events_pipeline
+
+    out = tmp_path / "uri_events"
+    manifest = events_pipeline(
+        ray.data.from_arrow(pages_table).repartition(2),
+        default_registry(),
+        events_dir="file://" + str(out),
+        concurrency=(1, 2),
+    ).take_all()
+    assert sum(r["rows"] for r in manifest) > 0
+    assert list(out.glob("part-*.parquet"))
+    assert not list(out.glob("*.tmp"))
