@@ -5343,13 +5343,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_embeddings": media_embeddings,
     }
 
-    # The driver's correctness check samples the FIRST 50 entries, so order
-    # the oracle-backed queries first — kg_triples stays in slot 1 as the
-    # flagship rows-only entry, then everything with a DuckDB oracle, then
-    # the remaining rows-only families (VERDICT r2, next-round item 1).
+    # The driver's correctness check samples the FIRST 50 entries.  Round-3
+    # filled those slots with the kg family + the oldest relational/doc
+    # entries; VERDICT r3 item 3 asks the window to rotate onto the
+    # families only witnessed by the builder's own oracle-mirror tests —
+    # so the first 50 are now an explicit mix: the kg anchors (~21) plus
+    # the round-3 graph, window, TPC-H and selection-statistics queries
+    # (~29, every one oracle-backed).  Everything else keeps the
+    # oracled-first order behind them.
+    priority = [
+        # kg anchors (kg_triples stays slot 1: flagship, rows-only by nature)
+        "kg_triples", "kg_errors_by_class", "kg_count_relations",
+        "kg_count_functions", "kg_count_namespaces", "kg_top_hubs",
+        "kg_filter_causal_edges", "kg_filter_protein_variants",
+        "kg_collapse_variants", "kg_collapse_equivalences",
+        "kg_origin_enrichment", "kg_metaedges", "kg_annotation_values",
+        "kg_subgraph_annotation", "kg_query_protocol", "kg_top_pathologies",
+        "kg_count_variants", "kg_pubmed_identifiers", "kg_sif_export",
+        "kg_edgelist_export", "kg_citation_enrichment",
+        # graph analytics
+        "graph_pagerank", "graph_components", "graph_triangles",
+        "graph_clustering_coeff", "graph_kcore", "graph_modularity",
+        "graph_assortativity", "graph_mis", "web_host_scc",
+        "web_host_pagerank", "web_host_sssp", "web_host_label_prop",
+        "web_host_hits",
+        # windows / temporal
+        "events_sessionize", "events_funnel", "events_retention",
+        "events_resample_daily", "events_dedup_window",
+        "events_forward_fill", "events_burst_windows",
+        # TPC-H heavyweights
+        "tpch_q3_shipping_priority", "tpch_q13_custdist",
+        "tpch_q21_waiting_suppliers",
+        # exact selection statistics
+        "events_value_median_selection",
+        "events_value_percentiles_selection", "events_value_mad_by_type",
+        "events_value_p90_by_type", "events_value_winsorized_by_type",
+        "events_outliers_robust",
+    ]
     oracled = set(oracle_sql())
-    ordered = {"kg_triples": q["kg_triples"]}
-    ordered.update({k: v for k, v in q.items() if k in oracled})
+    ordered = {k: q[k] for k in priority}
+    ordered.update({k: v for k, v in q.items() if k in oracled and k not in ordered})
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 
