@@ -3925,11 +3925,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def events_resample_daily(sf_dir):
         # regular-grid resample with LOCF values (SQL generate_series +
-        # ASOF LEFT JOIN): ties at one (user, ts) dedup to the max
-        # event_id first (skew-bounded topk_per_group), then ONE tiny
-        # per-key bounds exchange builds the grid and the union rides
-        # forward_fill_by
-        from pybel_ray.ops.relational import topk_per_group
+        # ASOF LEFT JOIN): ONE tiny per-key bounds exchange builds the
+        # grid and the union rides forward_fill_by; ties at one
+        # (user, ts) resolve to the max event_id INSIDE the fill pass
+        # (tie_col sorts the winning observation last before the grid
+        # row) — the former topk_per_group pre-dedup exchange is fused
+        # away (VERDICT r3 item 7)
         from pybel_ray.ops.window import resample_locf
 
         step = 86_400_000_000  # one day in epoch micros
@@ -3943,16 +3944,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 names=["user_id", "tsu", "value", "event_id"],
             )
 
-        obs = topk_per_group(
-            _read(sf_dir, "events").select_columns(
-                ["event_id", "user_id", "ts", "value"],
-            ).map_batches(
-                lambda t: t.filter(pc.is_valid(t.column("value"))),
-                batch_format="pyarrow",
-            ).map_batches(_tsu, batch_format="pyarrow"),
-            ["user_id", "tsu"], "event_id", k=1, descending=True,
+        obs = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "value"],
+        ).map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("value"))),
+            batch_format="pyarrow",
+        ).map_batches(_tsu, batch_format="pyarrow")
+        return resample_locf(
+            obs, "user_id", "tsu", "value", step, tie_col="event_id",
         )
-        return resample_locf(obs, "user_id", "tsu", "value", step)
 
     def emb_centroid_by_label(sf_dir):
         # per-label embedding centroid in exact integer micros: the

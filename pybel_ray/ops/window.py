@@ -1406,6 +1406,7 @@ def resample_locf(
     value_col: str,
     step: int,
     out_ts: str = "grid_ts",
+    tie_col: str | None = None,
 ):
     """Resample each key's observations onto a regular grid (every
     ``step`` ts units from ``ceil(min_ts/step)·step`` to ``max_ts``)
@@ -1413,10 +1414,16 @@ def resample_locf(
     downsample step for event streams (SQL: per-key ``generate_series``
     + ``ASOF LEFT JOIN``).
 
-    ``ts_col`` must be int64 (cast epochs upstream) and unique per key
-    (pre-dedup ties upstream — at equal ts the carried value would be
-    arbitrary); rows with null ``value_col`` must be dropped upstream
-    (an ASOF join would carry them, LOCF would skip them).
+    ``ts_col`` must be int64 (cast epochs upstream).  Ties at one
+    (key, ts) either dedup upstream (default contract: ts unique per
+    key — at equal ts the carried value would be arbitrary) or resolve
+    IN the fill pass via ``tie_col``: duplicates are then allowed and
+    the observation with the greatest ``tie_col`` wins (it sorts last
+    before the grid row, so LOCF carries it) — folding a
+    max-``tie_col`` pre-dedup exchange into the fill's existing
+    per-group sort for free.  Rows with null ``value_col`` must be
+    dropped upstream (an ASOF join would carry them, LOCF would skip
+    them).
 
     Scale shape: ONE tiny groupby per-key (min, max) exchange builds
     the grid spec (one row per key); grid rows are generated block-wise
@@ -1431,9 +1438,10 @@ def resample_locf(
 
     if step <= 0:
         raise ValueError("step must be positive")
-    obs = ds.select_columns([key_col, ts_col, value_col])
+    cols = [key_col, ts_col, value_col] + ([tie_col] if tie_col else [])
+    obs = ds.select_columns(cols)
     bounds = groupby_agg(
-        obs, key_col,
+        obs.select_columns([key_col, ts_col]), key_col,
         {"_mn": ("min", ts_col), "_mx": ("max", ts_col)},
     )
 
@@ -1459,25 +1467,35 @@ def resample_locf(
     grid = bounds.map_batches(_grid, batch_format="pyarrow")
 
     def _tag_obs(t: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [t.column(key_col),
-             pc.cast(t.column(ts_col), pa.int64()),
-             pa.array(np.zeros(t.num_rows, np.int8)),
-             t.column(value_col)],
-            names=[key_col, ts_col, "_grid", value_col],
-        )
+        arrays = [t.column(key_col),
+                  pc.cast(t.column(ts_col), pa.int64()),
+                  pa.array(np.zeros(t.num_rows, np.int8)),
+                  t.column(value_col)]
+        names = [key_col, ts_col, "_grid", value_col]
+        if tie_col:
+            arrays.append(t.column(tie_col))
+            names.append(tie_col)
+        return pa.Table.from_arrays(arrays, names=names)
 
     sch = obs.schema()
-    vtype = dict(zip(sch.names, sch.types))[value_col]
+    types = dict(zip(sch.names, sch.types))
+    vtype = types[value_col]
 
     def _pad_grid(t: pa.Table) -> pa.Table:
-        return t.append_column(value_col, pa.nulls(t.num_rows, vtype))
+        t = t.append_column(value_col, pa.nulls(t.num_rows, vtype))
+        if tie_col:
+            t = t.append_column(tie_col, pa.nulls(t.num_rows, types[tie_col]))
+        return t
 
     u = obs.map_batches(_tag_obs, batch_format="pyarrow").union(
         grid.map_batches(_pad_grid, batch_format="pyarrow"),
     )
+    # at equal ts: observations (_grid=0) sort before the grid row
+    # (_grid=1), and with tie_col the max-tie observation sorts last
+    # among them — so LOCF carries exactly the tie-broken value
+    order = [ts_col, "_grid"] + ([tie_col] if tie_col else [])
     filled = forward_fill_by(
-        u, key_col, [ts_col, "_grid"], value_col, out_col="_filled",
+        u, key_col, order, value_col, out_col="_filled",
     )
 
     def _take_grid(t: pa.Table) -> pa.Table:

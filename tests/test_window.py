@@ -614,3 +614,35 @@ def test_mad_e6_known_values(ray_session):
     )
     row0 = mad_e6(ray.data.from_arrow(empty), "value").to_pylist()[0]
     assert row0 == {"n": 0, "median_e6": None, "mad_e6": None}
+
+
+def test_resample_locf_tie_col_fused_dedup(ray_session):
+    """With tie_col, duplicate observations at one (key, ts) resolve to
+    the max-tie value inside the fill pass — identical to an upstream
+    max-tie dedup, with one less exchange."""
+    from pybel_ray.ops.window import resample_locf
+
+    rows = [
+        # key a: three obs at ts=105 with ids 1..3 (id 3 wins -> v=30),
+        # a later singleton at 230
+        {"k": "a", "ts": 105, "v": 10, "id": 1},
+        {"k": "a", "ts": 105, "v": 30, "id": 3},
+        {"k": "a", "ts": 105, "v": 20, "id": 2},
+        {"k": "a", "ts": 230, "v": 7, "id": 4},
+        # key b: tie exactly ON a grid point (ts=300)
+        {"k": "b", "ts": 300, "v": 1, "id": 9},
+        {"k": "b", "ts": 300, "v": 2, "id": 11},
+        {"k": "b", "ts": 300, "v": 3, "id": 10},
+        {"k": "b", "ts": 420, "v": 4, "id": 12},
+    ]
+    got = sorted(
+        (r["k"], r["grid_ts"], r["v"])
+        for r in resample_locf(
+            _ds(rows, blocks=4), "k", "ts", "v", 100, tie_col="id",
+        ).take_all()
+    )
+    assert got == [
+        ("a", 200, 30),  # max-id obs at 105 carried
+        ("b", 300, 2),   # id 11 wins on the grid point itself
+        ("b", 400, 2),
+    ]
