@@ -1338,7 +1338,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def emb_ann_join(sf_dir):
         # cross-table approximate cosine join (record linkage): even
         # vec_ids vs odd vec_ids at >= 0.8; banded LSH + exact verify,
-        # brute cross-join oracle (recall verified on this corpus)
+        # brute cross-join oracle.  At the 0.8 threshold the default
+        # banding (n_planes=8, bands=16) would miss a pair at cosine
+        # exactly 0.8 with p ≈ (1-0.061)^16 ≈ 37% — conformance would
+        # then hang on the corpus keeping its matches far above the
+        # threshold.  n_planes=4 / bands=64 (the
+        # emb_semantic_decontaminate setting) drives the miss rate at
+        # c=0.8 to (1-(1-acos(.8)/π)^4)^64 ≈ 2e-6, making the oracle
+        # match corpus-independent.
         from pybel_ray.ops.dedup_approx import ann_join
 
         emb = _read(sf_dir, "embeddings")
@@ -1356,9 +1363,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         left = emb.map_batches(_half(0), batch_format="pyarrow")
         right = emb.map_batches(_half(1), batch_format="pyarrow")
-        pairs = ann_join(left, right, threshold=0.8).select_columns(
-            ["id_left", "id_right"],
-        )
+        pairs = ann_join(
+            left, right, threshold=0.8, n_planes=4, bands=64,
+        ).select_columns(["id_left", "id_right"])
         tables = list(pairs.iter_batches(batch_format="pyarrow"))
         if not tables:
             return pa.schema(

@@ -909,6 +909,14 @@ def embedding_near_dup_pairs(
     that is ~2·10⁻⁴.
     """
     def _bucket_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # dim would be 0 and the offsets arange below would need a
+            # zero step — return the output schema directly
+            return pa.Table.from_arrays(
+                [pa.array([], pa.uint64()), pa.array([], pa.int64()),
+                 pa.array([], pa.list_(pa.float64()))],
+                names=["bucket", id_col, "unit"],
+            )
         arr = t.column(vec_col)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
@@ -1306,6 +1314,15 @@ def ann_join(
     """
     def _bucket_rows_side(side_val: int):
         def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                # dim would be 0 and the offsets arange below would need
+                # a zero step — return the output schema directly
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.uint64()), pa.array([], pa.int64()),
+                     pa.array([], pa.int64()),
+                     pa.array([], pa.list_(pa.float64()))],
+                    names=["bucket", id_col, "_side", "unit"],
+                )
             arr = t.column(vec_col)
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()

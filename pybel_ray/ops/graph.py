@@ -2839,6 +2839,18 @@ def label_propagation(
             pc.cast(t.column(src_col), pa.string()),
             pc.cast(t.column(dst_col), pa.string()),
         ]
+        # endpoints render into the \x1f-joined vote key exactly like
+        # seed ids do — an id containing the separator would silently
+        # mis-split into a wrong (node, label) vote, so reject it here
+        # (one vectorized scan, runs once per edge in the snapshot pass)
+        for arr in arrays:
+            if pc.any(
+                pc.match_substring(arr, sep),
+            ).as_py():
+                raise ValueError(
+                    "label_propagation: edge endpoint ids must not contain"
+                    " the \\x1f separator (vote keys render through it)",
+                )
         if weight_col is not None:
             arrays.append(pc.cast(t.column(weight_col), pa.int64()))
         return pa.Table.from_arrays(arrays, names=cols)

@@ -665,6 +665,14 @@ def groupby_agg(ds, keys, aggs: Mapping[str, tuple]):
 
     ``aggs``: {output_name: (kind, column)} with kind in
     {count, sum, min, max, mean}.
+
+    .. warning:: **Null keys are dtype-dependent.** All-integer
+       count/sum/min/max aggregations take the bucketed fast path, which
+       GROUPS null keys together (SQL ``GROUP BY`` semantics); float
+       aggregations keep Ray's native sort-based path, which RAISES on
+       null keys.  Callers with nullable keys should filter (or
+       fill) the key column explicitly before calling if they need one
+       behavior regardless of the value column's dtype.
     """
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
 

@@ -359,8 +359,20 @@ def resolve_redirects(
             out = pa.Table.from_arrays(
                 [t.column("src"), cur], names=["src", "_cur"],
             )
+            # early-exit signal = the VALUE changed, not merely "the
+            # join matched": cycle members always match (their _cur is
+            # always a source), so join-matched never quiesces on a
+            # cyclic graph.  If NO row changed then map∘map = map —
+            # idempotent — and every later round is a no-op, so exiting
+            # here is output-identical to the full unroll.
             return out.append_column(
-                "_moved", pc.is_valid(nxt),
+                "_moved",
+                pc.and_kleene(
+                    pc.is_valid(nxt),
+                    pc.fill_null(
+                        pc.not_equal(nxt, t.column("_cur")), False,
+                    ),
+                ),
             )
 
         stepped = joined.map_batches(
