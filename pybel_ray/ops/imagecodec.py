@@ -1,39 +1,50 @@
-"""Vendored pure-numpy image codec: uncompressed 24-bit BMP and binary PPM.
+"""Vendored pure-numpy image codec: BMP, binary PPM, and (zlib) PNG.
 
 No codec libraries exist in this environment, so the multimodal stages'
-``mode='real'`` kernels decode these two self-describing uncompressed
-formats directly from their public specifications (BMP: BITMAPFILEHEADER +
-BITMAPINFOHEADER, bottom-up BGR rows padded to 4 bytes; PPM: the netpbm
-``P6`` header + raw RGB).  Everything is vectorized numpy — one reshape +
-slice per image, no per-pixel Python.
+``mode='real'`` kernels decode these self-describing formats directly from
+their public specifications (BMP: BITMAPFILEHEADER + BITMAPINFOHEADER,
+bottom-up BGR rows padded to 4 bytes; PPM: the netpbm ``P6`` header + raw
+RGB; PNG: the RFC 2083 chunk stream — stdlib ``zlib`` inflates the IDAT
+data and each scanline is unfiltered per its filter byte).  The
+BMP/PPM/PNG-filter-0 paths are vectorized numpy; PNG's Sub filter is a
+per-lane modular prefix sum, Up is a row add, and only the
+Average/Paeth filters (left-pixel recurrences) walk pixels in Python —
+our own encoder always emits filter 0, so round trips stay fast.
 
 This makes the decode → resize → featurize path genuinely executable in
-CI; other formats (PNG/JPEG/...) remain gated behind a Pillow import.
+CI; other formats (JPEG/WebP/...) remain gated behind a Pillow import.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 __all__ = [
     "decode_image",
     "decode_bmp",
+    "decode_png",
     "decode_ppm",
     "encode_bmp",
+    "encode_png",
     "encode_ppm",
     "resize_nearest",
     "sniff_format",
 ]
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
 
 def sniff_format(payload: bytes) -> str | None:
-    """'bmp' | 'ppm' | None from magic bytes."""
+    """'bmp' | 'ppm' | 'png' | None from magic bytes."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
         return "ppm"
+    if payload[:8] == _PNG_SIG:
+        return "png"
     return None
 
 
@@ -117,18 +128,124 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return "P6\n{} {}\n255\n".format(w, h).encode("ascii") + arr.tobytes()
 
 
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> (H, W, 3) uint8 RGB array.
+
+    Implements the public spec (RFC 2083 / ISO 15948) with stdlib
+    ``zlib``: walk the chunk stream, inflate the concatenated IDAT
+    payload, then reverse each scanline's filter (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth).  Color types: 0 (grayscale, broadcast to RGB),
+    2 (RGB), 4 (gray+alpha) and 6 (RGBA) — alpha is dropped.
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            "only 8-bit non-interlaced PNG supported (depth={}, "
+            "interlace={})".format(depth, interlace),
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError("unsupported PNG color type {}".format(color))
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    lines = raw[: height * (stride + 1)].reshape(height, stride + 1)
+    filters = lines[:, 0]
+    out = np.zeros((height, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    bpp = channels
+    for y in range(height):
+        f = int(filters[y])
+        cur = lines[y, 1:].astype(np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-lane modular prefix sum
+            rec = (np.cumsum(cur.reshape(width, bpp), axis=0) % 256) \
+                .reshape(stride)
+        elif f == 2:  # Up
+            rec = (cur + prev) % 256
+        elif f == 3:  # Average: left recurrence, walk pixels
+            rec = np.zeros(stride, np.int64)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (cur[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth: left recurrence, walk pixels
+            rec = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pcv = abs(p - a), abs(p - b), abs(p - c)
+                if pa_ <= pb and pa_ <= pcv:
+                    pred = a
+                elif pb <= pcv:
+                    pred = b
+                else:
+                    pred = c
+                rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError("invalid PNG filter type {}".format(f))
+        out[y] = rec
+        prev = rec
+    px = out.astype(np.uint8).reshape(height, width, channels)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB array -> 8-bit truecolor PNG (filter 0)."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("expected (H, W, 3)")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    scan = np.zeros((h, w * 3 + 1), np.uint8)
+    scan[:, 1:] = arr.reshape(h, w * 3)
+    idat = zlib.compress(scan.tobytes(), 6)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode BMP/PPM by magic bytes -> (H, W, 3) uint8 RGB."""
+    """Decode BMP/PPM/PNG by magic bytes -> (H, W, 3) uint8 RGB."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
+    if fmt == "png":
+        return decode_png(payload)
     raise ValueError(
         "unsupported image format (magic={!r}); the vendored codec handles "
-        "uncompressed BMP and P6 PPM — other formats need Pillow".format(
-            payload[:4],
-        ),
+        "uncompressed BMP, P6 PPM and 8-bit PNG — other formats need "
+        "Pillow".format(payload[:4]),
     )
 
 

@@ -47,12 +47,14 @@ MEDIA_SCHEMA = pa.schema([
 
 def synthetic_image_table(n: int = 16, seed: int = 5) -> pa.Table:
     """Deterministic REAL image rows: gradient+noise pixel arrays encoded
-    as uncompressed BMP (even ids) / binary PPM (odd ids) — decodable by
-    the vendored codec, so ``mode='real'`` stages run end-to-end in CI."""
-    from .imagecodec import encode_bmp, encode_ppm
+    as uncompressed BMP (id % 3 == 0) / binary PPM (1) / zlib PNG (2) —
+    all decodable by the vendored codec, so ``mode='real'`` stages run
+    end-to-end in CI including a genuinely compressed format."""
+    from .imagecodec import encode_bmp, encode_png, encode_ppm
 
     rng = np.random.RandomState(seed)
     rows = []
+    encoders = [encode_bmp, encode_ppm, encode_png]
     for i in range(n):
         w = 24 + (i % 4) * 8
         h = 16 + (i % 3) * 8
@@ -62,7 +64,7 @@ def synthetic_image_table(n: int = 16, seed: int = 5) -> pa.Table:
             (yy * 255 // max(h - 1, 1)),
             rng.randint(0, 256, size=(h, w)),
         ], axis=-1).astype(np.uint8)
-        payload = encode_bmp(arr) if i % 2 == 0 else encode_ppm(arr)
+        payload = encoders[i % 3](arr)
         rows.append({
             "media_id": i,
             "url": "https://example.org/img/{:06d}".format(i),
@@ -301,8 +303,12 @@ class ImageResizer:
             if fmt is not None:
                 arr = self._codec.decode_image(payload)
                 out = self._codec.resize_nearest(arr, self.width, self.height)
-                return (self._codec.encode_bmp(out) if fmt == "bmp"
-                        else self._codec.encode_ppm(out))
+                encode = {
+                    "bmp": self._codec.encode_bmp,
+                    "ppm": self._codec.encode_ppm,
+                    "png": self._codec.encode_png,
+                }[fmt]
+                return encode(out)
             if self._pil is None:  # pragma: no cover - needs Pillow
                 raise NotImplementedError(
                     "ImageResizer(mode='real'): payload is not BMP/PPM and "
