@@ -166,6 +166,10 @@ def _register_builtins():
     )
     register_exporter("csv", to_csv)
     register_exporter("gsea", to_gsea)
+    from .export.html_viz import to_html, to_jupyter_str
+
+    register_exporter("html", to_html)
+    register_exporter("jupyter_js", to_jupyter_str)
     from .export.neo4j_bulk import to_neo4j_bulk
 
     register_exporter("neo4j_bulk", to_neo4j_bulk)

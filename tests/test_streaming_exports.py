@@ -47,3 +47,44 @@ def test_nodelink_jsonl_dir_matches_driver(kg_graph, tmp_path):
     assert links == {l["key"] for l in doc["links"]}
     with open(out + "/graph.json") as f:
         assert json.load(f)["graph"]["name"] == "t"
+
+
+def test_to_html_embeds_graph_and_palette(kg_graph, tmp_path):
+    """to_html produces a self-contained artifact embedding the exact
+    node-link JSON, the color map, and the true counts (reference
+    io/jupyter/visualization.py semantics)."""
+    from pybel_ray.export.html_viz import (
+        DEFAULT_COLOR_MAP, build_graph_context, to_html, to_html_path,
+    )
+    from pybel_ray.export.nodelink import to_nodelink
+
+    ctx = build_graph_context(kg_graph)
+    doc = to_nodelink(kg_graph)
+    assert json.loads(ctx["json"]) == doc
+    assert ctx["number_nodes"] == len(doc["nodes"]) > 0
+    assert ctx["number_edges"] == len(doc["links"]) > 0
+    assert json.loads(ctx["cmap"]) == DEFAULT_COLOR_MAP
+
+    html = to_html(kg_graph)
+    assert html.startswith("<!DOCTYPE html>")
+    # self-contained: no external scripts, graph + palette inline
+    assert "src=" not in html and "http" not in html.split("</title>")[1]
+    assert json.dumps(doc, sort_keys=True) in html
+    assert DEFAULT_COLOR_MAP["Protein"] in html
+    # custom palette overrides
+    html2 = to_html(kg_graph, color_map={"Protein": "#123456"})
+    assert "#123456" in html2 and DEFAULT_COLOR_MAP["Protein"] not in html2
+
+    p = tmp_path / "g.html"
+    to_html_path(kg_graph, str(p))
+    assert p.read_text().startswith("<!DOCTYPE html>")
+
+
+def test_to_jupyter_str(kg_graph):
+    from pybel_ray.export.html_viz import to_jupyter_str
+    from pybel_ray.export.nodelink import to_nodelink
+
+    js = to_jupyter_str(kg_graph, width=640, height=480)
+    assert json.dumps(to_nodelink(kg_graph), sort_keys=True) in js
+    assert "640" in js and "480" in js
+    assert "pybel-ray-vis" in js
