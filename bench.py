@@ -206,6 +206,9 @@ def run_queries(sf_dir: str) -> dict:
         "events_quarantine",
         "events_value_percentiles_selection",
         "web_host_scc",
+        # round-4 additions: driver-window rotation coverage
+        "graph_clustering_coeff",
+        "web_host_pagerank",
     ]
     q = entry.queries()
     out = {}
@@ -264,6 +267,39 @@ def run_large_leg(num_cpus: int) -> dict:
     }
 
 
+#: Hetionet-scale import leg: the reference's only published scale anchor
+#: is loading the real 2,250,197-edge Hetionet v1.0 JSON (ref
+#: io/hetionet/hetionet.py:32-56); the bench imports a synthetic corpus of
+#: the same size and metaedge mix and CHECKS the exact BEL edge count.
+HETIONET_EDGES = int(os.environ.get("PYBEL_RAY_HETIONET_EDGES", "2250197"))
+
+
+def run_hetionet_leg(num_cpus: int) -> dict:
+    from pybel_ray.io_hetionet import (
+        from_hetionet_json,
+        synthetic_hetionet,
+        synthetic_hetionet_expected_edges,
+    )
+
+    gen0 = time.time()
+    het = synthetic_hetionet(HETIONET_EDGES, seed=42)
+    gen_sec = time.time() - gen0
+    t0 = time.time()
+    g = from_hetionet_json(het, num_blocks=num_cpus * 4)
+    n_edges = g.edge_count()
+    wall = time.time() - t0
+    expected = synthetic_hetionet_expected_edges(HETIONET_EDGES)
+    return {
+        "hetionet_input_edges": HETIONET_EDGES,
+        "hetionet_gen_sec": round(gen_sec, 3),
+        "hetionet_wall_sec": round(wall, 3),
+        "hetionet_bel_edges": n_edges,
+        "hetionet_edges_per_sec": round(HETIONET_EDGES / wall, 1),
+        "hetionet_count_check": "pass" if n_edges == expected else
+            "FAIL (expected {})".format(expected),
+    }
+
+
 def single_run(num_cpus: int, sf_dir: str, with_queries: bool,
                pages_dir: str | None = None, with_large_leg: bool = False) -> dict:
     # delivered-CPU probe (work units/s, higher = faster VM): recorded so
@@ -289,6 +325,7 @@ def single_run(num_cpus: int, sf_dir: str, with_queries: bool,
     # would read as a phantom regression
     if with_large_leg:
         result.update(run_large_leg(num_cpus))
+        result.update(run_hetionet_leg(num_cpus))
     if with_queries:
         result["queries"] = run_queries(sf_dir)
     import ray

@@ -77,6 +77,8 @@ __all__ = [
     "from_hetionet_json",
     "from_hetionet_file",
     "from_hetionet_gz",
+    "synthetic_hetionet",
+    "synthetic_hetionet_expected_edges",
 ]
 
 #: the Hetionet publication (Himmelstein et al. 2017), used as the citation
@@ -350,3 +352,112 @@ def from_hetionet_gz(path: str) -> Graph:
 
     with bz2.open(path) as file:
         return from_hetionet_file(file)
+
+
+# ---------------------------------------------------------------------------
+# synthetic Hetionet-shaped corpus (bench / scale tests)
+# ---------------------------------------------------------------------------
+
+#: real Hetionet v1.0 metaedge mix (public release counts, Himmelstein et
+#: al. 2017 — the reference's only published scale anchor is importing this
+#: 2,250,197-edge file, ref io/hetionet/hetionet.py:32-56).  The synthetic
+#: generator scales these proportions to any target edge count.
+_METAEDGE_MIX = [
+    # (src_kind, kind, dst_kind, real_count, bel_edges_per_input_edge)
+    ("Gene", "participates", "Biological Process", 559_504, 1),
+    ("Anatomy", "expresses", "Gene", 526_407, 2),
+    ("Gene", "regulates", "Gene", 265_672, 1),
+    ("Gene", "interacts", "Gene", 147_164, 3),  # binds: dIncreases + 2 partOf
+    ("Compound", "causes", "Side Effect", 138_944, 1),
+    ("Anatomy", "downregulates", "Gene", 102_240, 2),
+    ("Anatomy", "upregulates", "Gene", 97_848, 2),
+    ("Gene", "participates", "Pathway", 84_372, 1),
+    ("Gene", "covaries", "Gene", 61_690, 2),
+    ("Compound", "downregulates", "Gene", 21_102, 1),
+    ("Compound", "upregulates", "Gene", 18_756, 1),
+    ("Disease", "associates", "Gene", 12_623, 2),
+    ("Compound", "binds", "Gene", 11_571, 1),  # one action per edge below
+    ("Disease", "downregulates", "Gene", 7_623, 2),
+    ("Disease", "upregulates", "Gene", 7_731, 2),
+    ("Compound", "resembles", "Compound", 6_486, 2),
+    ("Disease", "localizes", "Anatomy", 3_602, 2),
+    ("Disease", "presents", "Symptom", 3_357, 2),
+    ("Pharmacologic Class", "includes", "Compound", 1_029, 1),
+    ("Compound", "treats", "Disease", 755, 1),
+    ("Disease", "resembles", "Disease", 543, 2),
+    ("Compound", "palliates", "Disease", 390, 1),
+]
+
+#: actions assigned round-robin to synthetic Compound-binds-Gene edges —
+#: each maps to exactly ONE qualified BEL edge (activates/inhibits), so
+#: the expected-count formula stays exact
+_SYNTH_BINDS_ACTIONS = ["agonist", "inhibitor"]
+
+
+def _metaedge_allocation(n_edges: int):
+    """Scale the real mix to ``n_edges`` input edges (integer floor,
+    remainder onto the largest metaedge)."""
+    total = sum(c for _, _, _, c, _ in _METAEDGE_MIX)
+    alloc = [(s, k, d, (c * n_edges) // total, m)
+             for s, k, d, c, m in _METAEDGE_MIX]
+    short = n_edges - sum(a[3] for a in alloc)
+    s, k, d, c, m = alloc[0]
+    alloc[0] = (s, k, d, c + short, m)
+    return alloc
+
+
+def synthetic_hetionet_expected_edges(n_edges: int) -> int:
+    """EXACT deduped BEL edge count :func:`from_hetionet_json` produces for
+    ``synthetic_hetionet(n_edges)`` — every generated input edge uses
+    metaedge-disjoint node id ranges and unique (src, dst) pairs, so no
+    two BEL edges ever collide in the md5 dedup."""
+    return sum(c * m for _, _, _, c, m in _metaedge_allocation(n_edges))
+
+
+def synthetic_hetionet(n_edges: int, seed: int = 0) -> dict:
+    """Deterministic Hetionet-shaped dict (``nodes`` + ``edges``) with the
+    real v1.0 metaedge proportions, sized to ``n_edges`` input edges.
+
+    Node identifiers are disjoint per metaedge slot (``m<slot>.<i>``), and
+    within a slot (src, dst) pairs enumerate a rectangle uniquely — so the
+    import's BEL edge count is exactly
+    :func:`synthetic_hetionet_expected_edges` (the bench's count check).
+    ``seed`` only perturbs node display names; the topology is fixed.
+    """
+    import math
+
+    nodes = []
+    edges = []
+    for slot, (src_kind, kind, dst_kind, count, _m) in enumerate(
+        _metaedge_allocation(n_edges),
+    ):
+        if count <= 0:
+            continue
+        n_src = max(1, int(math.isqrt(count)))
+        n_dst = count // n_src + 2
+        sp = "m{}s.".format(slot)
+        dp = "m{}d.".format(slot)
+        for i, prefix, knd in (
+            (n_src, sp, src_kind), (n_dst, dp, dst_kind),
+        ):
+            for j in range(i):
+                ident = prefix + str(j)
+                nodes.append({
+                    "kind": knd,
+                    "identifier": ident,
+                    "name": "{} {}{}".format(knd, ident, seed),
+                })
+        for i in range(count):
+            e = {
+                "source_id": (src_kind, sp + str(i % n_src)),
+                "target_id": (dst_kind, dp + str(i // n_src)),
+                "kind": kind,
+            }
+            if kind == "binds":
+                e["data"] = {
+                    "actions": [
+                        _SYNTH_BINDS_ACTIONS[i % len(_SYNTH_BINDS_ACTIONS)],
+                    ],
+                }
+            edges.append(e)
+    return {"nodes": nodes, "edges": edges}
