@@ -300,6 +300,151 @@ def run_hetionet_leg(num_cpus: int) -> dict:
     }
 
 
+SOAK_PAGES = int(os.environ.get("PYBEL_RAY_SOAK_PAGES", "1000000"))
+SOAK_RECORD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SOAK_RECORD.json")
+
+
+class _ResourceMonitor:
+    """Samples worker RSS and Ray spill while a leg runs (5s cadence).
+
+    /proc-based (no psutil in the container): sums VmRSS over processes
+    whose cmdline marks them as Ray workers, and du's the Ray session
+    spill directory.  Driver-side thread; negligible next to the leg.
+    """
+
+    def __init__(self, interval: float = 5.0):
+        import threading
+
+        self.interval = interval
+        self.max_worker_rss_mb = 0.0
+        self.max_spill_mb = 0.0
+        self.samples = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+
+    @staticmethod
+    def _worker_rss_mb() -> float:
+        total_kb = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open("/proc/{}/cmdline".format(pid), "rb") as f:
+                    cmd = f.read()
+                if b"ray::" not in cmd and b"default_worker.py" not in cmd:
+                    continue
+                with open("/proc/{}/status".format(pid)) as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            total_kb += int(line.split()[1])
+                            break
+            except OSError:
+                continue
+        return total_kb / 1024.0
+
+    @staticmethod
+    def _spill_mb() -> float:
+        import glob as _glob
+
+        total = 0
+        for d in _glob.glob("/tmp/ray/session_*/ray_spilled_objects*"):
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        return total / (1 << 20)
+
+    def _loop(self):
+        while not self._stop.wait(self.interval):
+            self.max_worker_rss_mb = max(
+                self.max_worker_rss_mb, self._worker_rss_mb(),
+            )
+            self.max_spill_mb = max(self.max_spill_mb, self._spill_mb())
+            self.samples += 1
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=2)
+
+
+def run_soak(num_cpus: int) -> dict:
+    """10x soak of the large leg (VERDICT r3 item 4): SOAK_PAGES pages
+    through the full pipeline (events sink, global dedup, global sort)
+    with worker-RSS / spill monitoring.  Writes SOAK_RECORD.json so the
+    recorded figures ride along in later default bench runs."""
+    import shutil
+    import tempfile
+
+    from pybel_ray.pipeline import compile_pages
+    from pybel_ray.pages import default_registry, write_pages_parquet
+
+    corpus = "/tmp/pybel_ray_soak_p{}_s{}".format(SOAK_PAGES, SCALING_STMTS)
+    marker = os.path.join(corpus, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(corpus, ignore_errors=True)
+        write_pages_parquet(
+            corpus, SOAK_PAGES, seed=42, statements_per_page=SCALING_STMTS,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    import ray.data
+
+    pages = ray.data.read_parquet(corpus, override_num_blocks=num_cpus * 16)
+    events_dir = tempfile.mkdtemp(prefix="pybel_ray_soak_ev_", dir="/tmp")
+    t0 = time.time()
+    with _ResourceMonitor() as mon:
+        kg = compile_pages(
+            pages, default_registry(), batch_size=8, events_dir=events_dir,
+        )
+        n_triples = kg.triples().count()
+        n_statements = kg.statement_count()
+    wall = time.time() - t0
+    events_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(events_dir) for f in fs
+    )
+    # the grpc-backed memory_summary API is unavailable in this container;
+    # the raylet log carries the authoritative cumulative spill line
+    spilled_mb = 0
+    try:
+        import glob as _glob
+        import re
+
+        for log in _glob.glob("/tmp/ray/session_*/logs/raylet.out"):
+            with open(log, errors="ignore") as f:
+                for line in f:
+                    m = re.search(r"Spilled (\d+) MiB", line)
+                    if m:
+                        spilled_mb = max(spilled_mb, int(m.group(1)))
+    except OSError:
+        pass
+    shutil.rmtree(events_dir, ignore_errors=True)
+    out = {
+        "soak_pages": SOAK_PAGES,
+        "soak_wall_sec": round(wall, 3),
+        "soak_triples": n_triples,
+        "soak_statements": n_statements,
+        "soak_triples_per_sec": round(n_triples / wall, 1),
+        "soak_statements_per_sec": round(n_statements / wall, 1),
+        "soak_events_parquet_gb": round(events_bytes / (1 << 30), 2),
+        "soak_max_worker_rss_mb": round(mon.max_worker_rss_mb, 1),
+        "soak_max_spill_dir_mb": round(mon.max_spill_mb, 1),
+        "soak_ray_reported_spill_mb": spilled_mb,
+        "soak_num_cpus": num_cpus,
+        "soak_cpu_probe_units_per_sec": _probe_cpu(2.0),
+    }
+    with open(SOAK_RECORD, "w") as f:
+        json.dump(out, f)
+    return out
+
+
 def single_run(num_cpus: int, sf_dir: str, with_queries: bool,
                pages_dir: str | None = None, with_large_leg: bool = False) -> dict:
     # delivered-CPU probe (work units/s, higher = faster VM): recorded so
@@ -326,6 +471,13 @@ def single_run(num_cpus: int, sf_dir: str, with_queries: bool,
     if with_large_leg:
         result.update(run_large_leg(num_cpus))
         result.update(run_hetionet_leg(num_cpus))
+        # the 1M-page soak is a ONE-recorded-run figure (VERDICT r3 item
+        # 4: ~10 min of wall); its SOAK_RECORD.json rides along here so
+        # BENCH_r{N}.json carries the soak_* fields without re-running it
+        # every round.  Re-record with `bench.py --soak`.
+        if os.path.exists(SOAK_RECORD):
+            with open(SOAK_RECORD) as f:
+                result.update(json.load(f))
     if with_queries:
         result["queries"] = run_queries(sf_dir)
     import ray
@@ -507,6 +659,9 @@ def scaling(sf_dir: str, low: int, high: int, repeats: int = 2) -> dict:
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--scaling", action="store_true")
+    parser.add_argument("--soak", action="store_true",
+                        help="one recorded 1M-page soak run (writes "
+                             "SOAK_RECORD.json)")
     parser.add_argument("--worker", type=int, default=None,
                         help="internal: run headline only at N cpus")
     parser.add_argument("--sf-dir", default=os.environ.get(
@@ -524,6 +679,15 @@ def main():
         return
     if args.scaling:
         print(json.dumps(scaling(args.sf_dir, args.low, args.high)))
+        return
+    if args.soak:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        _init_ray(num_cpus)
+        out = run_soak(num_cpus)
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(out))
         return
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
