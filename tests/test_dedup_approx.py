@@ -321,3 +321,30 @@ def test_ann_join_cross_table_only(ray_session):
     assert {(0, 10), (1, 11), (2, 12)} <= got
     # left-left / right-right pairs never emitted
     assert all(l < 10 and r >= 10 for l, r in got)
+
+
+def test_verify_broadcast_vs_shuffle_parity(ray_session, monkeypatch):
+    """The zero-exchange broadcast verify and the two-exchange shuffle
+    verify produce identical verified pairs (forced via a zero budget)."""
+    import ray
+
+    from pybel_ray.ops import dedup_approx as da
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    for i in range(40):
+        # clusters of 4 near-identical docs + unique tails
+        rows.append({
+            "doc_id": i,
+            "text": base + ("cluster%d " % (i // 4)) * 3 + "tail%d" % (i % 2),
+        })
+    ds = ray.data.from_items(rows).repartition(4)
+    fast = da.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    monkeypatch.setattr(da, "_VERIFY_BROADCAST_VALUES", 0)
+    slow = da.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    key = lambda df: sorted(  # noqa: E731
+        (int(r.id_a), int(r.id_b), round(float(r.jaccard), 9))
+        for r in df.itertuples()
+    )
+    assert key(fast) == key(slow)
+    assert len(fast) > 0
