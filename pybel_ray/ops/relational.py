@@ -174,18 +174,50 @@ def pivot_counts(ds, index: str, key: str, key_values: Sequence[str],
 
 
 def semi_join(ds, key: str, keys_ds, keys_key: Optional[str] = None,
-              anti: bool = False):
+              anti: bool = False, broadcast_budget_bytes: int = 64 << 20):
     """Distributed semi-join: keep rows of ``ds`` whose ``key`` appears
     in ``keys_ds[keys_key]`` (``anti=True`` keeps the complement).
 
-    Wraps the bucketed hash-co-location join (one ``groupby(bucket)``
-    exchange, one vectorized ``pc.is_in`` per bucket — neither side ever
-    visits the driver), casting keys to strings internally so any key
-    type works.
+    Budget hybrid: when the key side's single-column projection fits
+    ``broadcast_budget_bytes``, the distinct keys ship ONCE via
+    ``ray.put`` and the join is a stateless vectorized ``pc.is_in``
+    filter over ``ds`` — zero exchanges.  Above the budget it wraps the
+    bucketed hash-co-location join (one ``groupby(bucket)`` exchange,
+    one vectorized ``pc.is_in`` per bucket — neither side ever visits
+    the driver).  Keys cast to strings internally on both paths so any
+    key type works; null keys never match (semi drops them, anti keeps
+    them — SQL semantics, identical on both paths).
     """
     from ..struct.degree import bucketed_semi_join
 
     keys_key = keys_key or key
+
+    proj = keys_ds.select_columns([keys_key]).materialize()
+    if (proj.size_bytes() or 0) <= broadcast_budget_bytes:
+        import ray
+
+        batches = list(proj.iter_batches(batch_format="pyarrow"))
+        if not batches:
+            keys_arr = pa.array([], pa.string())
+        else:
+            keys_arr = pc.unique(pc.drop_null(pc.cast(
+                pa.concat_tables(batches).column(keys_key).combine_chunks(),
+                pa.string(),
+            )))
+        keys_ref = ray.put(keys_arr)
+
+        def _filter(t: pa.Table, _ref=keys_ref) -> pa.Table:
+            hit = pc.fill_null(
+                pc.is_in(
+                    pc.cast(t.column(key), pa.string()),
+                    value_set=ray.get(_ref),
+                ),
+                False,
+            )
+            return t.filter(pc.invert(hit) if anti else hit)
+
+        return ds.map_batches(_filter, batch_format="pyarrow")
+    keys_ds = proj
 
     def _tag(col):
         def _f(t: pa.Table) -> pa.Table:
