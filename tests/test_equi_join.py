@@ -493,3 +493,35 @@ def test_diversified_topk_floor_and_fill(ray_session):
         ray.data.from_arrow(t), "g", "s", 4, 0, "id",
     ).to_pandas()
     assert sorted(out2.id) == [0, 1, 2, 3]
+
+
+def test_semi_anti_join_broadcast_vs_exchange_parity(ray_session):
+    """The zero-exchange broadcast branch (key side under budget) and the
+    bucketed exchange branch (forced via budget=0) agree exactly,
+    including null-key semantics (semi drops nulls, anti keeps them)."""
+    import pyarrow as pa
+    import ray
+
+    from pybel_ray.ops.relational import anti_join, semi_join
+
+    data = pa.table({
+        "k": pa.array([1, 2, 3, None, 5, 2, 7], pa.int64()),
+        "v": pa.array(list("abcdefg")),
+    })
+    keys = pa.table({"kk": pa.array([2, 5, 9, None], pa.int64())})
+    ds = ray.data.from_arrow(data).repartition(3)
+    kds = ray.data.from_arrow(keys).repartition(2)
+
+    def rows(out):
+        return sorted((r["v"]) for r in out.take_all())
+
+    semi_b = rows(semi_join(ds, "k", kds, "kk"))
+    semi_x = rows(semi_join(ds, "k", kds, "kk", broadcast_budget_bytes=0))
+    assert semi_b == semi_x == ["b", "e", "f"]
+
+    anti_b = rows(anti_join(ds, "k", kds, "kk"))
+    anti_x = rows(
+        semi_join(ds, "k", kds, "kk", anti=True, broadcast_budget_bytes=0),
+    )
+    # null key never matches -> anti keeps row "d"
+    assert anti_b == anti_x == ["a", "c", "d", "g"]
