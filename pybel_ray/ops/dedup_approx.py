@@ -503,25 +503,6 @@ def _verify_pairs_distributed(
     return out.sort(["id_a", "id_b"])
 
 
-def _dedup_pairs(pairs):
-    """Global dedup of (id_a, id_b) candidate rows.
-
-    One bucketed-groupby exchange (order is irrelevant before the verify
-    stage, so the costlier repartition+sort dedup is unnecessary).
-    """
-    from ..stages.dedup import dedup_exact
-
-    def _key(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(t.column("id_a"), pa.string()),
-            pc.cast(t.column("id_b"), pa.string()), "_",
-        )
-        return t.append_column("pair", key)
-
-    pairs = pairs.map_batches(_key, batch_format="pyarrow")
-    return dedup_exact(pairs, "pair").drop_columns(["pair"])
-
-
 def _local_dedup_pairs(pairs):
     """Block-local (combiner) dedup of (id_a, id_b) rows — no exchange.
 
