@@ -53,12 +53,15 @@ DEFAULT_COLOR_MAP = {
 _FALLBACK_COLOR = "#888888"
 
 #: minimal self-contained force layout: seeded deterministic positions,
-#: spring relaxation, canvas draw, drag + hover tooltip.  Parameters:
-#: the literals GRAPH / CMAP / WIDTH / HEIGHT / TARGET are substituted.
+#: spring relaxation, canvas draw, drag + hover tooltip.  Parameters: the
+#: __PBR_*__ sentinels are substituted (unique strings that cannot occur in
+#: user data; the graph JSON is inserted LAST so substitution never rewrites
+#: token lookalikes inside user-controlled node/edge text).
 _VIS_JS = r"""
 (function () {
-  var data = GRAPH, cmap = CMAP, W = WIDTH, H = HEIGHT;
-  var host = document.querySelector(TARGET);
+  var data = __PBR_GRAPH__, cmap = __PBR_CMAP__;
+  var W = __PBR_WIDTH__, H = __PBR_HEIGHT__;
+  var host = __PBR_HOST__;
   var canvas = document.createElement('canvas');
   canvas.width = W; canvas.height = H;
   canvas.style.border = '1px solid #ddd';
@@ -111,7 +114,7 @@ _VIS_JS = r"""
     });
     nodes.forEach(function (p) {
       ctx.beginPath();
-      ctx.fillStyle = cmap[p.d['function']] || 'FALLBACK';
+      ctx.fillStyle = cmap[p.d['function']] || __PBR_FALLBACK__;
       ctx.arc(p.x, p.y, 6, 0, 2 * Math.PI); ctx.fill();
     });
   }
@@ -162,15 +165,28 @@ def build_graph_context(
     }
 
 
-def _render_js(context: Mapping, width: int, height: int, target: str) -> str:
+def _script_safe(serialized_json: str) -> str:
+    """Make a JSON literal safe to inline inside a ``<script>`` tag: ``</``
+    becomes ``<\\/`` (a no-op escape inside JS/JSON string literals) so user
+    text containing ``</script>`` cannot terminate the tag early."""
+    return serialized_json.replace("</", "<\\/")
+
+
+def _render_js(
+    context: Mapping, width: int, height: int, host_expr: str,
+) -> str:
+    # Sentinel substitution: every placeholder is a __PBR_*__ token that
+    # cannot collide with user data, and the graph JSON (the only
+    # user-controlled payload) is inserted LAST so earlier .replace calls
+    # can never rewrite lookalike tokens inside it.
     return (
         _VIS_JS
-        .replace("GRAPH", context["json"])
-        .replace("CMAP", context["cmap"])
-        .replace("WIDTH", str(int(width)))
-        .replace("HEIGHT", str(int(height)))
-        .replace("TARGET", json.dumps(target))
-        .replace("'FALLBACK'", json.dumps(_FALLBACK_COLOR))
+        .replace("__PBR_WIDTH__", str(int(width)))
+        .replace("__PBR_HEIGHT__", str(int(height)))
+        .replace("__PBR_HOST__", host_expr)
+        .replace("__PBR_FALLBACK__", json.dumps(_FALLBACK_COLOR))
+        .replace("__PBR_CMAP__", _script_safe(context["cmap"]))
+        .replace("__PBR_GRAPH__", _script_safe(context["json"]))
     )
 
 
@@ -183,7 +199,9 @@ def to_html(
     """Self-contained HTML visualization of a (small) graph — reference
     ``to_html`` (``io/jupyter/visualization.py:48-56``)."""
     context = build_graph_context(graph, color_map=color_map)
-    js = _render_js(context, width, height, "#graph-chart")
+    js = _render_js(
+        context, width, height, "document.querySelector('#graph-chart')",
+    )
     return (
         "<!DOCTYPE html>\n<html lang=\"en\">\n<head>\n"
         "<meta charset=\"UTF-8\">\n<title>pybel-ray graph "
@@ -216,18 +234,22 @@ def to_jupyter_str(
     """JavaScript snippet that renders the graph into the active Jupyter
     output cell (reference ``to_jupyter_str``, ``io/jupyter/inline.py``).
     Deterministic — no random element ids: the snippet appends its own
-    container div to ``element`` (the cell output node) when present,
-    else to ``document.body``."""
+    container div to ``element`` (the cell output node) when present, else
+    to ``document.body``, and the render closes over that div directly (no
+    selector re-query, so repeated renders can never draw into each other's
+    containers)."""
     context = build_graph_context(graph, color_map=color_map)
-    setup = (
+    render = _render_js(context, width, height, "__pbr_div")
+    return (
+        "(function () {\n"
         "var __pbr_host = (typeof element !== 'undefined' && element.get"
-        " ? element.get(0) : document.body);"
-        "var __pbr_div = document.createElement('div');"
-        "__pbr_div.className = 'pybel-ray-vis';"
-        "__pbr_host.appendChild(__pbr_div);"
+        " ? element.get(0) : document.body);\n"
+        "var __pbr_div = document.createElement('div');\n"
+        "__pbr_div.className = 'pybel-ray-vis';\n"
+        "__pbr_host.appendChild(__pbr_div);\n"
+        + render
+        + "\n})();"
     )
-    js = _render_js(context, width, height, ".pybel-ray-vis:last-of-type")
-    return setup + "\n" + js
 
 
 def to_jupyter(graph, width: int = 1000, height: int = 650, color_map=None):

@@ -194,6 +194,32 @@ def _empty_pairs():
     return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
 
 
+#: candidate-pair rows as emitted by the LSH/block generators: ids plus the
+#: exact shingle-set sizes (free from the ratio prune) so the verify stage
+#: can compute the exact broadcast volume without touching any text
+_CAND_PAIRS_SCHEMA = pa.schema([
+    ("id_a", pa.int64()), ("id_b", pa.int64()),
+    ("size_a", pa.int64()), ("size_b", pa.int64()),
+])
+
+
+def _empty_cand_pairs() -> pa.Table:
+    return _CAND_PAIRS_SCHEMA.empty_table()
+
+
+def _cand_pairs_table(a_out, b_out, sza_out, szb_out) -> pa.Table:
+    """Concatenate per-run numpy pair fragments into one candidate table."""
+    def _cat(parts):
+        return np.concatenate(parts) if parts else np.array([], np.int64)
+
+    return pa.Table.from_arrays(
+        [pa.array(_cat(a_out), pa.int64()), pa.array(_cat(b_out), pa.int64()),
+         pa.array(_cat(sza_out), pa.int64()),
+         pa.array(_cat(szb_out), pa.int64())],
+        schema=_CAND_PAIRS_SCHEMA,
+    )
+
+
 def _list_array_from_arrays(arrays) -> pa.ListArray:
     """ListArray<uint64> from a list of numpy arrays — values+offsets
     construction, no per-element python objects."""
@@ -247,6 +273,11 @@ def _verify_pairs_broadcast(
     if not parts:
         return _empty_pairs()
     tbl = pa.concat_tables(parts).combine_chunks()
+    if tbl.num_rows == 0:
+        # candidate ids absent from ds (pairs non-empty, candidate docs
+        # filtered to nothing): no shingles to broadcast, no verifiable
+        # pair — _judge_b would otherwise index an empty sids array
+        return _empty_pairs()
     ids = tbl.column("key_id").to_numpy(zero_copy_only=False)
     sh = tbl.column("shingles")
     if isinstance(sh, pa.ChunkedArray):
@@ -268,6 +299,8 @@ def _verify_pairs_broadcast(
 
     def _judge_b(t: pa.Table) -> pa.Table:
         sids, vals, voffs = ray.get(ref)
+        if len(sids) == 0:  # defensive: no candidate docs → no matches
+            return _PAIRS_SCHEMA.empty_table()
         a = t.column("id_a").to_numpy(zero_copy_only=False)
         b = t.column("id_b").to_numpy(zero_copy_only=False)
         ia = np.searchsorted(sids, a)
@@ -353,22 +386,39 @@ def _verify_pairs_distributed(
     import ray
 
     # narrow prefilter set: ints only, bounded by candidate volume (the
-    # docs that LSH flagged), never texts or shingles
+    # docs that LSH flagged), never texts or shingles.  When the candidate
+    # generator shipped exact shingle-set sizes alongside the pairs
+    # (size_a/size_b — both LSH and block generators have them for free
+    # from the ratio prune), the exact broadcast volume is known HERE, so
+    # an over-budget corpus goes straight to the shuffle path instead of
+    # computing every candidate's shingles and discarding them mid-stream.
+    have_sizes = {"size_a", "size_b"} <= set(pairs.schema().names)
+    pair_cols = ["id_a", "id_b"] + (["size_a", "size_b"] if have_sizes else [])
     cand_ids = set()
-    for batch in pairs.select_columns(["id_a", "id_b"]).iter_batches(
+    size_by_id = {}
+    for batch in pairs.select_columns(pair_cols).iter_batches(
         batch_format="pyarrow",
     ):
-        cand_ids.update(batch.column("id_a").to_pylist())
-        cand_ids.update(batch.column("id_b").to_pylist())
+        ids_a = batch.column("id_a").to_pylist()
+        ids_b = batch.column("id_b").to_pylist()
+        cand_ids.update(ids_a)
+        cand_ids.update(ids_b)
+        if have_sizes:
+            size_by_id.update(zip(ids_a, batch.column("size_a").to_pylist()))
+            size_by_id.update(zip(ids_b, batch.column("size_b").to_pylist()))
     if not cand_ids:
         return _empty_pairs()
     cand_ref = ray.put(np.fromiter(cand_ids, dtype=np.int64, count=len(cand_ids)))
 
-    fast = _verify_pairs_broadcast(
-        ds, pairs, cand_ref, text_col, id_col, ngram, threshold,
-    )
-    if fast is not None:
-        return fast
+    # exact pre-gate: sizes are the same 64-bit unique-shingle counts the
+    # broadcast path would collect, so this equals its total volume
+    est_values = sum(size_by_id.values()) if have_sizes else None
+    if est_values is None or est_values <= _VERIFY_BROADCAST_VALUES:
+        fast = _verify_pairs_broadcast(
+            ds, pairs, cand_ref, text_col, id_col, ngram, threshold,
+        )
+        if fast is not None:
+            return fast
 
     def _shingle_rows(t: pa.Table) -> pa.Table:
         cands = pa.array(ray.get(cand_ref))
@@ -591,14 +641,11 @@ def minhash_lsh_pairs(
         per bucket (measured: sf0.1 has ~160k buckets → 160k scheduled UDF
         calls in the old version)."""
         if t.num_rows < 2:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int64())],
-                names=["id_a", "id_b"],
-            )
+            return _empty_cand_pairs()
         buckets = t.column("bucket").to_numpy(zero_copy_only=False)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         sizes = t.column("size").to_numpy(zero_copy_only=False)
-        a_out, b_out = [], []
+        a_out, b_out, sza_out, szb_out = [], [], [], []
         capped = 0
         for start, end in _multi_runs(buckets):
             run_ids = ids[start:end]
@@ -616,18 +663,15 @@ def minhash_lsh_pairs(
                     >= threshold * np.maximum(msz[ia], msz[ib]))
             a_out.append(members[ia[keep]])
             b_out.append(members[ib[keep]])
+            sza_out.append(msz[ia[keep]])
+            szb_out.append(msz[ib[keep]])
         if capped:
             logger.warning(
                 "minhash_lsh_pairs: truncated %d members from mega-buckets "
                 "(cap=%d); near-dups among the dropped members may be missed",
                 capped, _BUCKET_MEMBER_CAP,
             )
-        cat_a = np.concatenate(a_out) if a_out else np.array([], np.int64)
-        cat_b = np.concatenate(b_out) if b_out else np.array([], np.int64)
-        return pa.Table.from_arrays(
-            [pa.array(cat_a, pa.int64()), pa.array(cat_b, pa.int64())],
-            names=["id_a", "id_b"],
-        )
+        return _cand_pairs_table(a_out, b_out, sza_out, szb_out)
 
     sigs = ds.select_columns([id_col, text_col]).map_batches(_sig, batch_format="pyarrow")
     # ONE exchange co-locates equal buckets (sort partitions are single
@@ -979,7 +1023,7 @@ def ngram_jaccard_pairs(
         buckets = t.column("bucket").to_numpy(zero_copy_only=False)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         sizes = t.column("size").to_numpy(zero_copy_only=False)
-        a_out, b_out = [], []
+        a_out, b_out, sza_out, szb_out = [], [], [], []
         capped = 0
         for start, end in _multi_runs(buckets):
             run_ids = ids[start:end]
@@ -997,22 +1041,19 @@ def ngram_jaccard_pairs(
                 / np.maximum(run_sz[xi], run_sz[yi])
             )
             keep = ratio >= threshold
-            pa_ids = np.minimum(run_ids[xi[keep]], run_ids[yi[keep]])
-            pb_ids = np.maximum(run_ids[xi[keep]], run_ids[yi[keep]])
-            a_out.append(pa_ids)
-            b_out.append(pb_ids)
+            xk, yk = xi[keep], yi[keep]
+            swap = run_ids[xk] > run_ids[yk]
+            a_out.append(np.where(swap, run_ids[yk], run_ids[xk]))
+            b_out.append(np.where(swap, run_ids[xk], run_ids[yk]))
+            sza_out.append(np.where(swap, run_sz[yk], run_sz[xk]))
+            szb_out.append(np.where(swap, run_sz[xk], run_sz[yk]))
         if capped:
             logger.warning(
                 "ngram_jaccard_pairs: truncated %d members from mega shingle "
                 "groups (cap=%d); pairs among dropped members may be missed",
                 capped, _BUCKET_MEMBER_CAP,
             )
-        cat_a = np.concatenate(a_out) if a_out else np.array([], np.int64)
-        cat_b = np.concatenate(b_out) if b_out else np.array([], np.int64)
-        return pa.Table.from_arrays(
-            [pa.array(cat_a, pa.int64()), pa.array(cat_b, pa.int64())],
-            names=["id_a", "id_b"],
-        )
+        return _cand_pairs_table(a_out, b_out, sza_out, szb_out)
 
     prefix = ds.select_columns([id_col, text_col]).map_batches(
         _prefix, batch_format="pyarrow",

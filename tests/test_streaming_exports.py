@@ -88,3 +88,53 @@ def test_to_jupyter_str(kg_graph):
     assert json.dumps(to_nodelink(kg_graph), sort_keys=True) in js
     assert "640" in js and "480" in js
     assert "pybel-ray-vis" in js
+    # the render must close over the created div, never re-query by a
+    # positional selector (':last-of-type' matched the wrong div when the
+    # host had trailing sibling divs)
+    assert ":last-of-type" not in js
+    assert "querySelector" not in js
+
+
+def _adversarial_graph():
+    """A graph whose node/edge text contains every _VIS_JS substitution
+    token and a '</script>' terminator — the exact payloads that corrupted
+    the rendered artifact before the sentinel rewrite."""
+    from pybel_ray.export.nodelink import from_nodelink
+
+    nodes = [
+        {"id": "a" * 32, "bel": 'p(HGNC:TARGET)', "function": "Protein",
+         "concept": {"namespace": "HGNC", "name": "TARGET"}},
+        {"id": "b" * 32, "bel": 'p(HGNC:"GRAPH WIDTH HEIGHT CMAP FALLBACK")',
+         "function": "Protein",
+         "concept": {"namespace": "HGNC",
+                     "name": "GRAPH WIDTH HEIGHT CMAP FALLBACK"}},
+    ]
+    links = [{
+        "source": 0, "target": 1, "relation": "increases",
+        "evidence": "closing tag </script> inside evidence",
+        "citation": {"db": "PubMed", "db_id": "1"},
+    }]
+    return from_nodelink({"graph": {}, "nodes": nodes, "links": links})
+
+
+def test_html_viz_substitution_does_not_rewrite_user_data():
+    """Regression: sequential .replace on bare tokens rewrote occurrences
+    of TARGET/WIDTH/... inside the embedded graph JSON, corrupting node
+    names and the generated JS."""
+    from pybel_ray.export.html_viz import to_html, to_jupyter_str
+
+    g = _adversarial_graph()
+    html = to_html(g, width=777, height=555)
+    assert "p(HGNC:TARGET)" in html
+    assert "GRAPH WIDTH HEIGHT CMAP FALLBACK" in html
+    # no sentinel survives substitution
+    assert "__PBR_" not in html
+    # the embedded JSON is script-safe: no raw '</' can terminate the tag
+    body = html.split("<script", 1)[1]
+    assert "</script>" not in body.rsplit("</script>", 1)[0]
+    assert "<\\/script>" in html  # the evidence text, escaped
+
+    js = to_jupyter_str(g)
+    assert "p(HGNC:TARGET)" in js
+    assert "__PBR_" not in js
+    assert "</script>" not in js
