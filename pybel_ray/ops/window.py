@@ -1078,7 +1078,8 @@ def _run_changes(t: pa.Table, cols) -> np.ndarray:
     return rc
 
 
-def _rank_sorted(ds, partition_col, order_cols, out_rank, out_dense):
+def _rank_sorted(ds, partition_col, order_cols, out_rank, out_dense,
+                 extended: bool = False):
     """Skew-proof rank: ONE distributed sort by (partition, order,
     unique row id) + a per-block boundary exchange.  Each block sends
     the driver one partial (first-row sort tuple, last key/order value,
@@ -1086,7 +1087,16 @@ def _rank_sorted(ds, partition_col, order_cols, out_rank, out_dense):
     every block learns the carried (rows-done, runs-done,
     rank-of-ongoing-run-start) for the key run it may continue.  No key
     group ever has to fit one worker.  Requires non-null partition and
-    order values (same contract as :func:`_lag_sorted`)."""
+    order values (same contract as :func:`_lag_sorted`).
+
+    ``extended=True`` additionally emits ``pct_rank_e6`` / ``cume_dist_e6``
+    (same exact-integer semantics as the groupby path in
+    :func:`rank_by`).  Those need each row's GROUP size and RUN total —
+    but in a sorted stream only a block's first and last key/run can
+    spill across block boundaries, so the same driver-side fold supplies
+    them: the forward pass already carries rows-before, and one extra
+    BACKWARD pass over the same per-block partials carries
+    rows-after-for-my-trailing-key/run.  Zero additional exchanges."""
     import json as _json
 
     import ray
@@ -1106,6 +1116,8 @@ def _rank_sorted(ds, partition_col, order_cols, out_rank, out_dense):
                 "_trail_rows": pa.array([], pa.int64()),
                 "_trail_runs": pa.array([], pa.int64()),
                 "_trail_run_len": pa.array([], pa.int64()),
+                "_lead_rows": pa.array([], pa.int64()),
+                "_lead_run_len": pa.array([], pa.int64()),
             })
         n = t.num_rows
         kc = _run_changes(t, [partition_col])
@@ -1113,6 +1125,8 @@ def _rank_sorted(ds, partition_col, order_cols, out_rank, out_dense):
         idx = np.arange(n)
         key_start_last = int(np.max(idx[kc]))
         run_start_last = int(np.max(idx[rc]))
+        kstarts = np.flatnonzero(kc)
+        rstarts = np.flatnonzero(rc)
         tup = _json.dumps(_first_row_tuple(t, sort_cols), default=str)
         ord_of = lambda i: _json.dumps(
             [t.column(c)[i].as_py() for c in order_cols], default=str,
@@ -1127,6 +1141,8 @@ def _rank_sorted(ds, partition_col, order_cols, out_rank, out_dense):
             "_trail_rows": [n - key_start_last],
             "_trail_runs": [int(rc[key_start_last:].sum())],
             "_trail_run_len": [n - run_start_last],
+            "_lead_rows": [int(kstarts[1]) if len(kstarts) > 1 else n],
+            "_lead_run_len": [int(rstarts[1]) if len(rstarts) > 1 else n],
         })
 
     partials = sorted_ds.map_batches(
@@ -1155,16 +1171,40 @@ def _rank_sorted(ds, partition_col, order_cols, out_rank, out_dense):
             runs_done = r["_trail_runs"]
             run_start_rank = r["_trail_rows"] - r["_trail_run_len"] + 1
         key, ordv = r["_last_key"], r["_last_ord"]
-    b_ref = ray.put(boundaries)
+
+    # backward fold (extended only): per block, how many rows AFTER it
+    # belong to its trailing key run / its trailing (key, ord) run.
+    # State = the suffix's leading (key, ord) and the number of leading
+    # suffix rows matching them.
+    after = {}
+    if extended:
+        a_key, a_ord, a_kcont, a_rcont = None, None, 0, 0
+        for r in reversed(partials):
+            after[r["_tup"]] = (a_key, a_ord, a_kcont, a_rcont)
+            whole_key = r["_lead_rows"] == r["_n"]
+            whole_run = r["_lead_run_len"] == r["_n"]
+            a_kcont = r["_lead_rows"] + (
+                a_kcont if whole_key and a_key == r["_first_key"] else 0
+            )
+            a_rcont = r["_lead_run_len"] + (
+                a_rcont if whole_run and a_key == r["_first_key"]
+                and a_ord == r["_first_ord"] else 0
+            )
+            a_key, a_ord = r["_first_key"], r["_first_ord"]
+    b_ref = ray.put((boundaries, after))
 
     def _apply(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t.append_column(out_rank, pa.array([], pa.int64())) \
-                .append_column(out_dense, pa.array([], pa.int64())) \
-                .drop_columns(["_rid"])
+            t = t.append_column(out_rank, pa.array([], pa.int64())) \
+                .append_column(out_dense, pa.array([], pa.int64()))
+            if extended:
+                t = t.append_column("pct_rank_e6", pa.array([], pa.int64())) \
+                    .append_column("cume_dist_e6", pa.array([], pa.int64()))
+            return t.drop_columns(["_rid"])
         n = t.num_rows
         tup = _json.dumps(_first_row_tuple(t, sort_cols), default=str)
-        b_key, b_ord, b_rows, b_runs, b_rsr = ray.get(b_ref)[tup]
+        all_b, all_a = ray.get(b_ref)
+        b_key, b_ord, b_rows, b_runs, b_rsr = all_b[tup]
         kc = _run_changes(t, [partition_col])
         rc = _run_changes(t, [partition_col] + order_cols)
         idx = np.arange(n)
@@ -1174,8 +1214,10 @@ def _rank_sorted(ds, partition_col, order_cols, out_rank, out_dense):
         dense_local = runs_cum - runs_cum[key_start]  # 0-based run idx
         rank = (run_start - key_start + 1).astype(np.int64)
         dense = (dense_local + 1).astype(np.int64)
-        if b_key is not None and \
-                str(t.column(partition_col)[0].as_py()) == b_key:
+        first_key_is_carried = b_key is not None and \
+            str(t.column(partition_col)[0].as_py()) == b_key
+        merged = False
+        if first_key_is_carried:
             # rows of the block's first key continue the carried run
             first_ord = _json.dumps(
                 [t.column(c)[0].as_py() for c in order_cols], default=str,
@@ -1189,9 +1231,51 @@ def _rank_sorted(ds, partition_col, order_cols, out_rank, out_dense):
             if merged:
                 m0 = m & (run_start == 0)
                 rank = np.where(m0, b_rsr, rank)
-        return t.append_column(out_rank, pa.array(rank, pa.int64())) \
-            .append_column(out_dense, pa.array(dense, pa.int64())) \
-            .drop_columns(["_rid"])
+        t = t.append_column(out_rank, pa.array(rank, pa.int64())) \
+            .append_column(out_dense, pa.array(dense, pa.int64()))
+        if extended:
+            a_key, a_ord, a_kcont, a_rcont = all_a[tup]
+            # per-row local key-group / run sizes from the run structure
+            kstarts = np.flatnonzero(kc)
+            kends = np.append(kstarts[1:], n)
+            key_idx = np.cumsum(kc) - 1
+            n_key = (kends - kstarts)[key_idx].astype(np.int64)
+            rstarts = np.flatnonzero(rc)
+            rends = np.append(rstarts[1:], n)
+            run_idx = runs_cum - 1
+            run_total = (rends - rstarts)[run_idx].astype(np.int64)
+            if first_key_is_carried:
+                n_key = np.where(key_start == 0, n_key + b_rows, n_key)
+                if merged:
+                    carried_run_rows = b_rows - (b_rsr - 1)
+                    run_total = np.where(
+                        (key_start == 0) & (run_start == 0),
+                        run_total + carried_run_rows, run_total,
+                    )
+            last_key = str(t.column(partition_col)[-1].as_py())
+            if a_key is not None and a_key == last_key:
+                n_key = np.where(
+                    key_idx == len(kstarts) - 1, n_key + a_kcont, n_key,
+                )
+                last_ord = _json.dumps(
+                    [t.column(c)[n - 1].as_py() for c in order_cols],
+                    default=str,
+                )
+                if a_ord == last_ord:
+                    run_total = np.where(
+                        run_idx == len(rstarts) - 1,
+                        run_total + a_rcont, run_total,
+                    )
+            peers_le = rank - 1 + run_total
+            pct = np.where(
+                n_key > 1,
+                ((rank - 1) * 1_000_000) // np.maximum(n_key - 1, 1),
+                0,
+            ).astype(np.int64)
+            cume = ((peers_le * 1_000_000) // n_key).astype(np.int64)
+            t = t.append_column("pct_rank_e6", pa.array(pct, pa.int64())) \
+                .append_column("cume_dist_e6", pa.array(cume, pa.int64()))
+        return t.drop_columns(["_rid"])
 
     return sorted_ds.map_batches(
         _apply, batch_format="pyarrow", batch_size=None,
@@ -1225,20 +1309,15 @@ def rank_by(
     ``max_rows_per_group`` to probe for degenerate single-key skew and
     switch to the skew-proof sorted path (:func:`_rank_sorted` — one
     global sort + one boundary row per block, no group co-location;
-    incompatible with ``extended``).
+    extended stats ride the same boundary fold via an extra backward
+    driver pass, still zero additional exchanges).
     """
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     if max_rows_per_group is not None:
         ds = ds.materialize()  # probe + op share one upstream execution
         if max_group_rows(ds, partition_col) > max_rows_per_group:
-            if extended:
-                raise NotImplementedError(
-                    "rank_by(extended=True) needs per-group sizes and has "
-                    "no sorted fallback; raise max_rows_per_group or salt "
-                    "the partition key upstream",
-                )
             return _rank_sorted(ds, partition_col, order_cols, out_rank,
-                                out_dense)
+                                out_dense, extended=extended)
 
     def _rank(g: pa.Table) -> pa.Table:
         g = g.sort_by([(c, "ascending") for c in order_cols])

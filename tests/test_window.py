@@ -448,17 +448,51 @@ def test_rank_by_extended_matches_duckdb(ray_session):
     assert solo == [("solo", 0, 0, 1_000_000)]
 
 
-def test_rank_by_extended_rejects_sorted_path(ray_session):
-    """extended mode has no skew-proof fallback — the probe must raise,
-    not silently drop the extended columns."""
-    import pytest as _pytest
+def test_rank_by_extended_sorted_path_matches_groupby(ray_session):
+    """Planted single-key skew with tie runs spanning block boundaries:
+    extended=True on the sorted (skew-proof) path must equal the
+    per-group path exactly — group sizes and run totals ride the
+    boundary fold's backward pass, no extra exchange."""
+    import random
 
-    from pybel_ray.ops.window import rank_by
+    from pybel_ray.ops.window import max_group_rows, rank_by
 
-    rows = [{"k": "hot", "i": i, "v": i} for i in range(500)]
-    ds = _ds(rows, blocks=4)
-    with _pytest.raises(NotImplementedError):
-        rank_by(ds, "k", ["v"], max_rows_per_group=100, extended=True)
+    rng = random.Random(13)
+    # tie runs of 7 in the hot key guarantee runs crossing block
+    # boundaries after the sort; small keys + a solo row pin the group
+    # edges (PERCENT_RANK=0 for a 1-row group)
+    rows = [{"k": "hot", "i": i, "v": i // 7} for i in range(4000)]
+    for key in ("a", "b"):
+        rows += [{"k": key, "i": i, "v": i // 3} for i in range(35)]
+    rows += [{"k": "solo", "i": 0, "v": 1}]
+    rng.shuffle(rows)
+    ds = _ds(rows, blocks=9)
+    assert max_group_rows(ds, "k") == 4000
+
+    def _key(out):
+        return sorted(
+            (r["k"], r["i"], r["rank"], r["dense_rank"],
+             r["pct_rank_e6"], r["cume_dist_e6"])
+            for r in out
+        )
+
+    plain = _key(rank_by(ds, "k", ["v"], extended=True).take_all())
+    sorted_path = _key(
+        rank_by(ds, "k", ["v"], max_rows_per_group=100,
+                extended=True).take_all(),
+    )
+    assert sorted_path == plain
+    solo = [r for r in sorted_path if r[0] == "solo"]
+    assert solo == [("solo", 0, 1, 1, 0, 1_000_000)]
+    # hot group: rows of the first tie run (v=0, 7 rows) have pct 0 and
+    # cume 7/4000
+    hot0 = [r for r in sorted_path if r[0] == "hot" and r[1] < 7]
+    assert {r[4] for r in hot0} == {0}
+    assert {r[5] for r in hot0} == {7 * 1_000_000 // 4000}
+    # last tie run (v=571, rows 3997..3999): rank 3998, cume = 1e6
+    hot_last = [r for r in sorted_path if r[0] == "hot" and r[1] >= 3997]
+    assert {r[2] for r in hot_last} == {3998}
+    assert {r[5] for r in hot_last} == {1_000_000}
 
 
 def _ffill_rows(seed=11, n=3000, null_rate=0.5):
