@@ -679,15 +679,57 @@ def _quantiles_sorted(ds, key: str, value_col: str, qs, names):
     return ray.data.from_items(rows)
 
 
+#: sentinel standing in for a null string key inside Ray's native
+#: sort-based groupby (which cannot order None against str); decoded back
+#: to null in the output, so both groupby paths expose SQL GROUP BY
+#: null-grouping semantics
+_NULL_KEY = "\x00\u2400N"
+
+
+def _null_key_codec(keys):
+    """(encode, decode) batch fns mapping null STRING key values to/from
+    :data:`_NULL_KEY`.  Numeric keys pass through — Ray's native groupby
+    already groups numeric nulls SQL-style; only string comparisons raise
+    in its sort.  Vectorized fill_null/if_else; a no-op stage when the
+    column has no nulls."""
+
+    def _is_str(typ) -> bool:
+        return pa.types.is_string(typ) or pa.types.is_large_string(typ)
+
+    def _encode(t: pa.Table) -> pa.Table:
+        for k in keys:
+            i = t.schema.get_field_index(k)
+            col = t.column(k)
+            if _is_str(col.type) and col.null_count:
+                t = t.set_column(i, k, pc.fill_null(col, _NULL_KEY))
+        return t
+
+    def _decode(t: pa.Table) -> pa.Table:
+        for k in keys:
+            i = t.schema.get_field_index(k)
+            col = t.column(k)
+            if _is_str(col.type):
+                hit = pc.fill_null(pc.equal(col, _NULL_KEY), False)
+                if pc.any(hit).as_py():
+                    t = t.set_column(
+                        i, k, pc.if_else(hit, pa.scalar(None, col.type), col),
+                    )
+        return t
+
+    return _encode, _decode
+
+
 def groupby_count(ds, keys, count_name: str = "n"):
-    """groupby(keys).count() with a stable output column name."""
+    """groupby(keys).count() with a stable output column name.  Null keys
+    form their own group (SQL GROUP BY semantics, any key dtype)."""
     if isinstance(keys, str):
         keys = [keys]
-    out = ds.groupby(keys).count()
+    encode, decode = _null_key_codec(keys)
+    out = ds.map_batches(encode, batch_format="pyarrow").groupby(keys).count()
     # ray names the count column "count()"
     def _rename(t: pa.Table) -> pa.Table:
         names = [count_name if c == "count()" else c for c in t.column_names]
-        return t.rename_columns(names)
+        return decode(t.rename_columns(names))
 
     return out.map_batches(_rename, batch_format="pyarrow")
 
@@ -698,13 +740,12 @@ def groupby_agg(ds, keys, aggs: Mapping[str, tuple]):
     ``aggs``: {output_name: (kind, column)} with kind in
     {count, sum, min, max, mean}.
 
-    .. warning:: **Null keys are dtype-dependent.** All-integer
-       count/sum/min/max aggregations take the bucketed fast path, which
-       GROUPS null keys together (SQL ``GROUP BY`` semantics); float
-       aggregations keep Ray's native sort-based path, which RAISES on
-       null keys.  Callers with nullable keys should filter (or
-       fill) the key column explicitly before calling if they need one
-       behavior regardless of the value column's dtype.
+    Null keys form their own group (SQL ``GROUP BY`` semantics) on BOTH
+    execution paths: the bucketed integer fast path groups them natively
+    (pyarrow ``group_by``), and the native sort-based path encodes null
+    string keys through :data:`_NULL_KEY` around the sort (numeric nulls
+    already group).  The behavior no longer depends on which path the
+    value dtypes select.
     """
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
@@ -717,10 +758,7 @@ def groupby_agg(ds, keys, aggs: Mapping[str, tuple]):
     # (:func:`grouped_sum`'s shape) instead of the native sort-based
     # aggregate — measured 5x at 150k groups.  Float sums/means keep the
     # native path (their accumulation order must not change under the
-    # hood of existing oracles).  Null-key rows: the fast path groups
-    # them together (SQL GROUP BY semantics) where the native Ray
-    # aggregate raises in its sort — callers with nullable keys should
-    # filter explicitly if they need the old failure.
+    # hood of existing oracles).
     fast_ok = all(kind in ("count", "sum", "min", "max")
                   for kind, _ in aggs.values())
     if fast_ok:
@@ -753,11 +791,13 @@ def groupby_agg(ds, keys, aggs: Mapping[str, tuple]):
         else:
             fns.append(kinds[kind](col))
             renames["{}({})".format(kind, col)] = out_name
-    out = ds.groupby(keys).aggregate(*fns)
+    encode, decode = _null_key_codec(keys)
+    out = ds.map_batches(encode, batch_format="pyarrow") \
+        .groupby(keys).aggregate(*fns)
 
     def _rename(t: pa.Table) -> pa.Table:
         names = [renames.get(c, c) for c in t.column_names]
-        return t.rename_columns(names)
+        return decode(t.rename_columns(names))
 
     return out.map_batches(_rename, batch_format="pyarrow")
 

@@ -525,3 +525,50 @@ def test_semi_anti_join_broadcast_vs_exchange_parity(ray_session):
     )
     # null key never matches -> anti keeps row "d"
     assert anti_b == anti_x == ["a", "c", "d", "g"]
+
+
+def test_groupby_agg_null_keys_unified_both_paths(ray_session):
+    """Null keys form their own group on BOTH groupby_agg paths (the
+    bucketed integer fast path and the native sort path selected by a
+    float mean), for string AND integer key dtypes — the behavior no
+    longer depends on the value column's dtype."""
+    import ray
+
+    from pybel_ray.ops.relational import groupby_agg, groupby_count
+
+    con = duckdb.connect()
+    for key_vals, key_type in [
+        (["a", None, "a", "b", None], pa.string()),
+        ([1, None, 1, 2, None], pa.int64()),
+    ]:
+        t = pa.table({
+            "k": pa.array(key_vals, key_type),
+            "i": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "f": pa.array([1.5, 2.5, 3.5, 4.5, 5.5], pa.float64()),
+        })
+        ds = ray.data.from_arrow(t).repartition(3)
+        con.unregister("t") if "t" in [r[0] for r in con.execute(
+            "SHOW TABLES").fetchall()] else None
+        con.register("t", t)
+        expect = _sorted(
+            tuple(r) for r in con.execute(
+                "SELECT k, COUNT(*), SUM(i), AVG(f) FROM t GROUP BY k",
+            ).fetchall()
+        )
+        # native path (mean(f) forces it)
+        native = groupby_agg(
+            ds, "k", {"n": ("count", None), "s": ("sum", "i"),
+                      "m": ("mean", "f")},
+        ).take_all()
+        got_n = _sorted((r["k"], r["n"], r["s"], r["m"]) for r in native)
+        assert got_n == expect
+        # bucketed fast path (integer-only aggs)
+        fast = groupby_agg(
+            ds, "k", {"n": ("count", None), "s": ("sum", "i")},
+        ).take_all()
+        got_f = _sorted((r["k"], r["n"], r["s"]) for r in fast)
+        assert got_f == [(k, n, s) for k, n, s, _ in expect]
+        # groupby_count shares the contract
+        cnt = groupby_count(ds, "k").take_all()
+        assert _sorted((r["k"], r["n"]) for r in cnt) == \
+            [(k, n) for k, n, _, _ in expect]
