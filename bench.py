@@ -81,12 +81,9 @@ def run_headline(sf: float, num_cpus: int, pages_dir: str | None = None) -> dict
     }
 
 
-def run_queries(sf_dir: str) -> dict:
-    # time the operators themselves, not the kg oracle-support snapshot dump
-    os.environ["PYBEL_RAY_SKIP_KG_SNAPSHOT"] = "1"
-    import __ray_entry__ as entry
-
-    chosen = [
+#: the per-round regression-tracking sweep (module-level so the
+#: crash-resuming orchestrator can diff completed names against it)
+SWEEP_QUERIES = [
         "lineitem_pricing_summary",
         "customers_per_region",
         "doc_token_counts",
@@ -210,6 +207,19 @@ def run_queries(sf_dir: str) -> dict:
         "graph_clustering_coeff",
         "web_host_pagerank",
     ]
+def run_queries(sf_dir: str, only=None, stream: bool = False) -> dict:
+    """Time the chosen query sweep.  ``only`` restricts to a subset (the
+    orchestrator's crash-resume path); ``stream=True`` prints a
+    ``QPARTIAL {json}`` marker line per completed query so a mid-sweep
+    crash loses at most ONE query's timing, not the whole sweep."""
+    # time the operators themselves, not the kg oracle-support snapshot dump
+    os.environ["PYBEL_RAY_SKIP_KG_SNAPSHOT"] = "1"
+    import __ray_entry__ as entry
+
+    chosen = SWEEP_QUERIES
+    if only is not None:
+        keep = set(only)
+        chosen = [n for n in chosen if n in keep]
     q = entry.queries()
     out = {}
     for name in chosen:
@@ -219,6 +229,9 @@ def run_queries(sf_dir: str) -> dict:
         if hasattr(result, "count"):
             result.count()
         out[name] = round(time.time() - t0, 3)
+        if stream:
+            print("QPARTIAL " + json.dumps({"name": name, "sec": out[name]}),
+                  flush=True)
     return out
 
 
@@ -230,9 +243,15 @@ def run_queries(sf_dir: str) -> dict:
 LARGE_LEG_PAGES = int(os.environ.get("PYBEL_RAY_LARGE_LEG_PAGES", "100000"))
 
 
-def run_large_leg(num_cpus: int) -> dict:
+def run_large_leg(num_cpus: int, objectstore: bool = False) -> dict:
     """Steady-state headline: LARGE_LEG_PAGES synthetic pages, same
-    pipeline (events+triples Parquet sinks, global dedup, global sort)."""
+    pipeline (events+triples Parquet sinks, global dedup, global sort).
+
+    ``objectstore=True`` routes the events sink through the ``pyarrow.fs``
+    write-then-manifest-commit branch (``fsio.py``) via a
+    ``SubTreeFileSystem`` over the same scratch disk — proving the
+    object-store commit protocol at real volume, with its wall time and
+    triple count recorded next to the POSIX branch's for comparison."""
     import shutil
     import tempfile
 
@@ -248,22 +267,32 @@ def run_large_leg(num_cpus: int) -> dict:
         LARGE_LEG_PAGES, seed=42, block_pages=25,
         statements_per_page=SCALING_STMTS,
     ).materialize()
-    events_dir = tempfile.mkdtemp(prefix="pybel_ray_large_", dir="/tmp")
+    scratch = tempfile.mkdtemp(prefix="pybel_ray_large_", dir="/tmp")
+    if objectstore:
+        from pyarrow import fs as pafs
+
+        filesystem = pafs.SubTreeFileSystem(scratch, pafs.LocalFileSystem())
+        events_dir = "events"
+    else:
+        filesystem = None
+        events_dir = scratch
     t0 = time.time()
     kg = compile_pages(
         pages, default_registry(), batch_size=8, events_dir=events_dir,
+        filesystem=filesystem,
     )
     n_triples = kg.triples().count()
     n_statements = kg.statement_count()
     wall = time.time() - t0
-    shutil.rmtree(events_dir, ignore_errors=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    prefix = "large_objectstore_" if objectstore else "large_"
     return {
-        "large_pages": LARGE_LEG_PAGES,
-        "large_wall_sec": round(wall, 3),
-        "large_triples": n_triples,
-        "large_statements": n_statements,
-        "large_triples_per_sec": round(n_triples / wall, 1),
-        "large_statements_per_sec": round(n_statements / wall, 1),
+        prefix + "pages": LARGE_LEG_PAGES,
+        prefix + "wall_sec": round(wall, 3),
+        prefix + "triples": n_triples,
+        prefix + "statements": n_statements,
+        prefix + "triples_per_sec": round(n_triples / wall, 1),
+        prefix + "statements_per_sec": round(n_statements / wall, 1),
     }
 
 
@@ -625,11 +654,24 @@ def scaling(sf_dir: str, low: int, high: int, repeats: int = 2) -> dict:
             first = False
             best_probe = _wait_for_quiet_machine(best_probe)
             disk_probes.append(round(_probe_disk(scratch_dir=pages_dir), 1))
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker", str(n),
-                 "--sf-dir", sf_dir, "--pages-dir", pages_dir],
-                capture_output=True, text=True, check=True,
-            )
+            # a leg killed by the flaky raylet race retries once in a
+            # fresh process rather than aborting the whole scaling run
+            for attempt in (1, 2):
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--worker", str(n),
+                     "--sf-dir", sf_dir, "--pages-dir", pages_dir],
+                    capture_output=True, text=True,
+                )
+                if proc.returncode == 0:
+                    break
+                print("# scaling leg n={} attempt {} failed (rc={}); {}"
+                      .format(n, attempt, proc.returncode,
+                              "retrying" if attempt == 1 else "aborting"),
+                      file=sys.stderr)
+                if attempt == 1:
+                    _settle()
+            proc.check_returncode()
             run = json.loads(proc.stdout.strip().splitlines()[-1])
             if n not in results or run["triples_per_sec"] > results[n]["triples_per_sec"]:
                 results[n] = run
@@ -656,6 +698,182 @@ def scaling(sf_dir: str, low: int, high: int, repeats: int = 2) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# crash-resilient orchestration (VERDICT r4 item 1): the default bench run
+# lost ALL its numbers in round 4 when one flaky raylet race (a known Ray
+# task_manager.cc crash, BASELINE.md round 3) killed the single process
+# before the end-of-run JSON print.  The default run is now a driver-side
+# orchestrator that never initializes Ray itself: each phase runs in a
+# fresh child process, a crashed phase is retried once, the query sweep
+# streams per-query marker lines and RESUMES from the completed set, and
+# the cumulative result is flushed to BENCH_PARTIAL.json after every
+# phase — one crash can no longer erase a round's evidence.
+# ---------------------------------------------------------------------------
+
+PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_PARTIAL.json")
+
+
+def _flush_partial(result: dict) -> None:
+    tmp = PARTIAL_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(result, f, indent=1)
+    os.replace(tmp, PARTIAL_PATH)
+
+
+def _run_child(argv: list, timeout: float):
+    """Run this script as a child with ``argv``; (rc, stdout, stderr).
+    A timeout or signal death returns a nonzero rc with whatever stdout
+    the child produced (the sweep's QPARTIAL markers survive a crash)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + argv,
+            capture_output=True, text=True, timeout=timeout,
+        )
+        return proc.returncode, proc.stdout or "", proc.stderr or ""
+    except subprocess.TimeoutExpired as exc:
+        def _txt(x):
+            if x is None:
+                return ""
+            return x.decode(errors="replace") if isinstance(x, bytes) else x
+        return -9, _txt(exc.stdout), \
+            _txt(exc.stderr) + "\n[timeout after {}s]".format(timeout)
+
+
+def _phase_with_retry(result: dict, name: str, argv: list, timeout: float):
+    """Run a phase child, retrying once in a fresh process on failure;
+    returns the child's final JSON dict or None (errors recorded)."""
+    for attempt in (1, 2):
+        rc, out, err = _run_child(argv, timeout)
+        if rc == 0:
+            for line in reversed(out.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        return json.loads(line)
+                    except ValueError:
+                        continue
+        result.setdefault("phase_errors", {})[
+            "{}_attempt{}".format(name, attempt)
+        ] = (err or out).strip()[-1500:]
+        print("# phase {} attempt {} failed (rc={}) — {}".format(
+            name, attempt, rc, "retrying" if attempt == 1 else "giving up",
+        ), file=sys.stderr)
+        time.sleep(10)
+    return None
+
+
+def _sweep_with_resume(result: dict, sf_dir: str, num_cpus: int,
+                       max_attempts: int = 3) -> dict:
+    """Query sweep with crash-resume: the child streams one QPARTIAL
+    marker per completed query; a crashed child is relaunched with only
+    the remaining queries, so one raylet race costs at most the query it
+    interrupted plus a Ray re-init."""
+    done = {}
+    for attempt in range(1, max_attempts + 1):
+        remaining = [q for q in SWEEP_QUERIES if q not in done]
+        if not remaining:
+            break
+        rc, out, err = _run_child(
+            ["--phase", "queries", "--cpus", str(num_cpus),
+             "--sf-dir", sf_dir, "--only", ",".join(remaining)],
+            timeout=7200,
+        )
+        for line in out.splitlines():
+            if line.startswith("QPARTIAL "):
+                try:
+                    d = json.loads(line[len("QPARTIAL "):])
+                except ValueError:
+                    continue
+                done[d["name"]] = d["sec"]
+        result["queries"] = dict(done)
+        _flush_partial(result)
+        if rc == 0:
+            break
+        result.setdefault("phase_errors", {})[
+            "queries_attempt{}".format(attempt)
+        ] = (err or "").strip()[-1500:]
+        print("# sweep attempt {} crashed after {}/{} queries — resuming"
+              .format(attempt, len(done), len(SWEEP_QUERIES)),
+              file=sys.stderr)
+        time.sleep(10)
+    return done
+
+
+def orchestrated(num_cpus: int, sf_dir: str) -> dict:
+    sf = float(os.path.basename(
+        os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
+    result = {
+        "metric": "kg_pipeline_wall_sec",
+        "value": None,
+        "unit": "sec",
+        "sf": sf,
+        "num_cpus": num_cpus,
+    }
+    headline = _phase_with_retry(
+        result, "headline",
+        ["--phase", "headline", "--cpus", str(num_cpus), "--sf-dir", sf_dir],
+        timeout=3600,
+    )
+    if headline:
+        result.update(headline)
+        result["value"] = headline.get("wall_sec")
+    _flush_partial(result)
+    # large legs BEFORE the query sweep (phase isolation already gives each
+    # a fresh Ray session; the ordering keeps round-over-round comparability
+    # with the pre-orchestrator runs)
+    for name, timeout in (("large", 3600), ("large_objectstore", 3600),
+                          ("hetionet", 1800)):
+        out = _phase_with_retry(
+            result, name, ["--phase", name, "--cpus", str(num_cpus)], timeout,
+        )
+        if out:
+            result.update(out)
+        _flush_partial(result)
+    # the 1M-page soak is a ONE-recorded-run figure (~10 min of wall); its
+    # SOAK_RECORD.json rides along so BENCH_r{N}.json carries the soak_*
+    # fields without re-running it every round.  Re-record: bench.py --soak.
+    if os.path.exists(SOAK_RECORD):
+        with open(SOAK_RECORD) as f:
+            result.update(json.load(f))
+    _sweep_with_resume(result, sf_dir, num_cpus)
+    _flush_partial(result)
+    return result
+
+
+def _phase_main(args) -> None:
+    import ray
+
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if args.phase == "headline":
+        print(json.dumps(single_run(
+            num_cpus, args.sf_dir, with_queries=False,
+        )))
+        return
+    if args.phase in ("large", "large_objectstore"):
+        _init_ray(num_cpus)
+        out = run_large_leg(
+            num_cpus, objectstore=args.phase == "large_objectstore",
+        )
+        ray.shutdown()
+        print(json.dumps(out))
+        return
+    if args.phase == "hetionet":
+        _init_ray(num_cpus)
+        out = run_hetionet_leg(num_cpus)
+        ray.shutdown()
+        print(json.dumps(out))
+        return
+    if args.phase == "queries":
+        _init_ray(num_cpus)
+        only = args.only.split(",") if args.only else None
+        out = run_queries(args.sf_dir, only=only, stream=True)
+        ray.shutdown()
+        print(json.dumps({"queries": out}))
+        return
+    raise SystemExit("unknown --phase {}".format(args.phase))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--scaling", action="store_true")
@@ -664,6 +882,12 @@ def main():
                              "SOAK_RECORD.json)")
     parser.add_argument("--worker", type=int, default=None,
                         help="internal: run headline only at N cpus")
+    parser.add_argument("--phase", default=None,
+                        help="internal: run ONE bench phase in this process")
+    parser.add_argument("--cpus", type=int, default=None)
+    parser.add_argument("--only", default=None,
+                        help="internal: comma list restricting --phase "
+                             "queries (crash-resume)")
     parser.add_argument("--sf-dir", default=os.environ.get(
         "GRAFT_SF_DIR", "/root/testdata/sf0.1",
     ))
@@ -676,6 +900,9 @@ def main():
         print(json.dumps(single_run(
             args.worker, args.sf_dir, with_queries=False, pages_dir=args.pages_dir,
         )))
+        return
+    if args.phase is not None:
+        _phase_main(args)
         return
     if args.scaling:
         print(json.dumps(scaling(args.sf_dir, args.low, args.high)))
@@ -691,9 +918,7 @@ def main():
         return
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    print(json.dumps(single_run(
-        num_cpus, args.sf_dir, with_queries=True, with_large_leg=True,
-    )))
+    print(json.dumps(orchestrated(num_cpus, args.sf_dir)))
 
 
 if __name__ == "__main__":

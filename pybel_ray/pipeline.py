@@ -343,12 +343,16 @@ def compile_pages(
 
         pages = dedup_pages_by_url(normalize_urls(pages))
     if events_dir is not None:
-        ev = os.path.join(events_dir, "events")
-        tr = os.path.join(events_dir, "triples")
+        from . import fsio
+
+        fs = options.get("filesystem")
+        ev = fsio.join(fs, events_dir, "events")
+        tr = fsio.join(fs, events_dir, "triples")
         manifest = events_pipeline(
             pages, registry, events_dir=ev, triples_dir=tr, **options,
         ).materialize()  # tiny: one row per shard; drives execution
-        return KGTables(events_path=ev, triples_path=tr, manifest=manifest)
+        return KGTables(events_path=ev, triples_path=tr, manifest=manifest,
+                        filesystem=fs)
     events = events_pipeline(pages, registry, **options)
     if materialize:
         events = events.materialize()

@@ -324,6 +324,37 @@ def test_checkpoint_subtree_filesystem_parity(ray_session, tmp_path, pages_table
     assert kg2.statement_count() == kg_local.statement_count()
 
 
+def test_compile_pages_filesystem_roundtrip(ray_session, tmp_path, pages_table):
+    """compile_pages(events_dir=..., filesystem=SubTreeFileSystem) reads its
+    views back through the SAME filesystem (regression: the filesystem was
+    forwarded to the write side but not into KGTables, so every read-back
+    raised FileNotFoundError on the relative path)."""
+    import ray.data
+    from pyarrow import fs as pafs
+
+    from pybel_ray.pipeline import compile_pages
+
+    mem = compile_pages(
+        ray.data.from_arrow(pages_table), default_registry(),
+        concurrency=(1, 2), batch_size=8,
+    )
+    base = tmp_path / "bucket"
+    base.mkdir()
+    subfs = pafs.SubTreeFileSystem(str(base), pafs.LocalFileSystem())
+    kg = compile_pages(
+        ray.data.from_arrow(pages_table), default_registry(),
+        concurrency=(1, 2), batch_size=8,
+        events_dir="ev", filesystem=subfs,
+    )
+    assert kg.filesystem is subfs
+    mem_triples = [(r["h"], r["r"], r["t"]) for r in mem.triples().take_all()]
+    fs_triples = [(r["h"], r["r"], r["t"]) for r in kg.triples().take_all()]
+    assert fs_triples == mem_triples  # both globally sorted
+    assert kg.statement_count() == mem.statement_count()
+    assert kg.errors().count() == mem.errors().count()
+    assert (base / "ev" / "events").is_dir()
+
+
 def test_events_pipeline_uri_target(ray_session, tmp_path, pages_table):
     """A file:// URI events_dir resolves to the local branch and compiles."""
     import ray.data
