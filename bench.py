@@ -329,6 +329,57 @@ def run_hetionet_leg(num_cpus: int) -> dict:
     }
 
 
+def run_conformance_metrics() -> dict:
+    """kg_triples precision/recall vs the reference compiler's golden
+    output (VERDICT r4 item 7): compiles every golden corpus
+    (tests/golden/*.json, generated offline from the READ-ONLY reference
+    by tools/gen_golden.py) and scores the engine's (h, r, t) triples
+    against the reference's — the flagship's P=R=1.0 claim as a recorded
+    bench artifact, not only a pytest.  Driver-side, no Ray session."""
+    import importlib.util
+
+    from pybel_ray import compile_document
+    from pybel_ray.export.triples import edge_to_triple
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "_conformance", os.path.join(here, "tests", "test_conformance.py"),
+    )
+    conf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(conf)
+
+    tp = fp = fn = 0
+    corpora = conf.corpus_names()
+    for name in corpora:
+        with open(os.path.join(conf.GOLDEN_DIR, name + ".json")) as f:
+            golden = json.load(f)
+        with open(golden["source"]) as f:
+            text = f.read()
+        result = compile_document(
+            text, conf.build_registry(), **golden["options"],
+        )
+        node_by_bel = {bel: node for bel, node in result.nodes}
+        engine = {
+            edge_to_triple(
+                node_by_bel[e["src_bel"]], e["data"], node_by_bel[e["dst_bel"]],
+            )
+            for e in result.edges
+        }
+        engine = {t for t in engine if t is not None}
+        gold = {tuple(t) for t in golden["triples"]}
+        tp += len(engine & gold)
+        fp += len(engine - gold)
+        fn += len(gold - engine)
+    return {
+        "kg_triples_precision": round(tp / (tp + fp), 6) if tp + fp else 0.0,
+        "kg_triples_recall": round(tp / (tp + fn), 6) if tp + fn else 0.0,
+        "kg_triples_golden_tp": tp,
+        "kg_triples_golden_fp": fp,
+        "kg_triples_golden_fn": fn,
+        "kg_triples_golden_corpora": len(corpora),
+    }
+
+
 SOAK_PAGES = int(os.environ.get("PYBEL_RAY_SOAK_PAGES", "1000000"))
 SOAK_RECORD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "SOAK_RECORD.json")
@@ -823,7 +874,7 @@ def orchestrated(num_cpus: int, sf_dir: str) -> dict:
     # a fresh Ray session; the ordering keeps round-over-round comparability
     # with the pre-orchestrator runs)
     for name, timeout in (("large", 3600), ("large_objectstore", 3600),
-                          ("hetionet", 1800)):
+                          ("hetionet", 1800), ("conformance", 900)):
         out = _phase_with_retry(
             result, name, ["--phase", name, "--cpus", str(num_cpus)], timeout,
         )
@@ -863,6 +914,9 @@ def _phase_main(args) -> None:
         out = run_hetionet_leg(num_cpus)
         ray.shutdown()
         print(json.dumps(out))
+        return
+    if args.phase == "conformance":
+        print(json.dumps(run_conformance_metrics()))  # no Ray needed
         return
     if args.phase == "queries":
         _init_ray(num_cpus)
