@@ -183,17 +183,32 @@ def decode_png(payload: bytes) -> np.ndarray:
                 .reshape(stride)
         elif f == 2:  # Up
             rec = (cur + prev) % 256
-        elif f == 3:  # Average: left recurrence, walk pixels
-            rec = np.zeros(stride, np.int64)
+        elif f == 3:  # Average: left recurrence (see note below)
+            rec_l = [0] * stride
+            cur_l = cur.tolist()
+            prev_l = prev.tolist()
             for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (cur[x] + (left + prev[x]) // 2) % 256
-        elif f == 4:  # Paeth: left recurrence, walk pixels
-            rec = np.zeros(stride, np.int64)
+                left = rec_l[x - bpp] if x >= bpp else 0
+                rec_l[x] = (cur_l[x] + ((left + prev_l[x]) >> 1)) & 0xFF
+            rec = np.asarray(rec_l, np.int64)
+        elif f == 4:  # Paeth: left recurrence (see note below)
+            # The rec[x] <- rec[x-bpp] dependency makes Average/Paeth
+            # inherently sequential along the scanline (no numpy closed
+            # form: the floor/selector breaks superposition).  The walk
+            # runs over plain Python ints on lists — ~10x faster than the
+            # numpy-scalar-indexing loop it replaced (each element access
+            # on an ndarray costs ~100ns) — but is still O(W) Python per
+            # row: fine for
+            # CI fixtures and our own filter-0 encoder; a crawl of
+            # arbitrary real-world PNGs should decode via a real codec
+            # behind the multimodal import gate.
+            rec_l = [0] * stride
+            cur_l = cur.tolist()
+            prev_l = prev.tolist()
             for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
+                a = rec_l[x - bpp] if x >= bpp else 0
+                b = prev_l[x]
+                c = prev_l[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa_, pb, pcv = abs(p - a), abs(p - b), abs(p - c)
                 if pa_ <= pb and pa_ <= pcv:
@@ -202,7 +217,8 @@ def decode_png(payload: bytes) -> np.ndarray:
                     pred = b
                 else:
                     pred = c
-                rec[x] = (cur[x] + pred) % 256
+                rec_l[x] = (cur_l[x] + pred) & 0xFF
+            rec = np.asarray(rec_l, np.int64)
         else:
             raise ValueError("invalid PNG filter type {}".format(f))
         out[y] = rec
